@@ -1,0 +1,1187 @@
+"""Deterministic fixture-PDF generator + golden texts.
+
+Implements the FIXTURES.md feature matrix. Every PDF byte string is
+produced here (no external data); every golden text is hand-derived from
+the reference semantics documented in SURVEY.md §2.A (positioning math
+A23-A24, text-device heuristics A38, serialization A39).
+
+The generator shares NO parsing code with pdfcore (it only borrows the
+AES/RC4 primitives to author encrypted fixtures), so fixture bugs and
+parser bugs cannot cancel out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+from .pdfcore.crypt import PAD, aes_cbc_encrypt, rc4
+
+CRLF = "\r\n"
+
+
+# ---------------------------------------------------------------------------
+# encoders used to author fixtures
+# ---------------------------------------------------------------------------
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal LZW encoder (9->12 bit, CLEAR/EOD) compatible with the
+    PDF LZWDecode filter."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # CLEAR
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w], width)
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096 - 1:
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def a85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        word = int.from_bytes(chunk + b"\x00" * pad, "big")
+        if word == 0 and pad == 0:
+            out.append(0x7A)
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(word % 85)
+            word //= 85
+        digits.reverse()
+        enc = bytes(d + 0x21 for d in digits)
+        out += enc[: 5 - pad]
+    out += b"~>"
+    return bytes(out)
+
+
+def ahx_encode(data: bytes) -> bytes:
+    return data.hex().encode() + b">"
+
+
+def rl_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of length j-i+1
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:
+            # literal stretch
+            j = i
+            while (
+                j < n
+                and j - i < 127
+                and not (j < n - 1 and data[j] == data[j + 1])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def png_predict_encode(data: bytes, columns: int, tag: int) -> bytes:
+    """Forward-apply a PNG predictor row filter (bpp=1) so the parser's
+    un-predict restores the original."""
+    # pad to row multiple with spaces (harmless in content streams)
+    stride = columns
+    if len(data) % stride:
+        data = data + b" " * (stride - len(data) % stride)
+    rows = [data[i : i + stride] for i in range(0, len(data), stride)]
+    out = bytearray()
+    prev = bytes(stride)
+    for row in rows:
+        out.append(tag)
+        if tag == 0:
+            out += row
+        elif tag == 1:  # Sub
+            enc = bytearray(row)
+            for i in range(stride - 1, 0, -1):
+                enc[i] = (enc[i] - row[i - 1]) & 0xFF
+            out += enc
+        elif tag == 2:  # Up
+            out += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif tag == 4:  # Paeth
+            enc = bytearray()
+            for i in range(stride):
+                a = row[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                enc.append((row[i] - pred) & 0xFF)
+            out += enc
+        prev = row
+    return bytes(out)
+
+
+def tiff_predict_encode(data: bytes, columns: int) -> bytes:
+    stride = columns
+    if len(data) % stride:
+        data = data + b" " * (stride - len(data) % stride)
+    out = bytearray()
+    for r in range(0, len(data), stride):
+        row = data[r : r + stride]
+        enc = bytearray(row)
+        for i in range(stride - 1, 0, -1):
+            enc[i] = (enc[i] - row[i - 1]) & 0xFF
+        out += enc
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PDF builder
+# ---------------------------------------------------------------------------
+
+
+class Obj:
+    def __init__(self, num: int, body: str | bytes, stream: bytes | None = None):
+        self.num = num
+        self.body = body
+        self.stream = stream
+
+
+class PdfBuilder:
+    def __init__(self, version=b"%PDF-1.4"):
+        self.version = version
+        self.objects: dict[int, Obj] = {}
+        self._next = 1
+
+    def add(self, body: str | bytes, stream: bytes | None = None, num: int | None = None) -> int:
+        if num is None:
+            num = self._next
+        self._next = max(self._next, num + 1)
+        self.objects[num] = Obj(num, body, stream)
+        return num
+
+    def reserve(self) -> int:
+        num = self._next
+        self._next += 1
+        return num
+
+    def set(self, num: int, body: str | bytes, stream: bytes | None = None):
+        self.objects[num] = Obj(num, body, stream)
+
+    def _serialize_obj(self, o: Obj) -> bytes:
+        body = o.body.encode("latin-1") if isinstance(o.body, str) else o.body
+        parts = [f"{o.num} 0 obj\n".encode(), body]
+        if o.stream is not None:
+            parts.append(b"\nstream\n")
+            parts.append(o.stream)
+            parts.append(b"\nendstream")
+        parts.append(b"\nendobj\n")
+        return b"".join(parts)
+
+    def build_classic(
+        self,
+        root: int,
+        info: int | None = None,
+        encrypt_clause: str = "",
+        doc_id: bytes | None = None,
+        multisection: bool = False,
+    ) -> bytes:
+        out = bytearray(self.version + b"\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += self._serialize_obj(self.objects[num])
+        startxref = len(out)
+        nums = sorted(self.objects)
+        size = max(nums) + 1
+        out += b"xref\n"
+        if multisection:
+            # one subsection for object 0, then one per run of object nums
+            sections: list[list[int]] = []
+            run: list[int] = []
+            for n in nums:
+                if run and n != run[-1] + 1:
+                    sections.append(run)
+                    run = []
+                run.append(n)
+            if run:
+                sections.append(run)
+            out += b"0 1\n0000000000 65535 f \n"
+            for sec in sections:
+                out += f"{sec[0]} {len(sec)}\n".encode()
+                for n in sec:
+                    out += f"{offsets[n]:010d} 00000 n \n".encode()
+        else:
+            out += f"0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for n in range(1, size):
+                if n in offsets:
+                    out += f"{offsets[n]:010d} 00000 n \n".encode()
+                else:
+                    out += b"0000000000 65535 f \n"
+        trailer = f"trailer\n<< /Size {size} /Root {root} 0 R"
+        if info:
+            trailer += f" /Info {info} 0 R"
+        if encrypt_clause:
+            trailer += " " + encrypt_clause
+        if doc_id is not None:
+            h = doc_id.hex().upper()
+            trailer += f" /ID [<{h}> <{h}>]"
+        trailer += " >>\n"
+        out += trailer.encode()
+        out += f"startxref\n{startxref}\n%%EOF\n".encode()
+        return bytes(out)
+
+    def build_xref_stream(self, root: int, info: int | None = None) -> bytes:
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += self._serialize_obj(self.objects[num])
+        xref_num = self._next
+        size = xref_num + 1
+        startxref = len(out)
+        rows = bytearray()
+        for n in range(size):
+            if n == 0:
+                rows += bytes([0]) + struct.pack(">H", 0) + bytes([255])
+            elif n == xref_num:
+                rows += bytes([1]) + struct.pack(">H", startxref) + bytes([0])
+            elif n in offsets:
+                rows += bytes([1]) + struct.pack(">H", offsets[n]) + bytes([0])
+            else:
+                rows += bytes([0]) + struct.pack(">H", 0) + bytes([0])
+        stream = zlib.compress(bytes(rows))
+        body = (
+            f"<< /Type /XRef /Size {size} /W [1 2 1] /Root {root} 0 R "
+            f"/Filter /FlateDecode /Length {len(stream)}"
+            + (f" /Info {info} 0 R" if info else "")
+            + " >>"
+        )
+        xobj = Obj(xref_num, body, stream)
+        out += self._serialize_obj(xobj)
+        out += f"startxref\n{startxref}\n%%EOF\n".encode()
+        return bytes(out)
+
+
+def content_stream_obj(
+    b: PdfBuilder, content: bytes, filters: str = "", encoded: bytes | None = None,
+    extra: str = "",
+) -> int:
+    data = encoded if encoded is not None else content
+    flt = f" /Filter {filters}" if filters else ""
+    return b.add(f"<< /Length {len(data)}{flt}{extra} >>", data)
+
+
+def simple_doc(
+    content: bytes,
+    font_body: str = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    filters: str = "",
+    encoded: bytes | None = None,
+    extra_stream_dict: str = "",
+    builder: PdfBuilder | None = None,
+) -> tuple[PdfBuilder, int]:
+    """catalog(1) pages(2) page(3) content(4) font(5)."""
+    b = builder or PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content_stream_obj(b, content, filters, encoded, extra_stream_dict)
+    b.add(font_body)
+    return b, cat
+
+
+def _bt(text_ops: str) -> bytes:
+    return f"BT /F1 12 Tf {text_ops} ET".encode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# the fixture corpus
+# ---------------------------------------------------------------------------
+
+
+def _case_xref_classic():
+    b, cat = simple_doc(_bt("72 720 Td (Hello World) Tj"))
+    return b.build_classic(cat), "Hello World" + CRLF, 1
+
+
+def _case_xref_multisection():
+    b, cat = simple_doc(_bt("72 720 Td (Multi Section) Tj"))
+    # introduce a numbering gap so subsections split: move font to 9
+    b.objects[9] = b.objects.pop(5)
+    b.objects[9].num = 9
+    b.objects[3] = Obj(
+        3,
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 9 0 R >> >> /Contents 4 0 R >>",
+    )
+    return b.build_classic(cat, multisection=True), "Multi Section" + CRLF, 1
+
+
+def _case_xref_stream():
+    b, cat = simple_doc(_bt("72 720 Td (Xref Stream) Tj"))
+    return b.build_xref_stream(cat), "Xref Stream" + CRLF, 1
+
+
+def _case_xref_prev_chain():
+    b, cat = simple_doc(_bt("72 720 Td (Original) Tj"))
+    base = b.build_classic(cat)
+    # incremental update: replace content object 4
+    newc = _bt("72 720 Td (Updated) Tj")
+    upd = bytearray(base)
+    ofs4 = len(upd)
+    o = Obj(4, f"<< /Length {len(newc)} >>", newc)
+    upd += PdfBuilder()._serialize_obj(o)
+    startxref = len(upd)
+    prev_start = base.rfind(b"startxref")
+    prev_ofs = int(base[prev_start + 9 :].split()[0])
+    upd += b"xref\n0 1\n0000000000 65535 f \n"
+    upd += f"4 1\n{ofs4:010d} 00000 n \n".encode()
+    upd += f"trailer\n<< /Size 6 /Root {cat} 0 R /Prev {prev_ofs} >>\n".encode()
+    upd += f"startxref\n{startxref}\n%%EOF\n".encode()
+    return bytes(upd), "Updated" + CRLF, 1
+
+
+def _case_xref_hybrid():
+    """Classic table that omits the font object; /XRefStm supplies it."""
+    b, cat = simple_doc(_bt("72 720 Td (Hybrid) Tj"))
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(b.objects):
+        offsets[num] = len(out)
+        out += b._serialize_obj(b.objects[num])
+    # xref stream object (7) covering object 5 (font) + itself
+    xref_stm_num = 7
+    xref_stm_ofs = len(out)
+    rows = bytearray()
+    rows += bytes([1]) + struct.pack(">H", offsets[5]) + bytes([0])
+    rows += bytes([1]) + struct.pack(">H", xref_stm_ofs) + bytes([0])
+    stm = zlib.compress(bytes(rows))
+    xobj = Obj(
+        xref_stm_num,
+        f"<< /Type /XRef /Size 8 /W [1 2 1] /Index [5 1 7 1] /Root {cat} 0 R "
+        f"/Filter /FlateDecode /Length {len(stm)} >>",
+        stm,
+    )
+    out += b._serialize_obj(xobj)
+    startxref = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += f"1 4\n".encode()
+    for n in (1, 2, 3, 4):
+        out += f"{offsets[n]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 8 /Root {cat} 0 R /XRefStm {xref_stm_ofs} >>\n"
+    ).encode()
+    out += f"startxref\n{startxref}\n%%EOF\n".encode()
+    return bytes(out), "Hybrid" + CRLF, 1
+
+
+def _case_objstm():
+    b = PdfBuilder()
+    # catalog(1) pages(2) page(3) packed in an ObjStm(6); content(4), font(5)
+    content = _bt("72 720 Td (ObjStm) Tj")
+    b.add(f"<< /Length {len(content)} >>", content, num=4)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", num=5)
+    members = [
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        ),
+    ]
+    payload = ""
+    heads = []
+    for num, body in members:
+        heads.append((num, len(payload)))
+        payload += body + "\n"
+    header = " ".join(f"{n} {o}" for n, o in heads) + "\n"
+    stm_data = (header + payload).encode("latin-1")
+    comp = zlib.compress(stm_data)
+    b.add(
+        f"<< /Type /ObjStm /N {len(members)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(comp)} >>",
+        comp,
+        num=6,
+    )
+    # hand-build with an xref stream marking 1..3 as type-2 entries
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(b.objects):
+        offsets[num] = len(out)
+        out += b._serialize_obj(b.objects[num])
+    xref_num = 7
+    startxref = len(out)
+    rows = bytearray()
+    rows += bytes([0]) + struct.pack(">H", 0) + bytes([255])  # 0
+    for idx in range(3):  # 1..3 in objstm 6
+        rows += bytes([2]) + struct.pack(">H", 6) + bytes([idx])
+    for n in (4, 5, 6):
+        rows += bytes([1]) + struct.pack(">H", offsets[n]) + bytes([0])
+    rows += bytes([1]) + struct.pack(">H", startxref) + bytes([0])  # 7
+    stm = zlib.compress(bytes(rows))
+    xobj = Obj(
+        xref_num,
+        f"<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        f"/Filter /FlateDecode /Length {len(stm)} >>",
+        stm,
+    )
+    out += b._serialize_obj(xobj)
+    out += f"startxref\n{startxref}\n%%EOF\n".encode()
+    return bytes(out), "ObjStm" + CRLF, 1
+
+
+def _case_repair_truncated():
+    b, cat = simple_doc(_bt("72 720 Td (Repaired) Tj"))
+    data = b.build_classic(cat)
+    # corrupt the startxref target
+    i = data.rfind(b"startxref")
+    j = data.find(b"\n", i) + 1
+    k = data.find(b"\n", j)
+    bad = data[:j] + b"999999999" + data[k:]
+    return bytes(bad), "Repaired" + CRLF, 1
+
+
+def _case_pagetree_deep():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    # 2 -> 3 -> 4 -> 5 -> 6 -> leaves 7,8 ; resources+mediabox inherited from 2
+    b.add(
+        "<< /Type /Pages /Kids [3 0 R] /Count 2 /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 11 0 R >> >> >>"
+    )
+    b.add("<< /Type /Pages /Kids [4 0 R] /Count 2 /Parent 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [5 0 R] /Count 2 /Parent 3 0 R >>")
+    b.add("<< /Type /Pages /Kids [6 0 R] /Count 2 /Parent 4 0 R >>")
+    b.add("<< /Type /Pages /Kids [7 0 R 8 0 R] /Count 2 /Parent 5 0 R >>")
+    b.add("<< /Type /Page /Parent 6 0 R /Contents 9 0 R >>")
+    b.add("<< /Type /Page /Parent 6 0 R /Contents 10 0 R >>")
+    c1 = _bt("72 720 Td (Deep One) Tj")
+    c2 = _bt("72 720 Td (Deep Two) Tj")
+    b.add(f"<< /Length {len(c1)} >>", c1)
+    b.add(f"<< /Length {len(c2)} >>", c2)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return (
+        b.build_classic(cat),
+        "Deep One" + CRLF + "Deep Two" + CRLF,
+        2,
+    )
+
+
+def _case_pagetree_cycle():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    # node 2's kids: page 3 and node 2 itself (cycle)
+    b.add(
+        "<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 2 /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    b.add("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    c = _bt("72 720 Td (Cycle Survivor) Tj")
+    b.add(f"<< /Length {len(c)} >>", c)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build_classic(cat), "Cycle Survivor" + CRLF, 1
+
+
+def _case_contents_array():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 7 0 R >> >> /Contents [4 0 R 5 0 R 6 0 R] >>"
+    )
+    p1 = b"BT /F1 12 Tf 72 720"
+    p2 = b"Td (Split) Tj"  # the single-space join supplies token separation
+    p3 = b"ET"
+    for p in (p1, p2, p3):
+        b.add(f"<< /Length {len(p)} >>", p)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build_classic(cat), "Split" + CRLF, 1
+
+
+def _filtered_case(text: str, filters: str, encoder, extra_dict: str = ""):
+    content = _bt(f"72 720 Td ({text}) Tj")
+    enc = encoder(content)
+    b, cat = simple_doc(
+        content, filters=filters, encoded=enc, extra_stream_dict=extra_dict
+    )
+    return b.build_classic(cat), text + CRLF, 1
+
+
+def _case_flate_plain():
+    return _filtered_case("Flate", "/FlateDecode", zlib.compress)
+
+
+def _case_flate_predictor_png_up():
+    def enc(c):
+        return zlib.compress(png_predict_encode(c, 20, 2))
+
+    return _filtered_case(
+        "Predictor Up",
+        "/FlateDecode",
+        enc,
+        " /DecodeParms << /Predictor 12 /Columns 20 >>",
+    )
+
+
+def _case_flate_predictor_paeth():
+    def enc(c):
+        return zlib.compress(png_predict_encode(c, 16, 4))
+
+    return _filtered_case(
+        "Paeth",
+        "/FlateDecode",
+        enc,
+        " /DecodeParms << /Predictor 15 /Columns 16 >>",
+    )
+
+
+def _case_lzw_earlychange():
+    return _filtered_case("LZW LZW LZW", "/LZWDecode", lzw_encode)
+
+
+def _case_lzw_predictor_tiff():
+    def enc(c):
+        return lzw_encode(tiff_predict_encode(c, 10))
+
+    return _filtered_case(
+        "LZW TIFF",
+        "/LZWDecode",
+        enc,
+        " /DecodeParms << /Predictor 2 /Columns 10 >>",
+    )
+
+
+def _case_ahx():
+    return _filtered_case("Hex", "/ASCIIHexDecode", ahx_encode)
+
+
+def _case_a85():
+    return _filtered_case("Ascii85", "/ASCII85Decode", a85_encode)
+
+
+def _case_rle():
+    return _filtered_case("RunLength   gap", "/RunLengthDecode", rl_encode)
+
+
+def _case_filter_chain_a85_flate():
+    def enc(c):
+        return a85_encode(zlib.compress(c))
+
+    return _filtered_case("Chain", "[/ASCII85Decode /FlateDecode]", enc)
+
+
+def _case_tj_simple():
+    b, cat = simple_doc(_bt("72 720 Td (Hello World) Tj"))
+    return b.build_classic(cat), "Hello World" + CRLF, 1
+
+
+def _case_tj_array_kerning():
+    # -300/1000*12 = 3.6pt gap > 0.2*12=2.4 -> space; -100 -> 1.2 < 2.4 -> none
+    ops = "72 720 Td [(To) -300 (day)] TJ 0 -50 Td [(ke) -100 (rn)] TJ"
+    b, cat = simple_doc(_bt(ops))
+    return b.build_classic(cat), "To day" + CRLF + "kern" + CRLF, 1
+
+
+def _case_td_tm_tstar():
+    ops = (
+        "72 720 Td (Line1) Tj "
+        "0 -20 TD (Line2) Tj "
+        "T* (Line3) Tj "
+        "1 0 0 1 300 500 Tm (Line4) Tj"
+    )
+    b, cat = simple_doc(_bt(ops))
+    golden = CRLF.join(["Line1", "Line2", "Line3", "Line4"]) + CRLF
+    return b.build_classic(cat), golden, 1
+
+
+def _case_quote_dquote():
+    ops = "14 TL 72 720 Td (First) Tj (Second) ' 4 0.5 (Third Word) \""
+    b, cat = simple_doc(_bt(ops))
+    golden = CRLF.join(["First", "Second", "Third Word"]) + CRLF
+    return b.build_classic(cat), golden, 1
+
+
+def _case_tc_tw_tz_ts():
+    # Tc 3 at size 12: inter-glyph gap 3 > 2.4 -> synthetic spaces
+    # Tz 50 halves the gap: 1.5 < 2.4 -> no spaces
+    # Ts rise mid-string: vertical delta, dot=0 -> nothing inserted
+    ops = (
+        "72 720 Td 3 Tc (ABC) Tj 0 Tc "
+        "0 -50 Td 5 Tw (a b) Tj 0 Tw "
+        "0 -50 Td 50 Tz 3 Tc (XYZ) Tj 0 Tc 100 Tz "
+        "0 -50 Td (ab) Tj 5 Ts (cd) Tj 0 Ts"
+    )
+    b, cat = simple_doc(_bt(ops))
+    golden = CRLF.join(["A B C", "a b", "XYZ", "abcd"]) + CRLF
+    return b.build_classic(cat), golden, 1
+
+
+def _case_render_mode_3():
+    # Tr 2 (fill+stroke) extracts the run twice, separated by a newline
+    # because the second pass restarts at the word origin (pen jump).
+    # Tr 3 (invisible) still extracts via the ignore_text hook.
+    ops = (
+        "72 720 Td 2 Tr (Dup) Tj 0 Tr "
+        "0 -50 Td 3 Tr (Invisible) Tj 0 Tr"
+    )
+    b, cat = simple_doc(_bt(ops))
+    golden = CRLF.join(["Dup", "Dup", "Invisible"]) + CRLF
+    return b.build_classic(cat), golden, 1
+
+
+def _case_qq_cm_nesting():
+    content = (
+        b"q 2 0 0 2 0 100 cm BT /F1 12 Tf 72 300 Td (Scaled) Tj ET Q "
+        b"BT /F1 12 Tf 72 600 Td (Normal) Tj ET"
+    )
+    b, cat = simple_doc(content)
+    return b.build_classic(cat), "Scaled" + CRLF + "Normal" + CRLF, 1
+
+
+def _case_xobject_form():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> /XObject << /Fx 6 0 R >> >> "
+        "/Contents 4 0 R >>"
+    )
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Before) Tj ET /Fx Do "
+        b"BT /F1 12 Tf 72 600 Td (After) Tj ET"
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    form = b"BT /F1 12 Tf 0 0 Td (InForm) Tj ET"
+    b.add(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        f"/Matrix [1 0 0 1 100 560] /Length {len(form)} >>",
+        form,
+    )
+    golden = CRLF.join(["Before", "InForm", "After"]) + CRLF
+    return b.build_classic(cat), golden, 1
+
+
+def _case_inline_image_skip():
+    # 4x4 gray 8bpc raw image: 16 bytes including ')' 'E' 'I' decoys
+    img = bytes([0x29, 0x45, 0x49, 0x00] * 4)
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (PreImage) Tj ET "
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + img + b" EI "
+        b"BT /F1 12 Tf 72 650 Td (PostImage) Tj ET"
+    )
+    b, cat = simple_doc(content)
+    return b.build_classic(cat), "PreImage" + CRLF + "PostImage" + CRLF, 1
+
+
+def _case_extgstate_font():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/ExtGState << /GS1 << /Type /ExtGState /Font [5 0 R 12] >> >> >> "
+        "/Contents 4 0 R >>"
+    )
+    content = b"/GS1 gs BT 72 720 Td (ExtG) Tj ET"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build_classic(cat), "ExtG" + CRLF, 1
+
+
+def _case_multipage():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 >>")
+    texts = ["Page One", "Page Two", "Page Three"]
+    for i, t in enumerate(texts):
+        b.add(
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 9 0 R >> >> /Contents {6 + i} 0 R >>"
+        )
+    for t in texts:
+        c = _bt(f"72 720 Td ({t}) Tj")
+        b.add(f"<< /Length {len(c)} >>", c)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build_classic(cat), CRLF.join(texts) + CRLF, 3
+
+
+def _case_std14_helvetica():
+    b, cat = simple_doc(_bt("72 720 Td (Builtin Metrics) Tj"))
+    return b.build_classic(cat), "Builtin Metrics" + CRLF, 1
+
+
+def _tounicode_stream(body: str) -> str:
+    return (
+        "/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+        "/CMapName /Custom def /CMapType 2 def "
+        "1 begincodespacerange <00> <FF> endcodespacerange "
+        + body
+        + " endcmap CMapName currentdict /CMap defineresource pop end end"
+    )
+
+
+def _simple_font_with_tounicode(b: PdfBuilder, tounicode_body: str, encoding="/WinAnsiEncoding") -> str:
+    # ToUnicode stream lives at object 6; simple_doc fills 1..5 afterwards
+    # (set() bypasses the auto-number counter on purpose)
+    tu = _tounicode_stream(tounicode_body).encode()
+    b.set(6, f"<< /Length {len(tu)} >>", tu)
+    return (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        f"/Encoding {encoding} /ToUnicode 6 0 R >>"
+    )
+
+
+def _case_winansi_differences():
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding << /BaseEncoding /WinAnsiEncoding "
+        "/Differences [65 /eacute /uni0042 67 /trademark] >> >>"
+    )
+    b, cat = simple_doc(_bt("72 720 Td (ABCD) Tj"), font_body=font)
+    golden = "éB™D" + CRLF
+    return b.build_classic(cat), golden, 1
+
+
+def _case_macroman():
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding /MacRomanEncoding >>"
+    )
+    b, cat = simple_doc(_bt("72 720 Td (caf\\216) Tj"), font_body=font)
+    return b.build_classic(cat), "café" + CRLF, 1
+
+
+def _case_tounicode_bfchar():
+    b = PdfBuilder()
+    font = _simple_font_with_tounicode(
+        b, "2 beginbfchar <41> <0416> <42> <00660066> endbfchar"
+    )
+    b2, cat = simple_doc(_bt("72 720 Td (AB) Tj"), font_body=font, builder=b)
+    golden = "Жff" + CRLF
+    return b2.build_classic(cat), golden, 1
+
+
+def _case_tounicode_bfrange():
+    b = PdfBuilder()
+    font = _simple_font_with_tounicode(
+        b,
+        "2 beginbfrange <41> <43> <0061> <44> <45> [<0058> <0059>] endbfrange",
+    )
+    b2, cat = simple_doc(_bt("72 720 Td (ABCDE) Tj"), font_body=font, builder=b)
+    golden = "abcXY" + CRLF
+    return b2.build_classic(cat), golden, 1
+
+
+def _case_ligatures():
+    b = PdfBuilder()
+    font = _simple_font_with_tounicode(
+        b,
+        "7 beginbfchar <41> <FB00> <42> <FB01> <43> <FB02> <44> <FB03> "
+        "<45> <FB04> <46> <FB05> <47> <FB06> endbfchar",
+    )
+    b2, cat = simple_doc(
+        _bt("72 720 Td (A B C D E F G) Tj"), font_body=font, builder=b
+    )
+    # reference quirk: FB01 (fi) also expands to 'ff'
+    golden = "ff ff fl ffi ffl st st" + CRLF
+    return b2.build_classic(cat), golden, 1
+
+
+def _identity_h_doc(
+    text_ops: str,
+    w_clause: str = "",
+    tounicode_identity: bool = True,
+    encoding: str = "/Identity-H",
+) -> PdfBuilder:
+    b = PdfBuilder()
+    b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = f"BT /F1 12 Tf {text_ops} ET".encode("latin-1")
+    b.add(f"<< /Length {len(content)} >>", content)
+    tu = ""
+    if tounicode_identity:
+        tu_data = (
+            "/CIDInit /ProcSet findresource begin begincmap "
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+            "1 beginbfrange <0000> <FFFF> <0000> endbfrange endcmap end"
+        ).encode()
+        tu_num = 7
+        b.add(f"<< /Length {len(tu_data)} >>", tu_data, num=7)
+        tu = f" /ToUnicode {tu_num} 0 R"
+    b.add(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+        f"/Encoding {encoding} /DescendantFonts [6 0 R]{tu} >>",
+        num=5,
+    )
+    b.add(
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID "
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        f"/Supplement 0 >> /FontDescriptor 8 0 R /DW 1000{w_clause} >>",
+        num=6,
+    )
+    b.add(
+        "<< /Type /FontDescriptor /FontName /Synth-CID /Flags 4 "
+        "/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 800 "
+        "/Descent -200 /CapHeight 700 /StemV 80 >>",
+        num=8,
+    )
+    return b
+
+
+def _hex16(s: str) -> str:
+    return "<" + "".join(f"{ord(c):04X}" for c in s) + ">"
+
+
+def _case_type0_identity_h():
+    ops = f"72 720 Td {_hex16('Hello CID')} Tj"
+    b = _identity_h_doc(ops)
+    return b.build_classic(1), "Hello CID" + CRLF, 1
+
+
+def _case_type0_system_cmap():
+    # names a predefined CJK CMap we don't bundle: font load fails
+    # gracefully, the page extracts empty, and the metrics record the code
+    ops = f"72 720 Td {_hex16('missing')} Tj"
+    b = _identity_h_doc(ops, encoding="/UniGB-UCS2-H")
+    return b.build_classic(1), CRLF, 1
+
+
+def _case_cid_w_widths():
+    ops = f"72 720 Td [{_hex16('CID')} -300 {_hex16('Widths')}] TJ"
+    w = " /W [72 [600] 105 [250 250] 67 73 500]"
+    b = _identity_h_doc(ops, w_clause=w)
+    return b.build_classic(1), "CID Widths" + CRLF, 1
+
+
+def _case_type3_widths():
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (abc) Tj ET"
+    b.add(f"<< /Length {len(content)} >>", content)
+    glyph = b"50 0 0 0 50 50 d1"
+    g1 = b.add(f"<< /Length {len(glyph)} >>", glyph, num=6)
+    tu = _tounicode_stream(
+        "3 beginbfchar <61> <0054> <62> <0033> <63> <0021> endbfchar"
+    ).encode()
+    b.add(f"<< /Length {len(tu)} >>", tu, num=7)
+    b.add(
+        "<< /Type /Font /Subtype /Type3 /Name /T3 "
+        "/FontMatrix [0.01 0 0 0.01 0 0] /FontBBox [0 0 100 100] "
+        "/FirstChar 97 /LastChar 99 /Widths [50 60 70] "
+        "/Encoding << /Differences [97 /ga 98 /gb 99 /gc] >> "
+        "/CharProcs << /ga 6 0 R /gb 6 0 R /gc 6 0 R >> "
+        "/ToUnicode 7 0 R >>",
+        num=5,
+    )
+    # 'abc' -> T3! via ToUnicode; Type3 width quirk (LastChar dropped) only
+    # affects pen advance after the final glyph -> invisible here
+    return b.build_classic(cat), "T3!" + CRLF, 1
+
+
+def _case_wmode_vertical():
+    # Identity-V: each glyph's pen moves UP (horizontal advance along the
+    # vertical dir vector) while tm steps DOWN -> every glyph pair is a
+    # line break (MuPDF 1.0 behavior, see SURVEY §2.A A38)
+    ops = f"306 700 Td {_hex16('VERT')} Tj"
+    b = _identity_h_doc(ops, encoding="/Identity-V")
+    golden = CRLF.join("VERT") + CRLF
+    return b.build_classic(1), golden, 1
+
+
+def _case_control_chars():
+    b = PdfBuilder()
+    font = _simple_font_with_tounicode(
+        b, "2 beginbfchar <41> <0007> <42> <0000> endbfchar"
+    )
+    b2, cat = simple_doc(_bt("72 720 Td (aAbB) Tj"), font_body=font, builder=b)
+    # A -> U+0007 -> '?' at serialization; B -> 0 -> '?' at show_char
+    return b2.build_classic(cat), "a?b?" + CRLF, 1
+
+
+# --- encryption --------------------------------------------------------------
+
+
+def _std_OU(r: int, length_bytes: int, p: int, doc_id: bytes, user_pw: bytes = b"", owner_pw: bytes = b""):
+    """Algorithms 3.2-3.5 of the PDF spec (owner pw defaults to user pw)."""
+    opw = (owner_pw or user_pw) + PAD
+    h = hashlib.md5(opw[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:length_bytes]).digest()
+    rc4_key = h[:length_bytes]
+    upw = (user_pw + PAD)[:32]
+    o = rc4(rc4_key, upw)
+    if r >= 3:
+        for i in range(1, 20):
+            k = bytes(bb ^ i for bb in rc4_key)
+            o = rc4(k, o)
+    # encryption key (Algorithm 3.2)
+    m = hashlib.md5()
+    m.update((user_pw + PAD)[:32])
+    m.update(o[:32])
+    m.update(struct.pack("<I", p & 0xFFFFFFFF))
+    m.update(doc_id)
+    key = m.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:length_bytes]).digest()
+    key = key[:length_bytes]
+    if r == 2:
+        u = rc4(key, PAD)
+    else:
+        mu = hashlib.md5()
+        mu.update(PAD)
+        mu.update(doc_id)
+        u = rc4(key, mu.digest())
+        for i in range(1, 20):
+            k = bytes(bb ^ i for bb in key)
+            u = rc4(k, u)
+        u = u + b"\x00" * 16
+    return o, u, key
+
+
+def _objkey(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    msg = key + struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+    if aes:
+        msg += b"sAlT"
+    n = min(len(key) + 5, 16)
+    return hashlib.md5(msg).digest()[:n]
+
+
+def _encrypted_doc(method: str, user_pw: bytes = b""):
+    doc_id = bytes(range(16))
+    p = 0xFFFFFFFC
+    if method == "rc4":
+        r, v, nbytes = 3, 2, 16
+        enc_extra = ""
+    else:
+        r, v, nbytes = 4, 4, 16
+        enc_extra = (
+            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            "/StmF /StdCF /StrF /StdCF"
+        )
+    o, u, key = _std_OU(r, nbytes, p, doc_id, user_pw=user_pw)
+    label = "Encrypted RC4" if method == "rc4" else "Encrypted AES"
+    content = _bt(f"72 720 Td ({label}) Tj")
+    num = 4  # content stream object number in simple_doc
+    if method == "rc4":
+        enc_content = rc4(_objkey(key, num, 0, False), content)
+    else:
+        iv = bytes(range(16))
+        enc_content = aes_cbc_encrypt(_objkey(key, num, 0, True), iv, content)
+    b, cat = simple_doc(content, encoded=enc_content)
+    # fix the /Length to the encrypted payload
+    b.set(4, f"<< /Length {len(enc_content)} >>", enc_content)
+    enc_num = b.add(
+        f"<< /Filter /Standard /V {v} /R {r} /Length {nbytes * 8} "
+        f"/P -4 /O <{o.hex().upper()}> /U <{u.hex().upper()}>{enc_extra} >>"
+    )
+    data = b.build_classic(
+        cat, encrypt_clause=f"/Encrypt {enc_num} 0 R", doc_id=doc_id
+    )
+    return data, label + CRLF, 1
+
+
+def _case_rc4_empty_password():
+    return _encrypted_doc("rc4")
+
+
+def _case_aesv2_empty_password():
+    return _encrypted_doc("aes")
+
+
+def _case_encrypted_password():
+    data, _, _ = _encrypted_doc("rc4", user_pw=b"secret")
+    return data, None, 0  # golden None => expected status 'failed'
+
+
+def _case_info_utf16():
+    b, cat = simple_doc(_bt("72 720 Td (Meta) Tj"))
+    title = "Tïtle ✓"
+    enc = b"\xfe\xff" + "".join(title).encode("utf-16-be")
+    info = b.add(f"<< /Title <{enc.hex().upper()}> /Producer (pyspark-pdf) >>")
+    return b.build_classic(cat, info=info), "Meta" + CRLF, 1
+
+
+def _case_info_pdfdoc():
+    b, cat = simple_doc(_bt("72 720 Td (MetaDoc) Tj"))
+    # 0x93 = U+FB01 (fi) in PdfDocEncoding
+    info = b.add("<< /Title (Pro\\223le) /Creator (fixture-gen) >>")
+    return b.build_classic(cat, info=info), "MetaDoc" + CRLF, 1
+
+
+CASES = {
+    "xref_classic": _case_xref_classic,
+    "xref_multisection": _case_xref_multisection,
+    "xref_stream": _case_xref_stream,
+    "xref_prev_chain": _case_xref_prev_chain,
+    "xref_hybrid": _case_xref_hybrid,
+    "objstm": _case_objstm,
+    "repair_truncated": _case_repair_truncated,
+    "pagetree_deep": _case_pagetree_deep,
+    "pagetree_cycle": _case_pagetree_cycle,
+    "contents_array": _case_contents_array,
+    "flate_plain": _case_flate_plain,
+    "flate_predictor_png_up": _case_flate_predictor_png_up,
+    "flate_predictor_paeth": _case_flate_predictor_paeth,
+    "lzw_earlychange": _case_lzw_earlychange,
+    "lzw_predictor_tiff": _case_lzw_predictor_tiff,
+    "ahx": _case_ahx,
+    "a85": _case_a85,
+    "rle": _case_rle,
+    "filter_chain_a85_flate": _case_filter_chain_a85_flate,
+    "tj_simple": _case_tj_simple,
+    "tj_array_kerning": _case_tj_array_kerning,
+    "td_tm_tstar": _case_td_tm_tstar,
+    "quote_dquote": _case_quote_dquote,
+    "tc_tw_tz_ts": _case_tc_tw_tz_ts,
+    "render_mode_3": _case_render_mode_3,
+    "qq_cm_nesting": _case_qq_cm_nesting,
+    "xobject_form": _case_xobject_form,
+    "inline_image_skip": _case_inline_image_skip,
+    "extgstate_font": _case_extgstate_font,
+    "multipage": _case_multipage,
+    "std14_helvetica": _case_std14_helvetica,
+    "winansi_differences": _case_winansi_differences,
+    "macroman": _case_macroman,
+    "tounicode_bfchar": _case_tounicode_bfchar,
+    "tounicode_bfrange": _case_tounicode_bfrange,
+    "ligatures": _case_ligatures,
+    "type0_identity_h": _case_type0_identity_h,
+    "type0_system_cmap": _case_type0_system_cmap,
+    "cid_w_widths": _case_cid_w_widths,
+    "type3_widths": _case_type3_widths,
+    "wmode_vertical": _case_wmode_vertical,
+    "control_chars": _case_control_chars,
+    "rc4_empty_password": _case_rc4_empty_password,
+    "aesv2_empty_password": _case_aesv2_empty_password,
+    "encrypted_password": _case_encrypted_password,
+    "info_utf16": _case_info_utf16,
+    "info_pdfdoc": _case_info_pdfdoc,
+}
+
+
+def generate_fixtures() -> dict[str, dict]:
+    """case_id -> {pdf, golden (None => expect failed), npages, lang}."""
+    out = {}
+    for case_id, fn in CASES.items():
+        pdf, golden, npages = fn()
+        out[case_id] = {
+            "url": f"pdf://fixture/{case_id}",
+            "pdf": pdf,
+            "golden": golden,
+            "npages": npages,
+            "lang": "en",
+        }
+    return out
+
+
+# --- bench corpora (BASELINE.md) --------------------------------------------
+
+_LOREM = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua"
+).split()
+
+
+def _lorem_line(rng, n=8) -> str:
+    return " ".join(_LOREM[rng() % len(_LOREM)] for _ in range(n))
+
+
+def _mk_rng(seed: int):
+    state = seed or 1
+
+    def rng():
+        nonlocal state
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        return state
+
+    return rng
+
+
+def bench_pdf(seed: int, npages: int) -> bytes:
+    """A deterministic multi-page text PDF (tj_simple/multipage template)."""
+    rng = _mk_rng(seed)
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + i} 0 R" for i in range(npages))
+    b.add(f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>")
+    font_num = 3 + 2 * npages
+    for i in range(npages):
+        b.add(
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {3 + npages + i} 0 R >>"
+        )
+    for i in range(npages):
+        lines = []
+        y = 740
+        for _ in range(30):
+            lines.append(f"1 0 0 1 72 {y} Tm ({_lorem_line(rng)}) Tj")
+            y -= 18
+        ops = "BT /F1 10 Tf " + " ".join(lines) + " ET"
+        content = zlib.compress(ops.encode("latin-1"))
+        b.add(
+            f"<< /Length {len(content)} /Filter /FlateDecode >>", content
+        )
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build_classic(cat)

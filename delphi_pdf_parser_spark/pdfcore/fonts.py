@@ -1,0 +1,395 @@
+"""Font loading: the code -> CID -> (unicode, width) machinery.
+
+Mirrors src/vcl/pdf_fontss.pas (simple + CID fonts), pdf_type3s.pas,
+pdf_unicodess.pas (ToUnicode), pdf_metricss.pas (hmtx/vmtx).
+
+Key design decision vs the reference: no FreeType. The reference consults
+the embedded/builtin font program for glyph ids and for the text device's
+pen advance (FT_Get_Advance, src/vcl/dev_textss.pas:296). Glyph ids never
+reach the extracted text; what matters is (a) the code->unicode chain and
+(b) the advance widths. We take both from the PDF-side data: /Widths, /W,
+DW, Type3 widths, or the built-in base-14 metrics tables (public Adobe AFM
+numbers, identical to the metrics inside the reference's bundled CFF
+fonts). The text device's pen advance therefore equals hmtx/1000 — which
+is exactly what FT_Get_Advance returns for those fonts at unitsPerEm
+scale.
+
+Quirks of the reference reproduced on purpose:
+- pdf_get_vmtx never consults the W2 table (inverted nil-check,
+  src/vcl/pdf_metricss.pas:135-141): vertical metrics are always the
+  default (DW2 or 880/-1000) with x = hmtx.w/2
+- Type3 widths load only FirstChar..LastChar-1
+  (src/vcl/pdf_type3s.pas:118-124)
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from .cmap import (
+    CMap,
+    SystemCMapUnavailable,
+    identity_cmap,
+    load_system_cmap,
+    parse_cmap,
+)
+from .cos import Name, is_indirect, is_name, to_int, to_name, to_real
+from .encodings import load_encoding, lookup_agl
+from .base14 import BASE14_WIDTHS, BASE14_ENCODING_OVERRIDES, clean_base14_name
+
+
+class FontError(Exception):
+    def __init__(self, code: str, msg: str = ""):
+        super().__init__(msg or code)
+        self.code = code
+
+
+class FontDesc:
+    __slots__ = (
+        "ident",
+        "name",
+        "wmode",
+        "flags",
+        "missing_width",
+        "encoding",
+        "to_unicode",
+        "cid_to_ucs",
+        "hmtx",
+        "_hmtx_lows",
+        "dhmtx",
+        "dvmtx",
+        "t3widths",
+        "t3matrix_a",
+        "is_type3",
+    )
+
+    def __init__(self, ident):
+        self.ident = ident  # identity key for text-run flush comparison
+        self.name = ""
+        self.wmode = 0
+        self.flags = 0
+        self.missing_width = 0
+        self.encoding: CMap | None = None
+        self.to_unicode: CMap | None = None
+        self.cid_to_ucs: list[int] | None = None
+        self.hmtx: list[tuple[int, int, int]] = []  # (lo, hi, w) sorted
+        self._hmtx_lows: list[int] = []
+        self.dhmtx = 0
+        self.dvmtx = (880, -1000)
+        self.t3widths: dict[int, float] = {}
+        self.t3matrix_a = 0.001
+        self.is_type3 = False
+
+    # --- metrics -------------------------------------------------------------
+    def add_hmtx(self, lo: int, hi: int, w: int):
+        self.hmtx.append((lo, hi, w))
+
+    def end_hmtx(self):
+        self.hmtx.sort(key=lambda t: t[0])
+        self._hmtx_lows = [t[0] for t in self.hmtx]
+
+    def get_hmtx_w(self, cid: int) -> int:
+        i = bisect_right(self._hmtx_lows, cid) - 1
+        if i >= 0:
+            lo, hi, w = self.hmtx[i]
+            if lo <= cid <= hi:
+                return w
+        return self.dhmtx
+
+    def get_vmtx(self, cid: int) -> tuple[int, int, int]:
+        """(x, y, w). Reproduces the reference's always-default behavior."""
+        h = self.get_hmtx_w(cid)
+        y, w = self.dvmtx
+        return (h // 2, y, w)
+
+    # --- text-device pen advance (per-1000 units -> text space) --------------
+    def pen_advance(self, gid: int) -> float:
+        if self.is_type3:
+            return self.t3widths.get(gid, 0.0)
+        return self.get_hmtx_w(gid) / 1000.0
+
+
+def _load_to_unicode(
+    doc, font: FontDesc, strings: list | None, collection: str | None, cmapstm
+):
+    """pdf_load_to_unicode (src/vcl/pdf_unicodess.pas:10-98)."""
+    if is_indirect(cmapstm) and doc.is_stream(cmapstm):
+        data = doc.load_stream(cmapstm.num)
+        cmap = parse_cmap(data)
+        tu = CMap()
+        limit = 255 if strings is not None else 65535
+        for i in range(limit + 1):
+            cid = font.encoding.lookup(i) if font.encoding else -1
+            if cid >= 0:
+                vals = cmap.lookup_full(i)
+                if len(vals) == 1:
+                    tu.map_range_to_range(cid, cid, vals[0])
+                elif len(vals) > 1:
+                    tu.map_one_to_many(cid, vals)
+        tu.sort()
+        font.to_unicode = tu
+    elif collection:
+        if collection in (
+            "Adobe-CNS1",
+            "Adobe-GB1",
+            "Adobe-Japan1",
+            "Adobe-Korea1",
+        ):
+            try:
+                font.to_unicode = load_system_cmap(collection + "-UCS2")
+            except SystemCMapUnavailable:
+                doc.note_failure(f"system_cmap:{collection}-UCS2")
+
+    if strings is not None:
+        font.cid_to_ucs = [
+            lookup_agl(strings[i]) if strings[i] else ord("?") for i in range(256)
+        ]
+        # unknown names resolve to 0 via AGL; reference stores that 0 and
+        # show_char folds it to '?'
+
+
+def _apply_differences(estrings: list, encoding_dict: dict, doc):
+    diff = doc.resolve(encoding_dict.get("Differences"))
+    if isinstance(diff, list):
+        k = 0
+        for item in diff:
+            item = doc.resolve(item) if is_indirect(item) else item
+            if isinstance(item, (int, float)) and not isinstance(item, bool):
+                k = int(item)
+            elif is_name(item):
+                if 0 <= k <= 255:
+                    estrings[k] = str(item)
+                k += 1
+            k = min(max(k, 0), 255)
+
+
+def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
+    """Type1 / MMType1 / TrueType (pdf_load_simple_font,
+    src/vcl/pdf_fontss.pas:501-862), FreeType-free reformulation."""
+    font = FontDesc(ident)
+    basefont = to_name(doc.get(dict_, "BaseFont"))
+    fontname = clean_base14_name(basefont)
+    font.name = fontname
+
+    descriptor = doc.get(dict_, "FontDescriptor")
+    builtin = None
+    if descriptor is None or fontname in BASE14_WIDTHS:
+        builtin = fontname if fontname in BASE14_WIDTHS else None
+    if isinstance(descriptor, dict):
+        font.flags = to_int(doc.get(descriptor, "Flags"))
+        font.missing_width = to_int(doc.get(descriptor, "MissingWidth"))
+
+    # estrings: glyph-name table per code
+    estrings: list = [None] * 256
+    # builtin encoding of the (builtin) font program: StandardEncoding for
+    # the base-14 text faces, Symbol/ZapfDingbats get their own overrides
+    if builtin is not None:
+        base_enc = BASE14_ENCODING_OVERRIDES.get(builtin, "StandardEncoding")
+        load_encoding(estrings, base_enc)
+
+    encoding = doc.get(dict_, "Encoding")
+    if encoding is not None:
+        if is_name(encoding):
+            load_encoding(estrings, str(encoding))
+        elif isinstance(encoding, dict):
+            base = doc.resolve(encoding.get("BaseEncoding"))
+            if is_name(base):
+                load_encoding(estrings, str(base))
+            _apply_differences(estrings, encoding, doc)
+
+    font.encoding = identity_cmap(0, 1)
+    _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))
+
+    # widths
+    font.dhmtx = round(font.missing_width)
+    widths = doc.get(dict_, "Widths")
+    if isinstance(widths, list):
+        first = to_int(doc.get(dict_, "FirstChar"))
+        last = to_int(doc.get(dict_, "LastChar"))
+        if first < 0 or last > 255 or first > last:
+            first = last = 0
+        for i in range(0, last - first + 1):
+            wid = to_int(doc.resolve(widths[i])) if i < len(widths) else 0
+            font.add_hmtx(i + first, i + first, wid)
+    elif builtin is not None:
+        table = BASE14_WIDTHS[builtin]
+        for code in range(256):
+            gname = estrings[code]
+            w = table.get(gname, 0) if gname else 0
+            font.add_hmtx(code, code, w)
+    else:
+        doc.note_failure("font_no_widths")
+    font.end_hmtx()
+    return font
+
+
+def load_cid_font(doc, dict_: dict, encoding, to_unicode, ident) -> FontDesc:
+    """(load_cid_font, src/vcl/pdf_fontss.pas:868-1121)."""
+    font = FontDesc(ident)
+    cidinfo = doc.get(dict_, "CIDSystemInfo")
+    if not isinstance(cidinfo, dict):
+        raise FontError("cid_font_missing_info")
+    registry = doc.get(cidinfo, "Registry")
+    ordering = doc.get(cidinfo, "Ordering")
+    reg = registry.decode("latin-1") if isinstance(registry, bytes) else ""
+    orr = ordering.decode("latin-1") if isinstance(ordering, bytes) else ""
+    collection = f"{reg}-{orr}"
+    font.name = to_name(doc.get(dict_, "BaseFont"))
+
+    if is_name(encoding):
+        ename = str(encoding)
+        if ename == "Identity-H":
+            font.encoding = identity_cmap(0, 2)
+        elif ename == "Identity-V":
+            font.encoding = identity_cmap(1, 2)
+        else:
+            try:
+                font.encoding = load_system_cmap(ename)
+            except SystemCMapUnavailable:
+                raise FontError(f"system_cmap:{ename}")
+    elif is_indirect(encoding) and doc.is_stream(encoding):
+        stmdict = doc.load_object(encoding.num)
+        data = doc.load_stream(encoding.num)
+        font.encoding = parse_cmap(data)
+        wmode = doc.get(stmdict, "WMode") if isinstance(stmdict, dict) else None
+        if isinstance(wmode, int):
+            font.encoding.wmode = wmode
+        use = doc.get(stmdict, "UseCMap") if isinstance(stmdict, dict) else None
+        if is_name(use):
+            try:
+                font.encoding.set_usecmap(load_system_cmap(str(use)))
+            except SystemCMapUnavailable:
+                raise FontError(f"system_cmap:{use}")
+    else:
+        raise FontError("font_missing_encoding")
+    font.wmode = font.encoding.wmode
+
+    _load_to_unicode(doc, font, None, collection, to_unicode)
+
+    dw = 1000
+    obj = doc.get(dict_, "DW")
+    if obj is not None:
+        dw = to_int(obj)
+    font.dhmtx = dw
+
+    widths = doc.get(dict_, "W")
+    if isinstance(widths, list):
+        i = 0
+        n = len(widths)
+        while i < n:
+            c0 = to_int(doc.resolve(widths[i]))
+            obj = doc.resolve(widths[i + 1]) if i + 1 < n else None
+            if isinstance(obj, list):
+                for k, wv in enumerate(obj):
+                    font.add_hmtx(c0 + k, c0 + k, to_int(doc.resolve(wv)))
+                i += 2
+            else:
+                c1 = to_int(obj)
+                w = to_int(doc.resolve(widths[i + 2])) if i + 2 < n else 0
+                font.add_hmtx(c0, c1, w)
+                i += 3
+    font.end_hmtx()
+
+    if font.wmode == 1:
+        dw2y, dw2w = 880, -1000
+        obj = doc.get(dict_, "DW2")
+        if isinstance(obj, list) and len(obj) >= 2:
+            dw2y = to_int(doc.resolve(obj[0]))
+            dw2w = to_int(doc.resolve(obj[1]))
+        font.dvmtx = (dw2y, dw2w)
+        # W2 intentionally not loaded: the reference's pdf_get_vmtx never
+        # reads it (src/vcl/pdf_metricss.pas:135-141)
+    return font
+
+
+def load_type0_font(doc, dict_: dict, ident) -> FontDesc:
+    dfonts = doc.get(dict_, "DescendantFonts")
+    if not isinstance(dfonts, list) or not dfonts:
+        raise FontError("cid_font_missing_descendants")
+    dfont = doc.resolve(dfonts[0])
+    if not isinstance(dfont, dict):
+        raise FontError("cid_font_missing_descendants")
+    encoding = dict_.get("Encoding")
+    if is_indirect(encoding) and not doc.is_stream(encoding):
+        encoding = doc.resolve(encoding)
+    to_unicode = dict_.get("ToUnicode")
+    subtype = to_name(doc.get(dfont, "Subtype"))
+    if subtype in ("CIDFontType0", "CIDFontType2"):
+        return load_cid_font(doc, dfont, encoding, to_unicode, ident)
+    raise FontError("unknown_cid_font_type")
+
+
+def load_type3_font(doc, rdb, dict_: dict, ident) -> FontDesc:
+    """(pdf_load_type3_font, src/vcl/pdf_type3s.pas:19-182). Only widths +
+    ToUnicode matter for text extraction; charprocs are not rasterized."""
+    font = FontDesc(ident)
+    font.is_type3 = True
+    obj = doc.get(dict_, "Name")
+    font.name = str(obj) if is_name(obj) else "Unnamed-T3"
+
+    matrix = doc.get(dict_, "FontMatrix")
+    a = 0.001
+    if isinstance(matrix, list) and len(matrix) >= 6:
+        a = to_real(doc.resolve(matrix[0]))
+    font.t3matrix_a = a
+
+    estrings: list = [None] * 256
+    encoding = doc.get(dict_, "Encoding")
+    if encoding is None:
+        raise FontError("type3_missing_encoding")
+    if is_name(encoding):
+        load_encoding(estrings, str(encoding))
+    elif isinstance(encoding, dict):
+        base = doc.resolve(encoding.get("BaseEncoding"))
+        if is_name(base):
+            load_encoding(estrings, str(base))
+        _apply_differences(estrings, encoding, doc)
+
+    font.encoding = identity_cmap(0, 1)
+    _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))
+
+    font.dhmtx = 0
+    first = to_int(doc.get(dict_, "FirstChar"))
+    last = to_int(doc.get(dict_, "LastChar"))
+    widths = doc.get(dict_, "Widths")
+    if not isinstance(widths, list):
+        raise FontError("type3_missing_widths")
+    # NOTE: reference loads FirstChar..LastChar-1 — off-by-one kept
+    for i in range(first, last):
+        idx = i - first
+        w = to_real(doc.resolve(widths[idx])) if idx < len(widths) else 0.0
+        scaled = font.t3matrix_a * w * 1000.0
+        font.t3widths[i] = scaled * 0.001
+        font.add_hmtx(i, i, int(scaled))
+    font.end_hmtx()
+    return font
+
+
+def load_font(doc, rdb, ref_or_dict, cache: dict) -> FontDesc:
+    """pdf_load_font dispatch + per-document memo cache
+    (src/vcl/pdf_fontss.pas:1274-1338)."""
+    if is_indirect(ref_or_dict):
+        key = (ref_or_dict.num, ref_or_dict.gen)
+        dict_ = doc.resolve(ref_or_dict)
+    else:
+        key = id(ref_or_dict)
+        dict_ = ref_or_dict
+    if key in cache:
+        return cache[key]
+    if not isinstance(dict_, dict):
+        raise FontError("bad_font_dict")
+    subtype = to_name(doc.get(dict_, "Subtype"))
+    if subtype == "Type0":
+        font = load_type0_font(doc, dict_, key)
+    elif subtype in ("Type1", "MMType1", "TrueType"):
+        font = load_simple_font(doc, dict_, key)
+    elif subtype == "Type3":
+        font = load_type3_font(doc, rdb, dict_, key)
+    elif doc.get(dict_, "CharProcs") is not None:
+        font = load_type3_font(doc, rdb, dict_, key)
+    elif doc.get(dict_, "DescendantFonts") is not None:
+        font = load_type0_font(doc, dict_, key)
+    else:
+        font = load_simple_font(doc, dict_, key)
+    cache[key] = font
+    return font

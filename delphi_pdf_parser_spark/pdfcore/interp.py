@@ -1,0 +1,613 @@
+"""Content-stream interpreter: the Tj/TJ/Td/Tm text-positioning state
+machine.
+
+Mirrors src/vcl/pdf_interprets.pas:
+
+- token loop with the in-text ``[`` fast path: numbers inside a TJ array
+  become pdf_show_space immediately, strings are shown without building an
+  array (pdf_run_stream :2436-2610)
+- pdf_show_char (:431-519): tsm = [size*scale, 0, 0, size, 0, rise],
+  ToUnicode-full then cid_to_ucs then '?', flush on font/wmode/trm-abcd
+  (FLT_EPSILON) /render change, advance tm by (w0*size+char_space)*scale
+  (wmode 0) or w1*size+char_space (wmode 1)
+- word_space applied after raw code point 32 (pdf_show_string :546-580)
+- flush_text (:298-430): every render mode reaches the text device (modes
+  2/6 extract the same run twice via fill+stroke, 4/5/6/7 additionally via
+  clip — reproduced deliberately)
+- gsave/grestore stack of 64, Q underflow warns and stays (:729-786)
+- Form XObjects run recursively with matrix + resource inheritance
+  (:1037-1129, :1466-1557) — with an explicit depth guard (we add; the
+  reference would stack-overflow)
+- inline images: dict parsed, payload consumed, scan to EI (:1311-1361)
+- ExtGState: only /Font affects text (:1131-1301)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from . import lexer as lx
+from .cos import Name, is_indirect, is_name, to_int, to_name, to_real
+from .filters import a85_decode, ahx_decode
+from .fonts import FontError, load_font
+from .lexer import Lexer
+from .textdev import TextRun, _concat
+
+FLT_EPSILON = 1.19209290e-07
+IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+MAX_XOBJECT_DEPTH = 16
+
+
+def _translate(tx, ty):
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+class GState:
+    __slots__ = (
+        "ctm",
+        "char_space",
+        "word_space",
+        "scale",
+        "leading",
+        "font",
+        "size",
+        "render",
+        "rise",
+    )
+
+    def __init__(self, ctm):
+        self.ctm = ctm
+        self.char_space = 0.0
+        self.word_space = 0.0
+        self.scale = 1.0
+        self.leading = 0.0
+        self.font = None
+        self.size = -1.0
+        self.render = 0
+        self.rise = 0.0
+
+    def copy(self):
+        g = GState(self.ctm)
+        g.char_space = self.char_space
+        g.word_space = self.word_space
+        g.scale = self.scale
+        g.leading = self.leading
+        g.font = self.font
+        g.size = self.size
+        g.render = self.render
+        g.rise = self.rise
+        return g
+
+
+class CSI:
+    """pdf_csi_s equivalent (one per content-stream run)."""
+
+    def __init__(self, doc, dev, ctm):
+        self.doc = doc
+        self.dev = dev
+        self.gstack = [GState(ctm)]
+        self.stack: list[float] = []
+        self.name = ""
+        self.string: bytes | None = None
+        self.obj = None
+        self.xbalance = 0
+        self.in_text = 0
+        self.text: TextRun | None = None
+        self.tm = IDENTITY
+        self.tlm = IDENTITY
+        self.text_mode = 0
+        self.top_ctm = ctm
+        self.font_cache: dict = {}
+        self.xobject_depth = 0
+
+    @property
+    def gs(self) -> GState:
+        return self.gstack[-1]
+
+    # --- text assembly --------------------------------------------------------
+    def flush_text(self):
+        if self.text is None:
+            return
+        text = self.text
+        self.text = None
+        mode = self.text_mode
+        dev = self.dev
+        ctm = self.gs.ctm
+        # doinvisible / doclip / dofill / dostroke per mode, all of which
+        # call the text device's extract hook
+        doinvisible = mode == 3
+        doclip = mode in (4, 5, 6, 7)
+        dofill = mode in (0, 2, 4, 6)
+        dostroke = mode in (1, 2, 5, 6)
+        if doinvisible:
+            dev.text(text, ctm)
+        if doclip:
+            dev.text(text, ctm)
+        if dofill:
+            dev.text(text, ctm)
+        if dostroke:
+            dev.text(text, ctm)
+
+    def show_space(self, tadj: float):
+        gs = self.gs
+        if gs.font is None:
+            self.doc.note_failure("text_no_font")
+            return
+        if gs.font.wmode == 0:
+            self.tm = _concat(_translate(tadj * gs.scale, 0), self.tm)
+        else:
+            self.tm = _concat(_translate(0, tadj), self.tm)
+
+    def show_char(self, cid: int):
+        gs = self.gs
+        font = gs.font
+        tsm = (gs.size * gs.scale, 0.0, 0.0, gs.size, 0.0, gs.rise)
+
+        ucs: list[int] = []
+        if font.to_unicode is not None:
+            ucs = font.to_unicode.lookup_full(cid)
+        if not ucs and font.cid_to_ucs is not None and cid < len(font.cid_to_ucs):
+            ucs = [font.cid_to_ucs[cid]]
+        if not ucs or (len(ucs) == 1 and ucs[0] == 0):
+            ucs = [ord("?")]
+
+        gid = cid  # no FreeType: glyph id == cid (see fonts.py docstring)
+
+        if font.wmode == 1:
+            vx, vy, vw = font.get_vmtx(cid)
+            tsm = (
+                tsm[0],
+                tsm[1],
+                tsm[2],
+                tsm[3],
+                tsm[4] - vx * gs.size * 0.001,
+                tsm[5] - vy * gs.size * 0.001,
+            )
+
+        trm = _concat(tsm, self.tm)
+
+        t = self.text
+        if (
+            t is None
+            or font.ident != t.font.ident
+            or font.wmode != t.wmode
+            or abs(trm[0] - t.trm[0]) > FLT_EPSILON
+            or abs(trm[1] - t.trm[1]) > FLT_EPSILON
+            or abs(trm[2] - t.trm[2]) > FLT_EPSILON
+            or abs(trm[3] - t.trm[3]) > FLT_EPSILON
+            or gs.render != self.text_mode
+        ):
+            self.flush_text()
+            self.text = TextRun(font, (trm[0], trm[1], trm[2], trm[3], 0.0, 0.0), font.wmode)
+            self.text_mode = gs.render
+            t = self.text
+
+        t.add(gid, ucs[0], trm[4], trm[5])
+        for extra in ucs[1:]:
+            t.add(-1, extra, trm[4], trm[5])
+
+        if font.wmode == 0:
+            w0 = font.get_hmtx_w(cid) * 0.001
+            tx = (w0 * gs.size + gs.char_space) * gs.scale
+            self.tm = _concat(_translate(tx, 0), self.tm)
+        else:
+            _vx, _vy, vw = font.get_vmtx(cid)
+            w1 = vw * 0.001
+            ty = w1 * gs.size + gs.char_space
+            self.tm = _concat(_translate(0, ty), self.tm)
+
+    def show_string(self, buf: bytes):
+        gs = self.gs
+        font = gs.font
+        if font is None:
+            self.doc.note_failure("text_no_font")
+            return
+        pos = 0
+        end = len(buf)
+        enc = font.encoding
+        while pos < end:
+            cpt, pos = enc.decode(buf, pos)
+            cid = enc.lookup(cpt)
+            if cid >= 0:
+                self.show_char(cid)
+            else:
+                self.doc.note_failure("cannot_encode_cpt")
+            if cpt == 32:
+                self.show_space(gs.word_space)
+
+    def show_text(self, obj):
+        gs = self.gs
+        if isinstance(obj, list):
+            for item in obj:
+                if isinstance(item, bytes):
+                    self.show_string(item)
+                else:
+                    self.show_space(-to_real(item) * gs.size * 0.001)
+        elif isinstance(obj, bytes):
+            self.show_string(obj)
+
+    # --- gstate ---------------------------------------------------------------
+    def gsave(self):
+        if len(self.gstack) >= 64:
+            self.doc.note_failure("gstate_overflow")
+            return
+        self.gstack.append(self.gs.copy())
+
+    def grestore(self):
+        if len(self.gstack) <= 1:
+            self.doc.note_failure("gstate_underflow")
+            return
+        self.gstack.pop()
+
+
+def run_buffer(csi: CSI, rdb, contents: bytes):
+    """pdf_run_buffer (:2615-2642): re-entrant, saves in_text."""
+    save_in_text = csi.in_text
+    csi.in_text = 0
+    try:
+        run_stream(csi, rdb, Lexer(contents))
+    finally:
+        csi.in_text = save_in_text
+
+
+def run_stream(csi: CSI, rdb, lex: Lexer):
+    csi.stack = []
+    csi.name = ""
+    csi.string = None
+    csi.obj = None
+    in_array = 0
+    doc = csi.doc
+    while True:
+        if len(csi.stack) > 32:
+            doc.note_failure("stack_overflow")
+            csi.stack = csi.stack[:32]
+        tok, val = lex.lex()
+        if in_array:
+            if tok == lx.TOK_CLOSE_ARRAY:
+                in_array = 0
+            elif tok in (lx.TOK_INT, lx.TOK_REAL):
+                gs = csi.gs
+                csi.show_space(-float(val) * gs.size * 0.001)
+            elif tok == lx.TOK_STRING:
+                csi.show_string(val)
+            elif tok == lx.TOK_KEYWORD:
+                if val in (b"Tw", b"Tc"):
+                    doc.note_failure("keyword_in_array")
+                else:
+                    raise SyntaxError("syntax error in array")
+            elif tok == lx.TOK_EOF:
+                return
+            else:
+                raise SyntaxError("syntax error in array")
+            continue
+        if tok in (lx.TOK_ENDSTREAM, lx.TOK_EOF):
+            return
+        if tok == lx.TOK_OPEN_ARRAY:
+            if not csi.in_text:
+                from .parser import parse_array
+
+                csi.obj = parse_array(lex)
+            else:
+                in_array = 1
+        elif tok == lx.TOK_OPEN_DICT:
+            from .parser import parse_dict
+
+            csi.obj = parse_dict(lex)
+        elif tok == lx.TOK_NAME:
+            csi.name = val
+        elif tok == lx.TOK_INT or tok == lx.TOK_REAL:
+            csi.stack.append(float(val))
+        elif tok == lx.TOK_STRING:
+            csi.string = val
+        elif tok in (
+            lx.TOK_KEYWORD,
+            lx.TOK_R,
+            lx.TOK_TRUE,
+            lx.TOK_FALSE,
+            lx.TOK_NULL,
+            lx.TOK_OBJ,
+            lx.TOK_ENDOBJ,
+            lx.TOK_XREF,
+            lx.TOK_TRAILER,
+            lx.TOK_STARTXREF,
+        ):
+            kw = val if isinstance(val, bytes) else b"?"
+            try:
+                run_keyword(csi, rdb, lex, kw)
+            except SyntaxError:
+                raise
+            except Exception:
+                doc.note_failure("keyword_error:" + kw.decode("latin-1", "replace"))
+            csi.stack = []
+            csi.name = ""
+            csi.string = None
+            csi.obj = None
+        else:
+            raise SyntaxError("syntax error in content stream")
+
+
+def _st(csi: CSI, i: int) -> float:
+    return csi.stack[i] if i < len(csi.stack) else 0.0
+
+
+def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
+    doc = csi.doc
+    gs = csi.gs
+    if kw == b"BT":
+        csi.in_text = 1
+        csi.tm = IDENTITY
+        csi.tlm = IDENTITY
+    elif kw == b"ET":
+        csi.flush_text()
+        csi.in_text = 0
+    elif kw == b"Tc":
+        gs.char_space = _st(csi, 0)
+    elif kw == b"Tw":
+        gs.word_space = _st(csi, 0)
+    elif kw == b"Tz":
+        csi.flush_text()
+        gs.scale = _st(csi, 0) / 100.0
+    elif kw == b"TL":
+        gs.leading = _st(csi, 0)
+    elif kw == b"Tf":
+        gs.size = _st(csi, 0)
+        gs.font = None
+        fontdict = doc.get(rdb, "Font") if isinstance(rdb, dict) else None
+        ref = fontdict.get(csi.name) if isinstance(fontdict, dict) else None
+        if ref is None:
+            doc.note_failure("font_resource_missing")
+        else:
+            try:
+                gs.font = load_font(doc, rdb, ref, csi.font_cache)
+            except FontError as e:
+                doc.note_failure(e.code)
+            except Exception:
+                doc.note_failure("font_load_error")
+    elif kw == b"Tr":
+        gs.render = int(_st(csi, 0))
+    elif kw == b"Ts":
+        gs.rise = _st(csi, 0)
+    elif kw == b"Td":
+        csi.tlm = _concat(_translate(_st(csi, 0), _st(csi, 1)), csi.tlm)
+        csi.tm = csi.tlm
+    elif kw == b"TD":
+        gs.leading = -_st(csi, 1)
+        csi.tlm = _concat(_translate(_st(csi, 0), _st(csi, 1)), csi.tlm)
+        csi.tm = csi.tlm
+    elif kw == b"Tm":
+        csi.tm = (
+            _st(csi, 0),
+            _st(csi, 1),
+            _st(csi, 2),
+            _st(csi, 3),
+            _st(csi, 4),
+            _st(csi, 5),
+        )
+        csi.tlm = csi.tm
+    elif kw == b"T*":
+        csi.tlm = _concat(_translate(0, -gs.leading), csi.tlm)
+        csi.tm = csi.tlm
+    elif kw in (b"Tj", b"TJ"):
+        if csi.string:
+            csi.show_string(csi.string)
+        else:
+            csi.show_text(csi.obj)
+    elif kw == b"'":
+        csi.tlm = _concat(_translate(0, -gs.leading), csi.tlm)
+        csi.tm = csi.tlm
+        if csi.string:
+            csi.show_string(csi.string)
+        else:
+            csi.show_text(csi.obj)
+    elif kw == b'"':
+        gs.word_space = _st(csi, 0)
+        gs.char_space = _st(csi, 1)
+        csi.tlm = _concat(_translate(0, -gs.leading), csi.tlm)
+        csi.tm = csi.tlm
+        if csi.string:
+            csi.show_string(csi.string)
+        else:
+            csi.show_text(csi.obj)
+    elif kw == b"q":
+        csi.gsave()
+    elif kw == b"Q":
+        csi.grestore()
+    elif kw == b"cm":
+        m = (
+            _st(csi, 0),
+            _st(csi, 1),
+            _st(csi, 2),
+            _st(csi, 3),
+            _st(csi, 4),
+            _st(csi, 5),
+        )
+        gs.ctm = _concat(m, gs.ctm)
+    elif kw == b"gs":
+        run_extgstate(csi, rdb)
+    elif kw == b"Do":
+        run_do(csi, rdb)
+    elif kw == b"BI":
+        run_inline_image(csi, rdb, lex)
+    elif kw == b"BX":
+        csi.xbalance += 1
+    elif kw == b"EX":
+        csi.xbalance -= 1
+    elif kw == b"w":
+        csi.flush_text()  # linewidth affects stroked-text render (run_w1)
+    elif kw in (
+        # color / colorspace setters flush buffered text (pdf_set_color &c)
+        b"G", b"g", b"RG", b"rg", b"K", b"k",
+        b"CS", b"cs", b"SC", b"SCN", b"sc", b"scn",
+    ):
+        csi.flush_text()
+    elif kw in (
+        # path/painting/clip/other operators that don't affect text
+        b"m", b"l", b"c", b"v", b"y", b"h", b"re",
+        b"S", b"s", b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*", b"n",
+        b"W", b"W*", b"J", b"j", b"M", b"d", b"ri", b"i",
+        b"MP", b"DP", b"BMC", b"BDC", b"EMC", b"d0", b"d1", b"sh",
+    ):
+        pass
+    else:
+        if csi.xbalance == 0:
+            doc.note_failure("unknown_keyword")
+
+
+def run_extgstate(csi: CSI, rdb):
+    """Only the /Font branch matters for text (pdf_run_extgstate)."""
+    doc = csi.doc
+    csi.flush_text()
+    egs_dict = doc.get(rdb, "ExtGState") if isinstance(rdb, dict) else None
+    egs = doc.get(egs_dict, csi.name) if isinstance(egs_dict, dict) else None
+    if not isinstance(egs, dict):
+        doc.note_failure("extgstate_missing")
+        return
+    val = doc.get(egs, "Font")
+    if isinstance(val, list) and len(val) == 2:
+        gs = csi.gs
+        gs.font = None
+        try:
+            gs.font = load_font(doc, rdb, val[0], csi.font_cache)
+        except FontError as e:
+            doc.note_failure(e.code)
+        except Exception:
+            doc.note_failure("font_load_error")
+        gs.size = to_real(doc.resolve(val[1]))
+
+
+def run_do(csi: CSI, rdb):
+    """pdf_run_Do: Form XObjects recurse; images are skipped entirely
+    (text device hint FZ_IGNORE_IMAGE)."""
+    doc = csi.doc
+    xdict = doc.get(rdb, "XObject") if isinstance(rdb, dict) else None
+    obj_ref = xdict.get(csi.name) if isinstance(xdict, dict) else None
+    if obj_ref is None:
+        doc.note_failure("xobject_missing")
+        return
+    obj = doc.resolve(obj_ref)
+    if not isinstance(obj, dict):
+        doc.note_failure("xobject_missing")
+        return
+    subtype = to_name(doc.get(obj, "Subtype"))
+    if subtype == "Form" and doc.get(obj, "Subtype2") is not None:
+        subtype = to_name(doc.get(obj, "Subtype2"))
+    if subtype == "Form":
+        if csi.xobject_depth >= MAX_XOBJECT_DEPTH:
+            doc.note_failure("xobject_depth")
+            return
+        csi.xobject_depth += 1
+        try:
+            run_form_xobject(csi, rdb, obj_ref, obj, IDENTITY)
+        finally:
+            csi.xobject_depth -= 1
+    elif subtype == "Image":
+        pass  # FZ_IGNORE_IMAGE: never decoded on the text path
+    elif subtype == "PS":
+        pass
+    else:
+        doc.note_failure("unknown_xobject_subtype")
+
+
+def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
+    """pdf_run_xobject (:1037-1129), transparency-group bookkeeping elided
+    (it never reaches the text device)."""
+    doc = csi.doc
+    csi.gsave()
+    gs = csi.gs
+    matrix = doc.get(xobj, "Matrix")
+    if isinstance(matrix, list) and len(matrix) >= 6:
+        m = tuple(to_real(doc.resolve(v)) for v in matrix[:6])
+    else:
+        m = IDENTITY
+    transform = _concat(m, transform)
+    gs.ctm = _concat(transform, gs.ctm)
+
+    old_top = len(csi.gstack)
+    old_top_ctm = csi.top_ctm
+    csi.top_ctm = gs.ctm
+
+    resources = doc.get(xobj, "Resources")
+    if not isinstance(resources, dict):
+        resources = rdb
+
+    try:
+        if is_indirect(ref) and doc.is_stream(ref):
+            contents = doc.load_stream(ref.num)
+            run_buffer(csi, resources, contents)
+    except Exception:
+        doc.note_failure("xobject_stream_error")
+    finally:
+        csi.top_ctm = old_top_ctm
+        while len(csi.gstack) > old_top:
+            csi.grestore()
+        csi.grestore()
+
+
+def _consume_inline_data(doc, lex: Lexer, d: dict):
+    """Advance the lexer past the inline image payload. The reference
+    decodes the image to consume exactly its bytes, then scans to EI; the
+    text device ignores the pixels, so we only consume."""
+    data = lex.data
+    pos = lex.tell()
+    filters = d.get("Filter") or d.get("F")
+    if isinstance(filters, Name):
+        filters = [filters]
+    first = to_name(filters[0]) if filters else None
+    if first in ("AHx", "ASCIIHexDecode"):
+        end = data.find(b">", pos)
+        lex.seek(end + 1 if end >= 0 else len(data))
+        return
+    if first in ("A85", "ASCII85Decode"):
+        end = data.find(b"~>", pos)
+        lex.seek(end + 2 if end >= 0 else len(data))
+        return
+    if first in ("Fl", "FlateDecode"):
+        dobj = zlib.decompressobj()
+        try:
+            dobj.decompress(data[pos:])
+            consumed = len(data) - pos - len(dobj.unused_data)
+        except zlib.error:
+            consumed = 0
+        lex.seek(pos + consumed)
+        return
+    if first in ("RL", "RunLengthDecode"):
+        i = pos
+        while i < len(data):
+            run = data[i]
+            i += 1
+            if run == 128:
+                break
+            i += (run + 1) if run < 128 else 1
+        lex.seek(i)
+        return
+    if first is None:
+        w = to_int(doc.resolve(d.get("W") or d.get("Width")))
+        h = to_int(doc.resolve(d.get("H") or d.get("Height")))
+        bpc = to_int(doc.resolve(d.get("BPC") or d.get("BitsPerComponent"))) or 8
+        cs = to_name(doc.resolve(d.get("CS") or d.get("ColorSpace")))
+        ncomp = {"RGB": 3, "DeviceRGB": 3, "CMYK": 4, "DeviceCMYK": 4}.get(cs, 1)
+        if to_int(doc.resolve(d.get("IM") or d.get("ImageMask"))):
+            ncomp, bpc = 1, 1
+        rowbytes = (w * ncomp * bpc + 7) // 8
+        lex.seek(pos + rowbytes * h)
+        return
+    # unknown codec: leave position; the EI scan below resynchronizes
+
+
+def run_inline_image(csi: CSI, rdb, lex: Lexer):
+    """pdf_run_BI (:1311-1361): parse dict, skip EOL after ID, consume
+    payload, scan to EI."""
+    from .parser import parse_dict
+
+    doc = csi.doc
+    d = parse_dict(lex)
+    ch = lex.read_byte()
+    if ch == 13 and lex.peek_byte() == 10:
+        lex.read_byte()
+    _consume_inline_data(doc, lex, d)
+    ch = lex.read_byte()
+    while ch != 0x45 and ch != -1:  # 'E'
+        ch = lex.read_byte()
+    ch = lex.read_byte()
+    if ch != 0x49:  # 'I'
+        doc.note_failure("inline_image_ei")

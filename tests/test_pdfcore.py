@@ -1,0 +1,205 @@
+"""Unit tests for the pure-Python PDF core (no Spark).
+
+The SHA-256 golden gate over the full fixture corpus lives in
+test_golden_gate.py; these tests target individual operators per
+SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from delphi_pdf_parser_spark.pdfcore import lexer as lx
+from delphi_pdf_parser_spark.pdfcore.lexer import Lexer
+from delphi_pdf_parser_spark.pdfcore.parser import parse_dict, parse_ind_obj
+from delphi_pdf_parser_spark.pdfcore import filters as flt
+from delphi_pdf_parser_spark.pdfcore.cmap import parse_cmap, identity_cmap
+from delphi_pdf_parser_spark.pdfcore.cos import IndirectRef, Name
+from delphi_pdf_parser_spark.pdfcore.document import PdfDocument
+from delphi_pdf_parser_spark.fixtures import (
+    a85_encode,
+    ahx_encode,
+    lzw_encode,
+    png_predict_encode,
+    rl_encode,
+    tiff_predict_encode,
+)
+
+
+def lex_all(data: bytes):
+    lex = Lexer(data)
+    out = []
+    while True:
+        tok, val = lex.lex()
+        if tok == lx.TOK_EOF:
+            return out
+        out.append((tok, val))
+
+
+class TestLexer:
+    def test_numbers(self):
+        toks = lex_all(b"0 42 -7 +3 3.14 -0.5 .25 4.")
+        kinds = [t for t, _ in toks]
+        assert kinds == [lx.TOK_INT] * 4 + [lx.TOK_REAL] * 4
+        assert [v for _, v in toks] == [0, 42, -7, 3, 3.14, -0.5, 0.25, 4.0]
+
+    def test_string_escapes(self):
+        toks = lex_all(rb"(a\nb\t\(c\)\\d\101e)")
+        assert toks == [(lx.TOK_STRING, b"a\nb\t(c)\\dAe")]
+
+    def test_string_octal_short(self):
+        assert lex_all(rb"(\7z\77z\777z)") == [
+            (lx.TOK_STRING, b"\x07z\x3fz\xffz")
+        ]
+
+    def test_string_balanced_parens(self):
+        assert lex_all(b"(a(b)c)") == [(lx.TOK_STRING, b"a(b)c")]
+
+    def test_string_raw_newlines_dropped(self):
+        # reference port drops raw CR/LF inside literals
+        assert lex_all(b"(a\nb)") == [(lx.TOK_STRING, b"ab")]
+
+    def test_hex_string(self):
+        assert lex_all(b"<48 65 6C6C6F>") == [(lx.TOK_STRING, b"Hello")]
+
+    def test_name_hex_escape(self):
+        assert lex_all(b"/A#20B") == [(lx.TOK_NAME, "A B")]
+
+    def test_keywords(self):
+        kinds = [t for t, _ in lex_all(b"obj endobj stream endstream R true false null xref trailer startxref fooo")]
+        assert kinds == [
+            lx.TOK_OBJ, lx.TOK_ENDOBJ, lx.TOK_STREAM, lx.TOK_ENDSTREAM,
+            lx.TOK_R, lx.TOK_TRUE, lx.TOK_FALSE, lx.TOK_NULL, lx.TOK_XREF,
+            lx.TOK_TRAILER, lx.TOK_STARTXREF, lx.TOK_KEYWORD,
+        ]
+
+    def test_comment_and_dicts(self):
+        toks = lex_all(b"% hi there\n<< /K 1 >> [ ]")
+        assert [t for t, _ in toks] == [
+            lx.TOK_OPEN_DICT, lx.TOK_NAME, lx.TOK_INT, lx.TOK_CLOSE_DICT,
+            lx.TOK_OPEN_ARRAY, lx.TOK_CLOSE_ARRAY,
+        ]
+
+
+class TestParser:
+    def test_dict_with_refs(self):
+        lexr = Lexer(b" /A 1 0 R /B [1 2 R] /C 5 /D (s) >>")
+        d = parse_dict(lexr)
+        assert d["A"] == IndirectRef(1, 0)
+        assert d["B"] == [IndirectRef(1, 2)]
+        assert d["C"] == 5
+        assert d["D"] == b"s"
+
+    def test_array_ref_lookahead(self):
+        lexr = Lexer(b"1 0 R 2 3 4 5 R /n]")
+        from delphi_pdf_parser_spark.pdfcore.parser import parse_array
+
+        arr = parse_array(lexr)
+        assert arr == [IndirectRef(1, 0), 2, 3, IndirectRef(4, 5), Name("n")]
+
+    def test_ind_obj_stream_offset(self):
+        data = b"7 0 obj\n<< /Length 3 >>\nstream\nabc\nendstream\nendobj"
+        obj, num, gen, stm_ofs = parse_ind_obj(Lexer(data))
+        assert (num, gen) == (7, 0)
+        assert data[stm_ofs : stm_ofs + 3] == b"abc"
+
+    def test_inline_image_dict_terminates_at_ID(self):
+        lexr = Lexer(b" /W 4 /H 4 ID \x00\x01")
+        d = parse_dict(lexr)
+        assert d == {"W": 4, "H": 4}
+
+
+class TestFilters:
+    def test_flate_roundtrip(self):
+        data = b"the quick brown fox" * 10
+        assert flt.flate_decode(zlib.compress(data)) == data
+
+    def test_flate_trailing_garbage(self):
+        data = b"payload"
+        assert flt.flate_decode(zlib.compress(data) + b"GARBAGE") == data
+
+    def test_ahx(self):
+        assert flt.ahx_decode(ahx_encode(b"Hello\x00\xff")) == b"Hello\x00\xff"
+
+    def test_a85(self):
+        for payload in (b"sun", b"sunny day", b"\x00\x00\x00\x00abc", b"x"):
+            assert flt.a85_decode(a85_encode(payload)) == payload
+
+    def test_rle(self):
+        for payload in (b"aaaaabbbccc" * 9, b"abcdef", b"a" * 300):
+            assert flt.rl_decode(rl_encode(payload)) == payload
+
+    def test_lzw(self):
+        data = b"TOBEORNOTTOBEORTOBEORNOT" * 20
+        assert flt.lzw_decode(lzw_encode(data)) == data
+
+    def test_png_predictors(self):
+        data = bytes(range(256)) * 3
+        for tag in (0, 1, 2, 4):
+            enc = png_predict_encode(data, 32, tag)
+            out = flt.predict(enc, 10 + tag, 1, 8, 32)
+            assert out[: len(data)] == data
+
+    def test_tiff_predictor(self):
+        data = b"ABCDEFGHIJ" * 8
+        enc = tiff_predict_encode(data, 10)
+        assert flt.predict(enc, 2, 1, 8, 10)[: len(data)] == data
+
+
+class TestCMap:
+    def test_identity(self):
+        cm = identity_cmap(0, 2)
+        assert cm.lookup(0x4E00) == 0x4E00
+        cpt, pos = cm.decode(b"\x4e\x00\x41\x42", 0)
+        assert (cpt, pos) == (0x4E00, 2)
+
+    def test_bfchar_multi(self):
+        cm = parse_cmap(
+            b"1 begincodespacerange <00> <FF> endcodespacerange "
+            b"2 beginbfchar <41> <0416> <42> <00660066> endbfchar endcmap"
+        )
+        assert cm.lookup_full(0x41) == [0x416]
+        assert cm.lookup_full(0x42) == [0x66, 0x66]
+
+    def test_bfrange_forms(self):
+        cm = parse_cmap(
+            b"1 begincodespacerange <00> <FF> endcodespacerange "
+            b"2 beginbfrange <41> <43> <0061> <44> <45> [<0058> <0059>] endbfrange endcmap"
+        )
+        assert [cm.lookup(c) for c in (0x41, 0x42, 0x43)] == [0x61, 0x62, 0x63]
+        assert cm.lookup_full(0x44) == [0x58]
+        assert cm.lookup_full(0x45) == [0x59]
+
+    def test_cidrange(self):
+        cm = parse_cmap(
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange "
+            b"1 begincidrange <0041> <005A> 100 endcidrange endcmap"
+        )
+        assert cm.lookup(0x41) == 100
+        assert cm.lookup(0x5A) == 125
+        assert cm.lookup(0x60) == -1
+
+
+class TestDocumentEdges:
+    def test_first_entry_wins_prev_chain(self):
+        from delphi_pdf_parser_spark.fixtures import CASES
+
+        pdf, golden, _ = CASES["xref_prev_chain"]()
+        doc = PdfDocument(pdf)
+        # object 4 must resolve to the updated stream
+        assert b"Updated" in doc.load_stream(4)
+
+    def test_repair_sets_status(self):
+        from delphi_pdf_parser_spark.fixtures import CASES
+
+        pdf, _, _ = CASES["repair_truncated"]()
+        doc = PdfDocument(pdf)
+        assert doc.repaired
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
