@@ -1,0 +1,79 @@
+"""End-to-end Spark tests: documents -> mapInPandas extraction -> verify
+against goldens via broadcast join; metrics; anti-join resume; salting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delphi_pdf_parser_spark.operators.extraction import (
+    extract_documents,
+    metrics_table,
+    resume_anti_join,
+    salt_by_size,
+    verify_against_golden,
+)
+from delphi_pdf_parser_spark.sources.documents import (
+    bench_documents,
+    fixture_documents,
+    fixture_golden,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs = fixture_documents(spark)
+    return extract_documents(docs, salt_partitions=8).cache()
+
+
+def test_all_goldens_match(spark, extracted):
+    golden = fixture_golden(spark)
+    verified = verify_against_golden(extracted, golden)
+    n_golden = golden.count()
+    n_match = verified.filter("match").count()
+    mismatches = (
+        verified.filter(~F.col("match")).select("url").limit(5).collect()
+    )
+    assert n_match == n_golden, f"mismatched urls: {mismatches}"
+
+
+def test_failed_documents_surfaced(spark, extracted):
+    failed = extracted.filter(F.col("status") == "failed")
+    rows = {r["url"]: r for r in failed.collect()}
+    assert "pdf://fixture/encrypted_password" in rows
+    assert rows["pdf://fixture/encrypted_password"]["err"] == "needs_password"
+
+
+def test_metrics_table_and_agg(spark, extracted):
+    m = metrics_table(extracted, input_split="fixtures")
+    agg = (
+        m.groupBy("status")
+        .agg(F.count("*").alias("n"), F.sum("n_objects").alias("total_objects"))
+        .collect()
+    )
+    by_status = {r["status"]: r["n"] for r in agg}
+    assert by_status.get("ok", 0) >= 40
+    assert by_status.get("repaired", 0) >= 1
+    assert by_status.get("failed", 0) >= 1
+
+
+def test_resume_anti_join(spark, extracted):
+    docs = fixture_documents(spark)
+    done = metrics_table(extracted.limit(10))
+    remaining = resume_anti_join(docs, done)
+    assert remaining.count() == docs.count() - 10
+
+
+def test_salting_repartitions_before_udf(spark):
+    docs = fixture_documents(spark)
+    salted = salt_by_size(docs.select("url", "html"), partitions=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # explicit repartition survives planning
+
+
+def test_bench_corpus_roundtrip(spark):
+    docs = bench_documents(spark, n_docs=8, pages_per_doc=2)
+    out = extract_documents(docs, salt_partitions=4)
+    rows = out.select("status", "npages", F.length("text").alias("len")).collect()
+    assert all(r["status"] == "ok" for r in rows)
+    assert all(r["len"] > 100 for r in rows)
