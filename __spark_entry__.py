@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: extract text from the deterministic fixture
+PDF corpus and verify it against the golden SHA-256 table (the north-rule
+gate as a DataFrame job).
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(the engine-side dataflow inventory §2.B, the training-data ops, and the
+PDF-extraction pipeline itself). ``oracle_sql()`` supplies DuckDB
+equivalents for everything SQL-expressible; the PDF pipeline, MinHash/
+SimHash (hash-function-specific) and LSH-ANN (plane-specific) entries are
+rows-only by design.
 """
 
 from __future__ import annotations
@@ -12,27 +17,389 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --- flagship ---------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+        verify_against_golden,
+    )
+    from delphi_pdf_parser_spark.sources.documents import (
+        fixture_documents,
+        fixture_golden,
+    )
+
+    docs = fixture_documents(spark)
+    extracted = extract_documents(docs, salt_partitions=8)
+    verified = verify_against_golden(extracted, fixture_golden(spark))
+    return verified.select("url", "npages", "status", "match", "got_sha256")
+
+
+# --- PDF pipeline queries (rows-only: no SQL oracle can parse PDFs) ----------
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    out = extract_documents(fixture_documents(spark), salt_partitions=8)
+    return out.select(
+        "url", "text", "npages", "n_objects", "status", "err"
+    ).orderBy("url")
+
+
+def _q_pdf_golden_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry(spark).orderBy("url")
+
+
+def _q_pdf_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+        metrics_table,
+    )
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    m = metrics_table(
+        extract_documents(fixture_documents(spark), salt_partitions=8),
+        input_split="fixtures",
+    )
+    return (
+        m.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_objects").alias("total_objects"),
+            F.sum("npages").alias("total_pages"),
+        )
+        .orderBy("status")
+    )
+
+
+def _q_pdf_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+        metrics_table,
+        resume_anti_join,
+    )
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    docs = fixture_documents(spark)
+    done = metrics_table(
+        extract_documents(docs.limit(20), salt_partitions=4)
+    )
+    return resume_anti_join(docs, done).select("url").orderBy("url")
+
+
+def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    out = extract_documents(fixture_documents(spark), salt_partitions=8)
+    return out.filter(
+        F.col("title").isNotNull() | F.col("producer").isNotNull()
+    ).select("url", "title", "author", "producer").orderBy("url")
+
+
+# --- relational / training-data queries (DuckDB-oracled) ---------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from delphi_pdf_parser_spark.operators import dedup, relational, similarity
+    from delphi_pdf_parser_spark.operators import textstats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def q_token_count(spark, sf_dir):
+        return textstats.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def q_quality(spark, sf_dir):
+        return textstats.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def q_lang_id(spark, sf_dir):
+        return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def q_fingerprint(spark, sf_dir):
+        return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def q_exact_dedup(spark, sf_dir):
+        return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("fingerprint")
+
+    def q_token_jaccard(spark, sf_dir):
+        return dedup.token_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ).orderBy("doc_a", "doc_b")
+
+    def q_minhash_lsh(spark, sf_dir):
+        return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy(
+            "doc_a", "doc_b"
+        )
+
+    def q_simhash(spark, sf_dir):
+        return dedup.simhash_near_dups(_docs(spark, sf_dir)).orderBy(
+            "doc_a", "doc_b"
+        )
+
+    def q_embedding_neardup(spark, sf_dir):
+        return dedup.embedding_near_dups(
+            _embs(spark, sf_dir), threshold=0.9
+        ).orderBy("vec_a", "vec_b")
+
+    def q_ann_bruteforce(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.brute_force_topk(e, qs, k=5).orderBy(
+            "query_id", "rank"
+        )
+
+    def q_ann_lsh(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.ann_lsh_topk(e, qs, k=5).orderBy("query_id", "rank")
+
+    def q_multimodal_features(spark, sf_dir):
+        from delphi_pdf_parser_spark.operators.multimodal import (
+            extract_media_features,
+            synth_media,
+        )
+
+        media = synth_media(_docs(spark, sf_dir))
+        return extract_media_features(media).orderBy("doc_id")
+
+    return {
+        # PDF pipeline (rows-only)
+        "pdf_extract": _q_pdf_extract,
+        "pdf_golden_verify": _q_pdf_golden_verify,
+        "pdf_metrics_rollup": _q_pdf_metrics_rollup,
+        "pdf_resume_anti_join": _q_pdf_resume_anti_join,
+        "pdf_metadata": _q_pdf_metadata,
+        # relational suite
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "broadcast_dim_join": relational.broadcast_dim_join,
+        "nation_revenue": relational.nation_revenue,
+        "topk_orders": relational.topk_orders,
+        "customers_without_orders": relational.customers_without_orders,
+        "parts_with_lineitems": relational.parts_with_lineitems,
+        "running_total": relational.customer_order_running_total,
+        "dedup_first_event": relational.dedup_first_event,
+        "sessionize_events": relational.sessionize_events,
+        "event_type_value_stats": relational.event_type_value_stats,
+        "q3_shipping_priority": relational.orders_lineitem_join_agg,
+        # training-data text ops
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "token_jaccard_pairs": q_token_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dups": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_bruteforce_topk": q_ann_bruteforce,
+        "ann_lsh_topk": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    markers = {
+        "en": ("the", "a", "of", "and"),
+        "de": ("der", "die", "das", "und"),
+        "fr": ("le", "la", "et", "les"),
+        "es": ("el", "los", "y", "las"),
+    }
+
+    def score(lang):
+        lst = ", ".join(f"'{m}'" for m in markers[lang])
+        return (
+            "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            f" t -> list_contains([{lst}], t)))"
+        )
+
+    lang_case = (
+        "CASE "
+        f"WHEN {score('en')} >= greatest({score('de')}, {score('fr')}, {score('es')}) THEN 'en' "
+        f"WHEN {score('de')} >= greatest({score('fr')}, {score('es')}) THEN 'de' "
+        f"WHEN {score('fr')} >= {score('es')} THEN 'fr' "
+        f"ELSE 'es' END"
+    )
+
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    tokset = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "broadcast_dim_join": """
+            SELECT p_brand, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "topk_orders": """
+            SELECT rk, o_orderkey, round(o_totalprice, 2) AS total_price
+            FROM (
+                SELECT o_orderkey, o_totalprice,
+                       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders
+            ) WHERE rk <= 10
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "parts_with_lineitems": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            ORDER BY p_partkey
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_total
+            FROM orders
+        """,
+        "dedup_first_event": """
+            SELECT user_id, event_type,
+                   min(floor(epoch(ts)))::BIGINT AS first_ts_epoch,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                                 OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "event_type_value_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 20
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
+                   length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(
+                     least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+                     + (len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+                        / len(regexp_split_to_array(trim(text), '\\s+'))) * 0.3
+                     + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                        / length(text)) * 0.4
+                   , 4) AS quality,
+                   round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+                         / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS diversity
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id, lang,
+                   {score('en')} AS score_en,
+                   {score('de')} AS score_de,
+                   {score('fr')} AS score_fr,
+                   {score('es')} AS score_es,
+                   {lang_case} AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({norm}) AS fingerprint,
+                   length({norm}) AS norm_len
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": f"""
+            SELECT md5({norm}) AS fingerprint, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1 ORDER BY fingerprint
+        """,
+        "token_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, source, {tokset} AS tokset FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                         / (len(a.tokset) + len(b.tokset)
+                            - len(list_intersect(a.tokset, b.tokset))), 4) AS jaccard
+            FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                        / (len(a.tokset) + len(b.tokset)
+                           - len(list_intersect(a.tokset, b.tokset))), 4) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+            ORDER BY vec_a, vec_b
+        """,
+        "ann_bruteforce_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, vec_id, cosine FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # rows-only (no oracle): pdf_*, minhash_lsh, simhash_near_dups,
+        # ann_lsh_topk (hash/plane-specific), multimodal_features (binary
+        # payload semantics live in the UDF)
+    }

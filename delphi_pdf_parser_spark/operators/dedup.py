@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, token-Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB story):
+- exact dedup is a hash-groupBy on a fingerprint — one shuffle on a short
+  key, map-side partial aggregation free via Catalyst
+- pairwise Jaccard is restricted to co-group candidates (same source) so
+  the self-join never goes quadratic in the corpus; at web scale the
+  grouping key would be the LSH bucket below
+- MinHash+LSH: shingle -> k hash fns -> band -> bucket join. Everything
+  up to the bucket group-by is JVM-side (xxhash64 + higher-order array
+  fns); candidate verification joins back to the shingle sets. The only
+  shuffles are the bucket groupBy and the verify join — both on compact
+  keys, AQE-skew tolerant.
+- SimHash: 64-bit signature via bit-majority over token hashes —
+  implemented with JVM bitwise ops (no Python), band-bucketed like LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Fingerprint group: keep-first semantics mirror the reference xref's
+    first-entry-wins (SURVEY §2.B 'Dedup')."""
+    fp = documents.select(
+        F.md5(_NORM(F.col("text"))).alias("fingerprint"), "doc_id"
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard over same-source candidate pairs."""
+    toks = documents.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "tokset"
+        ),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(b, on="source").filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = (
+        F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    )
+    jac = inter / union
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side)."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, n)
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures computed entirely JVM-side: per hash function i,
+    sig[i] = min over shingles of xxhash64(shingle, seed=i)."""
+    sh = documents.select(
+        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    def _seeded_hash(i):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"), "shingles")
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs,
+    then exact shingle-Jaccard verifies them."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return cands.select(
+        "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash from token xxhash64 values, bit-majority via
+    aggregate over the token array — all JVM-side expressions."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # for each bit b: count tokens with bit set; sign of (2*count - n)
+    n = F.size(toks)
+    def _bit_counter(b):
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(
+            F.lit(1)
+        ).cast("int")
+
+    bit_cols = []
+    for b in range(bits):
+        cnt = F.aggregate(hashes, F.lit(0), _bit_counter(b))
+        bit_cols.append(
+            F.when(cnt * 2 >= n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
+    sig = F.lit(0).cast("long")
+    for b, bc in enumerate(bit_cols):
+        sig = sig.bitwiseOR(F.shiftleft(bc, b))
+    return documents.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance, bucketed on 16-bit sub-bands so
+    the join stays linear (a pair within distance 3 shares at least one
+    of 4 bands exactly)."""
+    sigs = simhash(documents)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Cosine near-dup pairs within the same label partition (the label is
+    the blocking key; at scale the blocking key is an IVF/LSH bucket)."""
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, on="label").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 4).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

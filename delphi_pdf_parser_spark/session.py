@@ -26,6 +26,7 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) * 2),
         )
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "128m")
