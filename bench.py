@@ -1,0 +1,168 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The headline metric is PDF extraction throughput (docs/sec) on a
+deterministic synthetic corpus (BASELINE.md bench-uniform), since that is
+the north-rule workload; the per-query section times the relational /
+training-data operators at the chosen SF.
+
+Scaling evidence (BASELINE.md two-cluster-size protocol):
+    python bench.py --scaling
+runs the same extraction corpus at local[N] and local[4N] and reports
+throughput_A/throughput_B/scaling_efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = (
+    "q1_pricing_summary",
+    "broadcast_dim_join",
+    "nation_revenue",
+    "q3_shipping_priority",
+    "topk_orders",
+    "running_total",
+    "sessionize_events",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash_near_dups",
+    "embedding_neardup",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
+)
+
+
+def _count(df):
+    return df.count()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _count(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
+    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+    from delphi_pdf_parser_spark.sources.documents import bench_documents
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    docs = bench_documents(
+        spark,
+        n_docs=n_docs,
+        pages_per_doc=2,
+        skew_docs=10 if skew else 0,
+        skew_pages=100,
+        slices=cpus * 4,
+    )
+    out = extract_documents(docs, salt_partitions=cpus * 4)
+    t0 = time.perf_counter()
+    n_ok = out.filter("status = 'ok'").count()
+    dt = time.perf_counter() - t0
+    assert n_ok == n_docs, f"extraction produced {n_ok}/{n_docs} ok rows"
+    return dt, n_docs
+
+
+def _mk_spark(cpus: int):
+    from delphi_pdf_parser_spark.session import get_spark
+
+    return get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "3000")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.scaling:
+        lo = max(1, cpus // 4)
+        results = {}
+        for label, n in (("A", lo), ("B", cpus)):
+            os_env = os.environ.copy()
+            spark = _mk_spark(n)
+            # warm-up (JVM + Arrow + python workers), then measured run
+            run_extraction(spark, max(64, args.docs // 10))
+            dt, nd = run_extraction(spark, args.docs)
+            results[label] = {"cores": n, "wall_sec": round(dt, 2),
+                              "docs_per_sec": round(nd / dt, 2)}
+            spark.stop()
+        eff = (results["B"]["docs_per_sec"] / results["A"]["docs_per_sec"]) / (
+            cpus / lo
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "extraction_scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "runs": results,
+                    "docs": args.docs,
+                }
+            )
+        )
+        return
+
+    spark = _mk_spark(cpus)
+    # warm-up then measured extraction throughput
+    run_extraction(spark, max(64, args.docs // 10))
+    dt, nd = run_extraction(spark, args.docs)
+
+    times = {} if args.skip_queries else run_queries(spark, args.sf_dir)
+    times["pdf_extract_bench"] = round(dt, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "extraction_docs_per_sec": round(nd / dt, 2),
+                "extraction_docs": nd,
+                "cores": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

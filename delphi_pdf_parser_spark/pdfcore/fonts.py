@@ -61,6 +61,8 @@ class FontDesc:
         "t3widths",
         "t3matrix_a",
         "is_type3",
+        "_fast_table",
+        "_adv_array",
     )
 
     def __init__(self, ident):
@@ -79,6 +81,8 @@ class FontDesc:
         self.t3widths: dict[int, float] = {}
         self.t3matrix_a = 0.001
         self.is_type3 = False
+        self._fast_table = None
+        self._adv_array = None
 
     # --- metrics -------------------------------------------------------------
     def add_hmtx(self, lo: int, hi: int, w: int):
@@ -107,6 +111,53 @@ class FontDesc:
         if self.is_type3:
             return self.t3widths.get(gid, 0.0)
         return self.get_hmtx_w(gid) / 1000.0
+
+    def pen_adv_array(self):
+        """NumPy advance table for gid 0..255 (vectorized text device)."""
+        if self._adv_array is None:
+            import numpy as np
+
+            self._adv_array = np.array(
+                [self.pen_advance(g) for g in range(256)], dtype=np.float64
+            )
+        return self._adv_array
+
+    # --- fast path for 1-byte identity-encoded fonts --------------------------
+    def fast_table(self):
+        """For simple/Type3 fonts (1-byte identity encoding, wmode 0):
+        code -> (ucs_tuple, hmtx_w). Semantics identical to show_char's
+        per-char chain; precomputed once per font per document."""
+        if self._fast_table is not None:
+            return self._fast_table
+        if self.wmode != 0 or self.encoding is None:
+            self._fast_table = False
+            return False
+        enc = self.encoding
+        # 1-byte identity: single codespace of width 1 covering 0..255 and
+        # identity ranges (how load_simple_font/load_type3_font build it)
+        if not (
+            len(enc.codespaces) == 1
+            and enc.codespaces[0][0] == 1
+            and enc.usecmap is None
+        ):
+            self._fast_table = False
+            return False
+        table = []
+        for code in range(256):
+            cid = enc.lookup(code)
+            if cid < 0:
+                table.append(None)
+                continue
+            ucs: list[int] = []
+            if self.to_unicode is not None:
+                ucs = self.to_unicode.lookup_full(cid)
+            if not ucs and self.cid_to_ucs is not None and cid < len(self.cid_to_ucs):
+                ucs = [self.cid_to_ucs[cid]]
+            if not ucs or (len(ucs) == 1 and ucs[0] == 0):
+                ucs = [ord("?")]
+            table.append((cid, tuple(ucs), self.get_hmtx_w(cid)))
+        self._fast_table = table
+        return table
 
 
 def _load_to_unicode(

@@ -202,6 +202,10 @@ class CSI:
         if font is None:
             self.doc.note_failure("text_no_font")
             return
+        table = font.fast_table()
+        if table:
+            self._show_string_simple(buf, table)
+            return
         pos = 0
         end = len(buf)
         enc = font.encoding
@@ -214,6 +218,60 @@ class CSI:
                 self.doc.note_failure("cannot_encode_cpt")
             if cpt == 32:
                 self.show_space(gs.word_space)
+
+    def _show_string_simple(self, buf: bytes, table):
+        """Tight loop for 1-byte identity fonts (the hot path).
+
+        Semantically identical to decode->lookup->show_char per byte:
+        within one string trm.a-d, render mode, font and wmode cannot
+        change, so the flush decision runs once and the advance reduces
+        to tm.e/f increments along (tm.a, tm.b)."""
+        gs = self.gs
+        font = gs.font
+        size, scale, rise = gs.size, gs.scale, gs.rise
+        char_space, word_space = gs.char_space, gs.word_space
+        ta, tb, tc, td, te, tf = self.tm
+        sa = size * scale
+        trm_a, trm_b = sa * ta, sa * tb
+        trm_c, trm_d = size * tc, size * td
+
+        t = self.text
+        if (
+            t is None
+            or font.ident != t.font.ident
+            or t.wmode != 0
+            or abs(trm_a - t.trm[0]) > FLT_EPSILON
+            or abs(trm_b - t.trm[1]) > FLT_EPSILON
+            or abs(trm_c - t.trm[2]) > FLT_EPSILON
+            or abs(trm_d - t.trm[3]) > FLT_EPSILON
+            or gs.render != self.text_mode
+        ):
+            self.flush_text()
+            self.text = TextRun(font, (trm_a, trm_b, trm_c, trm_d, 0.0, 0.0), 0)
+            self.text_mode = gs.render
+            t = self.text
+
+        items = t.items
+        base_e = rise * tc
+        base_f = rise * td
+        k = size * 0.001
+        for code in buf:
+            ent = table[code]
+            if ent is None:
+                self.doc.note_failure("cannot_encode_cpt")
+                continue
+            cid, ucs, w = ent
+            ex = base_e + te
+            ey = base_f + tf
+            items.append((cid, ucs[0], ex, ey))
+            for extra in ucs[1:]:
+                items.append((-1, extra, ex, ey))
+            tx = (w * k + char_space) * scale
+            if code == 32:
+                tx += word_space * scale
+            te += tx * ta
+            tf += tx * tb
+        self.tm = (ta, tb, tc, td, te, tf)
 
     def show_text(self, obj):
         gs = self.gs

@@ -20,8 +20,15 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 LINE_DIST = 0.9
 SPACE_DIST = 0.2
+
+# '?'-folding table: control chars (<32) per the reference, plus lone
+# surrogates (invalid in UTF-8)
+_FOLD = {i: "?" for i in range(32)}
+_FOLD.update({i: "?" for i in range(0xD800, 0xE000)})
 
 _LIGATURES = {
     0xFB00: "ff",
@@ -132,33 +139,145 @@ class TextDevice:
         ndir = (dx / dist, dy / dist) if dist else (1.0, 0.0)
         size = math.sqrt(abs(trm[0] * trm[3] - trm[1] * trm[2]))
 
+        if len(run.items) >= 16:
+            done = self._extract_span_vectorized(
+                run, ctm, ndir, size, dx, dy
+            )
+            if done:
+                return
+        # inlined position transform: e = x*ca + y*cc + ce (hot loop)
+        ca, cb, cc, cd, ce, cf = ctm
+        line_thresh = size * LINE_DIST
+        space_thresh = size * SPACE_DIST
+        ndir_x, ndir_y = ndir
+        pen_x, pen_y = self.pen_x, self.pen_y
+        wmode = run.wmode
+        pen_advance = font.pen_advance
+        sqrt = math.sqrt
         for gid, ucs, x, y in run.items:
             if gid < 0:
                 # filler glyph of a one-to-many mapping: same position
-                self._add_char(font, size, run.wmode, ucs)
+                self._add_char(font, size, wmode, ucs)
                 continue
-            trm_i = _concat((tm0[0], tm0[1], tm0[2], tm0[3], x, y), ctm)
-            ex, ey = trm_i[4], trm_i[5]
-            if self.pen_x == -1.0 and self.pen_y == -1.0:
+            ex = x * ca + y * cc + ce
+            ey = x * cb + y * cd + cf
+            if pen_x == -1.0 and pen_y == -1.0:
                 delta_x = delta_y = 0.0
             else:
-                delta_x = self.pen_x - ex
-                delta_y = self.pen_y - ey
-            pdist = math.sqrt(delta_x * delta_x + delta_y * delta_y)
+                delta_x = pen_x - ex
+                delta_y = pen_y - ey
+            pdist = sqrt(delta_x * delta_x + delta_y * delta_y)
             if pdist > 0:
-                ndx = delta_x / pdist
-                ndy = delta_y / pdist
-                dot = ndx * ndir[0] + ndy * ndir[1]
-                if pdist > size * LINE_DIST:
-                    self._add_newline(font, size, run.wmode)
-                elif abs(dot) > 0.95 and pdist > size * SPACE_DIST:
-                    span = self.spans[-1]
-                    if span.chars and span.chars[-1] != 32:
-                        self._add_char(font, size, run.wmode, 32)
-            adv = font.pen_advance(gid)
-            self.pen_x = ex + dx * adv
-            self.pen_y = ey + dy * adv
-            self._add_char(font, size, run.wmode, ucs)
+                if pdist > line_thresh:
+                    self._add_newline(font, size, wmode)
+                elif pdist > space_thresh:
+                    dot = (delta_x * ndir_x + delta_y * ndir_y) / pdist
+                    if dot > 0.95 or dot < -0.95:
+                        span = self.spans[-1]
+                        if span.chars and span.chars[-1] != 32:
+                            self._add_char(font, size, wmode, 32)
+            adv = pen_advance(gid)
+            pen_x = ex + dx * adv
+            pen_y = ey + dy * adv
+            self._add_char(font, size, wmode, ucs)
+        self.pen_x, self.pen_y = pen_x, pen_y
+
+    def _extract_span_vectorized(self, run, ctm, ndir, size, dx, dy) -> bool:
+        """NumPy bulk path for large runs: identical event decisions, with
+        chars appended segment-wise between the (rare) space/newline
+        events. Returns False (caller falls back to the scalar loop) when
+        filler glyphs or ligature codepoints are present."""
+        items = run.items
+        arr = np.array(items, dtype=np.float64)
+        gids = arr[:, 0]
+        if gids.min() < 0:
+            return False
+        ucs_arr = arr[:, 1].astype(np.int64)
+        if ((ucs_arr >= 0xFB00) & (ucs_arr <= 0xFB06)).any():
+            return False
+        font = run.font
+        gidi = gids.astype(np.int64)
+        if gidi.max() < 256:
+            advs = font.pen_adv_array()[gidi]
+        else:
+            adv_lookup = font.pen_advance
+            advs = np.fromiter(
+                (adv_lookup(int(g)) for g in gidi),
+                dtype=np.float64,
+                count=len(items),
+            )
+        ca, cb, cc, cd, ce, cf = ctm
+        ex = arr[:, 2] * ca + arr[:, 3] * cc + ce
+        ey = arr[:, 2] * cb + arr[:, 3] * cd + cf
+        pen_x = ex + dx * advs
+        pen_y = ey + dy * advs
+        # delta[i] = pen[i-1] - e[i]; delta[0] from the incoming pen
+        delta_x = np.empty(len(items))
+        delta_y = np.empty(len(items))
+        if self.pen_x == -1.0 and self.pen_y == -1.0:
+            delta_x[0] = delta_y[0] = 0.0
+        else:
+            delta_x[0] = self.pen_x - ex[0]
+            delta_y[0] = self.pen_y - ey[0]
+        delta_x[1:] = pen_x[:-1] - ex[1:]
+        delta_y[1:] = pen_y[:-1] - ey[1:]
+        dist = np.hypot(delta_x, delta_y)
+        moving = dist > 0
+        newline = moving & (dist > size * LINE_DIST)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dot = (delta_x * ndir[0] + delta_y * ndir[1]) / dist
+        space = (
+            moving
+            & ~newline
+            & (dist > size * SPACE_DIST)
+            & (np.abs(dot) > 0.95)
+        )
+        events = np.nonzero(newline | space)[0]
+        ucs_list = ucs_arr.tolist()
+        wmode = run.wmode
+        start = 0
+        for idx in events.tolist():
+            if start < idx:
+                self._bulk_chars(font, size, wmode, ucs_list[start:idx])
+            if newline[idx]:
+                self._add_newline(font, size, wmode)
+            else:
+                span = self.spans[-1]
+                if span.chars and span.chars[-1] != 32:
+                    self._add_char(font, size, wmode, 32)
+            start = idx
+        self._bulk_chars(font, size, wmode, ucs_list[start:])
+        self.pen_x = float(pen_x[-1])
+        self.pen_y = float(pen_y[-1])
+        return True
+
+    def _bulk_chars(self, font, size, wmode, ucs_list):
+        if not ucs_list:
+            return
+        span = self.spans[-1]
+        if span.font is None:
+            span.font = font
+            span.size = size
+        if span.font is not font or span.size != size or span.wmode != wmode:
+            # per-char rule: a space never triggers the span break, so
+            # leading spaces stay on the old span and the break happens at
+            # the first non-space char
+            i = 0
+            n = len(ucs_list)
+            while i < n and ucs_list[i] == 32:
+                span.chars.append(32)
+                i += 1
+            if i == n:
+                return
+            ucs_list = ucs_list[i:]
+            span = Span()
+            span.font = font
+            span.size = size
+            span.wmode = wmode
+            self.spans.append(span)
+        # -1 fillers and ligatures were excluded by the caller; all other
+        # codepoints append verbatim (control chars fold at serialization)
+        span.chars.extend(ucs_list)
 
     # --- serialization -------------------------------------------------------
     def close(self):
@@ -166,18 +285,15 @@ class TextDevice:
         self.spans[-1].eol = 1
 
     def to_text(self) -> str:
-        """fz_span_to_wchar with CRLF separator."""
+        """fz_span_to_wchar with CRLF separator. Codepoints < 32 fold to
+        '?' (reference rule); lone UTF-16 surrogates also fold to '?' so
+        the result is always valid UTF-8 for Arrow/parquet (the reference
+        emits them raw into a widestring — not representable as text)."""
         out: list[str] = []
         n = len(self.spans)
         for i, span in enumerate(self.spans):
-            for c in span.chars:
-                if c < 32:
-                    out.append("?")
-                else:
-                    try:
-                        out.append(chr(c))
-                    except ValueError:
-                        out.append("?")
+            if span.chars:
+                out.append("".join(map(chr, span.chars)).translate(_FOLD))
             if span.eol == 0 and i + 1 < n:
                 continue
             out.append("\r\n")

@@ -1,0 +1,38 @@
+"""Inspect executed plans for the scale properties the engine promises:
+
+- broadcast joins actually broadcast (BroadcastHashJoin nodes)
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema)
+- the extraction pipeline has exactly one exchange before the Python stage
+- whole-stage codegen spans cover the JVM-side expressions
+
+Used by tests and by BENCH reporting; on a real cluster these are the
+queries' pre-flight checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def plan_report(df: DataFrame) -> dict:
+    plan = explain_str(df, "formatted")
+    simple = explain_str(df, "simple")
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", simple)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", simple)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", simple)),
+        "python_stages": len(
+            re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", simple)
+        ),
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", simple)),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "read_schema": re.findall(r"ReadSchema: ([^\n]*)", plan),
+    }
