@@ -66,11 +66,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
-    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+_CORPUS_CACHE: dict[tuple, str] = {}
+
+
+def materialize_corpus(spark, n_docs: int, skew: bool = False) -> str:
+    """Generate the deterministic corpus ONCE and land it as parquet, so
+    throughput timing measures the real pipeline (parquet scan -> salt ->
+    extract), not fixture generation."""
+    import tempfile
+
     from delphi_pdf_parser_spark.sources.documents import bench_documents
 
+    key = (n_docs, skew)
+    if key in _CORPUS_CACHE:
+        return _CORPUS_CACHE[key]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    path = tempfile.mkdtemp(prefix=f"bench_corpus_{n_docs}_")
     docs = bench_documents(
         spark,
         n_docs=n_docs,
@@ -79,6 +90,17 @@ def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
         skew_pages=100,
         slices=cpus * 4,
     )
+    docs.write.mode("overwrite").parquet(path)
+    _CORPUS_CACHE[key] = path
+    return path
+
+
+def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
+    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    path = materialize_corpus(spark, n_docs, skew)
+    docs = spark.read.parquet(path)
     out = extract_documents(docs, salt_partitions=cpus * 4)
     t0 = time.perf_counter()
     n_ok = out.filter("status = 'ok'").count()

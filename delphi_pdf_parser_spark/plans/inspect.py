@@ -32,7 +32,10 @@ def plan_report(df: DataFrame) -> dict:
         "python_stages": len(
             re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", simple)
         ),
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", simple)),
+        "codegen_spans": len(
+            set(re.findall(r"codegen id : (\d+)", plan))
+        )
+        or len(set(re.findall(r"\*\((\d+)\)", simple))),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         "read_schema": re.findall(r"ReadSchema: ([^\n]*)", plan),
     }

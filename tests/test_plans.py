@@ -1,0 +1,62 @@
+"""Physical-plan checks: the scale properties the engine promises
+(broadcast joins broadcast, scans prune columns/push filters, the
+extraction pipeline has one exchange and one Python stage)."""
+
+from __future__ import annotations
+
+import os
+
+from delphi_pdf_parser_spark.plans import plan_report
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+
+
+def test_extraction_plan_shape(spark):
+    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    out = extract_documents(fixture_documents(spark), salt_partitions=8)
+    rep = plan_report(out)
+    assert rep["python_stages"] == 1, rep
+    # exactly one exchange: the salting repartition
+    assert rep["exchanges"] == 1, rep
+
+
+def test_broadcast_join_is_broadcast(spark):
+    from delphi_pdf_parser_spark.operators.relational import broadcast_dim_join
+
+    rep = plan_report(broadcast_dim_join(spark, SF_DIR))
+    assert rep["broadcast_joins"] >= 1, rep
+    assert rep["sortmerge_joins"] == 0, rep
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    from delphi_pdf_parser_spark.operators.relational import q1_pricing_summary
+
+    rep = plan_report(q1_pricing_summary(spark, SF_DIR))
+    # filter on l_shipdate reaches the parquet scan
+    assert any("l_shipdate" in f for f in rep["pushed_filters"]), rep
+    # column pruning: the scan must not read all 11 lineitem columns
+    assert rep["read_schema"], rep
+    assert "l_partkey" not in rep["read_schema"][0], rep
+    # (codegen ids only appear on executed AQE plans, so not asserted here)
+
+
+def test_token_count_prunes_columns(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["token_count"](spark, SF_DIR)
+    rep = plan_report(df)
+    schema = " ".join(rep["read_schema"])
+    assert "text" in schema and "doc_id" in schema
+    assert "source" not in schema, rep  # unused column pruned from the scan
+
+
+def test_anti_join_plan(spark):
+    from delphi_pdf_parser_spark.operators.relational import (
+        customers_without_orders,
+    )
+    from delphi_pdf_parser_spark.plans import explain_str
+
+    plan = explain_str(customers_without_orders(spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan, plan
