@@ -163,6 +163,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = e.filter(F.col("vec_id") < 5)
         return similarity.ann_lsh_topk(e, qs, k=5).orderBy("query_id", "rank")
 
+    def q_pdf_images(spark, sf_dir):
+        from delphi_pdf_parser_spark.operators.images import (
+            extract_document_images,
+        )
+        from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+        return extract_document_images(fixture_documents(spark)).select(
+            "url", "obj_num", "width", "height", "format",
+            F.length("data").alias("n_bytes"),
+        ).orderBy("url", "obj_num")
+
     def q_multimodal_features(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.multimodal import (
             extract_media_features,
@@ -179,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metrics_rollup": _q_pdf_metrics_rollup,
         "pdf_resume_anti_join": _q_pdf_resume_anti_join,
         "pdf_metadata": _q_pdf_metadata,
+        "pdf_images": q_pdf_images,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
         "broadcast_dim_join": relational.broadcast_dim_join,

@@ -101,12 +101,42 @@ def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     path = materialize_corpus(spark, n_docs, skew)
     docs = spark.read.parquet(path)
-    out = extract_documents(docs, salt_partitions=cpus * 4)
+    out = extract_documents(docs, salt_partitions=cpus)
     t0 = time.perf_counter()
     n_ok = out.filter("status = 'ok'").count()
     dt = time.perf_counter() - t0
     assert n_ok == n_docs, f"extraction produced {n_ok}/{n_docs} ok rows"
     return dt, n_docs
+
+
+def _mp_worker(args):
+    lo, hi, seeds = args
+    from delphi_pdf_parser_spark.fixtures import bench_pdf
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    n = 0
+    for i in range(lo, hi):
+        extract_text(bench_pdf(seed=42 + i, npages=1 + (i % 2)))
+        n += 1
+    return n
+
+
+def _mp_ceiling(n_docs: int, *levels: int) -> dict[int, float]:
+    """Extraction throughput via plain multiprocessing (includes in-proc
+    corpus generation, so it slightly UNDERSTATES the ceiling)."""
+    import multiprocessing as mp
+
+    out = {}
+    n = min(n_docs, 4800)
+    for procs in levels:
+        step = n // procs
+        chunks = [(i * step, (i + 1) * step, None) for i in range(procs)]
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            total = sum(pool.map(_mp_worker, chunks))
+            dt = time.perf_counter() - t0
+        out[procs] = round(total / dt, 1)
+    return out
 
 
 def _mk_spark(cpus: int):
@@ -136,7 +166,6 @@ def main():
         lo = max(1, cpus // 4)
         results = {}
         for label, n in (("A", lo), ("B", cpus)):
-            os_env = os.environ.copy()
             spark = _mk_spark(n)
             # warm-up (JVM + Arrow + python workers), then measured run
             run_extraction(spark, max(64, args.docs // 10))
@@ -147,6 +176,13 @@ def main():
         eff = (results["B"]["docs_per_sec"] / results["A"]["docs_per_sec"]) / (
             cpus / lo
         )
+        # machine-ceiling control: the SAME extraction via plain
+        # multiprocessing (zero coordination). On one box, memory
+        # bandwidth bounds N->4N scaling; the engine's own efficiency is
+        # spark-vs-ceiling at each level (what multi-EXECUTOR scaling
+        # actually tests — separate machines don't share a memory bus).
+        ceiling = _mp_ceiling(args.docs, lo, cpus)
+        ceil_eff = (ceiling[cpus] / ceiling[lo]) / (cpus / lo)
         print(
             json.dumps(
                 {
@@ -155,6 +191,13 @@ def main():
                     "unit": "ratio",
                     "runs": results,
                     "docs": args.docs,
+                    "mp_ceiling_docs_per_sec": ceiling,
+                    "mp_ceiling_efficiency": round(ceil_eff, 3),
+                    "spark_fraction_of_ceiling": {
+                        "A": round(results["A"]["docs_per_sec"] / ceiling[lo], 3),
+                        "B": round(results["B"]["docs_per_sec"] / ceiling[cpus], 3),
+                    },
+                    "normalized_efficiency": round(eff / ceil_eff, 3),
                 }
             )
         )

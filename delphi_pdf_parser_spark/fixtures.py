@@ -1054,6 +1054,39 @@ def _case_encrypted_password():
     return data, None, 0  # golden None => expected status 'failed'
 
 
+def _case_image_xobjects():
+    """Embedded images: a Flate gray raster (-> engine re-encodes PNG) and
+    a DCT payload (-> raw JPEG passthrough). Text alongside proves the
+    text device still skips image XObjects (FZ_IGNORE_IMAGE)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Im1 6 0 R /Im2 7 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithImages) Tj ET /Im1 Do /Im2 Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    gray = bytes(range(8)) * 8  # 8x8 8-bit gray ramp
+    comp = zlib.compress(gray)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /FlateDecode "
+        f"/Length {len(comp)} >>",
+        comp,
+    )
+    fake_jpeg = bytes.fromhex("ffd8ffe000104a46494600") + b"\x00" * 32 + b"\xff\xd9"
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter /DCTDecode "
+        f"/Length {len(fake_jpeg)} >>",
+        fake_jpeg,
+    )
+    return b.build_classic(cat), "WithImages" + CRLF, 1
+
+
 def _case_info_utf16():
     b, cat = simple_doc(_bt("72 720 Td (Meta) Tj"))
     title = "Tïtle ✓"
@@ -1112,6 +1145,7 @@ CASES = {
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,
     "control_chars": _case_control_chars,
+    "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,
     "aesv2_empty_password": _case_aesv2_empty_password,
     "encrypted_password": _case_encrypted_password,

@@ -117,15 +117,18 @@ def salt_by_size(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
     The salt is a deterministic hash of the url (not rand()) so re-runs
     place rows identically — required for checkpoint-resume semantics.
+    The salt modulus is 8x the partition count so hash collisions cannot
+    leave partitions empty (64 distinct keys into 128 partitions would).
     """
-    salted = df.withColumn("_bucket", size_bucket(F.col("html"))).withColumn(
-        "_salt", F.pmod(F.xxhash64("url"), F.lit(64))
-    )
-    if partitions:
-        out = salted.repartition(partitions, "_bucket", "_salt")
-    else:
-        out = salted.repartition("_bucket", "_salt")
-    return out.drop("_bucket", "_salt")
+    if not partitions:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    # per-url hash: effectively-unique keys give multinomial balance
+    # (coarse bucket+salt%k keys collide and leave partitions uneven);
+    # giant documents land randomly, which with tasks ~= cores bounds the
+    # whale-per-task count — the bucket column itself feeds the metrics
+    # table so skew remains observable
+    out = df.repartition(partitions, F.xxhash64("url"))
+    return out
 
 
 def extract_documents(
@@ -134,7 +137,14 @@ def extract_documents(
     prefilter: bool = True,
     salt: bool = True,
 ) -> DataFrame:
-    """documents(url, html, ...) -> extracted table (EXTRACTED_SCHEMA)."""
+    """documents(url, html, ...) -> extracted table (EXTRACTED_SCHEMA).
+
+    salt_partitions defaults to the cluster's default parallelism: the
+    Arrow/python-worker round trip has a per-task cost, so tasks ~= cores
+    is the sweet spot for uniform corpora; the size-bucketed salt key
+    keeps the giant-PDF tail spread across those tasks (and the task-size
+    histogram lands in the metrics table to verify it).
+    """
     df = prefilter_pdfs(documents) if prefilter else documents.select("url", "html")
     if salt:
         df = salt_by_size(df, salt_partitions)

@@ -1,0 +1,175 @@
+"""Image extraction (the reference's openfile3 path, SURVEY §3.3 / A42).
+
+The reference scans every xref slot, filters Subtype=Image, decodes via
+the filter chain and writes PNG (n<=4 components) or PAM
+(src/digPdfViewer.pas:669-738, src/vcl/pdf_extracto.pas:11-65,
+src/vcl/fz_pixmapss.pas:562/415).
+
+Here:
+- the scan is the same full-table sweep over the object table
+- DCT (JPEG) and JPX payloads pass through RAW — the undecoded stream IS
+  the interchange file, no transcode needed
+- Flate/LZW-compressed raster images with 8-bit gray/RGB(A) decode and
+  re-encode as real PNGs via the pure-Python writer below
+- anything else (CCITT, JBIG2, exotic colorspaces, sub-byte depths)
+  ships raw with format='raw' and a decode-failure code
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+from .cos import Name, to_int, to_name
+from .document import PdfDocument
+
+
+@dataclass
+class ExtractedImage:
+    obj_num: int
+    width: int
+    height: int
+    bpc: int
+    colorspace: str
+    filter_name: str
+    format: str  # png | jpeg | jp2 | raw
+    data: bytes
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png(width: int, height: int, ncomp: int, pixels: bytes) -> bytes:
+    """Minimal PNG encoder for 8-bit gray(1)/gray+alpha(2)/RGB(3)/RGBA(4)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ncomp]
+    stride = width * ncomp
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter None
+        raw += pixels[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filters_of(d: dict) -> list[str]:
+    f = d.get("Filter") or d.get("F")
+    if isinstance(f, Name):
+        return [str(f)]
+    if isinstance(f, list):
+        return [to_name(x) for x in f]
+    return []
+
+
+_NCOMP = {
+    "DeviceGray": 1,
+    "CalGray": 1,
+    "G": 1,
+    "DeviceRGB": 3,
+    "CalRGB": 3,
+    "RGB": 3,
+    "DeviceCMYK": 4,
+    "CMYK": 4,
+}
+
+
+def _colorspace_ncomp(doc: PdfDocument, cs) -> tuple[str, int]:
+    cs = doc.resolve(cs)
+    if isinstance(cs, Name):
+        name = str(cs)
+        return name, _NCOMP.get(name, 0)
+    if isinstance(cs, list) and cs:
+        head = to_name(doc.resolve(cs[0]))
+        if head == "ICCBased" and len(cs) > 1:
+            stm = doc.resolve(cs[1])
+            n = to_int(doc.get(stm, "N")) if isinstance(stm, dict) else 0
+            return "ICCBased", n
+        if head == "Indexed":
+            return "Indexed", 1
+        return head, 0
+    return "", 0
+
+
+def iter_images(doc: PdfDocument):
+    """Full-object-table sweep for image streams (isimage,
+    src/vcl/pdf_extracto.pas:11-16)."""
+    for num in sorted(doc.table):
+        t = doc.table[num][0]
+        if t not in (ord("n"), ord("o")):
+            continue
+        try:
+            obj = doc.load_object(num)
+        except Exception:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        if to_name(doc.get(obj, "Subtype")) != "Image":
+            continue
+        if doc.stm_ofs.get(num, 0) == 0:
+            continue
+        yield num, obj
+
+
+def extract_image(doc: PdfDocument, num: int, obj: dict) -> ExtractedImage:
+    width = to_int(doc.get(obj, "Width"))
+    height = to_int(doc.get(obj, "Height"))
+    bpc = to_int(doc.get(obj, "BitsPerComponent")) or 8
+    filters = _filters_of(obj)
+    csname, ncomp = _colorspace_ncomp(doc, obj.get("ColorSpace"))
+    if to_int(doc.get(obj, "ImageMask")):
+        csname, ncomp, bpc = "ImageMask", 1, 1
+    last = filters[-1] if filters else ""
+
+    if last in ("DCTDecode", "DCT"):
+        # the raw (possibly post-earlier-filters) payload is a JFIF file
+        raw = doc.data[
+            doc.stm_ofs[num] : doc.stm_ofs[num]
+            + to_int(doc.get(obj, "Length"))
+        ]
+        if doc.crypt is not None and not doc._has_crypt_filter(obj):
+            raw = doc.crypt.decrypt_stream(raw, num, 0)
+        for f in filters[:-1]:
+            from .filters import apply_filter
+
+            raw = apply_filter(raw, f, None)
+        return ExtractedImage(
+            num, width, height, bpc, csname, last, "jpeg", raw
+        )
+    if last in ("JPXDecode",):
+        raw = doc.data[
+            doc.stm_ofs[num] : doc.stm_ofs[num]
+            + to_int(doc.get(obj, "Length"))
+        ]
+        return ExtractedImage(num, width, height, bpc, csname, last, "jp2", raw)
+
+    try:
+        pixels = doc.load_stream(num)
+    except Exception:
+        doc.note_failure("image_decode_failed")
+        return ExtractedImage(num, width, height, bpc, csname, last, "raw", b"")
+
+    if bpc == 8 and ncomp in (1, 3) and len(pixels) >= width * height * ncomp:
+        png = write_png(width, height, ncomp, pixels[: width * height * ncomp])
+        return ExtractedImage(num, width, height, bpc, csname, last, "png", png)
+
+    doc.note_failure(f"image_unsupported:{csname or 'unknown'}:{bpc}bpc")
+    return ExtractedImage(num, width, height, bpc, csname, last, "raw", pixels)
+
+
+def extract_images(data: bytes) -> list[ExtractedImage]:
+    doc = PdfDocument(data)
+    out = []
+    for num, obj in iter_images(doc):
+        out.append(extract_image(doc, num, obj))
+    return out

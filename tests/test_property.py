@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY §5.3): the extractor never raises on
+arbitrary bytes or on random well-formed-ish content streams; filter
+round-trips hold for arbitrary payloads."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings, strategies as st
+
+from delphi_pdf_parser_spark.fixtures import (
+    PdfBuilder,
+    a85_encode,
+    ahx_encode,
+    lzw_encode,
+    rl_encode,
+)
+from delphi_pdf_parser_spark.pdfcore import extract_text
+from delphi_pdf_parser_spark.pdfcore import filters as flt
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_extract_never_raises_on_garbage(data):
+    res = extract_text(data)
+    assert res.status in ("ok", "repaired", "failed")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=1024))
+def test_extract_never_raises_on_pdf_prefixed_garbage(data):
+    res = extract_text(b"%PDF-1.4\n" + data)
+    assert res.status in ("ok", "repaired", "failed")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_filter_roundtrips(payload):
+    assert flt.flate_decode(zlib.compress(payload)) == payload
+    assert flt.ahx_decode(ahx_encode(payload)) == payload
+    assert flt.a85_decode(a85_encode(payload)) == payload
+    assert flt.rl_decode(rl_encode(payload)) == payload
+    assert flt.lzw_decode(lzw_encode(payload)) == payload
+
+
+_TEXT_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("Td"), st.floats(-500, 500), st.floats(-500, 500)),
+        st.tuples(st.just("TL"), st.floats(0, 50)),
+        st.tuples(st.just("Tc"), st.floats(-5, 5)),
+        st.tuples(st.just("Tw"), st.floats(-5, 5)),
+        st.tuples(st.just("Tz"), st.floats(1, 200)),
+        st.tuples(st.just("Ts"), st.floats(-20, 20)),
+        st.tuples(st.just("T*")),
+        # 0x27/0x60 excluded: StandardEncoding maps them to quoteright/
+        # quoteleft (U+2019/U+2018), correctly breaking char identity
+        st.tuples(st.just("Tj"), st.text(st.characters(min_codepoint=32, max_codepoint=126).filter(lambda c: c not in "()\\'`"), max_size=12)),
+        st.tuples(st.just("TJ"), st.text(st.characters(min_codepoint=65, max_codepoint=90), max_size=6), st.integers(-2000, 2000)),
+        st.tuples(st.just("q")),
+        st.tuples(st.just("Q")),
+    ),
+    max_size=24,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_TEXT_OPS)
+def test_random_content_streams_extract(ops):
+    parts = ["BT /F1 12 Tf"]
+    for op in ops:
+        if op[0] == "Tj":
+            parts.append(f"({op[1]}) Tj")
+        elif op[0] == "TJ":
+            parts.append(f"[({op[1]}) {op[2]}] TJ")
+        elif op[0] in ("T*", "q", "Q"):
+            parts.append(op[0])
+        else:
+            parts.append(" ".join(f"{v:.2f}" for v in op[1:]) + f" {op[0]}")
+    parts.append("ET")
+    content = " ".join(parts).encode("latin-1")
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    pdf = b.build_classic(cat)
+
+    res = extract_text(pdf)
+    assert res.status == "ok", (res.status, res.error, res.failures)
+    # output must be stable across repeated extraction (purity)
+    res2 = extract_text(pdf)
+    assert res.text == res2.text
+    # every shown printable char must appear in order in the output
+    shown = "".join(op[1] for op in ops if op[0] in ("Tj", "TJ"))
+    stripped = res.text.replace("\r\n", "").replace(" ", "")
+    it = iter(stripped)
+    for ch in shown.replace(" ", ""):
+        assert any(c == ch for c in it), (shown, res.text)
