@@ -109,33 +109,44 @@ def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
     return dt, n_docs
 
 
+_MP_PDFS: list[bytes] = []
+
+
 def _mp_worker(args):
-    lo, hi, seeds = args
-    from delphi_pdf_parser_spark.fixtures import bench_pdf
+    lo, hi = args
     from delphi_pdf_parser_spark.pdfcore import extract_text
 
     n = 0
     for i in range(lo, hi):
-        extract_text(bench_pdf(seed=42 + i, npages=1 + (i % 2)))
+        extract_text(_MP_PDFS[i])
         n += 1
     return n
 
 
-def _mp_ceiling(n_docs: int, *levels: int) -> dict[int, float]:
-    """Extraction throughput via plain multiprocessing (includes in-proc
-    corpus generation, so it slightly UNDERSTATES the ceiling)."""
+def _mp_ceiling(n_docs: int, *levels: int, repeats: int = 3) -> dict[int, float]:
+    """Extraction-only throughput via plain multiprocessing over a
+    pre-generated corpus (fork shares it copy-on-write). Best-of-N to
+    shave scheduler noise."""
     import multiprocessing as mp
 
-    out = {}
+    from delphi_pdf_parser_spark.fixtures import bench_pdf
+
     n = min(n_docs, 4800)
+    global _MP_PDFS
+    if len(_MP_PDFS) < n:
+        _MP_PDFS = [bench_pdf(seed=42 + i, npages=1 + (i % 2)) for i in range(n)]
+    out = {}
     for procs in levels:
         step = n // procs
-        chunks = [(i * step, (i + 1) * step, None) for i in range(procs)]
-        with mp.Pool(procs) as pool:
-            t0 = time.perf_counter()
-            total = sum(pool.map(_mp_worker, chunks))
-            dt = time.perf_counter() - t0
-        out[procs] = round(total / dt, 1)
+        chunks = [(i * step, (i + 1) * step) for i in range(procs)]
+        best = 0.0
+        for _ in range(repeats):
+            with mp.Pool(procs) as pool:
+                t0 = time.perf_counter()
+                total = sum(pool.map(_mp_worker, chunks))
+                dt = time.perf_counter() - t0
+            best = max(best, total / dt)
+        out[procs] = round(best, 1)
     return out
 
 
@@ -167,11 +178,14 @@ def main():
         results = {}
         for label, n in (("A", lo), ("B", cpus)):
             spark = _mk_spark(n)
-            # warm-up (JVM + Arrow + python workers), then measured run
+            # warm-up (JVM + Arrow + python workers), then best-of-3
             run_extraction(spark, max(64, args.docs // 10))
-            dt, nd = run_extraction(spark, args.docs)
-            results[label] = {"cores": n, "wall_sec": round(dt, 2),
-                              "docs_per_sec": round(nd / dt, 2)}
+            best_dt, nd = None, args.docs
+            for _ in range(3):
+                dt, nd = run_extraction(spark, args.docs)
+                best_dt = dt if best_dt is None else min(best_dt, dt)
+            results[label] = {"cores": n, "wall_sec": round(best_dt, 2),
+                              "docs_per_sec": round(nd / best_dt, 2)}
             spark.stop()
         eff = (results["B"]["docs_per_sec"] / results["A"]["docs_per_sec"]) / (
             cpus / lo

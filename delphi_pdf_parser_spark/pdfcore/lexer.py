@@ -238,9 +238,22 @@ class Lexer:
         """Literal string body after '('. Mirrors lex_string
         (src/vcl/digcommtype.pas:198-370) including the port's quirk of
         dropping raw CR/LF bytes inside the literal."""
-        out = bytearray()
         data, end = self.data, self.end
         pos = self.pos
+        # fast path: an unnested, escape-free, newline-free literal ends at
+        # the next ')' — C-speed find + membership checks
+        close = data.find(0x29, pos, end)
+        if close >= 0:
+            body = data[pos:close]
+            if (
+                0x5C not in body
+                and 0x28 not in body
+                and 10 not in body
+                and 13 not in body
+            ):
+                self.pos = close + 1
+                return body
+        out = bytearray()
         bal = 1
         while pos < end:
             c = data[pos]
