@@ -1,0 +1,79 @@
+"""Production extraction job.
+
+    spark-submit --py-files engine.zip jobs/extract_job.py \
+        --input  s3://.../documents/   (or an Iceberg table via --table) \
+        --output /path/extracted/ --metrics /path/metrics/ \
+        [--resume] [--partitions N]
+
+Build engine.zip with:  python -m zipfile -c engine.zip delphi_pdf_parser_spark
+
+Pipeline: scan -> %PDF prefilter -> deterministic per-url salting ->
+mapInPandas extraction -> extracted + metrics parquet (append). With
+--resume, urls already present in the metrics table are anti-joined away
+first, giving checkpoint-resume at partition granularity: a killed run
+reprocesses only unfinished urls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of the documents table")
+    src.add_argument("--table", help="catalog table name (e.g. Iceberg)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--input-split", default="")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+        metrics_table,
+        resume_anti_join,
+    )
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = SparkSession.builder.appName("pdf-extract").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.table:
+        docs = spark.read.table(args.table)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    if args.resume:
+        try:
+            done = spark.read.parquet(args.metrics)
+            docs = resume_anti_join(docs, done)
+        except Exception:
+            pass  # no metrics yet: fresh run
+
+    extracted = extract_documents(docs, salt_partitions=args.partitions)
+    extracted = extracted.cache()
+    extracted.write.mode("append").parquet(args.output)
+    metrics_table(extracted, input_split=args.input_split).write.mode(
+        "append"
+    ).parquet(args.metrics)
+
+    counts = {
+        r["status"]: r["n"]
+        for r in extracted.groupBy("status").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    print(f"extraction complete: {counts}", file=sys.stderr)
+    if not preexisting:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
