@@ -78,19 +78,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures computed entirely JVM-side: per hash function i,
     sig[i] = min over shingles of xxhash64(shingle, seed=i)."""
+    # shape: explode shingles -> xxhash64(shingle, seed_i) per hash fn ->
+    # hash-aggregate min per doc. Flat expressions stay in whole-stage
+    # codegen; array_min(transform(...)) would evaluate interpreted and
+    # run ~10x slower.
     sh = documents.select(
         "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    def _seeded_hash(i):
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    mins = exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(F.col("shingles"), _seeded_hash(i)))
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return sh.select("doc_id", sig.alias("signature"), "shingles")
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return (
+        mins.select("doc_id", sig.alias("signature"))
+        .join(sh, "doc_id")
+        .select("doc_id", "signature", "shingles")
+    )
 
 
 def minhash_lsh_candidates(
@@ -102,7 +109,9 @@ def minhash_lsh_candidates(
     """Banded LSH: docs sharing any band bucket become candidate pairs,
     then exact shingle-Jaccard verifies them."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    # cache: the banded self-join + verify would otherwise recompute the
+    # shingling subtree 4x (both join sides, twice each)
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).cache()
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -144,27 +153,34 @@ def minhash_lsh_candidates(
 
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash from token xxhash64 values, bit-majority via
-    aggregate over the token array — all JVM-side expressions."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # for each bit b: count tokens with bit set; sign of (2*count - n)
-    n = F.size(toks)
-    def _bit_counter(b):
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(
-            F.lit(1)
-        ).cast("int")
+    """64-bit SimHash from token xxhash64 values, bit-majority counting.
 
-    bit_cols = []
+    Shape: explode tokens -> hash -> 64 bit-count aggregates per doc.
+    Flat aggregate expressions stay inside whole-stage codegen; the
+    equivalent F.aggregate(...) higher-order forms fall back to
+    interpreted evaluation and run ~10x slower."""
+    toks = documents.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    exploded = toks.select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    aggs = [F.count("*").alias("n")]
     for b in range(bits):
-        cnt = F.aggregate(hashes, F.lit(0), _bit_counter(b))
-        bit_cols.append(
-            F.when(cnt * 2 >= n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        aggs.append(
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         )
+    counts = exploded.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for b, bc in enumerate(bit_cols):
-        sig = sig.bitwiseOR(F.shiftleft(bc, b))
-    return documents.select("doc_id", sig.alias("simhash"))
+    for b in range(bits):
+        bit = (
+            F.when(F.col(f"b{b}") * 2 >= F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    return counts.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
