@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_event": relational.dedup_first_event,
         "sessionize_events": relational.sessionize_events,
         "event_type_value_stats": relational.event_type_value_stats,
+        "events_json_stats": relational.events_json_stats,
         "q3_shipping_priority": relational.orders_lineitem_join_agg,
         # training-data text ops
         "token_count": q_token_count,
@@ -317,6 +318,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_json_stats": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+                   max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "event_type_value_stats": """
             SELECT event_type, count(*) AS n,

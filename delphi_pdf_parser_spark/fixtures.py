@@ -1054,6 +1054,50 @@ def _case_encrypted_password():
     return data, None, 0  # golden None => expected status 'failed'
 
 
+def _case_annot_appearance():
+    """FreeText annotation: its /AP /N form runs after the page content,
+    positioned by the Rect<->BBox matrix. An annotation with the Hidden
+    flag set must NOT extract."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R "
+        "/Annots [6 0 R 8 0 R] >>"
+    )
+    content = _bt("72 720 Td (Main) Tj")
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        "<< /Type /Annot /Subtype /FreeText /Rect [200 600 400 650] "
+        "/AP << /N 7 0 R >> >>",
+        num=6,
+    )
+    ap = b"BT /F1 12 Tf 10 10 Td (Annot) Tj ET"
+    b.add(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+        "/Resources << /Font << /F1 5 0 R >> >> "
+        f"/Length {len(ap)} >>",
+        ap,
+        num=7,
+    )
+    hidden_ap = b"BT /F1 12 Tf 10 10 Td (HiddenAnnot) Tj ET"
+    b.add(
+        "<< /Type /Annot /Subtype /FreeText /Rect [100 100 300 150] /F 2 "
+        "/AP << /N 9 0 R >> >>",
+        num=8,
+    )
+    b.add(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+        "/Resources << /Font << /F1 5 0 R >> >> "
+        f"/Length {len(hidden_ap)} >>",
+        hidden_ap,
+        num=9,
+    )
+    return b.build_classic(cat), "Main" + CRLF + "Annot" + CRLF, 1
+
+
 def _case_image_xobjects():
     """Embedded images: a Flate gray raster (-> engine re-encodes PNG) and
     a DCT payload (-> raw JPEG passthrough). Text alongside proves the
@@ -1145,6 +1189,7 @@ CASES = {
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,
     "control_chars": _case_control_chars,
+    "annot_appearance": _case_annot_appearance,
     "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,
     "aesv2_empty_password": _case_aesv2_empty_password,

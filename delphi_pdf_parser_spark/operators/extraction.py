@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     MapType,
@@ -38,6 +39,7 @@ EXTRACTED_SCHEMA = StructType(
     [
         StructField("url", StringType()),
         StructField("text", StringType()),
+        StructField("pages", ArrayType(StringType())),
         StructField("npages", IntegerType()),
         StructField("n_objects", LongType()),
         StructField("status", StringType()),
@@ -76,6 +78,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 (
                     url,
                     res.text if res.status != "failed" else None,
+                    res.pages if res.status != "failed" else None,
                     res.npages,
                     res.n_objects,
                     res.status,

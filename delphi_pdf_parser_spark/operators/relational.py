@@ -181,6 +181,22 @@ def event_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction (semi-structured props column) + agg."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def orders_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle join on a fact-fact key + aggregation (TPC-H Q3 shape)."""
     o = _t(spark, sf_dir, "orders")

@@ -21,6 +21,7 @@ from .textdev import TextDevice
 @dataclass
 class ExtractResult:
     text: str = ""
+    pages: list | None = None  # per-page text (text == "".join(pages))
     npages: int = 0
     n_objects: int = 0
     status: str = "ok"  # ok | repaired | failed
@@ -38,7 +39,9 @@ def _run_page_text(doc: PdfDocument, csi_cache: dict, pageno: int) -> str:
     run_buffer(csi, page.resources, page.contents)
     csi.flush_text()
     # annotation appearance streams run after the page content
-    # (pdf_run_page_with_usage, src/vcl/pdf_interprets.pas:2668-2704)
+    # (pdf_run_page_with_usage, src/vcl/pdf_interprets.pas:2668-2704);
+    # each appearance form is positioned by the Rect<->BBox normalization
+    # matrix (pdf_transform_annot, src/vcl/fz_pdf_linkss.pas:170-189)
     for annot_ref in page.annots:
         annot = doc.resolve(annot_ref)
         if not isinstance(annot, dict):
@@ -59,15 +62,62 @@ def _run_page_text(doc: PdfDocument, csi_cache: dict, pageno: int) -> str:
                 n_ref = next(iter(n.values()))
             n = doc.resolve(n_ref)
         if isinstance(n, dict) and is_indirect(n_ref) and doc.is_stream(n_ref):
+            annot_matrix = _transform_annot(doc, annot, n)
             acsi = CSI(doc, dev, IDENTITY)
             acsi.font_cache = csi_cache
             try:
-                run_form_xobject(acsi, page.resources, n_ref, n, IDENTITY)
+                run_form_xobject(acsi, page.resources, n_ref, n, annot_matrix)
                 acsi.flush_text()
             except Exception:
                 doc.note_failure("annot_ap_error")
     dev.close()
     return dev.to_text()
+
+
+def _rect4(doc, obj) -> tuple[float, float, float, float]:
+    vals = [0.0, 0.0, 0.0, 0.0]
+    if isinstance(obj, list):
+        for i in range(min(4, len(obj))):
+            v = doc.resolve(obj[i])
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                vals[i] = float(v)
+    x0, y0, x1, y1 = vals
+    return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+
+
+def _transform_annot(doc, annot: dict, form: dict):
+    """pdf_transform_annot: map the form's (matrix-transformed) BBox onto
+    the annotation Rect -> concat(scale(w,h), translate(x,y))."""
+    from .cos import to_real
+    from .textdev import _concat
+
+    rect = _rect4(doc, doc.resolve(annot.get("Rect")))
+    bbox = _rect4(doc, doc.resolve(form.get("BBox")))
+    m = doc.resolve(form.get("Matrix"))
+    if isinstance(m, list) and len(m) >= 6:
+        mat = tuple(to_real(doc.resolve(v)) for v in m[:6])
+    else:
+        mat = IDENTITY
+    # transform bbox corners by the form matrix, take the envelope
+    xs, ys = [], []
+    for cx, cy in (
+        (bbox[0], bbox[1]),
+        (bbox[2], bbox[1]),
+        (bbox[0], bbox[3]),
+        (bbox[2], bbox[3]),
+    ):
+        xs.append(cx * mat[0] + cy * mat[2] + mat[4])
+        ys.append(cx * mat[1] + cy * mat[3] + mat[5])
+    bx0, bx1 = min(xs), max(xs)
+    by0, by1 = min(ys), max(ys)
+    try:
+        w = (rect[2] - rect[0]) / (bx1 - bx0)
+        h = (rect[3] - rect[1]) / (by1 - by0)
+    except ZeroDivisionError:
+        w = h = 1.0
+    x = rect[0] - bx0
+    y = rect[1] - by0
+    return _concat((w, 0.0, 0.0, h, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0, x, y))
 
 
 def extract_text(data: bytes, want_metadata: bool = True) -> ExtractResult:
@@ -109,6 +159,7 @@ def extract_text(data: bytes, want_metadata: bool = True) -> ExtractResult:
             doc.note_failure(f"page_error:{type(e).__name__}")
             parts.append("")
     res.text = "".join(parts)
+    res.pages = parts
     res.n_objects = len(doc.table)
     if want_metadata:
         try:
