@@ -167,6 +167,7 @@ def main():
     )
     ap.add_argument("--docs", type=int, default=int(os.environ.get("BENCH_DOCS", "3000")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
     args = ap.parse_args()
 
@@ -215,6 +216,48 @@ def main():
                 }
             )
         )
+        return
+
+    if args.skew:
+        # bench-skew (BASELINE.md): uniform corpus + page-count whales;
+        # evidence = per-partition wall_ms percentiles from the lineage
+        from pyspark.sql import functions as F
+
+        from delphi_pdf_parser_spark.operators.extraction import (
+            extract_documents,
+        )
+
+        spark = _mk_spark(cpus)
+        path = materialize_corpus(spark, args.docs, skew=True)
+        docs = spark.read.parquet(path)
+        out = extract_documents(docs, salt_partitions=cpus)
+        t0 = time.perf_counter()
+        parts = (
+            out.groupBy("partition_id")
+            .agg(F.sum("wall_ms").alias("part_ms"), F.count("*").alias("n"))
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        times = sorted(r["part_ms"] for r in parts)
+        med = times[len(times) // 2] if times else 0
+        print(
+            json.dumps(
+                {
+                    "metric": "skew_max_over_median_task_time",
+                    "value": round(times[-1] / max(med, 1), 3),
+                    "unit": "ratio",
+                    "partition_ms": {
+                        "p50": med,
+                        "p90": times[int(len(times) * 0.9)],
+                        "max": times[-1],
+                    },
+                    "wall_sec": round(dt, 2),
+                    "docs": args.docs,
+                    "whales": 10,
+                }
+            )
+        )
+        spark.stop()
         return
 
     spark = _mk_spark(cpus)

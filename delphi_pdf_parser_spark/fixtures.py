@@ -1054,6 +1054,19 @@ def _case_encrypted_password():
     return data, None, 0  # golden None => expected status 'failed'
 
 
+def _case_symbol_font():
+    """Base-14 Symbol font: built-in SymbolEncoding maps Latin codes to
+    Greek letters via AGL."""
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Symbol "
+        "/FirstChar 97 /LastChar 122 /Widths [631 549 549 494 439 521 411 "
+        "603 329 603 549 549 576 521 549 549 521 549 603 439 576 713 686 "
+        "493 686 494] >>"
+    )
+    b, cat = simple_doc(_bt("72 720 Td (abgd) Tj"), font_body=font)
+    return b.build_classic(cat), "αβγδ" + CRLF, 1
+
+
 def _case_annot_appearance():
     """FreeText annotation: its /AP /N form runs after the page content,
     positioned by the Rect<->BBox matrix. An annotation with the Hidden
@@ -1189,6 +1202,7 @@ CASES = {
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,
     "control_chars": _case_control_chars,
+    "symbol_font": _case_symbol_font,
     "annot_appearance": _case_annot_appearance,
     "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,

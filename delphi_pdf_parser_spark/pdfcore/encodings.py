@@ -120,11 +120,49 @@ for _i, _nm in [
 ]:
     MAC_EXPERT_ENCODING[_i] = _nm
 
+# Adobe Symbol font built-in encoding (Greek + math core; specialist
+# glyphs without AGL codepoints are omitted and fold to '?')
+SYMBOL_ENCODING: list = [_N] * 256
+for _i, _nm in list(
+    {
+        0x20: "space", 0x21: "exclam", 0x23: "numbersign", 0x25: "percent",
+        0x26: "ampersand", 0x28: "parenleft", 0x29: "parenright",
+        0x2B: "plus", 0x2C: "comma", 0x2E: "period", 0x2F: "slash",
+        0x3A: "colon", 0x3B: "semicolon", 0x3C: "less", 0x3D: "equal",
+        0x3E: "greater", 0x3F: "question", 0x5B: "bracketleft",
+        0x5D: "bracketright", 0x5F: "underscore",
+        0x41: "Alpha", 0x42: "Beta", 0x47: "Gamma", 0x44: "Delta",
+        0x45: "Epsilon", 0x5A: "Zeta", 0x48: "Eta", 0x51: "Theta",
+        0x49: "Iota", 0x4B: "Kappa", 0x4C: "Lambda", 0x4D: "Mu",
+        0x4E: "Nu", 0x58: "Xi", 0x4F: "Omicron", 0x50: "Pi",
+        0x52: "Rho", 0x53: "Sigma", 0x54: "Tau", 0x55: "Upsilon",
+        0x46: "Phi", 0x43: "Chi", 0x59: "Psi", 0x57: "Omega",
+        0x61: "alpha", 0x62: "beta", 0x67: "gamma", 0x64: "delta",
+        0x65: "epsilon", 0x7A: "zeta", 0x68: "eta", 0x71: "theta",
+        0x69: "iota", 0x6B: "kappa", 0x6C: "lambda", 0x6D: "mu",
+        0x6E: "nu", 0x78: "xi", 0x6F: "omicron", 0x70: "pi",
+        0x72: "rho", 0x73: "sigma", 0x56: "sigma1", 0x74: "tau",
+        0x75: "upsilon", 0x66: "phi", 0x63: "chi", 0x79: "psi",
+        0x77: "omega",
+        0xB1: "plusminus", 0xB4: "multiply", 0xB8: "divide",
+        0xB9: "notequal", 0xA3: "lessequal", 0xB3: "greaterequal",
+        0xBB: "approxequal", 0xA5: "infinity", 0xD6: "radical",
+        0xE5: "summation", 0xD5: "product", 0xF2: "integral",
+        0xB6: "partialdiff", 0xAE: "arrowright", 0xAC: "arrowleft",
+    }.items()
+):
+    SYMBOL_ENCODING[_i] = _nm
+for _d in range(10):
+    SYMBOL_ENCODING[0x30 + _d] = (
+        "zero one two three four five six seven eight nine".split()[_d]
+    )
+
 BASE_ENCODINGS = {
     "StandardEncoding": STANDARD_ENCODING,
     "WinAnsiEncoding": WIN_ANSI_ENCODING,
     "MacRomanEncoding": MAC_ROMAN_ENCODING,
     "MacExpertEncoding": MAC_EXPERT_ENCODING,
+    "SymbolEncoding": SYMBOL_ENCODING,
 }
 
 
@@ -229,9 +267,30 @@ _agl_add(
         ("notequal", 0x2260), ("lessequal", 0x2264), ("greaterequal", 0x2265),
         ("lozenge", 0x25CA), ("apple", 0xF8FF), ("partialdiff", 0x2202),
         ("integral", 0x222B), ("product", 0x220F), ("approxequal", 0x2248),
-        ("degree", 0xB0),
+        ("degree", 0xB0), ("arrowleft", 0x2190), ("arrowright", 0x2192),
+        ("sigma1", 0x3C2),
     ]
 )
+
+# Greek letters (Symbol encoding / AGL)
+_GREEK_UPPER = (
+    "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa Lambda Mu "
+    "Nu Xi Omicron Pi Rho Sigma2 Sigma Tau Upsilon Phi Chi Psi Omega"
+).split()
+_code = 0x391
+for _nm in _GREEK_UPPER:
+    if _nm != "Sigma2":  # 0x3A2 is unassigned in Unicode
+        AGL[_nm] = _code
+    _code += 1
+_GREEK_LOWER = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigmafinal sigma tau upsilon phi chi psi omega"
+).split()
+_code = 0x3B1
+for _nm in _GREEK_LOWER:
+    if _nm != "sigmafinal":
+        AGL[_nm] = _code
+    _code += 1
 
 
 def lookup_agl(name: str) -> int:
