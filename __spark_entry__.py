@@ -174,6 +174,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("data").alias("n_bytes"),
         ).orderBy("url", "obj_num")
 
+    def q_pdf_navigation(spark, sf_dir):
+        from delphi_pdf_parser_spark.operators.navigation import (
+            extract_navigation,
+        )
+        from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+        return extract_navigation(fixture_documents(spark)).orderBy(
+            "url", "kind", "level", "page", "title"
+        )
+
     def q_multimodal_features(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.multimodal import (
             extract_media_features,
@@ -191,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_resume_anti_join": _q_pdf_resume_anti_join,
         "pdf_metadata": _q_pdf_metadata,
         "pdf_images": q_pdf_images,
+        "pdf_navigation": q_pdf_navigation,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
         "broadcast_dim_join": relational.broadcast_dim_join,

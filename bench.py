@@ -261,11 +261,11 @@ def main():
         return
 
     spark = _mk_spark(cpus)
-    # warm-up then measured extraction throughput
-    run_extraction(spark, max(64, args.docs // 10))
-    dt, nd = run_extraction(spark, args.docs)
-
+    # queries first (the big extraction corpus pressures the JVM heap and
+    # would inflate the query timings), then extraction throughput
     times = {} if args.skip_queries else run_queries(spark, args.sf_dir)
+    run_extraction(spark, max(64, args.docs // 10))  # warm-up
+    dt, nd = run_extraction(spark, args.docs)
     times["pdf_extract_bench"] = round(dt, 3)
 
     total = round(sum(times.values()), 3)

@@ -1054,6 +1054,40 @@ def _case_encrypted_password():
     return data, None, 0  # golden None => expected status 'failed'
 
 
+def _case_outline_links():
+    """Outlines (2 levels) + a URI link annotation + a GoTo link."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R "
+        "/Annots [10 0 R 11 0 R] >>"
+    )
+    c = _bt("72 720 Td (NavDoc) Tj")
+    b.add(f"<< /Length {len(c)} >>", c)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add("<< /Type /Outlines /First 7 0 R /Last 8 0 R /Count 3 >>", num=6)
+    b.add(
+        "<< /Title (Chapter 1) /Parent 6 0 R /Next 8 0 R /First 9 0 R "
+        "/Last 9 0 R /Dest [3 0 R /XYZ 0 792 0] >>",
+        num=7,
+    )
+    b.add("<< /Title (Chapter 2) /Parent 6 0 R /Prev 7 0 R >>", num=8)
+    b.add("<< /Title (Section 1.1) /Parent 7 0 R >>", num=9)
+    b.add(
+        "<< /Type /Annot /Subtype /Link /Rect [72 700 200 720] "
+        "/A << /S /URI /URI (https://example.org/spec) >> >>",
+        num=10,
+    )
+    b.add(
+        "<< /Type /Annot /Subtype /Link /Rect [72 650 200 670] "
+        "/Dest [3 0 R /Fit] >>",
+        num=11,
+    )
+    return b.build_classic(cat), "NavDoc" + CRLF, 1
+
+
 def _case_symbol_font():
     """Base-14 Symbol font: built-in SymbolEncoding maps Latin codes to
     Greek letters via AGL."""
@@ -1202,6 +1236,7 @@ CASES = {
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,
     "control_chars": _case_control_chars,
+    "outline_links": _case_outline_links,
     "symbol_font": _case_symbol_font,
     "annot_appearance": _case_annot_appearance,
     "image_xobjects": _case_image_xobjects,

@@ -88,6 +88,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "pdf_resume_anti_join",
         "pdf_metadata",
         "pdf_images",
+        "pdf_navigation",
         "minhash_lsh",
         "simhash_near_dups",
         "ann_lsh_topk",

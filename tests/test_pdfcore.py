@@ -203,3 +203,29 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestNavigation:
+    def test_outline_and_links(self):
+        from delphi_pdf_parser_spark.fixtures import CASES
+        from delphi_pdf_parser_spark.pdfcore.document import PdfDocument
+        from delphi_pdf_parser_spark.pdfcore.navigation import (
+            extract_links,
+            extract_outline,
+        )
+        from delphi_pdf_parser_spark.pdfcore.pages import load_page_tree
+
+        pdf, _, _ = CASES["outline_links"]()
+        doc = PdfDocument(pdf)
+        load_page_tree(doc)
+        outline = extract_outline(doc)
+        assert [(o.level, o.title) for o in outline] == [
+            (0, "Chapter 1"),
+            (1, "Section 1.1"),
+            (0, "Chapter 2"),
+        ]
+        assert outline[0].dest == "page-obj:3"
+        links = extract_links(doc)
+        kinds = {(l.kind, l.target) for l in links}
+        assert ("uri", "https://example.org/spec") in kinds
+        assert ("goto", "page-obj:3") in kinds

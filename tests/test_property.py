@@ -43,6 +43,28 @@ def test_filter_roundtrips(payload):
     assert flt.lzw_decode(lzw_encode(payload)) == payload
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.sampled_from(
+        ["xref_classic", "xref_stream", "objstm", "type0_identity_h", "multipage"]
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 4000), st.integers(0, 255)), max_size=6
+    ),
+)
+def test_mutation_fuzz_never_raises(case_id, flips):
+    """Random byte corruption of valid fixtures: the extractor must fail
+    gracefully (repair or failure code), never raise."""
+    from delphi_pdf_parser_spark.fixtures import CASES
+
+    pdf, _, _ = CASES[case_id]()
+    data = bytearray(pdf)
+    for pos, val in flips:
+        data[pos % len(data)] = val
+    res = extract_text(bytes(data))
+    assert res.status in ("ok", "repaired", "failed")
+
+
 _TEXT_OPS = st.lists(
     st.one_of(
         st.tuples(st.just("Td"), st.floats(-500, 500), st.floats(-500, 500)),
