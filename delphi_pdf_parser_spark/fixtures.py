@@ -893,10 +893,30 @@ def _case_type0_identity_h():
 
 
 def _case_type0_system_cmap():
-    # names a predefined CJK CMap we don't bundle: font load fails
-    # gracefully, the page extracts empty, and the metrics record the code
-    ops = f"72 720 Td {_hex16('missing')} Tj"
+    # predefined CJK CMap from the generated data module: ASCII codes map
+    # through UniGB-UCS2-H to Adobe-GB1 CIDs (1..95 = 0x20..0x7E); the
+    # identity ToUnicode (keyed by code) restores the text
+    ops = f"72 720 Td {_hex16('system cmap')} Tj"
     b = _identity_h_doc(ops, encoding="/UniGB-UCS2-H")
+    return b.build_classic(1), "system cmap" + CRLF, 1
+
+
+def _case_type0_gb_no_tounicode():
+    # NO ToUnicode: the Adobe-GB1 collection resolves to the
+    # Adobe-GB1-UCS2 system cmap (pdf_load_to_unicode collection branch)
+    ops = f"72 720 Td {_hex16(chr(0x4E2D)+chr(0x56FD))} Tj"
+    b = _identity_h_doc(ops, encoding="/UniGB-UCS2-H", tounicode_identity=False)
+    # descendant needs Registry Adobe / Ordering GB1
+    o6 = b.objects[6]
+    o6.body = o6.body.replace("/Ordering (Identity)", "/Ordering (GB1)")
+    return b.build_classic(1), chr(0x4E2D) + chr(0x56FD) + CRLF, 1
+
+
+def _case_type0_unknown_cmap():
+    # a CMap name that exists nowhere: font load fails gracefully, the
+    # page extracts empty, and the metrics record the failure code
+    ops = f"72 720 Td {_hex16('missing')} Tj"
+    b = _identity_h_doc(ops, encoding="/NoSuch-UCS2-H")
     return b.build_classic(1), CRLF, 1
 
 
@@ -1232,6 +1252,8 @@ CASES = {
     "ligatures": _case_ligatures,
     "type0_identity_h": _case_type0_identity_h,
     "type0_system_cmap": _case_type0_system_cmap,
+    "type0_unknown_cmap": _case_type0_unknown_cmap,
+    "type0_gb_no_tounicode": _case_type0_gb_no_tounicode,
     "cid_w_widths": _case_cid_w_widths,
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,

@@ -161,11 +161,63 @@ class SystemCMapUnavailable(Exception):
         self.name = name
 
 
+_CJK_NPZ = None
+_CJK_CACHE: dict[str, CMap] = {}
+
+
+def _cjk_data():
+    """Lazy-load the predefined-CMap data module (generated by
+    tools/gen_cjk_cmaps.py from Adobe's published cmap tables). Loaded
+    once per executor process — the broadcast-once semantics of
+    SURVEY §2.A A34."""
+    global _CJK_NPZ
+    if _CJK_NPZ is None:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(os.path.dirname(__file__), "data", "cjk_cmaps.npz")
+        _CJK_NPZ = np.load(path) if os.path.exists(path) else False
+    return _CJK_NPZ
+
+
+def _load_packed_cmap(name: str, npz) -> CMap:
+    ranges = npz[f"{name}/ranges"]
+    table = npz[f"{name}/table"]
+    codespaces = npz[f"{name}/codespaces"]
+    wmode = int(npz[f"{name}/meta"][0])
+    use = str(npz[f"{name}/use"][0])
+    cmap = CMap(name)
+    cmap.wmode = wmode
+    cmap.codespaces = [
+        (int(n), int(lo), int(hi)) for n, lo, hi in codespaces.tolist()
+    ]
+    # packed rows: (low, extent_flags, offset); high = low + (ef >> 2),
+    # flag = ef & 3 (same packing as pdf_range_s)
+    cmap.ranges = [
+        [low, low + (ef >> 2), ef & 3, off]
+        for low, ef, off in ranges.tolist()
+    ]
+    cmap.table = table.tolist()
+    cmap.sort()
+    if use:
+        cmap.usecmap = load_system_cmap(use)
+    return cmap
+
+
 def load_system_cmap(name: str) -> CMap:
     if name == "Identity-H":
         return identity_cmap(0, 2)
     if name == "Identity-V":
         return identity_cmap(1, 2)
+    cached = _CJK_CACHE.get(name)
+    if cached is not None:
+        return cached
+    npz = _cjk_data()
+    if npz is not False and f"{name}/ranges" in npz:
+        cmap = _load_packed_cmap(name, npz)
+        _CJK_CACHE[name] = cmap
+        return cmap
     raise SystemCMapUnavailable(name)
 
 

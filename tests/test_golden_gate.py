@@ -51,5 +51,10 @@ def test_metadata_pdfdoc():
 
 
 def test_system_cmap_failure_code():
-    res = extract_text(FIXTURES["type0_system_cmap"]["pdf"])
+    res = extract_text(FIXTURES["type0_unknown_cmap"]["pdf"])
     assert any(k.startswith("system_cmap:") for k in res.failures), res.failures
+
+
+def test_cjk_system_cmap_positive():
+    res = extract_text(FIXTURES["type0_system_cmap"]["pdf"])
+    assert res.text == "system cmap\r\n", (res.text, res.failures)
