@@ -63,6 +63,8 @@ class FontDesc:
         "is_type3",
         "_fast_table",
         "_adv_array",
+        "_cid_mode",
+        "_cid_cache",
     )
 
     def __init__(self, ident):
@@ -83,6 +85,8 @@ class FontDesc:
         self.is_type3 = False
         self._fast_table = None
         self._adv_array = None
+        self._cid_mode = None
+        self._cid_cache: dict = {}
 
     # --- metrics -------------------------------------------------------------
     def add_hmtx(self, lo: int, hi: int, w: int):
@@ -111,6 +115,41 @@ class FontDesc:
         if self.is_type3:
             return self.t3widths.get(gid, 0.0)
         return self.get_hmtx_w(gid) / 1000.0
+
+    def is_pure_2byte(self) -> bool:
+        """True when every codespace (of this cmap) is 2 bytes wide —
+        decode degenerates to big-endian uint16 reads (Identity-H and the
+        Uni*-UCS2 family qualify)."""
+        if self._cid_mode is None:
+            enc = self.encoding
+            self._cid_mode = bool(
+                enc is not None
+                and self.wmode == 0
+                and enc.codespaces
+                and all(n == 2 for n, _lo, _hi in enc.codespaces)
+            )
+        return self._cid_mode
+
+    def cid_entry(self, code: int):
+        """Memoized (cid, ucs_tuple, hmtx_w) per 2-byte code; None when
+        the code has no CID (warn path)."""
+        ent = self._cid_cache.get(code)
+        if ent is not None or code in self._cid_cache:
+            return ent
+        cid = self.encoding.lookup(code)
+        if cid < 0:
+            self._cid_cache[code] = None
+            return None
+        ucs: list[int] = []
+        if self.to_unicode is not None:
+            ucs = self.to_unicode.lookup_full(cid)
+        if not ucs and self.cid_to_ucs is not None and cid < len(self.cid_to_ucs):
+            ucs = [self.cid_to_ucs[cid]]
+        if not ucs or (len(ucs) == 1 and ucs[0] == 0):
+            ucs = [ord("?")]
+        ent = (cid, tuple(ucs), self.get_hmtx_w(cid))
+        self._cid_cache[code] = ent
+        return ent
 
     def pen_adv_array(self):
         """NumPy advance table for gid 0..255 (vectorized text device)."""

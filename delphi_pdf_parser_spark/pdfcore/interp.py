@@ -206,6 +206,9 @@ class CSI:
         if table:
             self._show_string_simple(buf, table)
             return
+        if font.is_pure_2byte():
+            self._show_string_cid2(buf, font)
+            return
         pos = 0
         end = len(buf)
         enc = font.encoding
@@ -264,6 +267,71 @@ class CSI:
             ex = base_e + te
             ey = base_f + tf
             items.append((cid, ucs[0], ex, ey))
+            for extra in ucs[1:]:
+                items.append((-1, extra, ex, ey))
+            tx = (w * k + char_space) * scale
+            if code == 32:
+                tx += word_space * scale
+            te += tx * ta
+            tf += tx * tb
+        self.tm = (ta, tb, tc, td, te, tf)
+
+    def _show_string_cid2(self, buf: bytes, font):
+        """Tight loop for pure-2-byte CID encodings (Identity-H,
+        Uni*-UCS2-H). Same semantics as decode->lookup->show_char with a
+        per-font memo of (cid, ucs, width) per code."""
+        gs = self.gs
+        size, scale, rise = gs.size, gs.scale, gs.rise
+        char_space, word_space = gs.char_space, gs.word_space
+        ta, tb, tc, td, te, tf = self.tm
+        sa = size * scale
+        trm_a, trm_b = sa * ta, sa * tb
+        trm_c, trm_d = size * tc, size * td
+        t = self.text
+        if (
+            t is None
+            or font.ident != t.font.ident
+            or t.wmode != 0
+            or abs(trm_a - t.trm[0]) > FLT_EPSILON
+            or abs(trm_b - t.trm[1]) > FLT_EPSILON
+            or abs(trm_c - t.trm[2]) > FLT_EPSILON
+            or abs(trm_d - t.trm[3]) > FLT_EPSILON
+            or gs.render != self.text_mode
+        ):
+            self.flush_text()
+            self.text = TextRun(font, (trm_a, trm_b, trm_c, trm_d, 0.0, 0.0), 0)
+            self.text_mode = gs.render
+            t = self.text
+
+        items = t.items
+        base_e = rise * tc
+        base_f = rise * td
+        k = size * 0.001
+        spaces = font.encoding.codespaces
+        cid_entry = font.cid_entry
+        pos = 0
+        end = len(buf)
+        while pos < end:
+            if pos + 1 < end:
+                code = (buf[pos] << 8) | buf[pos + 1]
+                if any(lo <= code <= hi for _n, lo, hi in spaces):
+                    pos += 2
+                else:
+                    # outside every codespace: general decode consumes one
+                    # byte and yields codepoint 0
+                    code = 0
+                    pos += 1
+            else:
+                code = 0
+                pos += 1
+            ent = cid_entry(code)
+            if ent is None:
+                self.doc.note_failure("cannot_encode_cpt")
+                continue
+            _cid, ucs, w = ent
+            ex = base_e + te
+            ey = base_f + tf
+            items.append((ent[0], ucs[0], ex, ey))
             for extra in ucs[1:]:
                 items.append((-1, extra, ex, ey))
             tx = (w * k + char_space) * scale

@@ -229,3 +229,41 @@ class TestNavigation:
         kinds = {(l.kind, l.target) for l in links}
         assert ("uri", "https://example.org/spec") in kinds
         assert ("goto", "page-obj:3") in kinds
+
+
+class TestCJKCMaps:
+    def test_mixed_width_codespace_decode(self):
+        from delphi_pdf_parser_spark.pdfcore.cmap import load_system_cmap
+
+        cm = load_system_cmap("GBK-EUC-H")
+        widths = sorted({n for n, _, _ in cm.codespaces})
+        assert 1 in widths and 2 in widths
+        # 1-byte ASCII then a 2-byte GBK code decode at the right widths
+        buf = b"\x41\xb0\xa1"
+        cpt1, pos = cm.decode(buf, 0)
+        assert (cpt1, pos) == (0x41, 1)
+        cpt2, pos = cm.decode(buf, pos)
+        assert (cpt2, pos) == (0xB0A1, 3)
+        assert cm.lookup(cpt2) > 0
+
+    def test_vertical_variant_usecmap(self):
+        from delphi_pdf_parser_spark.pdfcore.cmap import load_system_cmap
+
+        v = load_system_cmap("UniGB-UCS2-V")
+        assert v.wmode == 1
+        assert v.usecmap is not None and v.usecmap.name == "UniGB-UCS2-H"
+        # codepoints not overridden by the V table fall through to H
+        assert v.lookup(0x4E00) == v.usecmap.lookup(0x4E00)
+
+    def test_ucs2_roundtrip_sample(self):
+        from delphi_pdf_parser_spark.pdfcore.cmap import load_system_cmap
+
+        enc = load_system_cmap("UniKS-UCS2-H")
+        ucs = load_system_cmap("Adobe-Korea1-UCS2")
+        hits = 0
+        for cp in range(0xAC00, 0xAC00 + 64):  # Hangul syllables
+            cid = enc.lookup(cp)
+            if cid > 0:
+                assert ucs.lookup(cid) == cp
+                hits += 1
+        assert hits > 32
