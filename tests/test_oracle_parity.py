@@ -103,6 +103,8 @@ def test_rows_only_queries_run(spark):
         "simhash_near_dups",
         "ann_lsh_topk",
         "multimodal_features",
+        "pdf_images",
+        "pdf_navigation",
     ):
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0
