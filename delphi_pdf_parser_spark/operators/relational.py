@@ -127,6 +127,8 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup as group-min (first-entry-wins, SURVEY §2.B)."""
+    # epoch parity with the DuckDB oracle requires UTC wall-clock reads
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", "event_type")
@@ -146,6 +148,7 @@ def sessionize_events(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
     """Session assignment via lag + cumulative sum of gap breaks."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("timestamp").cast("long")
