@@ -154,6 +154,184 @@ def extract_documents(
     return df.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
 
 
+CHUNK_SCHEMA = StructType(
+    EXTRACTED_SCHEMA.fields
+    + [
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_chunks", IntegerType()),
+    ]
+)
+
+
+def _count_pages_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def page_count(html: pd.Series) -> pd.Series:
+        from delphi_pdf_parser_spark.pdfcore.extract import count_pages_only
+
+        out = []
+        for data in html:
+            try:
+                out.append(count_pages_only(bytes(data)))
+            except Exception:
+                out.append(0)
+        return pd.Series(out)
+
+    return page_count
+
+
+def _chunk_extract_batches(pages_per_chunk: int):
+    """One input row = one (url, html, chunk_idx) unit of work."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from delphi_pdf_parser_spark.pdfcore.extract import (
+            extract_text,
+            extract_text_pages,
+        )
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        cols = [f.name for f in CHUNK_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for url, html, c, n_chunks in zip(
+                b["url"], b["html"], b["chunk_idx"], b["n_chunks"]
+            ):
+                data = bytes(html)
+                c = int(c)
+                lo = c * pages_per_chunk
+                hi = lo + pages_per_chunk
+                res = (
+                    extract_text_pages(data, lo, hi, want_metadata=(c == 0))
+                    if n_chunks > 1 or c > 0
+                    else extract_text(data)
+                )
+                meta = res.metadata or {}
+                rows.append(
+                    (
+                        url,
+                        res.text if res.status != "failed" else None,
+                        res.pages if res.status != "failed" else None,
+                        res.npages,
+                        res.n_objects,
+                        res.status,
+                        res.error,
+                        {k: int(v) for k, v in res.failures.items()},
+                        res.wall_ms,
+                        pid,
+                        meta.get("Title"),
+                        meta.get("Author"),
+                        meta.get("Producer"),
+                        c,
+                        int(n_chunks),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def _merge_chunks(key, pdf_groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """applyInPandas merge of per-chunk rows back into one document row
+    (chunks concatenate in index order; metrics sum/merge)."""
+    import pandas as pd  # noqa: F811 - executor-side import
+
+    for g in pdf_groups:
+        g = g.sort_values("chunk_idx")
+        failures: dict = {}
+        for m in g["decode_failures"]:
+            if m:
+                for k, v in m.items():
+                    failures[k] = failures.get(k, 0) + int(v)
+        ok = all(s != "failed" for s in g["status"])
+        pages: list = []
+        for p in g["pages"]:
+            if p is not None:
+                pages.extend(p)
+        yield pd.DataFrame(
+            [
+                (
+                    g["url"].iloc[0],
+                    "".join(t for t in g["text"] if t is not None) if ok else None,
+                    pages if ok else None,
+                    int(g["npages"].max()),
+                    int(g["n_objects"].max()),
+                    ("repaired" if (g["status"] == "repaired").any() else "ok")
+                    if ok
+                    else "failed",
+                    next((e for e in g["err"] if e), ""),
+                    failures,
+                    int(g["wall_ms"].sum()),
+                    int(g["partition_id"].iloc[0]),
+                    g["title"].iloc[0],
+                    g["author"].iloc[0],
+                    g["producer"].iloc[0],
+                )
+            ],
+            columns=[f.name for f in EXTRACTED_SCHEMA.fields],
+        )
+
+
+def extract_documents_balanced(
+    documents: DataFrame,
+    whale_bytes: int = 1 << 20,
+    pages_per_chunk: int = 100,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-proof extraction: giant documents are split into page-range
+    chunks that parallelize across tasks, then reassembled (page texts
+    concatenate exactly — each page gets a fresh text device, so the
+    per-range outputs are byte-identical to the unsplit run).
+
+    Cost model: a whale is parsed once per chunk (xref + fonts re-read),
+    trading ~15% redundant parse for document-level parallelism. With
+    pages_per_chunk=100, a 2,000-page whale becomes 20 tasks instead of
+    one 5-second straggler — this is what bounds max-task/median-task at
+    the 100 TB scale where the corpus has heavy page-count tails.
+    """
+    base = prefilter_pdfs(documents)
+    small = base.filter(F.length("html") < whale_bytes)
+    big = base.filter(F.length("html") >= whale_bytes)
+
+    small_out = extract_documents(
+        small, salt_partitions=salt_partitions, prefilter=False
+    )
+
+    parts = (
+        salt_partitions
+        or documents.sparkSession.sparkContext.defaultParallelism
+    )
+    planned = (
+        big.withColumn("_npages", _count_pages_udf()(F.col("html")))
+        .withColumn(
+            "n_chunks",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_npages") / F.lit(pages_per_chunk))
+            ).cast("int"),
+        )
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)),
+        )
+        .select("url", "html", "chunk_idx", "n_chunks")
+        # chunk-level repartition: a 2,000-page whale becomes 20 units of
+        # work spread across the cluster (the whale bytes are duplicated
+        # per chunk through this one exchange — whales are the tail, so
+        # the duplication is small relative to the corpus)
+        .repartition(parts, F.xxhash64("url", "chunk_idx"))
+    )
+    chunks = planned.mapInPandas(
+        _chunk_extract_batches(pages_per_chunk), CHUNK_SCHEMA
+    )
+    big_out = chunks.groupBy("url").applyInPandas(
+        _merge_chunks, EXTRACTED_SCHEMA
+    )
+    return small_out.unionByName(big_out)
+
+
 def metrics_table(extracted: DataFrame, input_split: str = "") -> DataFrame:
     """Lineage/metrics projection (FIXTURES.md table 3)."""
     return extracted.select(

@@ -120,7 +120,33 @@ def _transform_annot(doc, annot: dict, form: dict):
     return _concat((w, 0.0, 0.0, h, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0, x, y))
 
 
+def count_pages_only(data: bytes) -> int:
+    """Cheap page count (xref + page tree only) for chunk planning."""
+    doc = PdfDocument(data)
+    load_page_tree(doc)
+    return count_pages(doc)
+
+
+def extract_text_pages(
+    data: bytes, page_lo: int, page_hi: int, want_metadata: bool = False
+) -> ExtractResult:
+    """Extract a half-open page range [page_lo, page_hi).
+
+    Page extractions are independent by construction: each page gets a
+    fresh text device (pen starts at -1,-1) and the per-document text is
+    the concatenation of per-page serializations (showtext loop,
+    src/digPdfViewer.pas:632-666) — so ranges reassemble exactly.
+    """
+    return _extract(data, want_metadata, page_lo, page_hi)
+
+
 def extract_text(data: bytes, want_metadata: bool = True) -> ExtractResult:
+    return _extract(data, want_metadata, 0, None)
+
+
+def _extract(
+    data: bytes, want_metadata: bool, page_lo: int, page_hi: int | None
+) -> ExtractResult:
     res = ExtractResult()
     t0 = time.perf_counter()
     try:
@@ -150,9 +176,11 @@ def extract_text(data: bytes, want_metadata: bool = True) -> ExtractResult:
         return res
 
     res.npages = count_pages(doc)
+    lo = max(0, page_lo)
+    hi = res.npages if page_hi is None else min(page_hi, res.npages)
     parts: list[str] = []
     font_cache: dict = {}
-    for i in range(res.npages):
+    for i in range(lo, hi):
         try:
             parts.append(_run_page_text(doc, font_cache, i))
         except Exception as e:  # page-level tolerance, like the reference's
