@@ -30,12 +30,21 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--input-split", default="")
+    ap.add_argument(
+        "--whale-bytes",
+        type=int,
+        default=1 << 20,
+        help="documents >= this size take the page-chunked path "
+        "(0 disables chunking)",
+    )
+    ap.add_argument("--pages-per-chunk", type=int, default=100)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from delphi_pdf_parser_spark.operators.extraction import (
         extract_documents,
+        extract_documents_balanced,
         metrics_table,
         resume_anti_join,
     )
@@ -57,7 +66,15 @@ def main(argv=None):
         except Exception:
             pass  # no metrics yet: fresh run
 
-    extracted = extract_documents(docs, salt_partitions=args.partitions)
+    if args.whale_bytes > 0:
+        extracted = extract_documents_balanced(
+            docs,
+            whale_bytes=args.whale_bytes,
+            pages_per_chunk=args.pages_per_chunk,
+            salt_partitions=args.partitions,
+        )
+    else:
+        extracted = extract_documents(docs, salt_partitions=args.partitions)
     extracted = extracted.cache()
     extracted.write.mode("append").parquet(args.output)
     metrics_table(extracted, input_split=args.input_split).write.mode(
