@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": relational.sessionize_events,
         "event_type_value_stats": relational.event_type_value_stats,
         "events_json_stats": relational.events_json_stats,
+        "events_asof_orders": relational.events_asof_orders,
+        "rollup_revenue": relational.rollup_revenue,
+        "pivot_event_values": relational.pivot_event_values,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         "q3_shipping_priority": relational.orders_lineitem_join_agg,
         # training-data text ops
         "token_count": q_token_count,
@@ -329,6 +333,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_asof_orders": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            )
+            SELECT e.event_id, e.user_id,
+                   o.o_orderkey AS last_orderkey,
+                   round(o.o_totalprice, 2) AS last_total
+            FROM events e
+            ASOF LEFT JOIN (SELECT * FROM o1 WHERE rn = 1) o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ORDER BY e.event_id
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region, nation
+        """,
+        "pivot_event_values": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type='click' THEN value END), 2) AS sum_click,
+                   round(sum(CASE WHEN event_type='error' THEN value END), 2) AS sum_error,
+                   round(sum(CASE WHEN event_type='purchase' THEN value END), 2) AS sum_purchase,
+                   round(sum(CASE WHEN event_type='signup' THEN value END), 2) AS sum_signup,
+                   round(sum(CASE WHEN event_type='view' THEN value END), 2) AS sum_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_json_stats": """
             SELECT event_type,

@@ -200,6 +200,87 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's latest order placed at
+    or before the event time (custom operator, operators/asof.py)."""
+    from .asof import as_of_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    # dedupe right side to one row per (key, ts) so ties are deterministic
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    o1 = (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = as_of_join(
+        e,
+        o1.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round("asof_o_totalprice", 2).alias("last_total"),
+    ).orderBy("event_id")
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets) with NULL labels coalesced so
+    both engines hash identically."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: one column per event type."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2
+        ).alias(f"sum_{t}")
+        for t in types
+    ]
+    return e.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the scale path swaps in
+    approx_count_distinct; exact here so the oracle matches)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 def orders_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle join on a fact-fact key + aggregation (TPC-H Q3 shape)."""
     o = _t(spark, sf_dir, "orders")
