@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": relational.rollup_revenue,
         "pivot_event_values": relational.pivot_event_values,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        "value_quantiles": relational.value_quantiles,
         "q3_shipping_priority": relational.orders_lineitem_join_agg,
         # training-data text ops
         "token_count": q_token_count,
@@ -368,6 +369,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN event_type='signup' THEN value END), 2) AS sum_signup,
                    round(sum(CASE WHEN event_type='view' THEN value END), 2) AS sum_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

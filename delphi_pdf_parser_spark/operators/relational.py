@@ -281,6 +281,21 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (the scale path
+    swaps in percentile_approx / a sketch; exact here for the oracle)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def orders_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle join on a fact-fact key + aggregation (TPC-H Q3 shape)."""
     o = _t(spark, sf_dir, "orders")
