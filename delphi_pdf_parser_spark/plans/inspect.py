@@ -17,9 +17,14 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    qe = df._jdf.queryExecution()
+    try:
+        jvm = df.sparkSession._jvm  # type: ignore[attr-defined]
+        return jvm.PythonSQLUtils.explainString(qe, mode)
+    except AttributeError:
+        # some session states don't expose the JVM bridge; fall back to
+        # the plain plan string (enough for the report's regexes)
+        return qe.toString()
 
 
 def plan_report(df: DataFrame) -> dict:
