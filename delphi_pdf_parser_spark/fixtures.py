@@ -967,6 +967,16 @@ def _case_wmode_vertical():
     return b.build_classic(1), golden, 1
 
 
+def _case_wmode_vertical_cjk():
+    """Predefined vertical CMap (UniGB-UCS2-V): wmode comes from the cmap;
+    each glyph's pen moves opposite the tm step -> one glyph per line."""
+    text = "中文直書"
+    ops = f"306 700 Td {_hex16(text)} Tj"
+    b = _identity_h_doc(ops, encoding="/UniGB-UCS2-V")
+    golden = CRLF.join(text) + CRLF
+    return b.build_classic(1), golden, 1
+
+
 def _case_control_chars():
     b = PdfBuilder()
     font = _simple_font_with_tounicode(
@@ -1257,6 +1267,7 @@ CASES = {
     "cid_w_widths": _case_cid_w_widths,
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,
+    "wmode_vertical_cjk": _case_wmode_vertical_cjk,
     "control_chars": _case_control_chars,
     "outline_links": _case_outline_links,
     "symbol_font": _case_symbol_font,

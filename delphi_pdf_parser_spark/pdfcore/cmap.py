@@ -201,7 +201,9 @@ def _load_packed_cmap(name: str, npz) -> CMap:
     cmap.table = table.tolist()
     cmap.sort()
     if use:
-        cmap.usecmap = load_system_cmap(use)
+        # set_usecmap also inherits codespaces when this cmap has none
+        # (V variants rely on their H parent's codespaces)
+        cmap.set_usecmap(load_system_cmap(use))
     return cmap
 
 
