@@ -109,9 +109,14 @@ def minhash_lsh_candidates(
     """Banded LSH: docs sharing any band bucket become candidate pairs,
     then exact shingle-Jaccard verifies them."""
     rows_per_band = num_hashes // bands
-    # cache: the banded self-join + verify would otherwise recompute the
-    # shingling subtree 4x (both join sides, twice each)
-    sigs = minhash_signatures(documents, num_hashes, shingle_n).cache()
+    # localCheckpoint (not cache): the banded self-join + verify would
+    # otherwise recompute the shingling subtree 4x (both join sides, twice
+    # each); unlike cache(), the checkpointed blocks are released by the
+    # ContextCleaner once the DataFrame is unreferenced — no unpersist leak
+    # in long sessions
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "doc_id",
         "shingles",

@@ -41,6 +41,54 @@ def test_streaming_extraction_matches_batch(spark, docs_dir, tmp_path):
     assert verified.filter("match").count() == n_golden
 
 
+def test_streaming_dedup_keep_first(spark, tmp_path):
+    """Stateful keep-first across micro-batches: a fingerprint re-seen in a
+    later batch must NOT be re-emitted (state store holds the seen flag)."""
+    import time
+
+    from delphi_pdf_parser_spark.streaming.dedup_stream import (
+        streaming_dedup_first,
+    )
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1); file2 re-sees
+    # file1's first fingerprint under whitespace/case variation
+    spark.createDataFrame(
+        [("u1", "hello world"), ("u2", "unique two")], "url string, text string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(1.1)  # distinct file-source timestamps => deterministic order
+    spark.createDataFrame(
+        [("u3", "  Hello   WORLD "), ("u4", "another doc")],
+        "url string, text string",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_dedup_first(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_first")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql(
+        "SELECT fingerprint, url FROM dedup_first ORDER BY url"
+    ).collect()
+    # 4 input docs, 3 distinct fingerprints, each emitted exactly once
+    assert len(rows) == 3
+    assert len({r["fingerprint"] for r in rows}) == 3
+    urls = [r["url"] for r in rows]
+    assert "u2" in urls and "u4" in urls
+    assert "u1" in urls and "u3" not in urls  # u1's batch ran first
+
+
 def test_streaming_metrics_rollup(spark, docs_dir, tmp_path):
     stream = read_documents_stream(spark, docs_dir)
     rollup = metrics_windowed_rollup(stream, window="10 minutes")
