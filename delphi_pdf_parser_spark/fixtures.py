@@ -760,6 +760,46 @@ def _case_std14_helvetica():
     return b.build_classic(cat), "Builtin Metrics" + CRLF, 1
 
 
+def _case_times_afm_metrics():
+    """Pins the Times-Bold/Italic/BoldItalic builtin AFM widths: each page
+    positions a second show op just past (or just inside) the true pen
+    advance so the 0.2*size space threshold flips iff the width table is
+    the real AFM one (Times-Roman approximations put the pen 2.2-3.4 units
+    off at size 10 over 4-6 glyphs).
+
+    Hand-derived pens at size 10:
+      p1 Bold     'mmmm'  m=833: pen 72+33.32=105.32; next Tm 105.82 ->
+                  gap 0.50 <= 2 -> no space  (Roman m=778: gap 2.70 -> space)
+      p2 Italic   'mmmmmm' m=722: pen 72+43.32=115.32; next Tm 117.82 ->
+                  gap 2.50 > 2  -> space     (Roman: pen 118.68 -> no space)
+      p3 BoldItal 'hhhhhh' h=556: pen 72+33.36=105.36; next Tm 105.86 ->
+                  gap 0.50 -> no space       (Roman h=500: gap 3.86 -> space)
+    """
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 >>")
+    for i in range(3):
+        b.add(
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {9 + i} 0 R >> >> "
+            f"/Contents {6 + i} 0 R >>"
+        )
+    pages = [
+        b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (mmmm) Tj"
+        b" 1 0 0 1 105.82 720 Tm (x) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (mmmmmm) Tj"
+        b" 1 0 0 1 117.82 720 Tm (y) Tj ET",
+        b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (hhhhhh) Tj"
+        b" 1 0 0 1 105.86 720 Tm (z) Tj ET",
+    ]
+    for c in pages:
+        b.add(f"<< /Length {len(c)} >>", c)
+    for face in ("Times-Bold", "Times-Italic", "Times-BoldItalic"):
+        b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /{face} >>")
+    golden = CRLF.join(["mmmmx", "mmmmmm y", "hhhhhhz"]) + CRLF
+    return b.build_classic(cat), golden, 3
+
+
 def _tounicode_stream(body: str) -> str:
     return (
         "/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
@@ -1255,6 +1295,7 @@ CASES = {
     "extgstate_font": _case_extgstate_font,
     "multipage": _case_multipage,
     "std14_helvetica": _case_std14_helvetica,
+    "times_afm_metrics": _case_times_afm_metrics,
     "winansi_differences": _case_winansi_differences,
     "macroman": _case_macroman,
     "tounicode_bfchar": _case_tounicode_bfchar,

@@ -188,6 +188,126 @@ _TIMES_ROMAN = _expand(
     }
 )
 
+_TIMES_BOLD = _expand(
+    {
+        "space": 250, "exclam": 333, "quotedbl": 555, "numbersign": 500,
+        "dollar": 500, "percent": 1000, "ampersand": 833, "quoteright": 333,
+        "quotesingle": 278, "parenleft": 333, "parenright": 333,
+        "asterisk": 500, "plus": 570, "comma": 250, "hyphen": 333,
+        "period": 250, "slash": 278, "zero": 500, "one": 500, "two": 500,
+        "three": 500, "four": 500, "five": 500, "six": 500, "seven": 500,
+        "eight": 500, "nine": 500, "colon": 333, "semicolon": 333,
+        "less": 570, "equal": 570, "greater": 570, "question": 500,
+        "at": 930, "A": 722, "B": 667, "C": 722, "D": 722, "E": 667,
+        "F": 611, "G": 778, "H": 778, "I": 389, "J": 500, "K": 778,
+        "L": 667, "M": 944, "N": 722, "O": 778, "P": 611, "Q": 778,
+        "R": 722, "S": 556, "T": 667, "U": 722, "V": 722, "W": 1000,
+        "X": 722, "Y": 722, "Z": 667, "bracketleft": 333, "backslash": 278,
+        "bracketright": 333, "asciicircum": 581, "underscore": 500,
+        "quoteleft": 333, "a": 500, "b": 556, "c": 444, "d": 556, "e": 444,
+        "f": 333, "g": 500, "h": 556, "i": 278, "j": 333, "k": 556,
+        "l": 278, "m": 833, "n": 556, "o": 500, "p": 556, "q": 556,
+        "r": 444, "s": 389, "t": 333, "u": 556, "v": 500, "w": 722,
+        "x": 500, "y": 500, "z": 444, "braceleft": 394, "bar": 220,
+        "braceright": 394, "asciitilde": 520, "fi": 556, "fl": 556,
+        "endash": 500, "emdash": 1000, "bullet": 350, "ellipsis": 1000,
+        "quotedblleft": 500, "quotedblright": 500, "dagger": 500,
+        "daggerdbl": 500, "section": 500, "paragraph": 540,
+        "germandbls": 556, "AE": 1000, "ae": 722, "OE": 1000, "oe": 722,
+        "cent": 500, "sterling": 500, "yen": 500, "florin": 500,
+        "exclamdown": 333, "questiondown": 500, "guillemotleft": 500,
+        "guillemotright": 500, "guilsinglleft": 333, "guilsinglright": 333,
+        "quotesinglbase": 333, "quotedblbase": 500, "perthousand": 1000,
+        "Lslash": 667, "lslash": 278, "Oslash": 778, "oslash": 500,
+        "dotlessi": 278, "fraction": 167,
+    }
+)
+
+_TIMES_ITALIC = _expand(
+    {
+        "space": 250, "exclam": 333, "quotedbl": 420, "numbersign": 500,
+        "dollar": 500, "percent": 833, "ampersand": 778, "quoteright": 333,
+        "quotesingle": 214, "parenleft": 333, "parenright": 333,
+        "asterisk": 500, "plus": 675, "comma": 250, "hyphen": 333,
+        "period": 250, "slash": 278, "zero": 500, "one": 500, "two": 500,
+        "three": 500, "four": 500, "five": 500, "six": 500, "seven": 500,
+        "eight": 500, "nine": 500, "colon": 333, "semicolon": 333,
+        "less": 675, "equal": 675, "greater": 675, "question": 500,
+        "at": 920, "A": 611, "B": 611, "C": 667, "D": 722, "E": 611,
+        "F": 611, "G": 722, "H": 722, "I": 333, "J": 444, "K": 667,
+        "L": 556, "M": 833, "N": 667, "O": 722, "P": 611, "Q": 722,
+        "R": 611, "S": 500, "T": 556, "U": 722, "V": 611, "W": 833,
+        "X": 611, "Y": 556, "Z": 556, "bracketleft": 389, "backslash": 278,
+        "bracketright": 389, "asciicircum": 422, "underscore": 500,
+        "quoteleft": 333, "a": 500, "b": 500, "c": 444, "d": 500, "e": 444,
+        "f": 278, "g": 500, "h": 500, "i": 278, "j": 278, "k": 444,
+        "l": 278, "m": 722, "n": 500, "o": 500, "p": 500, "q": 500,
+        "r": 389, "s": 389, "t": 278, "u": 500, "v": 444, "w": 667,
+        "x": 444, "y": 444, "z": 389, "braceleft": 400, "bar": 275,
+        "braceright": 400, "asciitilde": 541, "fi": 500, "fl": 500,
+        "endash": 500, "emdash": 889, "bullet": 350, "ellipsis": 889,
+        "quotedblleft": 556, "quotedblright": 556, "dagger": 500,
+        "daggerdbl": 500, "section": 500, "germandbls": 500,
+        "AE": 889, "ae": 667, "OE": 944, "oe": 667, "florin": 500,
+        "exclamdown": 389, "questiondown": 500, "guillemotleft": 500,
+        "guillemotright": 500,
+    }
+)
+
+_TIMES_BOLD_ITALIC = _expand(
+    {
+        "space": 250, "exclam": 389, "quotedbl": 555, "numbersign": 500,
+        "dollar": 500, "percent": 833, "ampersand": 778, "quoteright": 333,
+        "quotesingle": 278, "parenleft": 333, "parenright": 333,
+        "asterisk": 500, "plus": 570, "comma": 250, "hyphen": 333,
+        "period": 250, "slash": 278, "zero": 500, "one": 500, "two": 500,
+        "three": 500, "four": 500, "five": 500, "six": 500, "seven": 500,
+        "eight": 500, "nine": 500, "colon": 333, "semicolon": 333,
+        "less": 570, "equal": 570, "greater": 570, "question": 500,
+        "at": 832, "A": 667, "B": 667, "C": 667, "D": 722, "E": 667,
+        "F": 667, "G": 722, "H": 778, "I": 389, "J": 500, "K": 667,
+        "L": 611, "M": 889, "N": 722, "O": 722, "P": 611, "Q": 722,
+        "R": 667, "S": 556, "T": 611, "U": 722, "V": 667, "W": 889,
+        "X": 667, "Y": 611, "Z": 611, "bracketleft": 333, "backslash": 278,
+        "bracketright": 333, "asciicircum": 570, "underscore": 500,
+        "quoteleft": 333, "a": 500, "b": 500, "c": 444, "d": 500, "e": 444,
+        "f": 333, "g": 500, "h": 556, "i": 278, "j": 278, "k": 500,
+        "l": 278, "m": 778, "n": 556, "o": 500, "p": 500, "q": 500,
+        "r": 389, "s": 389, "t": 278, "u": 556, "v": 444, "w": 667,
+        "x": 500, "y": 444, "z": 389, "braceleft": 348, "bar": 220,
+        "braceright": 348, "asciitilde": 570, "fi": 556, "fl": 556,
+        "endash": 500, "emdash": 1000, "bullet": 350, "ellipsis": 1000,
+        "quotedblleft": 500, "quotedblright": 500, "germandbls": 500,
+        "AE": 944, "ae": 722, "OE": 944, "oe": 722,
+    }
+)
+
+# Symbol.afm widths (glyph names per the Symbol built-in encoding)
+_SYMBOL = {
+    "space": 250, "exclam": 333, "universal": 713, "numbersign": 500,
+    "existential": 549, "percent": 833, "ampersand": 778, "suchthat": 439,
+    "parenleft": 333, "parenright": 333, "asteriskmath": 500, "plus": 549,
+    "comma": 250, "minus": 549, "period": 250, "slash": 278,
+    "zero": 500, "one": 500, "two": 500, "three": 500, "four": 500,
+    "five": 500, "six": 500, "seven": 500, "eight": 500, "nine": 500,
+    "colon": 278, "semicolon": 278, "less": 549, "equal": 549,
+    "greater": 549, "question": 444, "congruent": 549,
+    "Alpha": 722, "Beta": 667, "Chi": 722, "Delta": 612, "Epsilon": 611,
+    "Phi": 763, "Gamma": 603, "Eta": 722, "Iota": 333, "theta1": 631,
+    "Kappa": 722, "Lambda": 686, "Mu": 889, "Nu": 722, "Omicron": 722,
+    "Pi": 768, "Theta": 741, "Rho": 556, "Sigma": 592, "Tau": 611,
+    "Upsilon": 690, "sigma1": 439, "Omega": 768, "Xi": 645, "Psi": 795,
+    "Zeta": 611, "bracketleft": 333, "therefore": 863, "bracketright": 333,
+    "perpendicular": 658, "underscore": 500, "radicalex": 500,
+    "alpha": 631, "beta": 549, "chi": 549, "delta": 494, "epsilon": 439,
+    "phi": 521, "gamma": 411, "eta": 603, "iota": 329, "phi1": 603,
+    "kappa": 549, "lambda": 549, "mu": 576, "nu": 521, "omicron": 549,
+    "pi": 549, "theta": 521, "rho": 549, "sigma": 603, "tau": 439,
+    "upsilon": 576, "omega1": 713, "omega": 686, "xi": 493, "psi": 686,
+    "zeta": 494, "braceleft": 480, "bar": 200, "braceright": 480,
+    "similar": 549,
+}
+
 _COURIER = {}  # all glyphs 600
 
 
@@ -207,14 +327,18 @@ BASE14_WIDTHS: dict[str, dict] = {
     "Helvetica-Bold": _HELVETICA_BOLD,
     "Helvetica-BoldOblique": _HELVETICA_BOLD,
     "Times-Roman": _TIMES_ROMAN,
-    "Times-Bold": _TIMES_ROMAN,  # approximation; fixtures use explicit
-    "Times-Italic": _TIMES_ROMAN,  # /Widths for non-Roman Times faces
-    "Times-BoldItalic": _TIMES_ROMAN,
+    "Times-Bold": _TIMES_BOLD,
+    "Times-Italic": _TIMES_ITALIC,
+    "Times-BoldItalic": _TIMES_BOLD_ITALIC,
     "Courier": _COURIER,
     "Courier-Bold": _COURIER,
     "Courier-Oblique": _COURIER,
     "Courier-BoldOblique": _COURIER,
-    "Symbol": {},
+    "Symbol": _SYMBOL,
+    # ZapfDingbats AFM widths omitted: its a1..a191 glyph names are not in
+    # the reference's AGL data (date_glyphlist.pas), so every dingbat folds
+    # to '?' regardless of advance — spacing inside all-'?' runs is the only
+    # thing widths could alter, and fixtures never exercise it
     "ZapfDingbats": {},
 }
 
