@@ -800,6 +800,143 @@ def _case_times_afm_metrics():
     return b.build_classic(cat), golden, 3
 
 
+# --- minimal TrueType builder (for embedded-font fixtures) -----------------
+# Shares no code with pdfcore/sfnt.py: tables are hand-packed here; post
+# format-2 names always use custom-string indices (>=258) so the goldens
+# don't depend on the Macintosh standard-order table.
+
+
+def _ttf_cmap_format4(mapping: dict[int, int]) -> bytes:
+    """One segment per code (fixtures map a handful of codes)."""
+    codes = sorted(mapping)
+    segs = [(c, c, (mapping[c] - c) & 0xFFFF) for c in codes]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    n = len(segs)
+    length = 16 + 8 * n
+    out = struct.pack(">HHHHHHH", 4, length, 0, 2 * n, 0, 0, 0)
+    out += b"".join(struct.pack(">H", e) for _, e, _ in segs)
+    out += b"\x00\x00"  # reservedPad
+    out += b"".join(struct.pack(">H", s) for s, _, _ in segs)
+    out += b"".join(struct.pack(">H", d) for _, _, d in segs)
+    out += b"\x00\x00" * n  # idRangeOffset = 0 everywhere
+    return out
+
+
+def build_ttf(
+    cmaps: list[tuple[int, int, dict[int, int]]],
+    post_names: list[str] | None = None,
+    advances: tuple[int, ...] = (500,),
+    upem: int = 1000,
+) -> bytes:
+    """Deterministic minimal sfnt: cmap/post/head/hhea/hmtx/maxp only
+    (what a text extractor consults); checksums left zero."""
+    tables: dict[bytes, bytes] = {}
+    head = bytearray(54)
+    struct.pack_into(">I", head, 0, 0x00010000)
+    struct.pack_into(">I", head, 12, 0x5F0F3CF5)  # magic
+    struct.pack_into(">H", head, 18, upem)
+    tables[b"head"] = bytes(head)
+    hhea = bytearray(36)
+    struct.pack_into(">I", hhea, 0, 0x00010000)
+    struct.pack_into(">H", hhea, 34, len(advances))
+    tables[b"hhea"] = bytes(hhea)
+    tables[b"hmtx"] = b"".join(struct.pack(">Hh", a, 0) for a in advances)
+    nglyphs = max(len(advances), len(post_names or ()))
+    tables[b"maxp"] = struct.pack(">IH", 0x00010000, nglyphs) + bytes(26)
+    subs = [(pid, eid, _ttf_cmap_format4(m)) for pid, eid, m in cmaps]
+    coff = 4 + 8 * len(subs)
+    recs, blobs = b"", b""
+    for pid, eid, blob in subs:
+        recs += struct.pack(">HHI", pid, eid, coff)
+        coff += len(blob)
+        blobs += blob
+    tables[b"cmap"] = struct.pack(">HH", 0, len(subs)) + recs + blobs
+    if post_names is None:
+        tables[b"post"] = struct.pack(">I", 0x00030000) + bytes(28)
+    else:
+        body = struct.pack(">H", len(post_names))
+        body += b"".join(
+            struct.pack(">H", 258 + i) for i in range(len(post_names))
+        )
+        body += b"".join(
+            bytes([len(nm)]) + nm.encode("latin-1") for nm in post_names
+        )
+        tables[b"post"] = struct.pack(">I", 0x00020000) + bytes(28) + body
+    tags = sorted(tables)
+    out = struct.pack(">IHHHH", 0x00010000, len(tags), 16, 0, 0)
+    off = 12 + 16 * len(tags)
+    payload = b""
+    for t in tags:
+        d = tables[t]
+        pad = (-len(d)) % 4
+        out += struct.pack(">4sIII", t, 0, off, len(d))
+        off += len(d) + pad
+        payload += d + b"\x00" * pad
+    return out + payload
+
+
+def _ttf_font_doc(
+    content: bytes, ttf: bytes, flags: int, encoding_item: str = ""
+) -> tuple[PdfBuilder, int]:
+    """simple_doc whose font is an embedded TrueType (descriptor at 6,
+    FontFile2 stream at 7; set() bypasses the auto-number counter)."""
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TestTTF "
+        f"/Flags {flags} /FontFile2 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /TrueType /BaseFont /TestTTF "
+        f"{encoding_item} /FontDescriptor 6 0 R >>"
+    )
+    return simple_doc(content, font_body=font, builder=b)
+
+
+def _case_ttf_symbolic_post_names():
+    """Symbolic TrueType, (3,0) MS-symbol cmap only, post format 2: codes
+    hit the cmap via the 0xF000 retry; glyph names come back through the
+    post table and AGL (alpha/beta/gamma -> Greek)."""
+    ttf = build_ttf(
+        cmaps=[(3, 0, {0xF041: 1, 0xF042: 2, 0xF043: 3})],
+        post_names=[".notdef", "alpha", "beta", "gamma"],
+        advances=(500, 600, 600, 600),
+    )
+    b, cat = _ttf_font_doc(_bt("72 720 Td (ABC) Tj"), ttf, flags=4)
+    return b.build_classic(cat), "αβγ" + CRLF, 1
+
+
+def _case_ttf_symbolic_post3_winansi():
+    """Symbolic TrueType with NO glyph names (post format 3): the reversal
+    loop falls back to the WinAnsi name of each mapped code
+    (pdf_fontss.pas:786 'estrings[i] := pdf_win_ansi[i]')."""
+    ttf = build_ttf(
+        cmaps=[(3, 0, {0xF043: 1, 0xF061: 2, 0xF092: 3, 0xF065: 4})],
+        post_names=None,
+        advances=(500, 700, 500, 300, 500),
+    )
+    b, cat = _ttf_font_doc(_bt("72 720 Td (Ca\\222e) Tj"), ttf, flags=4)
+    return b.build_classic(cat), "Ca’e" + CRLF, 1
+
+
+def _case_ttf_nonsymbolic_unicode():
+    """Non-symbolic TrueType: the port's charmap scan prefers (3,1) over an
+    earlier (1,0) (last match wins, pdf_fontss.pas:620-633). If (1,0) won,
+    'A' would be unmapped -> '?'. Unmapped 'Z' stays '?' because the
+    reversal loop only names codes whose etable gid is nonzero."""
+    ttf = build_ttf(
+        cmaps=[
+            (1, 0, {0x42: 5}),
+            (3, 1, {0x41: 1, 0x42: 2}),
+        ],
+        post_names=None,
+        advances=(500, 640, 640, 640, 640, 640),
+    )
+    b, cat = _ttf_font_doc(_bt("72 720 Td (ABZ) Tj"), ttf, flags=32)
+    return b.build_classic(cat), "AB?" + CRLF, 1
+
+
 def _tounicode_stream(body: str) -> str:
     return (
         "/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
@@ -1296,6 +1433,9 @@ CASES = {
     "multipage": _case_multipage,
     "std14_helvetica": _case_std14_helvetica,
     "times_afm_metrics": _case_times_afm_metrics,
+    "ttf_symbolic_post_names": _case_ttf_symbolic_post_names,
+    "ttf_symbolic_post3_winansi": _case_ttf_symbolic_post3_winansi,
+    "ttf_nonsymbolic_unicode": _case_ttf_nonsymbolic_unicode,
     "winansi_differences": _case_winansi_differences,
     "macroman": _case_macroman,
     "tounicode_bfchar": _case_tounicode_bfchar,

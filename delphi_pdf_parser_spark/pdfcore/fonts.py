@@ -34,8 +34,9 @@ from .cmap import (
     parse_cmap,
 )
 from .cos import Name, is_indirect, is_name, to_int, to_name, to_real
-from .encodings import load_encoding, lookup_agl
+from .encodings import WIN_ANSI_ENCODING, load_encoding, lookup_agl
 from .base14 import BASE14_WIDTHS, BASE14_ENCODING_OVERRIDES, clean_base14_name
+from .sfnt import SfntError, SfntFont
 
 
 class FontError(Exception):
@@ -265,9 +266,25 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
     builtin = None
     if descriptor is None or fontname in BASE14_WIDTHS:
         builtin = fontname if fontname in BASE14_WIDTHS else None
+    sf: SfntFont | None = None
     if isinstance(descriptor, dict):
         font.flags = to_int(doc.get(descriptor, "Flags"))
         font.missing_width = to_int(doc.get(descriptor, "MissingWidth"))
+        ff2 = descriptor.get("FontFile2")
+        if is_indirect(ff2) and doc.is_stream(ff2):
+            try:
+                sf = SfntFont(doc.load_stream(ff2.num))
+                # the port activates the charmap by the PROGRAM kind
+                # (ft_kind), which for a FontFile2 is always TrueType
+                sf.select_charmap("TRUETYPE")
+            except (SfntError, IndexError):
+                doc.note_failure("fontfile2_parse")
+                sf = None
+    if sf is not None:
+        # embedded program wins over the base-14 tables (the reference
+        # only loads a builtin face when there is no usable FontFile)
+        builtin = None
+    symbolic = bool(font.flags & 4)
 
     # estrings: glyph-name table per code
     estrings: list = [None] * 256
@@ -285,7 +302,34 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
             base = doc.resolve(encoding.get("BaseEncoding"))
             if is_name(base):
                 load_encoding(estrings, str(base))
+            elif sf is not None and symbolic:
+                # embedded+symbolic /Encoding dict without /BaseEncoding
+                # defaults to StandardEncoding (pdf_fontss.pas:662-663)
+                load_encoding(estrings, "StandardEncoding")
             _apply_differences(estrings, encoding, doc)
+
+    etable: list[int] | None = None
+    if sf is not None:
+        # builtin encode: etable[i] = ft_char_index(face, i)
+        # (pdf_fontss.pas:687-689 via :153-167)
+        etable = [sf.char_index(i) for i in range(256)]
+        if symbolic and not sf.charmap_is_ms_symbol:
+            # the one live sub-branch of the symbolic TrueType encode loop
+            # (pdf_fontss.pas:757-770; the Unicode/MacRoman sub-branches
+            # are dead code — their inner symbolic=0 tests contradict the
+            # outer symbolic<>0 guard)
+            for i in range(256):
+                if estrings[i]:
+                    g = sf.name_index(estrings[i])
+                    etable[i] = g if g else sf.char_index(i)
+        # glyph-name reversal (pdf_fontss.pas:772-791): post-table names
+        # when the program has them, else the WinAnsi name of the code
+        for i in range(256):
+            if etable[i] and estrings[i] is None:
+                if sf.has_glyph_names:
+                    estrings[i] = sf.glyph_name(etable[i])
+                else:
+                    estrings[i] = WIN_ANSI_ENCODING[i]
 
     font.encoding = identity_cmap(0, 1)
     _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))
@@ -301,6 +345,11 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
         for i in range(0, last - first + 1):
             wid = to_int(doc.resolve(widths[i])) if i < len(widths) else 0
             font.add_hmtx(i + first, i + first, wid)
+    elif sf is not None and etable is not None:
+        # ft_width fallback: advance of the encoded glyph at 1000/em
+        # (pdf_fontss.pas:838-848)
+        for code in range(256):
+            font.add_hmtx(code, code, sf.advance1000(etable[code]))
     elif builtin is not None:
         table = BASE14_WIDTHS[builtin]
         for code in range(256):

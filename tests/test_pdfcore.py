@@ -267,3 +267,84 @@ class TestCJKCMaps:
                 assert ucs.lookup(cid) == cp
                 hits += 1
         assert hits > 32
+
+
+class TestSfnt:
+    """FreeType-free sfnt reader (SURVEY A29's TrueType branches)."""
+
+    def _ttf(self, **kw):
+        from delphi_pdf_parser_spark.fixtures import build_ttf
+
+        return build_ttf(**kw)
+
+    def test_charmap_selection_last_match_wins(self):
+        from delphi_pdf_parser_spark.pdfcore.sfnt import SfntFont
+
+        ttf = self._ttf(
+            cmaps=[(1, 0, {0x42: 5}), (3, 1, {0x41: 1})], advances=(500,)
+        )
+        sf = SfntFont(ttf)
+        sf.select_charmap("TRUETYPE")
+        assert sf.charmap.platform_id == 3 and sf.charmap.encoding_id == 1
+        # reversed font order -> the Mac Roman table wins
+        ttf2 = self._ttf(
+            cmaps=[(3, 1, {0x41: 1}), (1, 0, {0x42: 5})], advances=(500,)
+        )
+        sf2 = SfntFont(ttf2)
+        sf2.select_charmap("TRUETYPE")
+        assert sf2.charmap.platform_id == 1
+
+    def test_char_index_f000_retry_and_cjk_quirk(self):
+        from delphi_pdf_parser_spark.pdfcore.sfnt import SfntFont
+
+        ttf = self._ttf(
+            cmaps=[(3, 0, {0xF041: 7, 0x2026: 9})], advances=(500,)
+        )
+        sf = SfntFont(ttf)
+        sf.select_charmap("TRUETYPE")
+        assert sf.charmap_is_ms_symbol
+        assert sf.char_index(0x41) == 7       # 0xF000 retry
+        assert sf.char_index(0x22EF) == 9     # midline-ellipsis workaround
+        assert sf.char_index(0x99) == 0
+
+    def test_post_names_and_first_match_name_index(self):
+        from delphi_pdf_parser_spark.pdfcore.sfnt import SfntFont
+
+        ttf = self._ttf(
+            cmaps=[(3, 1, {0x41: 1})],
+            post_names=[".notdef", "dup", "dup", "omega"],
+            advances=(500,),
+        )
+        sf = SfntFont(ttf)
+        assert sf.has_glyph_names
+        assert sf.glyph_name(3) == "omega"
+        assert sf.name_index("dup") == 1      # FT returns the first gid
+        assert sf.name_index("missing") == 0
+
+    def test_advance_scaling_upem(self):
+        from delphi_pdf_parser_spark.pdfcore.sfnt import SfntFont
+
+        ttf = self._ttf(
+            cmaps=[(3, 1, {0x41: 1})], advances=(1024, 2048), upem=2048
+        )
+        sf = SfntFont(ttf)
+        assert sf.advance1000(0) == 500
+        assert sf.advance1000(1) == 1000
+        assert sf.advance1000(99) == 1000     # clamp to last (monospace rule)
+
+    def test_post3_has_no_names(self):
+        from delphi_pdf_parser_spark.pdfcore.sfnt import SfntFont
+
+        ttf = self._ttf(cmaps=[(3, 0, {0xF041: 1})], advances=(500,))
+        sf = SfntFont(ttf)
+        assert not sf.has_glyph_names and sf.glyph_name(1) is None
+
+    def test_garbage_rejected(self):
+        import pytest
+
+        from delphi_pdf_parser_spark.pdfcore.sfnt import SfntError, SfntFont
+
+        with pytest.raises(SfntError):
+            SfntFont(b"not a font at all")
+        with pytest.raises(SfntError):
+            SfntFont(self._ttf(cmaps=[(3, 1, {0x41: 1})], advances=(500,))[:30])
