@@ -63,6 +63,7 @@ class FontDesc:
         "t3matrix_a",
         "is_type3",
         "_fast_table",
+        "_fast_arrays",
         "_adv_array",
         "_cid_mode",
         "_cid_cache",
@@ -85,6 +86,7 @@ class FontDesc:
         self.t3matrix_a = 0.001
         self.is_type3 = False
         self._fast_table = None
+        self._fast_arrays = None
         self._adv_array = None
         self._cid_mode = None
         self._cid_cache: dict = {}
@@ -198,6 +200,34 @@ class FontDesc:
             table.append((cid, tuple(ucs), self.get_hmtx_w(cid)))
         self._fast_table = table
         return table
+
+    def fast_arrays(self):
+        """NumPy companion of fast_table for whole-string vectorization:
+        (ok bool[256], cid i64[256], ucs i64[256], w f64[256]); ok marks
+        codes with a single-codepoint mapping (multi-ucs/unencodable codes
+        force the scalar loop for the whole string). None when the font
+        has no 1-byte fast table."""
+        fa = self._fast_arrays
+        if fa is not None:
+            return fa if fa is not False else None
+        table = self.fast_table()
+        if not table:
+            self._fast_arrays = False
+            return None
+        import numpy as np
+
+        ok = np.zeros(256, dtype=bool)
+        cid = np.zeros(256, dtype=np.int64)
+        ucs = np.zeros(256, dtype=np.int64)
+        w = np.zeros(256, dtype=np.float64)
+        for code, ent in enumerate(table):
+            if ent is not None and len(ent[1]) == 1:
+                ok[code] = True
+                cid[code] = ent[0]
+                ucs[code] = ent[1][0]
+                w[code] = ent[2]
+        self._fast_arrays = (ok, cid, ucs, w)
+        return self._fast_arrays
 
 
 def _load_to_unicode(
@@ -504,6 +534,44 @@ def load_type3_font(doc, rdb, dict_: dict, ident) -> FontDesc:
     return font
 
 
+def _pure_font_key(obj):
+    """Hashable canonical form of a font dict made only of direct scalar/
+    name/string/array/dict values — i.e. fully self-contained, identical
+    bytes imply identical semantics in ANY document. Returns None when the
+    dict references other objects (indirect refs) and so must be loaded
+    per document."""
+    if obj is None or isinstance(obj, (bool, int, float, bytes)):
+        return obj
+    if isinstance(obj, Name):
+        return ("/", str(obj))
+    if isinstance(obj, list):
+        out = []
+        for v in obj:
+            k = _pure_font_key(v)
+            if k is None and v is not None:
+                return None
+            out.append(k)
+        return tuple(out)
+    if isinstance(obj, dict):
+        out = []
+        for kk in sorted(obj):
+            k = _pure_font_key(obj[kk])
+            if k is None and obj[kk] is not None:
+                return None
+            out.append((kk, k))
+        return tuple(out)
+    return None  # IndirectRef or anything exotic
+
+
+# process-level memo: identical self-contained font dicts (the standard-14
+# one-liners dominate real corpora) load once per executor, not once per
+# document. The cached FontDesc is read-only at show time; lazy memos
+# (fast_table/cid caches) are shared wins. Failure codes emitted during
+# the original load are replayed per document for metrics fidelity.
+_FONT_MEMO: dict = {}
+_FONT_MEMO_CAP = 512
+
+
 def load_font(doc, rdb, ref_or_dict, cache: dict) -> FontDesc:
     """pdf_load_font dispatch + per-document memo cache
     (src/vcl/pdf_fontss.pas:1274-1338)."""
@@ -518,17 +586,39 @@ def load_font(doc, rdb, ref_or_dict, cache: dict) -> FontDesc:
     if not isinstance(dict_, dict):
         raise FontError("bad_font_dict")
     subtype = to_name(doc.get(dict_, "Subtype"))
+    is_type3 = subtype == "Type3" or (
+        subtype not in ("Type0", "Type1", "MMType1", "TrueType")
+        and doc.get(dict_, "CharProcs") is not None
+    )
+    pure_key = None if is_type3 else _pure_font_key(dict_)
+    if pure_key is not None:
+        hit = _FONT_MEMO.get(pure_key)
+        if hit is not None:
+            font, fails = hit
+            for code, n in fails.items():
+                for _ in range(n):
+                    doc.note_failure(code)
+            cache[key] = font
+            return font
+        before = dict(doc.failures)
     if subtype == "Type0":
         font = load_type0_font(doc, dict_, key)
     elif subtype in ("Type1", "MMType1", "TrueType"):
         font = load_simple_font(doc, dict_, key)
-    elif subtype == "Type3":
-        font = load_type3_font(doc, rdb, dict_, key)
-    elif doc.get(dict_, "CharProcs") is not None:
+    elif is_type3:
         font = load_type3_font(doc, rdb, dict_, key)
     elif doc.get(dict_, "DescendantFonts") is not None:
         font = load_type0_font(doc, dict_, key)
     else:
         font = load_simple_font(doc, dict_, key)
+    if pure_key is not None:
+        delta = {
+            c: doc.failures[c] - before.get(c, 0)
+            for c in doc.failures
+            if doc.failures[c] > before.get(c, 0)
+        }
+        if len(_FONT_MEMO) >= _FONT_MEMO_CAP:
+            _FONT_MEMO.clear()
+        _FONT_MEMO[pure_key] = (font, delta)
     cache[key] = font
     return font

@@ -26,11 +26,13 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
+
 from . import lexer as lx
 from .cos import Name, is_indirect, is_name, to_int, to_name, to_real
 from .filters import a85_decode, ahx_decode
 from .fonts import FontError, load_font
-from .lexer import Lexer
+from .lexer import ContentTokens, Lexer
 from .textdev import TextRun, _concat
 
 FLT_EPSILON = 1.19209290e-07
@@ -254,10 +256,43 @@ class CSI:
             self.text_mode = gs.render
             t = self.text
 
-        items = t.items
         base_e = rise * tc
         base_f = rise * td
         k = size * 0.001
+
+        if len(buf) >= 16:
+            fa = font.fast_arrays()
+            if fa is not None:
+                ok, cid_a, ucs_a, w_a = fa
+                codes = np.frombuffer(buf, dtype=np.uint8)
+                if ok[codes].all():
+                    # per-char tx = (w*k + char_space)*scale, word_space
+                    # added after code 32 — identical to the scalar fold
+                    tx = w_a[codes] * (k * scale) + (char_space * scale)
+                    if word_space != 0.0:
+                        tx = tx + (codes == 32) * (word_space * scale)
+                    # bit-exact accumulation: seed the cumsum with te/tf so
+                    # every partial sum matches the scalar loop's fold order
+                    ce = np.empty(len(buf) + 1)
+                    ce[0] = te
+                    ce[1:] = tx * ta
+                    np.cumsum(ce, out=ce)
+                    cf = np.empty(len(buf) + 1)
+                    cf[0] = tf
+                    cf[1:] = tx * tb
+                    np.cumsum(cf, out=cf)
+                    t.add_block(
+                        cid_a[codes],
+                        ucs_a[codes],
+                        base_e + ce[:-1],
+                        base_f + cf[:-1],
+                    )
+                    self.tm = (ta, tb, tc, td, float(ce[-1]), float(cf[-1]))
+                    return
+
+        parts = t.parts
+        n0 = len(parts)
+        append = parts.append
         for code in buf:
             ent = table[code]
             if ent is None:
@@ -266,14 +301,15 @@ class CSI:
             cid, ucs, w = ent
             ex = base_e + te
             ey = base_f + tf
-            items.append((cid, ucs[0], ex, ey))
+            append((cid, ucs[0], ex, ey))
             for extra in ucs[1:]:
-                items.append((-1, extra, ex, ey))
+                append((-1, extra, ex, ey))
             tx = (w * k + char_space) * scale
             if code == 32:
                 tx += word_space * scale
             te += tx * ta
             tf += tx * tb
+        t.n += len(parts) - n0
         self.tm = (ta, tb, tc, td, te, tf)
 
     def _show_string_cid2(self, buf: bytes, font):
@@ -303,7 +339,8 @@ class CSI:
             self.text_mode = gs.render
             t = self.text
 
-        items = t.items
+        items = t.parts
+        n0 = len(items)
         base_e = rise * tc
         base_f = rise * td
         k = size * 0.001
@@ -339,6 +376,7 @@ class CSI:
                 tx += word_space * scale
             te += tx * ta
             tf += tx * tb
+        t.n += len(items) - n0
         self.tm = (ta, tb, tc, td, te, tf)
 
     def show_text(self, obj):
@@ -376,13 +414,16 @@ def run_buffer(csi: CSI, rdb, contents: bytes):
         csi.in_text = save_in_text
 
 
-def run_stream(csi: CSI, rdb, lex: Lexer):
+def run_stream(csi: CSI, rdb, lexer: Lexer):
     csi.stack = []
     csi.name = ""
     csi.string = None
     csi.obj = None
     in_array = 0
     doc = csi.doc
+    # bulk-lex the stream; lex.handoff() rewinds the raw Lexer for the
+    # position-dependent consumers (object parsing, inline-image payloads)
+    lex = ContentTokens(lexer)
     while True:
         if len(csi.stack) > 32:
             doc.note_failure("stack_overflow")
@@ -412,13 +453,13 @@ def run_stream(csi: CSI, rdb, lex: Lexer):
             if not csi.in_text:
                 from .parser import parse_array
 
-                csi.obj = parse_array(lex)
+                csi.obj = parse_array(lex.handoff())
             else:
                 in_array = 1
         elif tok == lx.TOK_OPEN_DICT:
             from .parser import parse_dict
 
-            csi.obj = parse_dict(lex)
+            csi.obj = parse_dict(lex.handoff())
         elif tok == lx.TOK_NAME:
             csi.name = val
         elif tok == lx.TOK_INT or tok == lx.TOK_REAL:
@@ -553,7 +594,7 @@ def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
     elif kw == b"Do":
         run_do(csi, rdb)
     elif kw == b"BI":
-        run_inline_image(csi, rdb, lex)
+        run_inline_image(csi, rdb, lex.handoff())
     elif kw == b"BX":
         csi.xbalance += 1
     elif kw == b"EX":

@@ -340,3 +340,122 @@ class Lexer:
             out.append(a * 16)
         self.pos = pos
         return bytes(out)
+
+
+# --- bulk content-stream tokenizer ------------------------------------------
+# One C-level finditer pass emits runs of simple tokens (numbers, names,
+# clean literal strings, [ ], keywords); anything position-dependent or
+# rare (escaped/nested strings, hex strings, dicts, stray delimiters)
+# falls back to Lexer.lex() one token at a time. Semantics are identical
+# to lex() for every byte sequence: the bulk patterns are exact subsets
+# of the corresponding lex() branches, and non-matching positions break
+# the bulk run so the classic scanner handles them.
+
+_BULK_TOKEN_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+"
+    rb"|(?P<num>[+-]?(?:\d+(?:\.\d*)?|\.\d+))"
+    rb"|(?P<str>\((?P<sbody>[^()\\\r\n]*)\))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<arr>[\[\]])"
+)
+
+_BULK_CAP = 8192  # tokens per fill (bounds buffering on giant streams)
+
+
+def _bulk_fill(lexer: "Lexer") -> list:
+    """Tokenize from lexer.pos while tokens stay simple; returns
+    [(tok, val, endpos), ...] and leaves lexer.pos after the last emitted
+    token (or after any trailing whitespace when stopping at a complex
+    byte, which the classic scanner then handles)."""
+    data = lexer.data
+    pos = lexer.pos
+    buf: list = []
+    append = buf.append
+    for m in _BULK_TOKEN_RE.finditer(data, pos, lexer.end):
+        if m.start() != pos:
+            break  # unhandled byte at pos -> classic scanner's turn
+        pos = m.end()
+        g = m.lastgroup
+        if g is None:
+            continue  # whitespace / comment run
+        if g == "num":
+            raw = m.group()
+            if b"." in raw:
+                try:
+                    append((TOK_REAL, float(raw), pos))
+                except ValueError:  # pragma: no cover - regex precludes
+                    append((TOK_REAL, 0.0, pos))
+            else:
+                append((TOK_INT, int(raw), pos))
+        elif g == "str":
+            append((TOK_STRING, m.group("sbody"), pos))
+        elif g == "kw":
+            raw = m.group()
+            append((_KEYWORD_TOKENS.get(raw, TOK_KEYWORD), raw, pos))
+        elif g == "name":
+            raw = m.group()[1:]
+            if b"#" in raw:
+                raw = _hexesc_re.sub(
+                    lambda mm: bytes([int(mm.group(1), 16)]), raw
+                )
+            append((TOK_NAME, raw.decode("latin-1"), pos))
+        else:  # arr
+            append(
+                (
+                    TOK_OPEN_ARRAY if data[pos - 1] == 0x5B else TOK_CLOSE_ARRAY,
+                    None,
+                    pos,
+                )
+            )
+        if len(buf) >= _BULK_CAP:
+            break
+    lexer.pos = pos
+    return buf
+
+
+class ContentTokens:
+    """Token cursor over a content stream: bulk-lexed lookahead with a
+    ``handoff()`` escape hatch that rewinds the underlying Lexer to just
+    after the last consumed token — for consumers that need raw bytes or
+    tell/seek (inline-image payloads, dict/array object parsing)."""
+
+    __slots__ = ("lexer", "buf", "i", "n", "_fill_start")
+
+    def __init__(self, lexer: Lexer):
+        self.lexer = lexer
+        self.buf: list = []
+        self.i = 0
+        self.n = 0
+        self._fill_start = lexer.pos
+
+    def lex(self):
+        i = self.i
+        if i < self.n:
+            tok, val, _end = self.buf[i]
+            self.i = i + 1
+            return tok, val
+        return self._slow()
+
+    def _slow(self):
+        lexer = self.lexer
+        self._fill_start = lexer.pos
+        buf = self.buf = _bulk_fill(lexer)
+        n = self.n = len(buf)
+        if n:
+            self.i = 1
+            tok, val, _end = buf[0]
+            return tok, val
+        self.i = 0
+        return lexer.lex()  # single complex token; lexer.pos advances
+
+    def handoff(self) -> Lexer:
+        """Discard buffered lookahead and return the Lexer positioned
+        right after the last token this cursor handed out."""
+        i, n = self.i, self.n
+        lexer = self.lexer
+        if n:
+            lexer.pos = self.buf[i - 1][2] if i > 0 else self._fill_start
+            self.buf = []
+            self.i = self.n = 0
+        return lexer

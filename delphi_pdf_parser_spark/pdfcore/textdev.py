@@ -53,18 +53,68 @@ class Span:
 
 
 class TextRun:
-    """fz_text_s: glyphs batched while font/trm/wmode/render unchanged."""
+    """fz_text_s: glyphs batched while font/trm/wmode/render unchanged.
 
-    __slots__ = ("font", "trm", "wmode", "items")
+    Items are stored as ``parts``: scalar 4-tuples (gid, ucs, x, y) from
+    the per-char paths, interleaved (order-preserving) with 5-tuples
+    ('B', gids, ucs, xs, ys) of NumPy columns emitted by the vectorized
+    show-string fast path."""
+
+    __slots__ = ("font", "trm", "wmode", "parts", "n", "has_block")
 
     def __init__(self, font, trm, wmode):
         self.font = font
         self.trm = trm  # (a,b,c,d,e,f); e,f zeroed by the interpreter
         self.wmode = wmode
-        self.items: list[tuple[int, int, float, float]] = []  # gid,ucs,x,y
+        self.parts: list = []
+        self.n = 0
+        self.has_block = False
 
     def add(self, gid: int, ucs: int, x: float, y: float):
-        self.items.append((gid, ucs, x, y))
+        self.parts.append((gid, ucs, x, y))
+        self.n += 1
+
+    def add_block(self, gids, ucs, xs, ys):
+        self.parts.append(("B", gids, ucs, xs, ys))
+        self.n += len(gids)
+        self.has_block = True
+
+    def columns(self):
+        """(gid int64, ucs int64, x f64, y f64) arrays in emission order."""
+        gs: list = []
+        us: list = []
+        xs: list = []
+        ys: list = []
+        pend: list = []
+
+        def _flush():
+            a = np.array(pend, dtype=np.float64)
+            gs.append(a[:, 0].astype(np.int64))
+            us.append(a[:, 1].astype(np.int64))
+            xs.append(a[:, 2])
+            ys.append(a[:, 3])
+            pend.clear()
+
+        for p in self.parts:
+            if p[0] == "B":
+                if pend:
+                    _flush()
+                gs.append(p[1])
+                us.append(p[2])
+                xs.append(p[3])
+                ys.append(p[4])
+            else:
+                pend.append(p)
+        if pend:
+            _flush()
+        if len(gs) == 1:
+            return gs[0], us[0], xs[0], ys[0]
+        return (
+            np.concatenate(gs),
+            np.concatenate(us),
+            np.concatenate(xs),
+            np.concatenate(ys),
+        )
 
 
 def _concat(m1, m2):
@@ -123,7 +173,7 @@ class TextDevice:
         self.spans.append(span)
 
     def _extract_span(self, run: TextRun, ctm):
-        if not run.items:
+        if not run.n:
             return
         font = run.font
         tm = run.trm
@@ -139,12 +189,16 @@ class TextDevice:
         ndir = (dx / dist, dy / dist) if dist else (1.0, 0.0)
         size = math.sqrt(abs(trm[0] * trm[3] - trm[1] * trm[2]))
 
-        if len(run.items) >= 16:
+        items = run.parts
+        if run.n >= 16 or run.has_block:
+            cols = run.columns()
             done = self._extract_span_vectorized(
-                run, ctm, ndir, size, dx, dy
+                run, cols, ctm, ndir, size, dx, dy
             )
             if done:
                 return
+            g, u, xs, ys = cols
+            items = zip(g.tolist(), u.tolist(), xs.tolist(), ys.tolist())
         # inlined position transform: e = x*ca + y*cc + ce (hot loop)
         ca, cb, cc, cd, ce, cf = ctm
         line_thresh = size * LINE_DIST
@@ -154,7 +208,7 @@ class TextDevice:
         wmode = run.wmode
         pen_advance = font.pen_advance
         sqrt = math.sqrt
-        for gid, ucs, x, y in run.items:
+        for gid, ucs, x, y in items:
             if gid < 0:
                 # filler glyph of a one-to-many mapping: same position
                 self._add_char(font, size, wmode, ucs)
@@ -182,21 +236,20 @@ class TextDevice:
             self._add_char(font, size, wmode, ucs)
         self.pen_x, self.pen_y = pen_x, pen_y
 
-    def _extract_span_vectorized(self, run, ctm, ndir, size, dx, dy) -> bool:
+    def _extract_span_vectorized(
+        self, run, cols, ctm, ndir, size, dx, dy
+    ) -> bool:
         """NumPy bulk path for large runs: identical event decisions, with
         chars appended segment-wise between the (rare) space/newline
         events. Returns False (caller falls back to the scalar loop) when
         filler glyphs or ligature codepoints are present."""
-        items = run.items
-        arr = np.array(items, dtype=np.float64)
-        gids = arr[:, 0]
-        if gids.min() < 0:
+        gidi, ucs_arr, px, py = cols
+        n = len(gidi)
+        if gidi.min() < 0:
             return False
-        ucs_arr = arr[:, 1].astype(np.int64)
         if ((ucs_arr >= 0xFB00) & (ucs_arr <= 0xFB06)).any():
             return False
         font = run.font
-        gidi = gids.astype(np.int64)
         if gidi.max() < 256:
             advs = font.pen_adv_array()[gidi]
         else:
@@ -204,16 +257,16 @@ class TextDevice:
             advs = np.fromiter(
                 (adv_lookup(int(g)) for g in gidi),
                 dtype=np.float64,
-                count=len(items),
+                count=n,
             )
         ca, cb, cc, cd, ce, cf = ctm
-        ex = arr[:, 2] * ca + arr[:, 3] * cc + ce
-        ey = arr[:, 2] * cb + arr[:, 3] * cd + cf
+        ex = px * ca + py * cc + ce
+        ey = px * cb + py * cd + cf
         pen_x = ex + dx * advs
         pen_y = ey + dy * advs
         # delta[i] = pen[i-1] - e[i]; delta[0] from the incoming pen
-        delta_x = np.empty(len(items))
-        delta_y = np.empty(len(items))
+        delta_x = np.empty(n)
+        delta_y = np.empty(n)
         if self.pen_x == -1.0 and self.pen_y == -1.0:
             delta_x[0] = delta_y[0] = 0.0
         else:
