@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": relational.rollup_revenue,
         "pivot_event_values": relational.pivot_event_values,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        "users_intersect": relational.users_intersect_click_purchase,
+        "users_except": relational.users_except_purchase,
+        "union_event_sources": relational.union_event_sources,
         "value_quantiles": relational.value_quantiles,
         "q3_shipping_priority": relational.orders_lineitem_join_agg,
         # training-data text ops
@@ -380,6 +383,32 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "users_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
+        """,
+        "users_except": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+            WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+            WHERE event_type = 'purchase'
+            ORDER BY user_id, day
+        """,
+        "union_event_sources": """
+            WITH u AS (
+                SELECT user_id, ts, 'c' AS src FROM events WHERE event_type='click'
+                UNION ALL
+                SELECT user_id, ts, 'v' AS src FROM events WHERE event_type='view'
+            )
+            SELECT user_id,
+                   min(floor(epoch(ts)))::BIGINT AS first_ts_epoch,
+                   count(*) AS n_rows,
+                   count(DISTINCT src) AS n_sources
+            FROM u GROUP BY user_id ORDER BY user_id
         """,
         "events_json_stats": """
             SELECT event_type,

@@ -314,3 +314,53 @@ def orders_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(20)
     )
+
+
+def users_intersect_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set op INTERSECT: users who both clicked AND purchased. Catalyst
+    plans intersect as a left-semi join over distinct keys — one shuffle
+    per side on a compact key, AQE-coalesced at scale."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")
+
+
+def users_except_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT (distinct) at (user, day) grain: active days without
+    a purchase — left-anti join over a composite key."""
+    # to_date() must read UTC wall-clock to match DuckDB's naive ts::DATE
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys).orderBy("user_id", "day")
+
+
+def union_event_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op UNION ALL + dedup by key: click/view streams unioned, then
+    per-user first timestamp across both (map-side combine, no join)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit("c").alias("src")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit("v").alias("src")
+    )
+    # epoch parity with the DuckDB oracle requires UTC wall-clock reads
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    u = clicks.unionByName(views)
+    return (
+        u.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("timestamp").cast("long")).alias(
+                "first_ts_epoch"
+            ),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("src").alias("n_sources"),
+        )
+        .orderBy("user_id")
+    )
