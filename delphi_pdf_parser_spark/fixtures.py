@@ -937,6 +937,45 @@ def _case_ttf_nonsymbolic_unicode():
     return b.build_classic(cat), "AB?" + CRLF, 1
 
 
+def _case_type1_builtin_encoding():
+    """Embedded Type1 program with a custom builtin /Encoding (the LaTeX
+    shape: no /Encoding in the font dict; names live in the cleartext of
+    the FontFile). dup entries map A->alpha, B->beta; 'C' stays unset ->
+    '?'."""
+    pfa = (
+        b"%!PS-AdobeFont-1.0: TestT1 001.001\n"
+        b"/FontName /TestT1 def\n"
+        b"/PaintType 0 def\n"
+        b"/Encoding 256 array\n"
+        b"0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 65 /alpha put\n"
+        b"dup 66 /beta put\n"
+        b"readonly def\n"
+        b"currentdict end\n"
+        b"currentfile eexec\n"
+        b"\x01\x02\x03binary-junk-not-parsed\x04\x05"
+    )
+    b = PdfBuilder()
+    b.set(
+        7,
+        f"<< /Length {len(pfa)} /Length1 {len(pfa) - 30} /Length2 25"
+        " /Length3 0 >>",
+        pfa,
+    )
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TestT1 /Flags 4"
+        " /FontFile 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+        "/FontDescriptor 6 0 R /FirstChar 65 /LastChar 67 "
+        "/Widths [500 500 500] >>"
+    )
+    b2, cat = simple_doc(_bt("72 720 Td (ABC) Tj"), font_body=font, builder=b)
+    return b2.build_classic(cat), "αβ?" + CRLF, 1
+
+
 def _tounicode_stream(body: str) -> str:
     return (
         "/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
@@ -1436,6 +1475,7 @@ CASES = {
     "ttf_symbolic_post_names": _case_ttf_symbolic_post_names,
     "ttf_symbolic_post3_winansi": _case_ttf_symbolic_post3_winansi,
     "ttf_nonsymbolic_unicode": _case_ttf_nonsymbolic_unicode,
+    "type1_builtin_encoding": _case_type1_builtin_encoding,
     "winansi_differences": _case_winansi_differences,
     "macroman": _case_macroman,
     "tounicode_bfchar": _case_tounicode_bfchar,

@@ -37,6 +37,7 @@ from .cos import Name, is_indirect, is_name, to_int, to_name, to_real
 from .encodings import WIN_ANSI_ENCODING, load_encoding, lookup_agl
 from .base14 import BASE14_WIDTHS, BASE14_ENCODING_OVERRIDES, clean_base14_name
 from .sfnt import SfntError, SfntFont
+from .type1 import parse_type1_encoding
 
 
 class FontError(Exception):
@@ -297,6 +298,7 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
     if descriptor is None or fontname in BASE14_WIDTHS:
         builtin = fontname if fontname in BASE14_WIDTHS else None
     sf: SfntFont | None = None
+    t1_base = None  # builtin encoding of an embedded Type1 program
     if isinstance(descriptor, dict):
         font.flags = to_int(doc.get(descriptor, "Flags"))
         font.missing_width = to_int(doc.get(descriptor, "MissingWidth"))
@@ -310,6 +312,16 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
             except (SfntError, IndexError):
                 doc.note_failure("fontfile2_parse")
                 sf = None
+        if sf is None:
+            ff = descriptor.get("FontFile")
+            if is_indirect(ff) and doc.is_stream(ff):
+                # the reference reads this back out of FreeType via the
+                # platform-7 charmap + glyph names; the encoding itself is
+                # cleartext in the Type1 program, no FreeType needed
+                try:
+                    t1_base = parse_type1_encoding(doc.load_stream(ff.num))
+                except Exception:
+                    doc.note_failure("fontfile_parse")
     if sf is not None:
         # embedded program wins over the base-14 tables (the reference
         # only loads a builtin face when there is no usable FontFile)
@@ -318,9 +330,19 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
 
     # estrings: glyph-name table per code
     estrings: list = [None] * 256
-    # builtin encoding of the (builtin) font program: StandardEncoding for
-    # the base-14 text faces, Symbol/ZapfDingbats get their own overrides
-    if builtin is not None:
+    if t1_base is not None:
+        # builtin encoding of the embedded Type1 program (overridden below
+        # by /Encoding where given — the same net result as the reference's
+        # fill-gaps-from-the-face reversal loop)
+        if t1_base == "standard":
+            load_encoding(estrings, "StandardEncoding")
+        else:
+            for i, nm in enumerate(t1_base):
+                if nm:
+                    estrings[i] = nm
+    elif builtin is not None:
+        # builtin encoding of the (builtin) font program: StandardEncoding
+        # for the base-14 text faces, Symbol/ZapfDingbats get overrides
         base_enc = BASE14_ENCODING_OVERRIDES.get(builtin, "StandardEncoding")
         load_encoding(estrings, base_enc)
 

@@ -348,3 +348,60 @@ class TestSfnt:
             SfntFont(b"not a font at all")
         with pytest.raises(SfntError):
             SfntFont(self._ttf(cmaps=[(3, 1, {0x41: 1})], advances=(500,))[:30])
+
+
+class TestType1Encoding:
+    """Cleartext /Encoding recovery from embedded Type1 programs."""
+
+    def test_custom_dup_entries(self):
+        from delphi_pdf_parser_spark.pdfcore.type1 import parse_type1_encoding
+
+        t = parse_type1_encoding(
+            b"/Encoding 256 array\n"
+            b"0 1 255 {1 index exch /.notdef put} for\n"
+            b"dup 48 /zero put\ndup 49 /one put\nreadonly def\neexec junk"
+        )
+        assert t[48] == "zero" and t[49] == "one" and t[50] is None
+
+    def test_standard_encoding(self):
+        from delphi_pdf_parser_spark.pdfcore.type1 import parse_type1_encoding
+
+        assert (
+            parse_type1_encoding(b"/Encoding StandardEncoding def\neexec x")
+            == "standard"
+        )
+
+    def test_pfb_segments(self):
+        from delphi_pdf_parser_spark.pdfcore.type1 import parse_type1_encoding
+
+        clear = b"/Encoding 256 array\ndup 65 /alpha put\nreadonly def\n"
+        pfb = (
+            b"\x80\x01" + len(clear).to_bytes(4, "little") + clear
+            + b"\x80\x02\x04\x00\x00\x00\x01\x02\x03\x04" + b"\x80\x03"
+        )
+        t = parse_type1_encoding(pfb)
+        assert t[65] == "alpha"
+
+    def test_explicit_encoding_overrides_program(self):
+        """A /Encoding entry in the font dict wins over the program's
+        builtin table (reference: estrings from /Encoding are set first,
+        the face only fills nil slots)."""
+        from delphi_pdf_parser_spark.fixtures import (
+            PdfBuilder, _bt, simple_doc,
+        )
+        from delphi_pdf_parser_spark.pdfcore import extract_text
+
+        pfa = (
+            b"/Encoding 256 array\ndup 65 /alpha put\nreadonly def\neexec j"
+        )
+        b = PdfBuilder()
+        b.set(7, f"<< /Length {len(pfa)} /Length1 {len(pfa)} >>", pfa)
+        b.set(6, "<< /Type /FontDescriptor /FontName /T /FontFile 7 0 R >>")
+        font = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /T /FontDescriptor"
+            " 6 0 R /Encoding << /Differences [65 /beta] >> /FirstChar 65"
+            " /LastChar 65 /Widths [500] >>"
+        )
+        b2, cat = simple_doc(_bt("72 720 Td (A) Tj"), font_body=font, builder=b)
+        res = extract_text(b2.build_classic(cat))
+        assert res.text == "β\r\n"
