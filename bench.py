@@ -95,13 +95,19 @@ def materialize_corpus(spark, n_docs: int, skew: bool = False) -> str:
     return path
 
 
-def run_extraction(spark, n_docs: int, skew: bool = False) -> tuple[float, int]:
+def run_extraction(
+    spark, n_docs: int, skew: bool = False, corpus_path: str | None = None
+) -> tuple[float, int]:
     from delphi_pdf_parser_spark.operators.extraction import extract_documents
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    path = materialize_corpus(spark, n_docs, skew)
+    path = corpus_path or materialize_corpus(spark, n_docs, skew)
     docs = spark.read.parquet(path)
-    out = extract_documents(docs, salt_partitions=cpus)
+    # several waves of ~500-doc tasks: big enough to amortize per-task
+    # Arrow/python overhead, small enough that a straggler (co-tenant
+    # stealing a core, GC pause) costs one task, not the whole wave
+    parts = min(cpus * 4, max(cpus, n_docs // 500))
+    out = extract_documents(docs, salt_partitions=parts)
     t0 = time.perf_counter()
     n_ok = out.filter("status = 'ok'").count()
     dt = time.perf_counter() - t0
@@ -123,18 +129,33 @@ def _mp_worker(args):
     return n
 
 
-def _mp_ceiling(n_docs: int, *levels: int, repeats: int = 3) -> dict[int, float]:
-    """Extraction-only throughput via plain multiprocessing over a
-    pre-generated corpus (fork shares it copy-on-write). Best-of-N to
-    shave scheduler noise."""
+def _mp_ceiling(
+    n_docs: int,
+    *levels: int,
+    repeats: int = 3,
+    corpus_path: str | None = None,
+) -> dict[int, float]:
+    """Extraction-only throughput via plain multiprocessing — the
+    coordination-free control. Reads THE SAME parquet corpus the Spark
+    job processes (fork shares it copy-on-write), so docs/sec is
+    apples-to-apples. Best-of-N to shave scheduler noise."""
     import multiprocessing as mp
 
-    from delphi_pdf_parser_spark.fixtures import bench_pdf
-
-    n = min(n_docs, 4800)
+    n = min(n_docs, 9600)
     global _MP_PDFS
     if len(_MP_PDFS) < n:
-        _MP_PDFS = [bench_pdf(seed=42 + i, npages=1 + (i % 2)) for i in range(n)]
+        if corpus_path:
+            import pyarrow.parquet as pq
+
+            col = pq.read_table(corpus_path, columns=["html"]).column("html")
+            _MP_PDFS = col.to_pylist()[:n]
+            n = len(_MP_PDFS)
+        else:
+            from delphi_pdf_parser_spark.fixtures import bench_pdf
+
+            _MP_PDFS = [
+                bench_pdf(seed=42 + i, npages=1 + (i % 2)) for i in range(n)
+            ]
     out = {}
     for procs in levels:
         step = n // procs
@@ -160,6 +181,52 @@ def _mk_spark(cpus: int):
     )
 
 
+def _scale_child(n: int, docs: int, corpus: str):
+    """One 'cluster size': this process is cpuset-pinned (taskset) to n
+    cores, so local[n] here is a faithful n-core executor — JVM GC/netty/
+    Arrow helper threads cannot float onto cores the level doesn't own.
+    Measures the salted pipeline, the shuffle-free variant (the bucketed-
+    at-ingest production shape), AND the coordination-free multiprocessing
+    control — all on the same cpuset in one window, so the three numbers
+    share whatever co-tenant load the box has; prints one JSON line."""
+    import time as _time
+
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+    )
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(n)
+    spark = _mk_spark(n)
+    run_extraction(spark, max(64, docs // 10))  # warm-up (JVM+Arrow+workers)
+    ddf = spark.read.parquet(corpus)
+
+    def run1(df):
+        t0 = _time.perf_counter()
+        n_ok = df.filter("status = 'ok'").count()
+        dt = _time.perf_counter() - t0
+        assert n_ok == docs, f"{n_ok}/{docs} ok"
+        return dt
+
+    # one round of the three measurements; the parent interleaves A/B
+    # rounds so a co-tenant burst hits both levels, not one level's block
+    parts = min(n * 4, max(n, docs // 500))
+    salted = run1(extract_documents(ddf, salt_partitions=parts))
+    noshuf = run1(extract_documents(ddf, salt=False))
+    spark.stop()
+    ceiling = _mp_ceiling(docs, n, corpus_path=corpus, repeats=1)
+    print(
+        json.dumps(
+            {
+                "cores": n,
+                "wall_sec": round(salted, 2),
+                "docs_per_sec": round(docs / salted, 2),
+                "noshuffle_docs_per_sec": round(docs / noshuf, 2),
+                "mp_ceiling_docs_per_sec": ceiling[n],
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -169,34 +236,73 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--scale-child", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--corpus", default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    if args.scale_child:
+        _scale_child(args.scale_child, args.docs, args.corpus)
+        return
+
     if args.scaling:
+        import subprocess
+
         lo = max(1, cpus // 4)
+        # materialize the shared corpus once at full parallelism
+        spark = _mk_spark(cpus)
+        path = materialize_corpus(spark, args.docs)
+        spark.stop()
+        # interleave A/B rounds (each child = one warm-up + one round of
+        # salted/noshuffle/mp): minute-scale co-tenant bursts then hit both
+        # levels instead of skewing one level's whole block; keep per-level
+        # per-metric bests across rounds
         results = {}
-        for label, n in (("A", lo), ("B", cpus)):
-            spark = _mk_spark(n)
-            # warm-up (JVM + Arrow + python workers), then best-of-3
-            run_extraction(spark, max(64, args.docs // 10))
-            best_dt, nd = None, args.docs
-            for _ in range(3):
-                dt, nd = run_extraction(spark, args.docs)
-                best_dt = dt if best_dt is None else min(best_dt, dt)
-            results[label] = {"cores": n, "wall_sec": round(best_dt, 2),
-                              "docs_per_sec": round(nd / best_dt, 2)}
-            spark.stop()
+        for _round in range(3):
+            for label, n in (("A", lo), ("B", cpus)):
+                cmd = [
+                    "taskset", "-c", f"0-{n - 1}", sys.executable, __file__,
+                    "--scale-child", str(n), "--docs", str(args.docs),
+                    "--corpus", path,
+                ]
+                proc = subprocess.run(cmd, capture_output=True, text=True)
+                line = proc.stdout.strip().splitlines()[-1]
+                r = json.loads(line)
+                if label not in results:
+                    results[label] = r
+                else:
+                    acc = results[label]
+                    acc["docs_per_sec"] = max(
+                        acc["docs_per_sec"], r["docs_per_sec"]
+                    )
+                    acc["wall_sec"] = min(acc["wall_sec"], r["wall_sec"])
+                    acc["noshuffle_docs_per_sec"] = max(
+                        acc["noshuffle_docs_per_sec"],
+                        r["noshuffle_docs_per_sec"],
+                    )
+                    acc["mp_ceiling_docs_per_sec"] = max(
+                        acc["mp_ceiling_docs_per_sec"],
+                        r["mp_ceiling_docs_per_sec"],
+                    )
         eff = (results["B"]["docs_per_sec"] / results["A"]["docs_per_sec"]) / (
             cpus / lo
         )
+        eff_noshuf = (
+            results["B"]["noshuffle_docs_per_sec"]
+            / results["A"]["noshuffle_docs_per_sec"]
+        ) / (cpus / lo)
         # machine-ceiling control: the SAME extraction via plain
-        # multiprocessing (zero coordination). On one box, memory
-        # bandwidth bounds N->4N scaling; the engine's own efficiency is
-        # spark-vs-ceiling at each level (what multi-EXECUTOR scaling
-        # actually tests — separate machines don't share a memory bus).
-        ceiling = _mp_ceiling(args.docs, lo, cpus)
+        # multiprocessing (zero coordination) on the SAME cpuset. On one
+        # box, shared memory bandwidth bounds N->4N scaling even with zero
+        # coordination; the engine's own efficiency is spark-vs-ceiling at
+        # each level (what multi-EXECUTOR scaling actually tests —
+        # separate machines don't share a memory bus).
+        ceiling = {
+            lo: results["A"]["mp_ceiling_docs_per_sec"],
+            cpus: results["B"]["mp_ceiling_docs_per_sec"],
+        }
         ceil_eff = (ceiling[cpus] / ceiling[lo]) / (cpus / lo)
         print(
             json.dumps(
@@ -205,7 +311,9 @@ def main():
                     "value": round(eff, 3),
                     "unit": "ratio",
                     "runs": results,
+                    "noshuffle_scaling_efficiency": round(eff_noshuf, 3),
                     "docs": args.docs,
+                    "cpuset_pinned": True,
                     "mp_ceiling_docs_per_sec": ceiling,
                     "mp_ceiling_efficiency": round(ceil_eff, 3),
                     "spark_fraction_of_ceiling": {

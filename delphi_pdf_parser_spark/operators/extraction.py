@@ -115,6 +115,24 @@ def prefilter_pdfs(documents: DataFrame) -> DataFrame:
     )
 
 
+_TARGET_TASK_BYTES = 256 << 20  # ~256 MB of raw documents per task
+
+
+_MAX_AUTO_PARTITIONS = 1_000_000  # 100 TB / 256 MB ≈ 400k — leave headroom
+
+
+def _auto_partitions(size_bytes: int, base_parallelism: int) -> int:
+    """Scale the extraction-stage task count with DATA size, floored at
+    the cluster's parallelism: at 100 TB a cores-only default would pull
+    multi-GB Arrow batches through each python worker (OOM); at bench
+    scale the floor keeps every core busy. Catalyst reports Long.MaxValue
+    when statistics are unknown — treat anything absurd as unknown."""
+    if size_bytes >= 1 << 60:
+        size_bytes = 0
+    by_size = (size_bytes + _TARGET_TASK_BYTES - 1) // _TARGET_TASK_BYTES
+    return int(min(max(base_parallelism, by_size), _MAX_AUTO_PARTITIONS))
+
+
 def salt_by_size(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Spread expensive (big) documents across partitions before the UDF.
 
@@ -124,7 +142,16 @@ def salt_by_size(df: DataFrame, partitions: int | None = None) -> DataFrame:
     leave partitions empty (64 distinct keys into 128 partitions would).
     """
     if not partitions:
-        partitions = df.sparkSession.sparkContext.defaultParallelism
+        base = df.sparkSession.sparkContext.defaultParallelism
+        try:
+            # Catalyst's plan statistics: for parquet/Iceberg scans this is
+            # the (filter-pruned) input size in bytes
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # stats unavailable: fall back to parallelism
+            size = 0
+        partitions = _auto_partitions(size, base)
     # per-url hash: effectively-unique keys give multinomial balance
     # (coarse bucket+salt%k keys collide and leave partitions uneven);
     # giant documents land randomly, which with tasks ~= cores bounds the
@@ -280,6 +307,7 @@ def extract_documents_balanced(
     whale_bytes: int = 1 << 20,
     pages_per_chunk: int = 100,
     salt_partitions: int | None = None,
+    salt: bool = True,
 ) -> DataFrame:
     """Skew-proof extraction: giant documents are split into page-range
     chunks that parallelize across tasks, then reassembled (page texts
@@ -296,8 +324,12 @@ def extract_documents_balanced(
     small = base.filter(F.length("html") < whale_bytes)
     big = base.filter(F.length("html") >= whale_bytes)
 
+    # salt=False is the bucketed-at-ingest production shape: the scan is
+    # already balanced by url-hash, so the salting exchange is pure cost
+    # (whale chunks below still repartition — they must, to spread one
+    # document's chunks across tasks)
     small_out = extract_documents(
-        small, salt_partitions=salt_partitions, prefilter=False
+        small, salt_partitions=salt_partitions, prefilter=False, salt=salt
     )
 
     parts = (

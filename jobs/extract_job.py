@@ -38,6 +38,13 @@ def main(argv=None):
         "(0 disables chunking)",
     )
     ap.add_argument("--pages-per-chunk", type=int, default=100)
+    ap.add_argument(
+        "--presalted",
+        action="store_true",
+        help="input table is already bucketed/clustered by url hash at "
+        "ingest: skip the salting exchange (whale page-chunks still "
+        "repartition). Saves the pipeline's only full shuffle.",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -72,9 +79,12 @@ def main(argv=None):
             whale_bytes=args.whale_bytes,
             pages_per_chunk=args.pages_per_chunk,
             salt_partitions=args.partitions,
+            salt=not args.presalted,
         )
     else:
-        extracted = extract_documents(docs, salt_partitions=args.partitions)
+        extracted = extract_documents(
+            docs, salt_partitions=args.partitions, salt=not args.presalted
+        )
     extracted = extracted.cache()
     extracted.write.mode("append").parquet(args.output)
     metrics_table(extracted, input_split=args.input_split).write.mode(

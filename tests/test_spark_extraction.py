@@ -77,3 +77,22 @@ def test_bench_corpus_roundtrip(spark):
     rows = out.select("status", "npages", F.length("text").alias("len")).collect()
     assert all(r["status"] == "ok" for r in rows)
     assert all(r["len"] > 100 for r in rows)
+
+
+def test_auto_partitions_scales_with_data(spark):
+    from delphi_pdf_parser_spark.operators.extraction import (
+        _TARGET_TASK_BYTES,
+        _auto_partitions,
+        salt_by_size,
+    )
+
+    # pure math: floor at parallelism, grow with bytes
+    assert _auto_partitions(0, 32) == 32
+    assert _auto_partitions(10 << 20, 32) == 32
+    assert _auto_partitions(100 * (1 << 40), 8000) == (
+        (100 * (1 << 40) + _TARGET_TASK_BYTES - 1) // _TARGET_TASK_BYTES
+    )
+    # live: a tiny DataFrame salts to >=1 partition without error and the
+    # stats probe doesn't throw
+    df = spark.createDataFrame([("u", b"%PDF-x")], "url string, html binary")
+    assert salt_by_size(df).rdd.getNumPartitions() >= 1
