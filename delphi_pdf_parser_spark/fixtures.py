@@ -937,6 +937,87 @@ def _case_ttf_nonsymbolic_unicode():
     return b.build_classic(cat), "AB?" + CRLF, 1
 
 
+def _cff_index(items: list[bytes]) -> bytes:
+    """Serialize a CFF INDEX (offSize 2 for simplicity)."""
+    if not items:
+        return struct.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    out = struct.pack(">HB", len(items), 2)
+    out += b"".join(struct.pack(">H", o) for o in offs)
+    return out + b"".join(items)
+
+
+def build_cff(
+    encoding_codes: dict[int, int],
+    charset_sids: list[int],
+    custom_strings: list[bytes],
+    n_glyphs: int,
+) -> bytes:
+    """Minimal CFF: header, Name/TopDICT/String/GSubr INDEXes, format-0
+    encoding (code->gid in gid order), format-0 charset, dummy
+    CharStrings INDEX sized n_glyphs. Top DICT offsets use fixed-width
+    5-byte ints so layout is a single pass."""
+    header = b"\x01\x00\x04\x02"
+    name_idx = _cff_index([b"TestCFF"])
+    string_idx = _cff_index(custom_strings)
+    gsubr_idx = _cff_index([])
+    # format-0 encoding: codes listed for gid 1..nCodes
+    codes_by_gid = sorted(encoding_codes.items(), key=lambda kv: kv[1])
+    enc = bytes([0, len(codes_by_gid)]) + bytes(
+        c for c, _g in codes_by_gid
+    )
+    charset = b"\x00" + b"".join(
+        struct.pack(">H", sid) for sid in charset_sids[1:]
+    )
+    charstrings = _cff_index([b"\x0e"] * n_glyphs)  # endchar ops (unused)
+    # top dict: 3 entries of (29 <int32> op) = 18 bytes
+    top_dict_size = 18
+    top_idx_prefix = struct.pack(">HB", 1, 2) + struct.pack(
+        ">HH", 1, 1 + top_dict_size
+    )
+    pre = len(header) + len(name_idx) + len(top_idx_prefix) + top_dict_size
+    charset_off = pre + len(string_idx) + len(gsubr_idx)
+    enc_off = charset_off + len(charset)
+    cs_off = enc_off + len(enc)
+    top = (
+        b"\x1d" + struct.pack(">i", charset_off) + b"\x0f"
+        + b"\x1d" + struct.pack(">i", enc_off) + b"\x10"
+        + b"\x1d" + struct.pack(">i", cs_off) + b"\x11"
+    )
+    return (
+        header + name_idx + top_idx_prefix + top
+        + string_idx + gsubr_idx + charset + enc + charstrings
+    )
+
+
+def _case_cff_custom_encoding():
+    """Embedded CFF (FontFile3 /Type1C) with a custom builtin encoding:
+    code->gid via the CFF Encoding, gid->name via the charset (custom SID
+    'alpha', standard SID 34 'A', custom 'gamma')."""
+    cff = build_cff(
+        encoding_codes={65: 1, 66: 2, 67: 3},
+        charset_sids=[0, 391, 34, 392],
+        custom_strings=[b"alpha", b"gamma"],
+        n_glyphs=4,
+    )
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(cff)} /Subtype /Type1C >>", cff)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TestCFF /Flags 4"
+        " /FontFile3 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+        "/FontDescriptor 6 0 R /FirstChar 65 /LastChar 67 "
+        "/Widths [600 600 600] >>"
+    )
+    b2, cat = simple_doc(_bt("72 720 Td (ABC) Tj"), font_body=font, builder=b)
+    return b2.build_classic(cat), "αAγ" + CRLF, 1
+
+
 def _case_type1_builtin_encoding():
     """Embedded Type1 program with a custom builtin /Encoding (the LaTeX
     shape: no /Encoding in the font dict; names live in the cleartext of
@@ -1476,6 +1557,7 @@ CASES = {
     "ttf_symbolic_post3_winansi": _case_ttf_symbolic_post3_winansi,
     "ttf_nonsymbolic_unicode": _case_ttf_nonsymbolic_unicode,
     "type1_builtin_encoding": _case_type1_builtin_encoding,
+    "cff_custom_encoding": _case_cff_custom_encoding,
     "winansi_differences": _case_winansi_differences,
     "macroman": _case_macroman,
     "tounicode_bfchar": _case_tounicode_bfchar,

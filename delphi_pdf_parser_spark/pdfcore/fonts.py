@@ -36,6 +36,9 @@ from .cmap import (
 from .cos import Name, is_indirect, is_name, to_int, to_name, to_real
 from .encodings import WIN_ANSI_ENCODING, load_encoding, lookup_agl
 from .base14 import BASE14_WIDTHS, BASE14_ENCODING_OVERRIDES, clean_base14_name
+import struct
+
+from .cff import CffError, CffFont
 from .sfnt import SfntError, SfntFont
 from .type1 import parse_type1_encoding
 
@@ -298,6 +301,7 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
     if descriptor is None or fontname in BASE14_WIDTHS:
         builtin = fontname if fontname in BASE14_WIDTHS else None
     sf: SfntFont | None = None
+    cf: CffFont | None = None
     t1_base = None  # builtin encoding of an embedded Type1 program
     if isinstance(descriptor, dict):
         font.flags = to_int(doc.get(descriptor, "Flags"))
@@ -322,6 +326,22 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
                     t1_base = parse_type1_encoding(doc.load_stream(ff.num))
                 except Exception:
                     doc.note_failure("fontfile_parse")
+        if sf is None and t1_base is None:
+            ff3 = descriptor.get("FontFile3")
+            if is_indirect(ff3) and doc.is_stream(ff3):
+                data3 = doc.load_stream(ff3.num)
+                if data3[:4] in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+                    # FontFile3 /Subtype /OpenType: a full sfnt wrapper
+                    try:
+                        sf = SfntFont(data3)
+                        sf.select_charmap("TRUETYPE")
+                    except (SfntError, IndexError):
+                        doc.note_failure("fontfile3_parse")
+                else:
+                    try:
+                        cf = CffFont(data3)
+                    except (CffError, struct.error, IndexError):
+                        doc.note_failure("fontfile3_parse")
     if sf is not None:
         # embedded program wins over the base-14 tables (the reference
         # only loads a builtin face when there is no usable FontFile)
@@ -340,9 +360,11 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
             for i, nm in enumerate(t1_base):
                 if nm:
                     estrings[i] = nm
-    elif builtin is not None:
+    elif builtin is not None and cf is None:
         # builtin encoding of the (builtin) font program: StandardEncoding
         # for the base-14 text faces, Symbol/ZapfDingbats get overrides
+        # (an embedded CFF's names come from its charset instead — builtin
+        # is kept only as the width-table fallback)
         base_enc = BASE14_ENCODING_OVERRIDES.get(builtin, "StandardEncoding")
         load_encoding(estrings, base_enc)
 
@@ -382,6 +404,20 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
                     estrings[i] = sf.glyph_name(etable[i])
                 else:
                     estrings[i] = WIN_ANSI_ENCODING[i]
+    elif cf is not None:
+        # CFF/Type1C (ft_kind=TYPE1, pdf_fontss.pas:129-133): the builtin
+        # encoding is the platform-7 charmap the port selects for Type1
+        # faces; glyph names come from the charset (FT_HAS_GLYPH_NAMES is
+        # true for non-CID CFF, so the reversal loop always uses names)
+        if cf.encoding_is_standard:
+            std: list = [None] * 256
+            load_encoding(std, "StandardEncoding")
+            etable = [cf.char_index(i, std[i]) for i in range(256)]
+        else:
+            etable = [cf.char_index(i) for i in range(256)]
+        for i in range(256):
+            if etable[i] and estrings[i] is None:
+                estrings[i] = cf.glyph_name(etable[i])
 
     font.encoding = identity_cmap(0, 1)
     _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))

@@ -405,3 +405,46 @@ class TestType1Encoding:
         b2, cat = simple_doc(_bt("72 720 Td (A) Tj"), font_body=font, builder=b)
         res = extract_text(b2.build_classic(cat))
         assert res.text == "β\r\n"
+
+
+class TestCff:
+    """CFF/Type1C reader (FontFile3): encoding, charset, strings."""
+
+    def _font(self, **kw):
+        from delphi_pdf_parser_spark.fixtures import build_cff
+        from delphi_pdf_parser_spark.pdfcore.cff import CffFont
+
+        return CffFont(build_cff(**kw))
+
+    def test_custom_encoding_and_charset(self):
+        f = self._font(
+            encoding_codes={65: 1, 66: 2},
+            charset_sids=[0, 391, 34],
+            custom_strings=[b"alpha"],
+            n_glyphs=3,
+        )
+        assert not f.is_cid and f.has_glyph_names
+        assert f.char_index(65) == 1 and f.char_index(99) == 0
+        assert f.glyph_name(1) == "alpha"      # custom SID 391
+        assert f.glyph_name(2) == "A"          # standard SID 34
+        assert f.name_index("alpha") == 1
+
+    def test_standard_strings_spot(self):
+        from delphi_pdf_parser_spark.pdfcore.cff import STD_STRINGS
+
+        assert STD_STRINGS[0] == ".notdef"
+        assert STD_STRINGS[1] == "space"
+        assert STD_STRINGS[228] == "zcaron"
+        assert len(STD_STRINGS) == 391
+        # expert-range placeholders never hit the AGL
+        from delphi_pdf_parser_spark.pdfcore.encodings import lookup_agl
+
+        assert lookup_agl(STD_STRINGS[300]) == 0
+
+    def test_garbage_rejected(self):
+        import pytest
+
+        from delphi_pdf_parser_spark.pdfcore.cff import CffError, CffFont
+
+        with pytest.raises((CffError, Exception)):
+            CffFont(b"\x02\x00\x04\x02nonsense")
