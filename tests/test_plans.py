@@ -60,3 +60,15 @@ def test_anti_join_plan(spark):
 
     plan = explain_str(customers_without_orders(spark, SF_DIR), "simple")
     assert "LeftAnti" in plan, plan
+
+
+def test_presalted_extraction_has_no_exchange(spark):
+    """salt=False (url-bucketed-at-ingest input) removes the pipeline's
+    only shuffle: scan -> filter -> mapInPandas, zero Exchanges."""
+    from delphi_pdf_parser_spark.operators.extraction import extract_documents
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    out = extract_documents(fixture_documents(spark), salt=False)
+    rep = plan_report(out)
+    assert rep["python_stages"] == 1, rep
+    assert rep["exchanges"] == 0, rep

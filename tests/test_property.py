@@ -122,3 +122,31 @@ def test_random_content_streams_extract(ops):
     it = iter(stripped)
     for ch in shown.replace(" ", ""):
         assert any(c == ch for c in it), (shown, res.text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            b"0123456789+-.()[]<>/%\\\r\n\t ABCTdfmj*'\"ET#\x00\xff\x80"
+            b"truefalsnulobjendstramxi"
+        ),
+        max_size=64,
+    ).map(bytes)
+)
+def test_bulk_tokenizer_equals_classic_lexer(data):
+    """ContentTokens (the bulk regex content lexer) must emit the exact
+    token stream of the classic byte scanner for ANY input — the bulk
+    patterns are strict subsets and everything else falls back."""
+    from delphi_pdf_parser_spark.pdfcore import lexer as lx
+
+    def drain(src):
+        out = []
+        while len(out) < 300:
+            t = src.lex()
+            out.append(t)
+            if t[0] == lx.TOK_EOF:
+                break
+        return out
+
+    assert drain(lx.Lexer(data)) == drain(lx.ContentTokens(lx.Lexer(data)))
