@@ -73,6 +73,12 @@ def _shingles(col, n: int = 3):
     )
 
 
+def _shingle_table(documents: DataFrame, shingle_n: int) -> DataFrame:
+    return documents.select(
+        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
@@ -82,9 +88,7 @@ def minhash_signatures(
     # hash-aggregate min per doc. Flat expressions stay in whole-stage
     # codegen; array_min(transform(...)) would evaluate interpreted and
     # run ~10x slower.
-    sh = documents.select(
-        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    sh = _shingle_table(documents, shingle_n)
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     mins = exploded.groupBy("doc_id").agg(
         *[
@@ -107,19 +111,26 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs,
-    then exact shingle-Jaccard verifies them."""
+    then exact shingle-Jaccard verifies them.
+
+    Scale shape: the band explode and self-join carry ONLY compact keys
+    (doc_id, band, bucket) — never the shingle arrays (an 8-band explode
+    would multiply every array 8x and the join would carry two arrays per
+    candidate row). Shingle arrays are checkpointed once (localCheckpoint:
+    blocks are ContextCleaner-released when unreferenced, unlike cache)
+    and joined back exactly twice: the signature aggregation and the
+    per-candidate verification."""
     rows_per_band = num_hashes // bands
-    # localCheckpoint (not cache): the banded self-join + verify would
-    # otherwise recompute the shingling subtree 4x (both join sides, twice
-    # each); unlike cache(), the checkpointed blocks are released by the
-    # ContextCleaner once the DataFrame is unreferenced — no unpersist leak
-    # in long sessions
-    sigs = minhash_signatures(documents, num_hashes, shingle_n).localCheckpoint(
-        eager=False
+    sh = _shingle_table(documents, shingle_n).localCheckpoint(eager=False)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     banded = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -127,7 +138,7 @@ def minhash_lsh_candidates(
                         F.lit(b).alias("band"),
                         F.hash(
                             *[
-                                F.col("signature")[b * rows_per_band + r]
+                                F.col(f"h{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),
@@ -136,7 +147,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -145,14 +156,25 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    verified = (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return cands.select(
+    return verified.select(
         "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
     )
 
