@@ -18,6 +18,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -267,15 +269,54 @@ def _cosine(a, b):
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Cosine near-dup pairs within the same label partition (the label is
-    the blocking key; at scale the blocking key is an IVF/LSH bucket)."""
+    the blocking key; at scale the blocking key is an IVF/LSH bucket).
+
+    Per-bucket NumPy gram matrix via applyInPandas (one BLAS matmul per
+    bucket) instead of a self-join with per-pair interpreted array
+    lambdas: for a bucket of n vectors that is one n x d @ d x n product,
+    blocked by rows so memory stays ~block x n. Bucket sizes are bounded
+    by the blocking scheme (IVF/LSH cell sizes), not the corpus."""
+    import numpy as np
+
     e = embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, on="label").filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cos, 4).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+
+    def gram(pdf: pd.DataFrame):
+        m = np.stack(pdf["embedding"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            c = np.round(mn[lo:hi] @ mn.T, 4)
+            for r in range(lo, hi):
+                row = c[r - lo, r + 1:]
+                hits = np.nonzero(row >= threshold)[0]
+                if len(hits):
+                    ia = ids[r]
+                    jb = ids[r + 1 + hits]
+                    lo_ids = np.minimum(ia, jb)
+                    hi_ids = np.maximum(ia, jb)
+                    out_a.append(lo_ids)
+                    out_b.append(hi_ids)
+                    out_c.append(row[hits])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        gram, "vec_a long, vec_b long, cosine double"
+    )
