@@ -166,6 +166,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = e.filter(F.col("vec_id") < 5)
         return similarity.ann_lsh_topk(e, qs, k=5).orderBy("query_id", "rank")
 
+    def q_ann_ivf_full(spark, sf_dir):
+        # n_probe == n_cells: IVF degenerates to exact brute force, so the
+        # brute-force SQL oracle pins the whole IVF pipeline end-to-end
+        e = _embs(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.ivf_topk(
+            e, qs, k=5, n_cells=16, n_probe=16
+        ).orderBy("query_id", "rank")
+
+    def q_ann_ivf(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.ivf_topk(
+            e, qs, k=5, n_cells=16, n_probe=4
+        ).orderBy("query_id", "rank")
+
     def q_pdf_images(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.images import (
             extract_document_images,
@@ -238,6 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_full_probe": q_ann_ivf_full,
+        "ann_ivf_topk": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -513,7 +531,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
+        "ann_ivf_full_probe": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, vec_id, cosine FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         # rows-only (no oracle): pdf_*, minhash_lsh, simhash_near_dups,
-        # ann_lsh_topk (hash/plane-specific), multimodal_features (binary
-        # payload semantics live in the UDF)
+        # ann_lsh_topk (hash/plane-specific), ann_ivf_topk (n_probe < n_cells
+        # is approximate by design; its full-probe sibling is oracled),
+        # multimodal_features (binary payload semantics live in the UDF)
     }

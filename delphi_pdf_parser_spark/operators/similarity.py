@@ -11,6 +11,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +91,81 @@ def ann_lsh_topk(
         ).withColumn("bucket", lsh_signature(F.col("qvec"), num_planes))
     )
     joined = e.join(q, on="bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_cosine(F.col("embedding"), F.col("qvec")), 4)
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    its nearest-centroid cell; a query probes only its n_probe nearest
+    cells and brute-forces within them. With n_probe == n_cells this
+    degenerates to EXACT brute force (every vector is in exactly one
+    probed cell) — which is how the oracle pins it.
+
+    Deterministic 'training': centroids are the n_cells lowest vec_ids
+    (a deployment k-means-trains them offline; the Spark plumbing —
+    broadcast centroids, JVM/Arrow cell assignment, per-cell search,
+    window rank — is identical and is what this operator exercises).
+    The scale story: the centroid set is tiny (broadcast), assignment is
+    a map-only pass, and the search join fans each query out to n_probe
+    cells instead of the whole corpus.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0] = 1.0
+    cmat = cmat / norms[:, None]
+    bc = spark.sparkContext.broadcast(cmat)
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((m / n[:, None]) @ c.T, axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sims = (m / n[:, None]) @ c.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).withColumn("cell", cell_of("embedding"))
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+        .withColumn("cell", F.explode(probe_cells("qvec")))
+    )
+    joined = e.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
     cos = F.round(_cosine(F.col("embedding"), F.col("qvec")), 4)
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

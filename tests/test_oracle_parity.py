@@ -92,6 +92,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "minhash_lsh",
         "simhash_near_dups",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "multimodal_features",
     }
     assert rows_only == allowed, rows_only ^ allowed
@@ -102,6 +103,7 @@ def test_rows_only_queries_run(spark):
         "minhash_lsh",
         "simhash_near_dups",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "multimodal_features",
         "pdf_images",
         "pdf_navigation",
