@@ -34,30 +34,52 @@ DEDUP_OUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 
-def _keep_first(key, pdfs, state: GroupState):
-    total = 0
-    first_url = None
-    for pdf in pdfs:
-        total += len(pdf)
-        if first_url is None and len(pdf):
-            first_url = pdf["url"].iloc[0]
-    if state.exists:
-        (seen,) = state.get
-        state.update((seen + total,))
-        return iter(())  # already emitted in an earlier batch
-    state.update((total,))
-    return iter(
-        [
-            pd.DataFrame(
-                [(key[0], first_url, total)],
-                columns=["fingerprint", "url", "n_dupes_in_batch"],
-            )
-        ]
-    )
+def _keep_first_fn(ttl_ms: int | None):
+    def _keep_first(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL expired with no re-occurrence: drop the seen-flag. The
+            # fingerprint may re-emit later — the operator's contract with
+            # a TTL is "first seen within any ttl window", which is what
+            # bounds the state store at 10^12-document scale
+            state.remove()
+            return iter(())
+        total = 0
+        first_url = None
+        for pdf in pdfs:
+            total += len(pdf)
+            if first_url is None and len(pdf):
+                first_url = pdf["url"].iloc[0]
+        already = state.exists
+        if already:
+            (seen,) = state.get
+            state.update((seen + total,))
+        else:
+            state.update((total,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # re-arm on every sighting
+        if already:
+            return iter(())  # already emitted in an earlier batch
+        return iter(
+            [
+                pd.DataFrame(
+                    [(key[0], first_url, total)],
+                    columns=["fingerprint", "url", "n_dupes_in_batch"],
+                )
+            ]
+        )
+
+    return _keep_first
 
 
-def streaming_dedup_first(documents: DataFrame) -> DataFrame:
-    """documents stream -> first-seen (fingerprint, url) rows."""
+def streaming_dedup_first(
+    documents: DataFrame, state_ttl_minutes: int | None = None
+) -> DataFrame:
+    """documents stream -> first-seen (fingerprint, url) rows.
+
+    state_ttl_minutes bounds the state store: a fingerprint unseen for the
+    TTL is evicted (processing-time timeout) and would re-emit on its next
+    arrival. Without it the seen-set grows with the distinct-fingerprint
+    count — fine for bounded backfills, not for an endless crawl."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     # null text => md5 NULL => every null-text doc would collapse into one
     # state-store group and all but the first silently vanish; a doc with
@@ -65,10 +87,15 @@ def streaming_dedup_first(documents: DataFrame) -> DataFrame:
     fps = documents.filter(F.col("text").isNotNull()).select(
         F.md5(norm).alias("fingerprint"), "url"
     )
+    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
     return fps.groupBy("fingerprint").applyInPandasWithState(
-        _keep_first,
+        _keep_first_fn(ttl_ms),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )

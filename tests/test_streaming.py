@@ -41,9 +41,12 @@ def test_streaming_extraction_matches_batch(spark, docs_dir, tmp_path):
     assert verified.filter("match").count() == n_golden
 
 
-def test_streaming_dedup_keep_first(spark, tmp_path):
+@pytest.mark.parametrize("ttl", [None, 60])
+def test_streaming_dedup_keep_first(spark, tmp_path, ttl):
     """Stateful keep-first across micro-batches: a fingerprint re-seen in a
-    later batch must NOT be re-emitted (state store holds the seen flag)."""
+    later batch must NOT be re-emitted (state store holds the seen flag).
+    With a TTL the ProcessingTimeTimeout is armed per sighting (60 min
+    never fires here — semantics must match the no-TTL run)."""
     import time
 
     from delphi_pdf_parser_spark.streaming.dedup_stream import (
@@ -69,9 +72,9 @@ def test_streaming_dedup_keep_first(spark, tmp_path):
         .parquet(str(src / "*"))
     )
     q = (
-        streaming_dedup_first(stream)
+        streaming_dedup_first(stream, state_ttl_minutes=ttl)
         .writeStream.format("memory")
-        .queryName("dedup_first")
+        .queryName(f"dedup_first_{ttl or 0}")
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
@@ -79,7 +82,7 @@ def test_streaming_dedup_keep_first(spark, tmp_path):
     q.awaitTermination(180)
 
     rows = spark.sql(
-        "SELECT fingerprint, url FROM dedup_first ORDER BY url"
+        f"SELECT fingerprint, url FROM dedup_first_{ttl or 0} ORDER BY url"
     ).collect()
     # 4 input docs, 3 distinct fingerprints, each emitted exactly once
     assert len(rows) == 3
