@@ -100,7 +100,10 @@ def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_documents(fixture_documents(spark), salt_partitions=8)
     return out.filter(
         F.col("title").isNotNull() | F.col("producer").isNotNull()
-    ).select("url", "title", "author", "producer").orderBy("url")
+    ).select(
+        "url", "title", "author", "producer", "subject", "creator",
+        "keywords", "creation_date", "mod_date",
+    ).orderBy("url")
 
 
 # --- relational / training-data queries (DuckDB-oracled) ---------------------

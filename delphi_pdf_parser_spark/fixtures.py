@@ -1509,7 +1509,11 @@ def _case_info_utf16():
     b, cat = simple_doc(_bt("72 720 Td (Meta) Tj"))
     title = "Tïtle ✓"
     enc = b"\xfe\xff" + "".join(title).encode("utf-16-be")
-    info = b.add(f"<< /Title <{enc.hex().upper()}> /Producer (pyspark-pdf) >>")
+    info = b.add(
+        f"<< /Title <{enc.hex().upper()}> /Producer (pyspark-pdf) "
+        "/Subject (fixtures) /Keywords (pdf spark) "
+        "/CreationDate (D:20240101120000Z) /ModDate (D:20240102120000Z) >>"
+    )
     return b.build_classic(cat, info=info), "Meta" + CRLF, 1
 
 

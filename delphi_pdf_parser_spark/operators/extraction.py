@@ -47,9 +47,15 @@ EXTRACTED_SCHEMA = StructType(
         StructField("decode_failures", MapType(StringType(), LongType())),
         StructField("wall_ms", LongType()),
         StructField("partition_id", IntegerType()),
+        # the 8 /Info fields openfile1 surfaces (src/digPdfViewer.pas:236-312)
         StructField("title", StringType()),
         StructField("author", StringType()),
         StructField("producer", StringType()),
+        StructField("subject", StringType()),
+        StructField("creator", StringType()),
+        StructField("keywords", StringType()),
+        StructField("creation_date", StringType()),
+        StructField("mod_date", StringType()),
     ]
 )
 
@@ -89,6 +95,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     meta.get("Title"),
                     meta.get("Author"),
                     meta.get("Producer"),
+                    meta.get("Subject"),
+                    meta.get("Creator"),
+                    meta.get("Keywords"),
+                    meta.get("CreationDate"),
+                    meta.get("ModDate"),
                 )
             )
         yield pd.DataFrame(
@@ -296,6 +307,11 @@ def _merge_chunks(key, pdf_groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                     g["title"].iloc[0],
                     g["author"].iloc[0],
                     g["producer"].iloc[0],
+                    g["subject"].iloc[0],
+                    g["creator"].iloc[0],
+                    g["keywords"].iloc[0],
+                    g["creation_date"].iloc[0],
+                    g["mod_date"].iloc[0],
                 )
             ],
             columns=[f.name for f in EXTRACTED_SCHEMA.fields],
