@@ -93,6 +93,15 @@ def _q_pdf_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resume_anti_join(docs, done).select("url").orderBy("url")
 
 
+def _q_pdf_stat_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delphi_pdf_parser_spark.operators.extraction import stat_documents
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    return stat_documents(fixture_documents(spark)).select(
+        "url", "npages", "n_objects", "status", "title"
+    ).orderBy("url")
+
+
 def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delphi_pdf_parser_spark.operators.extraction import extract_documents
     from delphi_pdf_parser_spark.sources.documents import fixture_documents
@@ -222,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metrics_rollup": _q_pdf_metrics_rollup,
         "pdf_resume_anti_join": _q_pdf_resume_anti_join,
         "pdf_metadata": _q_pdf_metadata,
+        "pdf_stat_pass": _q_pdf_stat_pass,
         "pdf_images": q_pdf_images,
         "pdf_navigation": q_pdf_navigation,
         # relational suite

@@ -108,6 +108,58 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+STAT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("npages", IntegerType()),
+        StructField("n_objects", LongType()),
+        StructField("status", StringType()),
+        StructField("err", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("producer", StringType()),
+        StructField("subject", StringType()),
+        StructField("creator", StringType()),
+        StructField("keywords", StringType()),
+        StructField("creation_date", StringType()),
+        StructField("mod_date", StringType()),
+        StructField("wall_ms", LongType()),
+    ]
+)
+
+
+def _stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from delphi_pdf_parser_spark.pdfcore import stat_document
+
+    for pdf_batch in batches:
+        rows = []
+        for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
+            res = stat_document(bytes(html) if html is not None else b"")
+            meta = res.metadata or {}
+            rows.append(
+                (
+                    url, res.npages, res.n_objects, res.status, res.error,
+                    meta.get("Title"), meta.get("Author"),
+                    meta.get("Producer"), meta.get("Subject"),
+                    meta.get("Creator"), meta.get("Keywords"),
+                    meta.get("CreationDate"), meta.get("ModDate"),
+                    res.wall_ms,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in STAT_SCHEMA.fields]
+        )
+
+
+def stat_documents(documents: DataFrame, prefilter: bool = True) -> DataFrame:
+    """The cheap stat-pass job (openfile1, SURVEY §3.2): metadata + page
+    count per url with NO content-stream decode — an order of magnitude
+    cheaper than extraction, so no salting stage (its cost is xref-bound,
+    roughly uniform in document size)."""
+    df = prefilter_pdfs(documents) if prefilter else documents.select("url", "html")
+    return df.mapInPandas(_stat_batches, STAT_SCHEMA)
+
+
 def size_bucket(col):
     """Exponential size bucket of the raw bytes column (JVM-side)."""
     expr = F.lit(len(SIZE_BUCKET_BOUNDARIES))

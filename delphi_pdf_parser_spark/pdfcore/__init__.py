@@ -14,7 +14,7 @@ No Spark imports here: this package is what the vectorized pandas UDF in
 """
 
 def __getattr__(name):  # lazy: avoids importing numpy/zlib chains at pkg import
-    if name in ("extract_text", "ExtractResult"):
+    if name in ("extract_text", "stat_document", "ExtractResult"):
         from . import extract
 
         return getattr(extract, name)

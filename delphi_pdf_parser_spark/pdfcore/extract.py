@@ -144,6 +144,13 @@ def extract_text(data: bytes, want_metadata: bool = True) -> ExtractResult:
     return _extract(data, want_metadata, 0, None)
 
 
+def stat_document(data: bytes) -> ExtractResult:
+    """The cheap stat pass (openfile1 shape, src/digPdfViewer.pas:177-331):
+    open + xref + /Info metadata + page-tree count — no content stream is
+    ever decoded or interpreted (page range [0, 0))."""
+    return _extract(data, True, 0, 0)
+
+
 def _extract(
     data: bytes, want_metadata: bool, page_lo: int, page_hi: int | None
 ) -> ExtractResult:

@@ -89,6 +89,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "pdf_metadata",
         "pdf_images",
         "pdf_navigation",
+        "pdf_stat_pass",
         "minhash_lsh",
         "simhash_near_dups",
         "ann_lsh_topk",
@@ -107,6 +108,7 @@ def test_rows_only_queries_run(spark):
         "multimodal_features",
         "pdf_images",
         "pdf_navigation",
+        "pdf_stat_pass",
     ):
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0
