@@ -364,3 +364,24 @@ def union_event_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL surface: temp views over the scans,
+    the query text handed to Catalyst verbatim. Plan-identical to the
+    DataFrame variant (same joins/aggregates), included so the SQL API is
+    exercised end-to-end by the oracle gate."""
+    for t in ("lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM v_lineitem
+        JOIN v_supplier ON l_suppkey = s_suppkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+        """
+    )
