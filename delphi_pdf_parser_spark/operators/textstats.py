@@ -26,12 +26,20 @@ def _tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+# BPE-ish pre-tokenization (GPT-2-style word/number/punct split, ASCII
+# simplification so Java regex and the DuckDB oracle agree byte-for-byte)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     toks = _tokens(F.col("text"))
+    # F.lit, not F.expr: a SQL string literal would eat the \s escape
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
     return documents.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
 
