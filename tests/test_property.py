@@ -150,3 +150,58 @@ def test_bulk_tokenizer_equals_classic_lexer(data):
         return out
 
     assert drain(lx.Lexer(data)) == drain(lx.ContentTokens(lx.Lexer(data)))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_mutated_font_programs_never_crash(data):
+    """Random byte corruption of embedded TTF/CFF programs must degrade
+    to failure codes, never exceptions: the loaders catch parse errors and
+    the estrings chain falls back."""
+    from delphi_pdf_parser_spark.fixtures import (
+        _bt,
+        _ttf_font_doc,
+        build_cff,
+        build_ttf,
+        PdfBuilder,
+        simple_doc,
+    )
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    kind = data.draw(st.sampled_from(["ttf", "cff"]))
+    if kind == "ttf":
+        prog = bytearray(
+            build_ttf(
+                cmaps=[(3, 0, {0xF041: 1}), (3, 1, {0x41: 1})],
+                post_names=[".notdef", "alpha"],
+                advances=(500, 600),
+            )
+        )
+    else:
+        prog = bytearray(
+            build_cff(
+                encoding_codes={65: 1},
+                charset_sids=[0, 391],
+                custom_strings=[b"alpha"],
+                n_glyphs=2,
+            )
+        )
+    n_flips = data.draw(st.integers(1, 8))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(0, len(prog) - 1))
+        prog[pos] = data.draw(st.integers(0, 255))
+    prog = bytes(prog)
+    b = PdfBuilder()
+    if kind == "ttf":
+        b2, cat = _ttf_font_doc(_bt("72 720 Td (A) Tj"), prog, flags=4)
+    else:
+        b.set(7, f"<< /Length {len(prog)} /Subtype /Type1C >>", prog)
+        b.set(6, "<< /Type /FontDescriptor /FontName /M /FontFile3 7 0 R >>")
+        font = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /M /FontDescriptor"
+            " 6 0 R /FirstChar 65 /LastChar 65 /Widths [500] >>"
+        )
+        b2, cat = simple_doc(_bt("72 720 Td (A) Tj"), font_body=font, builder=b)
+    res = extract_text(b2.build_classic(cat))
+    assert res.status in ("ok", "repaired", "failed")
+    assert res.text is None or isinstance(res.text, str)
