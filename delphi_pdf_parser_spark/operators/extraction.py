@@ -324,7 +324,8 @@ def _chunk_extract_batches(pages_per_chunk: int):
     return fn
 
 
-def _merge_chunks(key, pdf_groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _merge_chunks(key, pdf_groups):  # (no type hints: pyspark infers the
+    # grouped-map eval type from arity; partial hints only trigger a warning)
     """applyInPandas merge of per-chunk rows back into one document row
     (chunks concatenate in index order; metrics sum/merge)."""
     import pandas as pd  # noqa: F811 - executor-side import
