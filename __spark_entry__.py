@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
+    def q_compression_ratio(spark, sf_dir):
+        return textstats.compression_ratio(_docs(spark, sf_dir)).orderBy(
+            "doc_id"
+        )
+
     def q_exact_dedup(spark, sf_dir):
         return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("fingerprint")
 
@@ -261,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "compression_ratio": q_compression_ratio,
         "exact_dedup": q_exact_dedup,
         "token_jaccard_pairs": q_token_jaccard,
         "minhash_lsh": q_minhash_lsh,

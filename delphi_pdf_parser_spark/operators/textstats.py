@@ -9,6 +9,8 @@ driver's DuckDB oracle verifies values, not just shapes.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,4 +100,32 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return documents.select(
         "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+    )
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """zlib deflate ratio per document (the Gopher-style repetitiveness /
+    boilerplate signal: highly repetitive text compresses far below
+    natural prose). Arrow-batched pandas UDF — zlib is the one thing the
+    JVM built-ins can't express; rows-only in the oracle gate (DuckDB has
+    no deflate)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8", "replace")
+            out.append(round(len(zlib.compress(raw, 6)) / len(raw), 4))
+        return pd.Series(out, dtype="float64")
+
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        _ratio(F.col("text")).alias("zlib_ratio"),
     )

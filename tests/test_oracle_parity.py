@@ -95,6 +95,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_features",
+        "compression_ratio",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
@@ -109,6 +110,7 @@ def test_rows_only_queries_run(spark):
         "pdf_images",
         "pdf_navigation",
         "pdf_stat_pass",
+        "compression_ratio",
     ):
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0

@@ -448,3 +448,15 @@ class TestCff:
 
         with pytest.raises((CffError, Exception)):
             CffFont(b"\x02\x00\x04\x02nonsense")
+
+
+def test_compression_ratio_signal():
+    """Repetitive text must compress far below diverse text (the signal
+    the ratio exists to provide); computed pandas-side for unit speed."""
+    import zlib
+
+    rep = ("spam " * 200).encode()
+    div = bytes(range(256)) * 4
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_div = len(zlib.compress(div, 6)) / len(div)
+    assert r_rep < 0.1 < r_div
