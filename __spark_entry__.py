@@ -385,7 +385,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "events_asof_orders": """
@@ -462,7 +462,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_stats": """
             SELECT event_type,
-                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                    min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
                    max(json_extract_string(props, '$.k')::BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type

@@ -284,7 +284,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataF
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
 
-    def gram(pdf: pd.DataFrame):
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["embedding"].to_numpy())
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0

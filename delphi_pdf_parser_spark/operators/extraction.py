@@ -315,6 +315,11 @@ def _chunk_extract_batches(pages_per_chunk: int):
                         meta.get("Title"),
                         meta.get("Author"),
                         meta.get("Producer"),
+                        meta.get("Subject"),
+                        meta.get("Creator"),
+                        meta.get("Keywords"),
+                        meta.get("CreationDate"),
+                        meta.get("ModDate"),
                         c,
                         int(n_chunks),
                     )
@@ -324,51 +329,52 @@ def _chunk_extract_batches(pages_per_chunk: int):
     return fn
 
 
-def _merge_chunks(key, pdf_groups):  # (no type hints: pyspark infers the
+def _merge_chunks(key, g):  # (no type hints: pyspark infers the
     # grouped-map eval type from arity; partial hints only trigger a warning)
     """applyInPandas merge of per-chunk rows back into one document row
-    (chunks concatenate in index order; metrics sum/merge)."""
+    (chunks concatenate in index order; metrics sum/merge). Arity-2
+    grouped map: receives ONE group DataFrame per url and must RETURN a
+    DataFrame (not yield)."""
     import pandas as pd  # noqa: F811 - executor-side import
 
-    for g in pdf_groups:
-        g = g.sort_values("chunk_idx")
-        failures: dict = {}
-        for m in g["decode_failures"]:
-            if m:
-                for k, v in m.items():
-                    failures[k] = failures.get(k, 0) + int(v)
-        ok = all(s != "failed" for s in g["status"])
-        pages: list = []
-        for p in g["pages"]:
-            if p is not None:
-                pages.extend(p)
-        yield pd.DataFrame(
-            [
-                (
-                    g["url"].iloc[0],
-                    "".join(t for t in g["text"] if t is not None) if ok else None,
-                    pages if ok else None,
-                    int(g["npages"].max()),
-                    int(g["n_objects"].max()),
-                    ("repaired" if (g["status"] == "repaired").any() else "ok")
-                    if ok
-                    else "failed",
-                    next((e for e in g["err"] if e), ""),
-                    failures,
-                    int(g["wall_ms"].sum()),
-                    int(g["partition_id"].iloc[0]),
-                    g["title"].iloc[0],
-                    g["author"].iloc[0],
-                    g["producer"].iloc[0],
-                    g["subject"].iloc[0],
-                    g["creator"].iloc[0],
-                    g["keywords"].iloc[0],
-                    g["creation_date"].iloc[0],
-                    g["mod_date"].iloc[0],
-                )
-            ],
-            columns=[f.name for f in EXTRACTED_SCHEMA.fields],
-        )
+    g = g.sort_values("chunk_idx")
+    failures: dict = {}
+    for m in g["decode_failures"]:
+        if m:
+            for k, v in m.items():
+                failures[k] = failures.get(k, 0) + int(v)
+    ok = all(s != "failed" for s in g["status"])
+    pages: list = []
+    for p in g["pages"]:
+        if p is not None:
+            pages.extend(p)
+    return pd.DataFrame(
+        [
+            (
+                g["url"].iloc[0],
+                "".join(t for t in g["text"] if t is not None) if ok else None,
+                pages if ok else None,
+                int(g["npages"].max()),
+                int(g["n_objects"].max()),
+                ("repaired" if (g["status"] == "repaired").any() else "ok")
+                if ok
+                else "failed",
+                next((e for e in g["err"] if e), ""),
+                failures,
+                int(g["wall_ms"].sum()),
+                int(g["partition_id"].iloc[0]),
+                g["title"].iloc[0],
+                g["author"].iloc[0],
+                g["producer"].iloc[0],
+                g["subject"].iloc[0],
+                g["creator"].iloc[0],
+                g["keywords"].iloc[0],
+                g["creation_date"].iloc[0],
+                g["mod_date"].iloc[0],
+            )
+        ],
+        columns=[f.name for f in EXTRACTED_SCHEMA.fields],
+    )
 
 
 def extract_documents_balanced(

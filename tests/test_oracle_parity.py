@@ -71,6 +71,21 @@ def test_oracle_parity(spark, name):
         f"{name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
     )
     assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+    # the driver hashes values STRICTLY (no %.6g normalization), so an
+    # int-vs-float dtype drift (e.g. DuckDB sum() widening BIGINT to
+    # HUGEINT -> float64) is a driver failure even when values agree.
+    # Compare dtype KIND CLASSES per column before normalizing.
+    def _kind(dt):
+        k = getattr(dt, "kind", "O")
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
+
+    for col in sorted(sdf.columns):
+        sk, dk = _kind(sdf[col].dtype), _kind(ddf[col].dtype)
+        assert sk == dk, (
+            f"{name}.{col}: dtype-kind drift spark={sdf[col].dtype} "
+            f"duckdb={ddf[col].dtype} — the driver's strict hash will fail; "
+            f"cast the oracle SQL (e.g. ::BIGINT) or the Spark column"
+        )
     srows, drows = _normalize(sdf), _normalize(ddf)
     mism = [
         (a, b) for a, b in zip(srows, drows) if a != b
