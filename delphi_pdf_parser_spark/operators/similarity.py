@@ -71,24 +71,103 @@ def _hyperplane_sign(vec, plane_seed: int):
 
 
 def lsh_signature(vec, num_planes: int = 12):
+    """Expression-form signature (reference implementation). Interpreted
+    higher-order functions evaluate one full array pass PER PLANE per row
+    and Catalyst cannot codegen them — at corpus scale this is ~10x the
+    cost of the Arrow matmul path below. Kept as the spec that
+    `_signature_udf` is pinned against (tests/test_similarity.py)."""
     sig = F.lit(0)
     for p in range(num_planes):
         sig = sig + F.shiftleft(_hyperplane_sign(vec, p).cast("int"), p)
     return sig
 
 
+def _plane_matrix(spark, dim: int, num_planes: int) -> np.ndarray:
+    """The (num_planes, dim) hyperplane matrix with component (p, j) =
+    xxhash64(p, j) / 2^63 — computed BY THE JVM's xxhash64 (tiny
+    num_planes*dim-row query, driver-collected like IVF's centroids) so
+    the planes are bit-identical to the expression form regardless of
+    how Python-side hash libraries behave."""
+    rows = spark.createDataFrame(
+        [(p, j) for p in range(num_planes) for j in range(dim)],
+        "p int, j int",
+    )
+    got = (
+        rows.select(
+            "p",
+            "j",
+            (
+                F.xxhash64(F.col("p"), F.col("j")).cast("double")
+                / F.lit(float(1 << 63))
+            ).alias("w"),
+        )
+        .collect()
+    )
+    m = np.zeros((num_planes, dim), dtype=np.float64)
+    for r in got:
+        m[r["p"], r["j"]] = r["w"]
+    return m
+
+
+# plane component (p, j) is independent of the embedding dimension, so one
+# wide matrix per (session, num_planes) serves every input — the UDF slices
+# columns [:dim] per batch. Eliminates both the per-call plane job and any
+# dimension-probe job (cached per session; ~100k-row JVM job once).
+_MAX_PLANE_DIM = 8192
+_PLANE_CACHE: dict = {}
+
+
+def _plane_broadcast(spark, num_planes: int):
+    key = (id(spark.sparkContext), num_planes)
+    bc = _PLANE_CACHE.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            _plane_matrix(spark, _MAX_PLANE_DIM, num_planes)
+        )
+        _PLANE_CACHE[key] = bc
+    return bc
+
+
+def _signature_udf(spark, num_planes: int):
+    """Arrow-batched signature: ONE NumPy matmul per batch computes all
+    plane projections at once (vs num_planes interpreted array passes
+    per row in the expression form). This is the per-vector pass over
+    the whole corpus at scale, so it must be the vectorized one."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _plane_broadcast(spark, num_planes)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("int")
+    def signature(emb: pd.Series) -> pd.Series:
+        planes = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        d = m.shape[1]
+        if d > planes.shape[1]:
+            raise ValueError(
+                f"embedding dim {d} exceeds precomputed plane dim "
+                f"{planes.shape[1]}; raise similarity._MAX_PLANE_DIM"
+            )
+        signs = (m @ planes[:, :d].T) >= 0.0
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return signature
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, num_planes: int = 8
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket."""
+    spark = embeddings.sparkSession
+    sig = _signature_udf(spark, num_planes)
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).withColumn("bucket", lsh_signature(F.col("embedding"), num_planes))
+    ).withColumn("bucket", sig(F.col("embedding")))
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qvec"),
-        ).withColumn("bucket", lsh_signature(F.col("qvec"), num_planes))
+        ).withColumn("bucket", sig(F.col("qvec")))
     )
     joined = e.join(q, on="bucket").filter(F.col("vec_id") != F.col("query_id"))
     cos = F.round(_cosine(F.col("embedding"), F.col("qvec")), 4)
