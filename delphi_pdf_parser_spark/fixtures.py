@@ -1653,3 +1653,163 @@ def bench_pdf(seed: int, npages: int) -> bytes:
         )
     b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     return b.build_classic(cat)
+
+
+# --- CCITT fax encoders (fixture side) ---------------------------------------
+# The ENCODE algorithm is independent of pdfcore's decoder; the Huffman
+# tables are ITU T.4 spec constants (public data, shared like AFM widths).
+
+
+def _ccitt_tables():
+    from delphi_pdf_parser_spark.pdfcore.ccitt import (
+        _BLACK_CODES,
+        _EXT_CODES,
+        _WHITE_CODES,
+    )
+
+    white = {run: bits for bits, run in _WHITE_CODES + _EXT_CODES}
+    black = {run: bits for bits, run in _BLACK_CODES + _EXT_CODES}
+    return white, black
+
+
+def _ccitt_run_bits(run: int, table: dict) -> str:
+    out = []
+    while run >= 64:
+        makeup = min(2560, (run // 64) * 64)
+        out.append(table[makeup])
+        run -= makeup
+    out.append(table[run])
+    return "".join(out)
+
+
+def _row_transitions(row: list[int]) -> list[int]:
+    t, cur = [], 0  # runs alternate starting white (0)
+    for x, px in enumerate(row):
+        if px != cur:
+            t.append(x)
+            cur = px
+    t.append(len(row))
+    if len(t) % 2:
+        t.append(len(row))
+    return t
+
+
+def ccitt_g4_encode(bitmap: list[list[int]]) -> bytes:
+    """Group 4 (T.6 MMR) encoder over rows of 0(white)/1(black) pixels."""
+    white_t, black_t = _ccitt_tables()
+    columns = len(bitmap[0])
+    bits = []
+    ref = [columns, columns]
+    for row in bitmap:
+        line = _row_transitions(row)
+        a0, white, i = -1, True, 0
+        while a0 < columns:
+            a1 = line[i] if i < len(line) else columns
+            # b1: first ref transition > a0 starting a run of color
+            # opposite to a0's color (even index = white->black)
+            j = 0
+            while j < len(ref) and ref[j] <= a0:
+                j += 1
+            if (j % 2 == 0) != white:
+                j += 1
+            b1 = ref[j] if j < len(ref) else columns
+            b2 = ref[j + 1] if j + 1 < len(ref) else columns
+            if b2 < a1:
+                bits.append("0001")  # pass
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                bits.append(
+                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                     -1: "010", -2: "000010", -3: "0000010"}[d]
+                )
+                a0 = a1
+                white = not white
+                i += 1
+            else:
+                a2 = line[i + 1] if i + 1 < len(line) else columns
+                start = max(a0, 0)
+                t1 = white_t if white else black_t
+                t2 = black_t if white else white_t
+                bits.append("001")
+                bits.append(_ccitt_run_bits(a1 - start, t1))
+                bits.append(_ccitt_run_bits(a2 - a1, t2))
+                a0 = a2
+                i += 2
+        ref = line + [columns, columns]
+    bits.append("000000000001" * 2)  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[k : k + 8], 2) for k in range(0, len(s), 8))
+
+
+def ccitt_g3_1d_encode(bitmap: list[list[int]], eol: bool = True) -> bytes:
+    """Group 3 1-D (MH) encoder; EOL before each line when eol=True."""
+    white_t, black_t = _ccitt_tables()
+    columns = len(bitmap[0])
+    bits = []
+    for row in bitmap:
+        if eol:
+            bits.append("000000000001")
+        pos, white = 0, True
+        for t in _row_transitions(row):
+            table = white_t if white else black_t
+            bits.append(_ccitt_run_bits(t - pos, table))
+            pos, white = t, not white
+            if pos >= columns:
+                break
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[k : k + 8], 2) for k in range(0, len(s), 8))
+
+
+def _ccitt_test_bitmap(w: int = 16, h: int = 10) -> list[list[int]]:
+    """Deterministic pattern with runs, diagonals and isolated pixels —
+    exercises pass/vertical/horizontal 2-D modes."""
+    bm = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = 1 if (x + y) % 5 < 2 or (x == y) or (y == 2 and 4 <= x < 12) else 0
+            row.append(v)
+        bm.append(row)
+    return bm
+
+
+def _case_ccitt_images():
+    """CCITT-coded images: one G4 (K<0) and one G3 1-D (K=0) fax raster;
+    the engine must decode both to PNG (the scanned-document codec path,
+    reference src/vcl/filt_faxdss.pas via the filter factory)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Fax1 6 0 R /Fax2 7 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithFax) Tj ET /Fax1 Do /Fax2 Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    bm = _ccitt_test_bitmap()
+    g4 = ccitt_g4_encode(bm)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 10 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+        "/DecodeParms << /K -1 /Columns 16 /Rows 10 >> "
+        f"/Length {len(g4)} >>",
+        g4,
+    )
+    g3 = ccitt_g3_1d_encode(bm)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 10 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+        "/DecodeParms << /K 0 /Columns 16 /Rows 10 >> "
+        f"/Length {len(g3)} >>",
+        g3,
+    )
+    return b.build_classic(cat), "WithFax" + CRLF, 1
+
+
+CASES["ccitt_images"] = _case_ccitt_images

@@ -30,19 +30,32 @@ def as_of_join(
     timestamp, so an exactly-simultaneous right row matches.
     """
     lcols = left.columns
+    # carry ONE struct of all right_values with a single
+    # last(ignorenulls=True): the matched right row stays atomic even
+    # when individual value columns are NULL (carrying each column
+    # independently would stitch fields from different right rows)
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*lcols).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+        F.lit(None)
+        .cast(
+            "struct<" +
+            ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in right_values
+            )
+            + ">"
+        )
+        .alias("_rrow"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("_rrow"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -53,13 +66,10 @@ def as_of_join(
     carried = unioned.select(
         "_is_left",
         "_lrow",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in right_values
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rv"),
     )
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"_rv_{c}").alias(f"asof_{c}") for c in right_values],
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in right_values],
     )
     return out

@@ -212,10 +212,27 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return counts.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_dups(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by Hamming distance, bucketed on 16-bit sub-bands so
-    the join stays linear (a pair within distance 3 shares at least one
-    of 4 bands exactly)."""
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance, bucketed on sub-bands so the
+    join stays linear. Recall guarantee by pigeonhole: with
+    max_hamming + 1 bands, any pair within distance max_hamming has at
+    least one band its differing bits never touch, so it shares that
+    band's bucket exactly — no pair inside the radius is dropped.
+    (The r1 version fixed 4 bands but defaulted max_hamming=8, silently
+    dropping distance 4-8 pairs whose flips straddled all four bands.)
+    Band count scales with the radius; bucket width 64 // n_bands keeps
+    buckets selective down to 7 bits at max_hamming=8."""
+    n_bands = max_hamming + 1
+    if n_bands > 32:
+        raise ValueError("max_hamming > 31 makes bands degenerate (<2 bits)")
+    # split the 64 bits into n_bands near-equal contiguous spans
+    base, extra = divmod(64, n_bands)
+    spans = []
+    lo = 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        spans.append((lo, width))
+        lo += width
     sigs = simhash(documents)
     banded = sigs.select(
         "doc_id",
@@ -224,12 +241,12 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), lo)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bucket"),
                     )
-                    for b in range(4)
+                    for i, (lo, width) in enumerate(spans)
                 ]
             )
         ).alias("bb"),

@@ -270,30 +270,51 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(*aggs).orderBy("user_id")
 
 
-def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (the scale path swaps in
-    approx_count_distinct; exact here so the oracle matches)."""
+def distinct_users_per_type(
+    spark: SparkSession, sf_dir: str, exact: bool = True, rsd: float = 0.01
+) -> DataFrame:
+    """Distinct users per event type. exact=True (the oracle path) uses
+    countDistinct — an extra shuffle to dedupe (type, user) pairs before
+    counting. exact=False is the 100 TB path: approx_count_distinct's
+    HyperLogLog++ sketch merges map-side in constant memory, one shuffle
+    of tiny sketches instead of the full key set, with relative error
+    `rsd`."""
     e = _t(spark, sf_dir, "events")
+    agg = (
+        F.countDistinct("user_id")
+        if exact
+        else F.approx_count_distinct("user_id", rsd)
+    )
     return (
         e.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(agg.alias("n_users"))
         .orderBy("event_type")
     )
 
 
-def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event type (the scale path
-    swaps in percentile_approx / a sketch; exact here for the oracle)."""
+def value_quantiles(
+    spark: SparkSession, sf_dir: str, exact: bool = True, accuracy: int = 10000
+) -> DataFrame:
+    """Percentiles of value per event type. exact=True (the oracle path)
+    uses interpolated F.percentile, which buffers each group's values.
+    exact=False is the 100 TB path: percentile_approx's KLL/GK sketch is
+    bounded-memory and map-side mergeable (error ~1/accuracy). Approx
+    returns an exact data value nearest the quantile, not an
+    interpolation, so results legitimately differ in the last decimals."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
-        )
-        .orderBy("event_type")
-    )
+    if exact:
+        aggs = [
+            F.round(F.percentile("value", F.lit(q)), 4).alias(name)
+            for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    else:
+        aggs = [
+            F.round(
+                F.percentile_approx("value", F.lit(q), F.lit(accuracy)), 4
+            ).alias(name)
+            for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    return e.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
 def orders_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -424,15 +424,22 @@ class PdfDocument:
             return False
         return self.stm_ofs.get(ref.num, 0) != 0
 
-    def load_stream(self, num: int, gen: int = 0) -> bytes:
+    def load_stream(self, num: int, gen: int | None = None) -> bytes:
         """Fully decoded stream contents (pdf_load_stream,
-        src/vcl/mypdfstream.pas:658-701)."""
+        src/vcl/mypdfstream.pas:658-701). The per-object crypt key uses
+        the object's REAL generation from the xref (the reference passes
+        the xref gen to pdf_open_crypt); defaulting to 0 would decode
+        nonzero-gen streams to garbage under RC4/AESV2 while strings
+        (load_object) used the right key."""
         dict_ = self.load_object(num)
         if not isinstance(dict_, dict):
             raise PdfError("not_a_stream", f"{num} 0 R")
         stm_ofs = self.stm_ofs.get(num, 0)
         if not stm_ofs:
             raise PdfError("not_a_stream", f"{num} 0 R")
+        if gen is None:
+            entry = self.table.get(num)
+            gen = entry[2] if entry is not None else 0
         return self._stream_bytes(dict_, num, gen, stm_ofs, decrypt=True)
 
     def _stream_bytes(

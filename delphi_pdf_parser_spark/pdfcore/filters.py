@@ -3,11 +3,12 @@
 Covers the text path of the reference's filter factory
 (src/vcl/mypdfstream.pas:280-389): FlateDecode (+ predictors), LZWDecode
 (+ predictors, EarlyChange), ASCIIHexDecode, ASCII85Decode,
-RunLengthDecode, and the Crypt filter hook. Image-only codecs
-(CCITTFax/DCT/JBIG2/JPX) are deliberately not decoded — the text device
-never needs their payloads (device hints FZ_IGNORE_IMAGE,
-src/vcl/dev_textss.pas:395); they surface as decode-failure codes if a
-content stream ever names them.
+RunLengthDecode, CCITTFaxDecode (G3/G4 fax, see ccitt.py — the
+reference decodes fax on its image path, src/vcl/filt_faxdss.pas), and
+the Crypt filter hook. Remaining image-only codecs (DCT/JBIG2/JPX) are
+deliberately not transcoded — DCT/JPX payloads ARE interchange files and
+pass through raw on the image sink; the text device never needs image
+payloads (device hints FZ_IGNORE_IMAGE, src/vcl/dev_textss.pas:395).
 
 Predictor un-filtering (TIFF 2 and PNG 10-15 incl. Paeth) is vectorized
 with NumPy per stream (reference: src/vcl/fz_predictss.pas).
@@ -281,7 +282,7 @@ _FILTER_ALIASES = {
     "DCT": "DCTDecode",
 }
 
-_IMAGE_ONLY = {"CCITTFaxDecode", "DCTDecode", "JBIG2Decode", "JPXDecode"}
+_IMAGE_ONLY = {"DCTDecode", "JBIG2Decode", "JPXDecode"}
 
 
 def apply_filter(data: bytes, name: str, parms: dict | None) -> bytes:
@@ -300,6 +301,20 @@ def apply_filter(data: bytes, name: str, parms: dict | None) -> bytes:
         out = a85_decode(data)
     elif name == "RunLengthDecode":
         out = rl_decode(data)
+    elif name == "CCITTFaxDecode":
+        from .ccitt import CcittError, ccitt_decode
+
+        try:
+            out = ccitt_decode(
+                data,
+                columns=int(parms.get("Columns", 1728) or 1728),
+                rows=int(parms.get("Rows", 0) or 0),
+                k=int(parms.get("K", 0) or 0),
+                encoded_byte_align=bool(parms.get("EncodedByteAlign", False)),
+                black_is_1=bool(parms.get("BlackIs1", False)),
+            )
+        except CcittError as e:
+            raise FilterError(f"ccitt_decode_failed:{e}")
     elif name in _IMAGE_ONLY:
         raise FilterError(f"unsupported_filter:{name}")
     elif name == "Crypt":

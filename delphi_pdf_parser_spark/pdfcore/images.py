@@ -63,6 +63,43 @@ def write_png(width: int, height: int, ncomp: int, pixels: bytes) -> bytes:
     )
 
 
+def jpeg_sof(data: bytes) -> tuple[int, int, int, int] | None:
+    """Parse the SOFn marker of a JPEG stream -> (width, height,
+    n_components, bits_per_sample), or None if no frame header is found.
+    Walks marker segments per ISO/IEC 10918-1 (skip APPn/COM/DQT/... by
+    their 2-byte lengths; SOF0-3, 5-7, 9-11, 13-15 carry the frame)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    i = 2
+    n = len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        if marker == 0xD9:  # EOI
+            return None
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 < n and seg_len >= 8:
+                precision = data[i + 4]
+                height = (data[i + 5] << 8) | data[i + 6]
+                width = (data[i + 7] << 8) | data[i + 8]
+                ncomp = data[i + 9]
+                return width, height, ncomp, precision
+            return None
+        if marker == 0xDA:  # SOS without a prior SOF: give up
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def _filters_of(d: dict) -> list[str]:
     f = d.get("Filter") or d.get("F")
     if isinstance(f, Name):
@@ -143,6 +180,15 @@ def extract_image(doc: PdfDocument, num: int, obj: dict) -> ExtractedImage:
             from .filters import apply_filter
 
             raw = apply_filter(raw, f, None)
+        # report TRUE dimensions from the JPEG SOF header, like the
+        # reference reads them off the decoded pixmap (pdf_imagess.pas);
+        # the PDF dict values are only a claim
+        sof = jpeg_sof(raw)
+        if sof is not None:
+            width, height, ncomp, bpc = sof
+            csname = {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
+                ncomp, csname
+            )
         return ExtractedImage(
             num, width, height, bpc, csname, last, "jpeg", raw
         )
@@ -161,6 +207,20 @@ def extract_image(doc: PdfDocument, num: int, obj: dict) -> ExtractedImage:
 
     if bpc == 8 and ncomp in (1, 3) and len(pixels) >= width * height * ncomp:
         png = write_png(width, height, ncomp, pixels[: width * height * ncomp])
+        return ExtractedImage(num, width, height, bpc, csname, last, "png", png)
+
+    stride = (width + 7) // 8
+    if bpc == 1 and ncomp == 1 and len(pixels) >= stride * height:
+        # 1-bpc gray / ImageMask / decoded CCITT: expand bits to 8-bit
+        # gray (bit 1 -> 255) and write a real PNG, matching the
+        # reference's pixmap expansion (fz_pixmapss.pas unpack path)
+        gray = bytearray(width * height)
+        for y in range(height):
+            base = y * stride
+            for x in range(width):
+                if (pixels[base + (x >> 3)] >> (7 - (x & 7))) & 1:
+                    gray[y * width + x] = 255
+        png = write_png(width, height, 1, bytes(gray))
         return ExtractedImage(num, width, height, bpc, csname, last, "png", png)
 
     doc.note_failure(f"image_unsupported:{csname or 'unknown'}:{bpc}bpc")

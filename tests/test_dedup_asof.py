@@ -1,0 +1,146 @@
+"""Round-2 operator fixes: simhash recall guarantee, as-of join row
+atomicity, approx-variant flags."""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+
+
+def _doc_corpus(spark):
+    # small synthetic corpus with deliberate near-dups: shared phrases
+    # with k-token perturbations
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath ancient oak trees near silver rivers"
+    ).split()
+    rows = []
+    for i in range(24):
+        toks = list(base)
+        for j in range(i % 5):
+            toks[(7 * j + i) % len(toks)] = f"tok{i}_{j}"
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_recall_guarantee(spark):
+    """All pairs within max_hamming of each other must be returned —
+    pigeonhole banding means zero false negatives inside the radius.
+    Brute-force oracle over the full signature set."""
+    from delphi_pdf_parser_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    docs = _doc_corpus(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for max_h in (3, 8):
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            <= max_h
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_dups(docs, max_hamming=max_h).collect()
+        }
+        assert want <= got or want == got, (
+            f"max_hamming={max_h}: dropped pairs {want - got}"
+        )
+        # banding may not create false positives beyond the radius either
+        # (the hamming filter runs after candidate generation)
+        assert got == want, f"max_hamming={max_h}: extras {got - want}"
+
+
+def test_asof_join_atomic_right_row(spark):
+    """A right row with a NULL in one value column must be carried
+    atomically: the NULL stays NULL, not backfilled from an older row."""
+    from delphi_pdf_parser_spark.operators.asof import as_of_join
+
+    ts = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ts(10), "L1"), (1, ts(30), "L2")],
+        "k int, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(5), 100, 1.5),  # older row: both values present
+            (1, ts(20), 200, None),  # latest row before L2: price NULL
+        ],
+        "k int, rts timestamp, orderkey int, price double",
+    )
+    out = {
+        r["tag"]: (r["asof_orderkey"], r["asof_price"])
+        for r in as_of_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["orderkey", "price"],
+        ).collect()
+    }
+    assert out["L1"] == (100, 1.5)
+    # the broken per-column carry would stitch (200, 1.5); the latest
+    # right row is (200, NULL) and must arrive whole
+    assert out["L2"] == (200, None)
+
+
+def test_asof_join_still_matches_duckdb_oracle(spark):
+    """The events_asof_orders query path through the struct-carry rewrite
+    must still match the oracle (exercised at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sdf = E.queries()["events_asof_orders"](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    ddf = con.execute(E.oracle_sql()["events_asof_orders"]).fetch_df()
+    assert len(sdf) == len(ddf)
+    cols = sorted(sdf.columns)
+    a = sorted(map(str, sdf[cols].itertuples(index=False, name=None)))
+    b = sorted(map(str, ddf[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+def test_approx_variants_close_to_exact(spark):
+    from delphi_pdf_parser_spark.operators.relational import (
+        distinct_users_per_type,
+        value_quantiles,
+    )
+
+    exact_d = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_per_type(spark, SF_DIR, exact=True).collect()
+    }
+    approx_d = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_per_type(spark, SF_DIR, exact=False).collect()
+    }
+    assert set(exact_d) == set(approx_d)
+    for t, n in exact_d.items():
+        assert abs(approx_d[t] - n) <= max(2, 0.05 * n), (t, n, approx_d[t])
+
+    exact_q = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in value_quantiles(spark, SF_DIR, exact=True).collect()
+    }
+    approx_q = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in value_quantiles(spark, SF_DIR, exact=False).collect()
+    }
+    assert set(exact_q) == set(approx_q)
+    for t in exact_q:
+        for e, a in zip(exact_q[t], approx_q[t]):
+            # approx returns a nearest data value, exact interpolates:
+            # allow a small relative gap
+            assert abs(a - e) <= max(0.05, 0.05 * abs(e)), (t, e, a)

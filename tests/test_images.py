@@ -40,3 +40,80 @@ def test_text_unaffected_by_images():
 
     pdf, golden, _ = CASES["image_xobjects"]()
     assert extract_text(pdf).text == golden
+
+
+def test_ccitt_images_decode_to_png():
+    """G4 and G3-1D fax rasters must round-trip to real PNGs whose pixels
+    equal the fixture bitmap (black->0, white->255)."""
+    import zlib as _z
+
+    from delphi_pdf_parser_spark.fixtures import _ccitt_test_bitmap
+
+    pdf, _, _ = CASES["ccitt_images"]()
+    images = [im for im in extract_images(pdf)]
+    assert len(images) == 2
+    bm = _ccitt_test_bitmap()
+    for im in images:
+        assert im.format == "png", (im.obj_num, im.format)
+        assert (im.width, im.height, im.bpc) == (16, 10, 1)
+        i = im.data.index(b"IDAT") - 4
+        (length,) = struct.unpack(">I", im.data[i : i + 4])
+        raw = _z.decompress(im.data[i + 8 : i + 8 + length])
+        # rows: 1 filter byte + 16 gray bytes
+        for y in range(10):
+            row = raw[y * 17 + 1 : y * 17 + 17]
+            want = bytes(0 if bm[y][x] else 255 for x in range(16))
+            assert row == want, (im.obj_num, y, row.hex(), want.hex())
+
+
+def test_ccitt_text_still_verifies():
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    pdf, golden, _ = CASES["ccitt_images"]()
+    assert extract_text(pdf).text == golden
+
+
+def test_jpeg_sof_reports_true_dimensions():
+    """DCT rows must report width/height/components from the SOF header,
+    not the PDF dict's claim."""
+    import zlib as _z
+
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder
+    from delphi_pdf_parser_spark.pdfcore.images import jpeg_sof
+
+    # minimal JPEG skeleton: SOI, APP0, SOF0 (17x23, 3 comps, 8-bit), EOI
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
+        + struct.pack(">HH", 23, 17) + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + sof
+        + b"\xff\xd9"
+    )
+    assert jpeg_sof(jpg) == (17, 23, 3, 8)
+
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"/Im1 Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    # dict LIES: claims 4x4 gray; SOF says 17x23 RGB
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /DCTDecode "
+        f"/Length {len(jpg)} >>",
+        jpg,
+    )
+    images = extract_images(b.build_classic(cat))
+    assert len(images) == 1
+    im = images[0]
+    assert (im.width, im.height, im.colorspace, im.bpc) == (
+        17, 23, "DeviceRGB", 8,
+    )
