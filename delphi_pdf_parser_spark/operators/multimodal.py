@@ -1,11 +1,13 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads ride as ``binary`` columns exactly like the
-PDF bytes do. The decode step is STUBBED (no image/audio libraries in
-this container) behind ``decode_image`` raising NotImplementedError and a
-deterministic fake decoder used by tests — but the Spark-side plumbing
-(schema, Arrow batch shape, mapInPandas signature, partitioning) is real
-and exercised.
+PDF bytes do. Since r2 the image decode step is REAL for the formats a
+pure-Python decoder can own (BMP / PPM-PGM / non-interlaced 8-bit PNG —
+see operators/mediadec.py); formats that need an entropy codec not in
+this runtime (JPEG/WebP) surface a decode_status failure code instead,
+the same contract the PDF pipeline uses. The Spark plumbing — schema,
+Arrow batch shape, mapInPandas signature, partitioning — is identical
+for every format.
 """
 
 from __future__ import annotations
@@ -26,6 +28,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .mediadec import (  # noqa: F401  (decode_image is this module's API too)
+    MediaDecodeError,
+    UnsupportedMediaError,
+    decode_image,
+    encode_bmp,
+)
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -43,32 +52,46 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("mean_byte", DoubleType()),
         StructField("checksum", StringType()),
+        # real decoded-pixel features (NULL when decode_status != ok)
+        StructField("decode_status", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ncomp", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
     ]
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode needs an imaging library not present in this runtime.
-    The Spark plumbing around it is fully tested with the deterministic
-    fake below."""
-    raise NotImplementedError(
-        "image decode requires an imaging library unavailable in this "
-        "container; wire PIL/libvips here on a real cluster"
-    )
+def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic REAL payloads: even doc_ids get an 8x8 gray BMP whose
+    pixels derive from md5(text); odd doc_ids get an opaque 'audio' blob
+    (no pure-Python audio codec — byte features only)."""
+    import hashlib
+
+    for b in batches:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            doc_id = int(doc_id)
+            seed = hashlib.md5((text or "").encode("utf-8")).digest()
+            blob = (seed * ((64 // len(seed)) + 1))[:64]
+            if doc_id % 2 == 0:
+                payload = encode_bmp(8, 8, 1, blob)
+                mtype = "image/bmp"
+            else:
+                payload = b"FAKEAUD0" + blob
+                mtype = "audio/fake"
+            rows.append((doc_id, payload, mtype, 8, 8))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+        )
 
 
 def synth_media(documents: DataFrame) -> DataFrame:
-    """Attach a deterministic fake binary payload per document (stands in
-    for a decoded-at-ingest thumbnail / audio clip)."""
-    payload = F.sha2(F.col("text"), 256).cast("binary")
-    return documents.select(
-        "doc_id",
-        payload.alias("media"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("image/fake")).otherwise(
-            F.lit("audio/fake")
-        ).alias("media_type"),
-        F.lit(8).alias("width"),
-        F.lit(8).alias("height"),
+    """Attach a deterministic binary payload per document (stands in for
+    a decoded-at-ingest thumbnail / audio clip). Image payloads are real
+    BMP files so the decode path below runs on real pixels."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _synth_batches, MEDIA_SCHEMA
     )
 
 
@@ -82,6 +105,17 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, media, mtype in zip(b["doc_id"], b["media"], b["media_type"]):
             data = bytes(media)
             arr = np.frombuffer(data, dtype=np.uint8)
+            status, w, h, nc, mp = "not_image", None, None, None, None
+            if str(mtype).startswith("image/"):
+                try:
+                    w, h, nc, pixels = decode_image(data)
+                    px = np.frombuffer(pixels, dtype=np.uint8)
+                    mp = round(float(px.mean()), 4) if len(px) else 0.0
+                    status = "ok"
+                except UnsupportedMediaError as e:
+                    status, w, h, nc = f"unsupported:{e}", None, None, None
+                except MediaDecodeError as e:
+                    status = f"corrupt:{e}"
             rows.append(
                 (
                     int(doc_id),
@@ -89,12 +123,18 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     len(data),
                     round(float(arr.mean()), 4) if len(arr) else 0.0,
                     hashlib.md5(data).hexdigest(),
+                    status,
+                    w,
+                    h,
+                    nc,
+                    mp,
                 )
             )
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over the binary column — the same
-    batch shape a real decode/resize/frame-sample UDF uses."""
+    """mapInPandas feature extraction over the binary column: byte-level
+    stats for every payload + real decoded-pixel features (dimensions,
+    components, mean pixel) for decodable image formats."""
     return media.mapInPandas(_feature_batches, FEATURE_SCHEMA)
