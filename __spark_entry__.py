@@ -220,6 +220,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "kind", "level", "page", "title"
         )
 
+    def q_pdf_op_census(spark, sf_dir):
+        from delphi_pdf_parser_spark.operators.census import (
+            document_op_census,
+        )
+        from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+        return document_op_census(fixture_documents(spark)).orderBy(
+            "url", "page"
+        )
+
     def q_multimodal_features(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.multimodal import (
             extract_media_features,
@@ -239,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_stat_pass": _q_pdf_stat_pass,
         "pdf_images": q_pdf_images,
         "pdf_navigation": q_pdf_navigation,
+        "pdf_op_census": q_pdf_op_census,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
         "broadcast_dim_join": relational.broadcast_dim_join,

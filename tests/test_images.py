@@ -117,3 +117,27 @@ def test_jpeg_sof_reports_true_dimensions():
     assert (im.width, im.height, im.colorspace, im.bpc) == (
         17, 23, "DeviceRGB", 8,
     )
+
+
+def test_op_census_counts():
+    """Display-list census: per-page operator-category counts, with form
+    XObject recursion and inline-image payload skipping."""
+    from delphi_pdf_parser_spark.pdfcore.opcensus import op_census
+
+    pdf, _, _ = CASES["image_xobjects"]()
+    (row,) = op_census(pdf)
+    assert row["image"] == 2 and row["text"] == 5 and row["n_ops"] == 7
+
+    pdf, _, _ = CASES["xobject_form"]()
+    (row,) = op_census(pdf)
+    assert row["form"] == 1
+    assert row["text"] > 5  # the form's inner text ops were counted
+
+    pdf, _, _ = CASES["inline_image_skip"]()
+    (row,) = op_census(pdf)
+    assert row["image"] == 1  # BI counted once, payload skipped cleanly
+
+    pdf, _, _ = CASES["multipage"]()
+    rows = op_census(pdf)
+    assert [r["page"] for r in rows] == [0, 1, 2]
+    assert all(r["n_ops"] > 0 for r in rows)

@@ -111,6 +111,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "ann_ivf_topk",
         "multimodal_features",
         "compression_ratio",
+        "pdf_op_census",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
@@ -125,6 +126,7 @@ def test_rows_only_queries_run(spark):
         "pdf_images",
         "pdf_navigation",
         "pdf_stat_pass",
+        "pdf_op_census",
         "compression_ratio",
     ):
         df = QUERIES[name](spark, SF_DIR)
