@@ -37,8 +37,23 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact token-set Jaccard over same-source candidate pairs."""
+def token_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_block: int | None = 100_000,
+) -> DataFrame:
+    """Exact token-set Jaccard over same-source candidate pairs.
+
+    SCALE GATE: this is quadratic WITHIN each `source` block — correct as
+    the verify stage AFTER LSH bucketing (minhash_lsh's candidate sets
+    are small), but a scale-killer if run standalone over an unbounded
+    block. `max_block` caps the quadratic blow-up: sources whose document
+    count exceeds it are EXCLUDED from pairing (a silent cap would read
+    as full coverage — audit excluded sources with
+    documents.groupBy("source").count().filter(...) before trusting the
+    output). Pass max_block=None only when block sizes are known-bounded
+    upstream (e.g. LSH bucket output).
+    """
     toks = documents.select(
         "doc_id",
         "source",
@@ -46,6 +61,16 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
             "tokset"
         ),
     )
+    if max_block is not None:
+        # no explicit broadcast: the per-source count table's size is
+        # data-dependent (could be millions of sources) — AQE picks
+        # broadcast when it fits
+        sizes = toks.groupBy("source").agg(F.count("*").alias("_block_n"))
+        toks = (
+            toks.join(sizes, "source")
+            .filter(F.col("_block_n") <= max_block)
+            .drop("_block_n")
+        )
     a = toks.alias("a")
     b = toks.alias("b")
     pairs = a.join(b, on="source").filter(F.col("a.doc_id") < F.col("b.doc_id"))

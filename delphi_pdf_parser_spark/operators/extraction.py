@@ -407,9 +407,27 @@ def extract_documents_balanced(
         small, salt_partitions=salt_partitions, prefilter=False, salt=salt
     )
 
+    chunks = extract_whale_chunks(
+        big, pages_per_chunk=pages_per_chunk, partitions=salt_partitions
+    )
+    big_out = chunks.groupBy("url").applyInPandas(
+        _merge_chunks, EXTRACTED_SCHEMA
+    )
+    return small_out.unionByName(big_out)
+
+
+def extract_whale_chunks(
+    big: DataFrame,
+    pages_per_chunk: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The chunk stage of balanced extraction, exposed separately so the
+    CHUNK-LEVEL lineage (per-chunk partition_id + wall_ms) can feed the
+    metrics table / skew evidence — after _merge_chunks a whale's summed
+    wall_ms is attributed to one partition_id, which would misread as
+    skew that the chunk spreading actually eliminated."""
     parts = (
-        salt_partitions
-        or documents.sparkSession.sparkContext.defaultParallelism
+        partitions or big.sparkSession.sparkContext.defaultParallelism
     )
     planned = (
         big.withColumn("_npages", _count_pages_udf()(F.col("html")))
@@ -430,13 +448,9 @@ def extract_documents_balanced(
         # the duplication is small relative to the corpus)
         .repartition(parts, F.xxhash64("url", "chunk_idx"))
     )
-    chunks = planned.mapInPandas(
+    return planned.mapInPandas(
         _chunk_extract_batches(pages_per_chunk), CHUNK_SCHEMA
     )
-    big_out = chunks.groupBy("url").applyInPandas(
-        _merge_chunks, EXTRACTED_SCHEMA
-    )
-    return small_out.unionByName(big_out)
 
 
 def metrics_table(extracted: DataFrame, input_split: str = "") -> DataFrame:
