@@ -230,7 +230,9 @@ class FontDesc:
                 cid[code] = ent[0]
                 ucs[code] = ent[1][0]
                 w[code] = ent[2]
-        self._fast_arrays = (ok, cid, ucs, w)
+        # cu: stacked (2, 256) so the show path gathers cid+ucs with ONE
+        # fancy-index instead of two
+        self._fast_arrays = (ok, cid, ucs, w, np.stack([cid, ucs]))
         return self._fast_arrays
 
 

@@ -263,7 +263,7 @@ class CSI:
         if len(buf) >= 16:
             fa = font.fast_arrays()
             if fa is not None:
-                ok, cid_a, ucs_a, w_a = fa
+                ok, cid_a, ucs_a, w_a, cu_a = fa
                 codes = np.frombuffer(buf, dtype=np.uint8)
                 if ok[codes].all():
                     # per-char tx = (w*k + char_space)*scale, word_space
@@ -273,21 +273,21 @@ class CSI:
                         tx = tx + (codes == 32) * (word_space * scale)
                     # bit-exact accumulation: seed the cumsum with te/tf so
                     # every partial sum matches the scalar loop's fold order
-                    ce = np.empty(len(buf) + 1)
-                    ce[0] = te
-                    ce[1:] = tx * ta
-                    np.cumsum(ce, out=ce)
-                    cf = np.empty(len(buf) + 1)
-                    cf[0] = tf
-                    cf[1:] = tx * tb
-                    np.cumsum(cf, out=cf)
+                    # (one 2-row cumsum call; rows are C-contiguous)
+                    c = np.empty((2, len(buf) + 1))
+                    c[0, 0] = te
+                    c[1, 0] = tf
+                    c[0, 1:] = tx * ta
+                    c[1, 1:] = tx * tb
+                    np.cumsum(c, axis=1, out=c)
+                    cu = cu_a[:, codes]
                     t.add_block(
-                        cid_a[codes],
-                        ucs_a[codes],
-                        base_e + ce[:-1],
-                        base_f + cf[:-1],
+                        cu[0],
+                        cu[1],
+                        base_e + c[0, :-1],
+                        base_f + c[1, :-1],
                     )
-                    self.tm = (ta, tb, tc, td, float(ce[-1]), float(cf[-1]))
+                    self.tm = (ta, tb, tc, td, float(c[0, -1]), float(c[1, -1]))
                     return
 
         parts = t.parts

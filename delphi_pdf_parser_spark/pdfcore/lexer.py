@@ -372,14 +372,16 @@ def _bulk_fill(lexer: "Lexer") -> list:
     pos = lexer.pos
     buf: list = []
     append = buf.append
+    # integer dispatch on lastindex (groupindex: num=1 str=2 sbody=3
+    # name=4 kw=5 arr=6; a 'str' match reports lastindex 2, not 3)
     for m in _BULK_TOKEN_RE.finditer(data, pos, lexer.end):
         if m.start() != pos:
             break  # unhandled byte at pos -> classic scanner's turn
         pos = m.end()
-        g = m.lastgroup
+        g = m.lastindex
         if g is None:
             continue  # whitespace / comment run
-        if g == "num":
+        if g == 1:  # num
             raw = m.group()
             if b"." in raw:
                 try:
@@ -388,12 +390,12 @@ def _bulk_fill(lexer: "Lexer") -> list:
                     append((TOK_REAL, 0.0, pos))
             else:
                 append((TOK_INT, int(raw), pos))
-        elif g == "str":
-            append((TOK_STRING, m.group("sbody"), pos))
-        elif g == "kw":
+        elif g == 5:  # kw
             raw = m.group()
             append((_KEYWORD_TOKENS.get(raw, TOK_KEYWORD), raw, pos))
-        elif g == "name":
+        elif g == 2:  # str
+            append((TOK_STRING, m.group(3), pos))
+        elif g == 4:  # name
             raw = m.group()[1:]
             if b"#" in raw:
                 raw = _hexesc_re.sub(
