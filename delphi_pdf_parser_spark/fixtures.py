@@ -1813,3 +1813,219 @@ def _case_ccitt_images():
 
 
 CASES["ccitt_images"] = _case_ccitt_images
+
+
+# --- baseline JPEG encoder (fixture side) -------------------------------------
+# Independent of pdfcore/jpeg.py: the decoder reads ALL tables from the
+# stream, so the encoder ships its own (simple fixed-length canonical
+# Huffman tables + chosen quant tables) inside DQT/DHT segments.
+
+
+def _jpeg_huff_fixed(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Canonical table with every symbol at the same code length L,
+    L chosen so one leaf is spare (avoids the all-ones code)."""
+    L = 1
+    while (1 << L) < len(symbols) + 1:
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(symbols)
+    return counts, list(symbols)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size t, t-bit code) per T.81 F.1.2.1 (negative values use the
+    one's-complement low bits)."""
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    ncomp: int,
+    pixels: bytes,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder (gray or RGB->YCbCr; 4:4:4 or 4:2:0 when
+    subsample=True). quant=1 gives near-lossless round-trips (DCT float
+    rounding only) for pinning the decoder."""
+    import numpy as np
+
+    from delphi_pdf_parser_spark.pdfcore.jpeg import _B, _ZIGZAG
+
+    if ncomp == 1:
+        planes = [
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
+        samps = [(1, 1)]
+    elif ncomp == 3:
+        rgb = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width, 3)
+            .astype(np.float64)
+        )
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [
+            (1, 1), (1, 1), (1, 1)
+        ]
+    else:
+        raise ValueError(f"jpeg_encode: ncomp {ncomp}")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # pad each plane (edge replicate) to its mcu-aligned sampled size;
+    # subsampled chroma averages 2x2 neighborhoods
+    comp_planes = []
+    for (hi, vi), p in zip(samps, planes):
+        if (hi, vi) != (hmax, vmax):
+            ry, rx = vmax // vi, hmax // hi
+            ph = -(-p.shape[0] // ry) * ry
+            pw = -(-p.shape[1] // rx) * rx
+            pp = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+            p = pp.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        comp_planes.append(p)
+
+    qtab = np.full(64, float(quant))
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_counts, dc_vals = _jpeg_huff_fixed(dc_syms)
+    ac_counts, ac_vals = _jpeg_huff_fixed(ac_syms)
+
+    def _codes(counts, vals):
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return table
+
+    dc_code = _codes(dc_counts, dc_vals)
+    ac_code = _codes(ac_counts, ac_vals)
+
+    bw = _JpegBitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                bw.out += bytes((0xFF, 0xD0 + (rst & 7)))
+                rst += 1
+                pred = [0] * len(planes)
+            for ci, ((hi, vi), p) in enumerate(zip(samps, comp_planes)):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        s = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        f = _B @ s @ _B.T
+                        zz = np.round(f.reshape(64)[_ZIGZAG] / qtab).astype(
+                            int
+                        )
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, code = _jpeg_category(diff)
+                        ln, c = dc_code[t]
+                        bw.write(c, ln)
+                        if t:
+                            bw.write(code, t)
+                        k = 1
+                        while k < 64:
+                            run = 0
+                            while k < 64 and zz[k] == 0:
+                                run += 1
+                                k += 1
+                            if k == 64:
+                                ln, c = ac_code[0x00]  # EOB
+                                bw.write(c, ln)
+                                break
+                            while run > 15:
+                                ln, c = ac_code[0xF0]  # ZRL
+                                bw.write(c, ln)
+                                run -= 16
+                            t, code = _jpeg_category(int(zz[k]))
+                            ln, c = ac_code[(run << 4) | t]
+                            bw.write(c, ln)
+                            bw.write(code, t)
+                            k += 1
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qtab))
+    sofc = bytearray(struct.pack(">BHHB", 8, height, width, len(planes)))
+    for ci, (hi, vi) in enumerate(samps):
+        sofc += bytes((ci + 1, (hi << 4) | vi, 0))
+    out += seg(0xC0, bytes(sofc))
+    dht = bytearray()
+    dht += bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals)
+    out += seg(0xC4, bytes(dht))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes((ci + 1, 0x00))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -4,8 +4,9 @@ No imaging library exists in this runtime, so the formats a pure-Python
 decoder can own are implemented for real: uncompressed BMP (8-bit gray /
 24-bit BGR), binary PPM/PGM (P5/P6), and non-interlaced 8-bit PNG
 (gray / RGB / gray+alpha / RGBA — zlib inflate + per-row filter undo,
-reusing the vectorized PNG un-predictor from pdfcore.filters). Formats
-that need an entropy codec we don't ship (JPEG/WebP/...) raise
+reusing the vectorized PNG un-predictor from pdfcore.filters), and
+baseline JPEG via the from-scratch DCT decoder in pdfcore/jpeg.py.
+Still-unsupported formats (WebP, progressive JPEG, ...) raise
 UnsupportedMediaError and surface as a decode-status column, the same
 contract the PDF pipeline uses for its failure codes.
 """
@@ -38,7 +39,18 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:2] == b"\xff\xd8":
-        raise UnsupportedMediaError("jpeg (no entropy codec in runtime)")
+        from delphi_pdf_parser_spark.pdfcore.jpeg import (
+            JpegError,
+            UnsupportedJpegError,
+            jpeg_decode,
+        )
+
+        try:
+            return jpeg_decode(payload)
+        except UnsupportedJpegError as e:
+            raise UnsupportedMediaError(f"jpeg: {e}")
+        except JpegError as e:
+            raise MediaDecodeError(f"jpeg: {e}")
     raise UnsupportedMediaError(f"unknown magic {payload[:4]!r}")
 
 

@@ -7,12 +7,16 @@ src/vcl/fz_pixmapss.pas:562/415).
 
 Here:
 - the scan is the same full-table sweep over the object table
-- DCT (JPEG) and JPX payloads pass through RAW — the undecoded stream IS
-  the interchange file, no transcode needed
+- DCT (JPEG) payloads pass through RAW by default — the undecoded
+  stream IS the interchange file (true dimensions still read from SOF);
+  transcode=True decodes via pdfcore/jpeg.py and writes PNG for full
+  reference parity. JPX passes through raw.
 - Flate/LZW-compressed raster images with 8-bit gray/RGB(A) decode and
   re-encode as real PNGs via the pure-Python writer below
-- anything else (CCITT, JBIG2, exotic colorspaces, sub-byte depths)
-  ships raw with format='raw' and a decode-failure code
+- CCITT G3/G4 decodes via pdfcore/ccitt.py; 1-bpc rasters expand to
+  8-bit gray PNGs
+- anything else (JBIG2, exotic colorspaces, sub-byte depths) ships raw
+  with format='raw' and a decode-failure code
 """
 
 from __future__ import annotations
@@ -158,7 +162,9 @@ def iter_images(doc: PdfDocument):
         yield num, obj
 
 
-def extract_image(doc: PdfDocument, num: int, obj: dict) -> ExtractedImage:
+def extract_image(
+    doc: PdfDocument, num: int, obj: dict, transcode: bool = False
+) -> ExtractedImage:
     width = to_int(doc.get(obj, "Width"))
     height = to_int(doc.get(obj, "Height"))
     bpc = to_int(doc.get(obj, "BitsPerComponent")) or 8
@@ -189,6 +195,22 @@ def extract_image(doc: PdfDocument, num: int, obj: dict) -> ExtractedImage:
             csname = {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
                 ncomp, csname
             )
+        if transcode:
+            # full reference parity (the Delphi path always decodes to a
+            # pixmap and writes PNG): baseline DCT decode + PNG re-encode.
+            # Default off — the raw payload IS an interchange file, and
+            # at corpus scale the transcode is pure cost.
+            from .jpeg import JpegError, jpeg_decode
+
+            try:
+                w2, h2, nc2, pixels = jpeg_decode(raw)
+                if nc2 in (1, 3):
+                    png = write_png(w2, h2, nc2, pixels)
+                    return ExtractedImage(
+                        num, w2, h2, 8, csname, last, "png", png
+                    )
+            except JpegError:
+                doc.note_failure("image_decode_failed:jpeg")
         return ExtractedImage(
             num, width, height, bpc, csname, last, "jpeg", raw
         )
@@ -227,9 +249,9 @@ def extract_image(doc: PdfDocument, num: int, obj: dict) -> ExtractedImage:
     return ExtractedImage(num, width, height, bpc, csname, last, "raw", pixels)
 
 
-def extract_images(data: bytes) -> list[ExtractedImage]:
+def extract_images(data: bytes, transcode: bool = False) -> list[ExtractedImage]:
     doc = PdfDocument(data)
     out = []
     for num, obj in iter_images(doc):
-        out.append(extract_image(doc, num, obj))
+        out.append(extract_image(doc, num, obj, transcode=transcode))
     return out

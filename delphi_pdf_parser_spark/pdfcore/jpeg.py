@@ -1,0 +1,320 @@
+"""Baseline JPEG (DCT) decoder, from scratch.
+
+The reference fully decodes DCT images to pixmaps on its image path (the
+DCTD filter in src/vcl/fz_filterss.pas via the factory
+src/vcl/mypdfstream.pas:280-389). This module reproduces baseline
+sequential JFIF decoding with NumPy: marker walk, DQT/DHT/SOF0/SOS/DRI,
+canonical Huffman decode (tables come FROM THE STREAM, none built in),
+dequantize, zigzag, 8x8 IDCT as two matmuls against the orthonormal DCT
+basis, replicate upsampling for subsampled chroma, YCbCr->RGB per JFIF.
+
+Supported: SOF0 (and SOF1) gray / 3-component, 8-bit, h/v factors <= 2,
+restart intervals. Progressive (SOF2), arithmetic coding, 12-bit, CMYK
+raise UnsupportedJpegError — surfaced as decode-status codes upstream.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(Exception):
+    pass
+
+
+class UnsupportedJpegError(JpegError):
+    pass
+
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: B[u, x] = C(u)/2 cos((2x+1)u pi/16).
+    spatial = B.T @ coeffs @ B; coeffs = B @ spatial @ B.T."""
+    b = np.zeros((8, 8))
+    for u in range(8):
+        c = (0.5 / np.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            b[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return b
+
+
+_B = _dct_basis()
+
+
+class _HuffTable:
+    """Canonical Huffman per ITU T.81 Annex C: code lengths 1..16 with
+    counts[], then values in code order."""
+
+    __slots__ = ("lookup", "max_len")
+
+    def __init__(self, counts: list[int], values: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                k += 1
+                code += 1
+            code <<= 1
+        self.max_len = max((l for (l, _c) in self.lookup), default=0)
+
+
+class _BitReader:
+    """MSB-first over entropy-coded data; 0xFF00 stuffing removed; stops
+    at any other marker (caller handles RSTn)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            return False
+        byte = d[p]
+        if byte == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2
+            else:
+                return False  # a real marker: stop
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # T.81: missing bits read as 0 past the segment
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, table.max_len + 1):
+            code = (code << 1) | self.read_bit()
+            v = table.lookup.get((length, code))
+            if v is not None:
+                return v
+        raise JpegError("bad huffman code")
+
+    def align(self) -> None:
+        self.nbits = 0
+
+    def skip_rst(self) -> None:
+        """Consume an RSTn marker at the current byte position."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            p += 2
+            self.pos = p
+            return
+        raise JpegError("expected RST marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """-> (width, height, ncomp, pixels row-major 8-bit)."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        body[j : j + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(
+                        body[j : j + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    j += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = list(body[j + 1 : j + 17])
+                total = sum(counts)
+                values = bytes(body[j + 17 : j + 17 + total])
+                j += 17 + total
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    counts, values
+                )
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise UnsupportedJpegError(f"{precision}-bit precision")
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            nc = body[5]
+            if nc not in (1, 3):
+                raise UnsupportedJpegError(f"{nc} components")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise UnsupportedJpegError(f"sampling {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpegError(f"SOF{marker - 0xC0} coding")
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append((comp, tt >> 4, tt & 15))
+            return _decode_scan(
+                data, i + 2 + seg_len, frame, scan, qt, huff_dc,
+                huff_ac, restart_interval,
+            )
+        i += 2 + seg_len
+    raise JpegError("no SOS marker")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.align()
+                br.skip_rst()
+                pred = [0] * len(comps)
+            for ci, (comp, tdc, tac) in enumerate(scan):
+                dct = huff_dc.get(tdc)
+                act = huff_ac.get(tac)
+                q = qt.get(comp["tq"])
+                if dct is None or act is None or q is None:
+                    raise JpegError("missing table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = br.decode_huff(dct)
+                        diff = _extend(br.read_bits(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz * q
+                        f = block.reshape(8, 8)
+                        spatial = _B.T @ f @ _B + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    # upsample to full resolution and crop
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    y, cb, cr = full
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(x), 0, 255).astype(np.uint8) for x in (r, g, b)],
+        axis=-1,
+    )
+    return w, h, 3, rgb.tobytes()

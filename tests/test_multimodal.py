@@ -61,7 +61,8 @@ def test_pnm_decode():
 
 
 def test_unsupported_and_corrupt():
-    with pytest.raises(UnsupportedMediaError):
+    # jpeg is a SUPPORTED format since r2 — a truncated blob is corrupt
+    with pytest.raises(MediaDecodeError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(UnsupportedMediaError):
         decode_image(b"RIFFxxxxWEBP")
@@ -102,3 +103,109 @@ def test_media_features_decode_real_pixels(spark):
             assert r["decode_status"] == "not_image"
             assert r["width"] is None and r["mean_pixel"] is None
     assert n_img > 0
+
+
+def test_jpeg_decode_roundtrip():
+    """Baseline DCT decode: near-lossless at quant=1 for gray/RGB 4:4:4,
+    exact for uniform blocks, restart markers honored, subsampled chroma
+    within tolerance on a smooth gradient."""
+    import numpy as np
+
+    from delphi_pdf_parser_spark.fixtures import jpeg_encode
+    from delphi_pdf_parser_spark.pdfcore.jpeg import jpeg_decode
+
+    rng = np.random.RandomState(7)
+
+    jp = jpeg_encode(16, 16, 1, bytes([77]) * 256)
+    w, h, nc, out = jpeg_decode(jp)
+    assert (w, h, nc) == (16, 16, 1)
+    assert out == bytes([77]) * 256  # DC-only: exact
+
+    px = rng.randint(0, 256, 24 * 17, dtype=np.uint8).tobytes()
+    _, _, _, out = jpeg_decode(jpeg_encode(17, 24, 1, px))
+    a = np.frombuffer(px, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+    px = rng.randint(0, 256, 20 * 12 * 3, dtype=np.uint8).tobytes()
+    _, _, nc, out = jpeg_decode(jpeg_encode(20, 12, 3, px))
+    assert nc == 3
+    a = np.frombuffer(px, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1
+    ).astype(np.uint8).tobytes()
+    _, _, _, out = jpeg_decode(
+        jpeg_encode(48, 32, 3, smooth, subsample=True)
+    )
+    a = np.frombuffer(smooth, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 4  # 4:2:0 chroma averaging
+
+    px = rng.randint(0, 256, 64 * 64, dtype=np.uint8).tobytes()
+    _, _, _, out = jpeg_decode(
+        jpeg_encode(64, 64, 1, px, restart_interval=3)
+    )
+    a = np.frombuffer(px, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+    # decode_image routes jpeg payloads through the real decoder now
+    w, h, nc, _ = decode_image(jpeg_encode(8, 8, 1, bytes(range(64))))
+    assert (w, h, nc) == (8, 8, 1)
+
+    import pytest as _pytest
+
+    from delphi_pdf_parser_spark.pdfcore.jpeg import UnsupportedJpegError
+
+    prog = jpeg_encode(8, 8, 1, bytes(64)).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+    with _pytest.raises(UnsupportedJpegError):
+        jpeg_decode(prog)
+
+
+def test_pdf_dct_transcode_path():
+    """extract_images(transcode=True) decodes a real embedded DCT image
+    to PNG with the true pixels (reference parity mode)."""
+    import struct as _struct
+    import zlib as _z
+
+    import numpy as np
+
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder, jpeg_encode
+    from delphi_pdf_parser_spark.pdfcore.images import extract_images
+
+    px = bytes([40 + (i % 3) * 60] * 1 for i in range(0))  # placeholder
+    gray = bytes((x * 16 + y) % 256 for y in range(16) for x in range(16))
+    jp = jpeg_encode(16, 16, 1, gray)
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"/Im1 Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /DCTDecode "
+        f"/Length {len(jp)} >>",
+        jp,
+    )
+    pdf = b.build_classic(cat)
+    (raw_im,) = extract_images(pdf)
+    assert raw_im.format == "jpeg"  # default: passthrough
+    (png_im,) = extract_images(pdf, transcode=True)
+    assert png_im.format == "png" and (png_im.width, png_im.height) == (16, 16)
+    i = png_im.data.index(b"IDAT") - 4
+    (length,) = _struct.unpack(">I", png_im.data[i : i + 4])
+    rows = _z.decompress(png_im.data[i + 8 : i + 8 + length])
+    got = b"".join(rows[y * 17 + 1 : y * 17 + 17] for y in range(16))
+    a = np.frombuffer(gray, np.uint8).astype(int)
+    g = np.frombuffer(got, np.uint8).astype(int)
+    assert np.abs(a - g).max() <= 1
