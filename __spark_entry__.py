@@ -230,6 +230,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "page"
         )
 
+    def q_warc_ingest(spark, sf_dir):
+        """Common-Crawl-style source: deterministic WARC segments (one
+        plain, one per-record-gzip) -> documents table -> extraction.
+        Rows-only (binary WARC framing has no SQL analogue)."""
+        import os
+        import tempfile
+
+        from delphi_pdf_parser_spark.fixtures import bench_pdf, build_warc
+        from delphi_pdf_parser_spark.operators.extraction import (
+            extract_documents,
+        )
+        from delphi_pdf_parser_spark.sources.warc import read_warc
+
+        d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_fixture")
+        os.makedirs(d, exist_ok=True)
+        recs = [
+            {
+                "url": f"https://warc.example/{i:03d}.pdf",
+                "date": f"2024-03-05T12:00:{i % 60:02d}Z",
+                "payload": bench_pdf(seed=500 + i, npages=1 + i % 3),
+                "content_type": "application/pdf",
+            }
+            for i in range(20)
+        ]
+        plain = os.path.join(d, "seg-0.warc")
+        gz = os.path.join(d, "seg-1.warc.gz")
+        if not os.path.exists(plain):
+            with open(plain, "wb") as f:
+                f.write(build_warc(recs[:10]))
+            with open(gz, "wb") as f:
+                f.write(build_warc(recs[10:], gzip_members=True))
+        docs = read_warc(spark, d)
+        return (
+            extract_documents(docs, salt_partitions=4)
+            .select("url", "status", "npages", F.length("text").alias("n_chars"))
+            .orderBy("url")
+        )
+
     def q_multimodal_features(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.multimodal import (
             extract_media_features,
@@ -250,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_images": q_pdf_images,
         "pdf_navigation": q_pdf_navigation,
         "pdf_op_census": q_pdf_op_census,
+        "warc_ingest": q_warc_ingest,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
         "broadcast_dim_join": relational.broadcast_dim_join,

@@ -2029,3 +2029,43 @@ def jpeg_encode(
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- WARC fixture writer ------------------------------------------------------
+
+
+def build_warc(
+    records: list[dict], gzip_members: bool = False
+) -> bytes:
+    """records: [{url, date, payload, rectype='response',
+    http_status=200}] -> WARC bytes (one gzip member per record when
+    gzip_members=True, the Common Crawl convention)."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for i, r in enumerate(records):
+        rectype = r.get("rectype", "response")
+        payload = r["payload"]
+        if rectype == "response":
+            http = (
+                f"HTTP/1.1 {r.get('http_status', 200)} OK\r\n"
+                f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1") + payload
+        else:
+            http = payload
+        hdrs = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rectype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:fixture-{i:04d}>\r\n"
+            f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
+            + (
+                f"WARC-Target-URI: {r['url']}\r\n"
+                if r.get("url")
+                else ""
+            )
+            + f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("latin-1")
+        rec = hdrs + http + b"\r\n\r\n"
+        out += _gzip.compress(rec) if gzip_members else rec
+    return bytes(out)

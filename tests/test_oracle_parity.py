@@ -112,6 +112,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "multimodal_features",
         "compression_ratio",
         "pdf_op_census",
+        "warc_ingest",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
@@ -127,6 +128,7 @@ def test_rows_only_queries_run(spark):
         "pdf_navigation",
         "pdf_stat_pass",
         "pdf_op_census",
+        "warc_ingest",
         "compression_ratio",
     ):
         df = QUERIES[name](spark, SF_DIR)
