@@ -230,6 +230,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "page"
         )
 
+    def q_html_main_content(spark, sf_dir):
+        """HTML boilerplate strip (north rule's web-page half): wrap each
+        document's text in a deterministic page template (nav/header/
+        footer/sidebar boilerplate around the real paragraphs), then
+        extract main content back. Rows-only (no SQL HTML parser)."""
+        from delphi_pdf_parser_spark.operators.htmltext import (
+            extract_html_documents,
+        )
+
+        docs = _docs(spark, sf_dir).limit(500)
+        body = F.concat(
+            F.lit("<p>"),
+            F.regexp_replace(F.col("text"), r"\.\s+", ".</p><p>"),
+            F.lit("</p>"),
+        )
+        page = F.concat(
+            F.lit(
+                "<!DOCTYPE html><html><head><title>doc</title></head><body>"
+                "<header><h1>Site</h1></header>"
+                '<nav><a href="/">Home</a> <a href="/x">More</a></nav>'
+                '<div id="main">'
+            ),
+            body,
+            F.lit(
+                "</div><footer><p>(c) corp. <a href='/p'>Privacy</a></p>"
+                "</footer></body></html>"
+            ),
+        )
+        wrapped = docs.select(
+            F.concat(F.lit("web://doc/"), F.col("doc_id")).alias("url"),
+            page.cast("binary").alias("html"),
+        )
+        return (
+            extract_html_documents(wrapped)
+            .select(
+                "url",
+                "status",
+                "n_blocks",
+                "n_content_blocks",
+                F.length("text").alias("n_chars"),
+            )
+            .orderBy("url")
+        )
+
     def q_warc_ingest(spark, sf_dir):
         """Common-Crawl-style source: deterministic WARC segments (one
         plain, one per-record-gzip) -> documents table -> extraction.
@@ -289,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_navigation": q_pdf_navigation,
         "pdf_op_census": q_pdf_op_census,
         "warc_ingest": q_warc_ingest,
+        "html_main_content": q_html_main_content,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
         "broadcast_dim_join": relational.broadcast_dim_join,

@@ -7,11 +7,14 @@
 
 Build engine.zip with:  python -m zipfile -c engine.zip delphi_pdf_parser_spark
 
-Pipeline: scan -> %PDF prefilter -> deterministic per-url salting ->
-mapInPandas extraction -> extracted + metrics parquet (append). With
---resume, urls already present in the metrics table are anti-joined away
-first, giving checkpoint-resume at partition granularity: a killed run
-reprocesses only unfinished urls.
+Pipeline: scan (parquet / Iceberg table / raw WARC segments via --warc)
+-> %PDF prefilter -> deterministic per-url salting -> mapInPandas
+extraction -> extracted + metrics parquet (append). With --resume, urls
+already present in the metrics table are anti-joined away first, giving
+checkpoint-resume at partition granularity: a killed run reprocesses
+only unfinished urls. With --html-output, non-PDF rows additionally run
+the HTML boilerplate-strip path — the complete Common-Crawl
+main-content job (PDF + web pages) in one spark-submit.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ def main(argv=None):
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet path of the documents table")
     src.add_argument("--table", help="catalog table name (e.g. Iceberg)")
+    src.add_argument("--warc", help="directory/glob of .warc(.gz) segments")
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--resume", action="store_true")
@@ -38,6 +42,12 @@ def main(argv=None):
         "(0 disables chunking)",
     )
     ap.add_argument("--pages-per-chunk", type=int, default=100)
+    ap.add_argument(
+        "--html-output",
+        default="",
+        help="also strip HTML boilerplate from non-PDF rows and write the "
+        "main-content table here (the full Common-Crawl main-content job)",
+    )
     ap.add_argument(
         "--presalted",
         action="store_true",
@@ -63,6 +73,10 @@ def main(argv=None):
 
     if args.table:
         docs = spark.read.table(args.table)
+    elif args.warc:
+        from delphi_pdf_parser_spark.sources.warc import read_warc
+
+        docs = read_warc(spark, args.warc)
     else:
         docs = spark.read.parquet(args.input)
 
@@ -90,6 +104,15 @@ def main(argv=None):
     metrics_table(extracted, input_split=args.input_split).write.mode(
         "append"
     ).parquet(args.metrics)
+
+    if args.html_output:
+        from delphi_pdf_parser_spark.operators.htmltext import (
+            extract_html_documents,
+        )
+
+        extract_html_documents(docs).write.mode("append").parquet(
+            args.html_output
+        )
 
     counts = {
         r["status"]: r["n"]

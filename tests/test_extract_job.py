@@ -42,3 +42,48 @@ def test_extract_job_with_resume(spark, tmp_path, monkeypatch):
     out = spark.read.parquet(out_path)
     assert out.count() == total  # nothing reprocessed, nothing missed
     assert out.select("url").distinct().count() == total
+
+
+def test_extract_job_warc_and_html(spark, tmp_path):
+    """Full Common-Crawl shape: WARC input, PDF extraction + HTML
+    main-content in one job run."""
+    from delphi_pdf_parser_spark.fixtures import bench_pdf, build_warc
+    from jobs.extract_job import main
+
+    html_page = (
+        b"<html><head><title>T</title></head><body>"
+        b"<nav><a href='/'>Home</a></nav>"
+        b"<p>A long enough paragraph of real page content that the "
+        b"boilerplate stripper will classify as the main body text.</p>"
+        b"<footer><a href='/p'>Privacy</a></footer></body></html>"
+    )
+    recs = [
+        {
+            "url": "https://cc.example/d.pdf",
+            "payload": bench_pdf(seed=77, npages=2),
+            "content_type": "application/pdf",
+        },
+        {"url": "https://cc.example/p.html", "payload": html_page},
+    ]
+    (tmp_path / "seg.warc.gz").write_bytes(
+        build_warc(recs, gzip_members=True)
+    )
+    out = tmp_path / "out"
+    met = tmp_path / "metrics"
+    hout = tmp_path / "html"
+    main(
+        [
+            "--warc", str(tmp_path),
+            "--output", str(out),
+            "--metrics", str(met),
+            "--html-output", str(hout),
+            "--partitions", "2",
+            "--whale-bytes", "0",
+        ]
+    )
+    got = {r["url"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert got["https://cc.example/d.pdf"]["status"] == "ok"
+    h = {r["url"]: r for r in spark.read.parquet(str(hout)).collect()}
+    assert list(h) == ["https://cc.example/p.html"]
+    assert "real page content" in h["https://cc.example/p.html"]["text"]
+    assert "Privacy" not in h["https://cc.example/p.html"]["text"]

@@ -113,6 +113,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "compression_ratio",
         "pdf_op_census",
         "warc_ingest",
+        "html_main_content",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
@@ -129,6 +130,7 @@ def test_rows_only_queries_run(spark):
         "pdf_stat_pass",
         "pdf_op_census",
         "warc_ingest",
+        "html_main_content",
         "compression_ratio",
     ):
         df = QUERIES[name](spark, SF_DIR)
