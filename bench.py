@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "multimodal_features",
+    "html_main_content",
 )
 
 
