@@ -30,8 +30,18 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
     pixels are row-major, 8 bits per component, no padding.
     Raises UnsupportedMediaError for formats this runtime can't decode,
-    MediaDecodeError for corrupt payloads of a supported format.
+    MediaDecodeError for corrupt payloads of a supported format — typed
+    boundary: mangled headers never surface bare struct/index errors.
     """
+    try:
+        return _decode_any(payload)
+    except (UnsupportedMediaError, MediaDecodeError):
+        raise
+    except (IndexError, ValueError, KeyError, struct.error) as e:
+        raise MediaDecodeError(f"corrupt: {type(e).__name__}: {e}")
+
+
+def _decode_any(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":

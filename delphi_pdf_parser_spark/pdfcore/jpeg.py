@@ -60,11 +60,15 @@ class _HuffTable:
     __slots__ = ("lookup", "max_len")
 
     def __init__(self, counts: list[int], values: bytes):
+        if sum(counts) > len(values):
+            raise JpegError("DHT: counts exceed value list")
         self.lookup: dict[tuple[int, int], int] = {}
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
+                if code >= (1 << length):
+                    raise JpegError("DHT: code overflow")
                 self.lookup[(length, code)] = values[k]
                 k += 1
                 code += 1
@@ -144,7 +148,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """-> (width, height, ncomp, pixels row-major 8-bit)."""
+    """-> (width, height, ncomp, pixels row-major 8-bit).
+
+    Tolerant API boundary: corrupt streams raise JpegError (typed), never
+    bare IndexError/ValueError/StopIteration from mangled segments."""
+    try:
+        return _jpeg_decode(data)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, KeyError, StopIteration, struct.error) as e:
+        raise JpegError(f"corrupt: {type(e).__name__}: {e}")
+
+
+def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
