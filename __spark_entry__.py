@@ -230,6 +230,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "page"
         )
 
+    def q_url_dedup(spark, sf_dir):
+        """URL canonicalization + dedup: synthesize crawl-style URL
+        variants (mixed-case host, default port, tracking params,
+        fragments) from the documents table, canonicalize, group.
+        Fully SQL-expressible -> DuckDB-oracled."""
+        from delphi_pdf_parser_spark.operators.urls import url_dedup
+
+        docs = _docs(spark, sf_dir)
+        urls = docs.select(
+            F.format_string(
+                "HTTPS://WWW.%s.Example.COM:443/doc/%d/?utm_source=f&b=2&a=%d#s",
+                F.col("source"),
+                (F.col("doc_id") % 50).cast("long"),
+                (F.col("doc_id") % 3).cast("long"),
+            ).alias("url")
+        )
+        return (
+            url_dedup(urls)
+            .select("canon_url", "url", "n_variants")
+            .orderBy("canon_url", "url")
+        )
+
     def q_html_main_content(spark, sf_dir):
         """HTML boilerplate strip (north rule's web-page half): wrap each
         document's text in a deterministic page template (nav/header/
@@ -333,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_navigation": q_pdf_navigation,
         "pdf_op_census": q_pdf_op_census,
         "warc_ingest": q_warc_ingest,
+        "url_dedup": q_url_dedup,
         "html_main_content": q_html_main_content,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -542,6 +565,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
             WHERE event_type = 'purchase'
             ORDER BY user_id, day
+        """,
+        "url_dedup": """
+            WITH urls AS (
+                SELECT printf(
+                    'HTTPS://WWW.%s.Example.COM:443/doc/%d/?utm_source=f&b=2&a=%d#s',
+                    source, doc_id % 50, doc_id % 3
+                ) AS url
+                FROM documents
+            ), canon AS (
+                SELECT url,
+                    -- mirror of operators/urls.py canonicalize_url
+                    lower(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                          '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+                FROM urls
+            ), parts AS (
+                SELECT url, scheme,
+                    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+                    substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+                        AS pathq
+                FROM canon
+            ), pieces AS (
+                SELECT url, scheme,
+                    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+                    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+                         THEN '/' ELSE regexp_extract(pathq, '^([^?]*)', 1)
+                    END AS path,
+                    CASE WHEN contains(pathq, '?')
+                         THEN regexp_replace(pathq, '^[^?]*\?', '')
+                         ELSE '' END AS query
+                FROM parts
+            ), built AS (
+                SELECT url,
+                    scheme || '://' || host ||
+                    CASE WHEN port <> '' AND NOT (
+                             (scheme = 'http' AND port = '80') OR
+                             (scheme = 'https' AND port = '443'))
+                         THEN ':' || port ELSE '' END ||
+                    path ||
+                    CASE WHEN array_to_string(list_sort(list_filter(
+                              str_split(query, '&'),
+                              x -> x <> '' AND NOT regexp_matches(
+                                  x, '^(utm_[a-z]+|gclid|fbclid)='))), '&') <> ''
+                         THEN '?' || array_to_string(list_sort(list_filter(
+                              str_split(query, '&'),
+                              x -> x <> '' AND NOT regexp_matches(
+                                  x, '^(utm_[a-z]+|gclid|fbclid)='))), '&')
+                         ELSE '' END AS canon_url
+                FROM pieces
+            )
+            SELECT canon_url, min(url) AS url, count(*) AS n_variants
+            FROM built GROUP BY canon_url ORDER BY canon_url, url
         """,
         "union_event_sources": """
             WITH u AS (

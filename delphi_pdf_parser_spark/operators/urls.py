@@ -1,0 +1,71 @@
+"""URL canonicalization + URL-level dedup.
+
+Crawl pipelines dedup by canonical URL before anything content-based
+(the same page is crawled as http/https, with/without fragments, with
+tracking params, mixed-case hosts). Canonicalization here is a defined,
+engine-portable subset — every rule is expressible in both Spark SQL
+functions and the DuckDB oracle:
+
+1. strip the #fragment
+2. lowercase scheme and host (path stays case-sensitive)
+3. drop default ports (http:80, https:443)
+4. drop tracking query params (utm_*, gclid, fbclid), sort the rest
+5. empty path -> "/"
+
+All JVM-side expressions (regexp + array higher-order fns), map-only —
+no shuffle; the dedup itself is one hash aggregate on the canonical key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_RE = "^(utm_[a-z]+|gclid|fbclid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = rest.substr(F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Keep one row per canonical URL (min original url as the winner —
+    deterministic, engine-portable tiebreak)."""
+    with_canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+    return (
+        with_canon.groupBy("canon_url")
+        .agg(
+            F.min(url_col).alias("url"),
+            F.count("*").alias("n_variants"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""URL canonicalization rules, pinned case by case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delphi_pdf_parser_spark.operators.urls import canonicalize_url, url_dedup
+
+CASES = [
+    # (input, canonical)
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com#frag", "http://example.com/"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    (
+        "http://example.com/a?utm_source=x&utm_medium=y&z=1",
+        "http://example.com/a?z=1",
+    ),
+    ("http://example.com/a?gclid=abc", "http://example.com/a"),
+    ("http://example.com/a?fbclid=1&q=t#x", "http://example.com/a?q=t"),
+    ("  http://example.com/a  ", "http://example.com/a"),
+    # path case preserved, host case folded
+    ("HtTpS://WWW.Site.ORG/CaSe/Path?A=1", "https://www.site.org/CaSe/Path?A=1"),
+]
+
+
+def test_canonicalize_rules(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    for (inp, want), g in zip(CASES, got):
+        assert g == want, f"{inp!r}: got {g!r} want {want!r}"
+
+
+def test_url_dedup_groups_variants(spark):
+    variants = [
+        "HTTP://E.com/x?utm_source=a",
+        "http://e.com:80/x",
+        "http://e.com/x#frag",
+        "http://e.com/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    rows = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    assert rows["http://e.com/x"]["n_variants"] == 3
+    assert rows["http://e.com/y"]["n_variants"] == 1
+    # winner is the lexicographically smallest original
+    assert rows["http://e.com/x"]["url"] == "HTTP://E.com/x?utm_source=a"
