@@ -80,3 +80,36 @@ def run_to_sink(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def sessionized_crawl_activity(
+    documents: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows per source host: crawl activity groups
+    into sessions that close after `gap` of silence. Built on
+    F.session_window (dynamic-gap state store, watermark-bounded) — the
+    streaming counterpart of the batch sessionize_events operator.
+
+    Host extraction is a JVM regexp over the url, so the only stateful
+    work is the session-window aggregation itself.
+    """
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]*)", 1)
+    df = documents.withWatermark("warc_ts", watermark).select(
+        host.alias("host"), F.col("warc_ts"), F.col("html")
+    )
+    return (
+        df.groupBy("host", F.session_window("warc_ts", gap))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("html")).alias("n_bytes"),
+        )
+        .select(
+            "host",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_docs",
+            "n_bytes",
+        )
+    )

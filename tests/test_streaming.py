@@ -107,3 +107,53 @@ def test_streaming_metrics_rollup(spark, docs_dir, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT sum(n_docs) AS n FROM rollup").collect()
     assert rows[0]["n"] == fixture_documents(spark).count()
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window over event time: two bursts from one host separated
+    by more than the gap must land in two sessions; a second host gets
+    its own. Update-mode memory sink, availableNow trigger."""
+    import datetime
+
+    from delphi_pdf_parser_spark.sources.documents import DOCUMENTS_SCHEMA
+    from delphi_pdf_parser_spark.streaming.extract_stream import (
+        read_documents_stream,
+        sessionized_crawl_activity,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1, 10, 0, 0)
+
+    def row(host, minutes, i):
+        return (
+            f"https://{host}/p{i}",
+            t0 + datetime.timedelta(minutes=minutes),
+            bytearray(b"%PDF-x" * 4),
+            None,
+            "en",
+        )
+
+    rows = (
+        [row("a.com", m, i) for i, m in enumerate([0, 5, 10])]  # session 1
+        + [row("a.com", m, i + 10) for i, m in enumerate([90, 95])]  # session 2
+        + [row("b.org", 0, 20)]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(src)
+    stream = read_documents_stream(spark, src)
+    sessions = sessionized_crawl_activity(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("crawl_sessions")
+        .outputMode("complete")  # session windows: complete/append only
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["host"], r["session_start"].minute, r["n_docs"])
+        for r in spark.sql("select * from crawl_sessions").collect()
+    }
+    assert ("a.com", 0, 3) in got
+    assert ("a.com", 30, 2) in got
+    assert ("b.org", 0, 1) in got
+    assert len(got) == 3
