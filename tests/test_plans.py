@@ -72,3 +72,32 @@ def test_presalted_extraction_has_no_exchange(spark):
     rep = plan_report(out)
     assert rep["python_stages"] == 1, rep
     assert rep["exchanges"] == 0, rep
+
+
+def test_html_extraction_plan_shape(spark):
+    """HTML path mirrors the PDF path: prefilter stays JVM-side before
+    the single Python stage, no shuffle at all (map-only pipeline)."""
+    from delphi_pdf_parser_spark.operators.htmltext import (
+        extract_html_documents,
+    )
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    rep = plan_report(extract_html_documents(fixture_documents(spark)))
+    assert rep["python_stages"] == 1, rep
+    assert rep["exchanges"] == 0, rep
+
+
+def test_url_dedup_single_aggregate_no_join(spark):
+    """Canonicalization is pure map-side expressions; the dedup is one
+    hash aggregate (partial+final around one exchange), no join."""
+    import __spark_entry__ as entry
+    from delphi_pdf_parser_spark.plans import explain_str
+
+    df = entry.queries()["url_dedup"](spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["python_stages"] == 0, rep  # zero Python in the hot path
+    assert rep["sortmerge_joins"] == 0 and rep["broadcast_joins"] == 0, rep
+    plan = explain_str(df, "simple")
+    # min(string) aggregation buffers are not fixed-width, so Catalyst
+    # may pick SortAggregate over HashAggregate — either is partial+final
+    assert "Aggregate" in plan, plan
