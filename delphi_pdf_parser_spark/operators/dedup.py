@@ -297,7 +297,10 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         width = base + (1 if i < extra else 0)
         spans.append((lo, width))
         lo += width
-    sigs = simhash(documents)
+    # checkpoint: the band self-join references the signature pipeline on
+    # BOTH sides — without this the whole tokenize+explode+65-agg pass
+    # over the corpus runs twice (at 100 TB that is the dominant cost)
+    sigs = simhash(documents).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "simhash",
