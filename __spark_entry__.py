@@ -749,8 +749,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        # rows-only (no oracle): pdf_*, minhash_lsh, simhash_near_dups,
-        # ann_lsh_topk (hash/plane-specific), ann_ivf_topk (n_probe < n_cells
+        # rows-only (no oracle): pdf_* incl. pdf_op_census (DuckDB can't
+        # parse PDFs), minhash_lsh, simhash_near_dups (hash-fn-specific),
+        # ann_lsh_topk (plane-specific), ann_ivf_topk (n_probe < n_cells
         # is approximate by design; its full-probe sibling is oracled),
-        # multimodal_features (binary payload semantics live in the UDF)
+        # multimodal_features (binary payload semantics live in the UDF),
+        # compression_ratio (DuckDB has no deflate), warc_ingest (binary
+        # WARC framing), html_main_content (no SQL HTML parser)
     }
