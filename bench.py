@@ -47,6 +47,7 @@ BENCH_QUERIES = (
     "ann_lsh_topk",
     "multimodal_features",
     "html_main_content",
+    "url_dedup",
 )
 
 
