@@ -484,3 +484,14 @@ def verify_against_golden(extracted: DataFrame, golden: DataFrame) -> DataFrame:
         .join(g, "url", "inner")
         .withColumn("match", F.col("got_sha256") == F.col("want_sha256"))
     )
+
+
+def write_extracted_partitioned(
+    extracted: DataFrame, path: str, partition_by: tuple[str, ...] = ("status",)
+) -> None:
+    """Hive-partitioned parquet sink: downstream consumers that read one
+    slice (status='ok' for training data, status='failed' for triage)
+    scan ONLY that slice — partition pruning happens at planning time,
+    before any file is opened. At corpus scale the ok/failed split is the
+    most common read pattern for the extracted table."""
+    extracted.write.mode("append").partitionBy(*partition_by).parquet(path)

@@ -101,3 +101,30 @@ def test_url_dedup_single_aggregate_no_join(spark):
     # min(string) aggregation buffers are not fixed-width, so Catalyst
     # may pick SortAggregate over HashAggregate — either is partial+final
     assert "Aggregate" in plan, plan
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """A status='ok' read of the partitioned extracted table must prune
+    to the ok partition at plan time (PartitionFilters, not a post-scan
+    Filter over all files)."""
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+        write_extracted_partitioned,
+    )
+    from delphi_pdf_parser_spark.plans import explain_str
+    from delphi_pdf_parser_spark.sources.documents import fixture_documents
+
+    out = str(tmp_path / "extracted")
+    write_extracted_partitioned(
+        extract_documents(fixture_documents(spark), salt_partitions=4), out
+    )
+    df = spark.read.parquet(out).filter("status = 'ok'")
+    plan = explain_str(df, "formatted")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "status" in m.group(1), plan[:2000]
+    assert df.count() > 0
+    # and the pruned read returns exactly the ok rows
+    all_rows = spark.read.parquet(out)
+    assert df.count() == all_rows.filter("status = 'ok'").count()
