@@ -2069,3 +2069,85 @@ def build_warc(
         rec = hdrs + http + b"\r\n\r\n"
         out += _gzip.compress(rec) if gzip_members else rec
     return bytes(out)
+
+
+# --- JBIG2 fixture writer ----------------------------------------------------
+
+
+def _jbig2_segment(number: int, seg_type: int, page: int, body: bytes,
+                   refs: tuple = ()) -> bytes:
+    hdr = number.to_bytes(4, "big") + bytes([seg_type & 0x3F])
+    hdr += bytes([len(refs) << 5])  # short form, no retain bits
+    for r in refs:
+        hdr += bytes([r])
+    hdr += bytes([page])
+    hdr += len(body).to_bytes(4, "big")
+    return hdr + body
+
+
+def jbig2_embed(
+    bitmap: list, template: int = 0, tpgdon: bool = False, mmr: bool = False
+) -> bytes:
+    """Embedded-JBIG2 stream (PDF flavor): page info + one immediate
+    generic region + end-of-page. Region payload is our generic-region
+    encoder (or G4/MMR via the CCITT encoder)."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _NOMINAL_AT,
+        encode_generic_region,
+    )
+
+    h = len(bitmap)
+    w = len(bitmap[0])
+    page_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    reg_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    if mmr:
+        payload = ccitt_g4_encode(bitmap)
+        body = reg_info + bytes([1]) + payload
+    else:
+        payload = encode_generic_region(
+            bitmap, template=template, tpgdon=tpgdon
+        )
+        flags = (template << 1) | (8 if tpgdon else 0)
+        at = b"".join(
+            bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[template]
+        )
+        body = reg_info + bytes([flags]) + at + payload
+    out += _jbig2_segment(1, 38, 1, body)
+    out += _jbig2_segment(2, 49, 1, b"")
+    return out
+
+
+def _case_jbig2_image():
+    """JBIG2-coded image: generic-region (template 0) fax-style raster;
+    decoded to PNG (the reference's own JBIG2 filter is a nil stub —
+    this is above-reference coverage)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Jb 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithJbig2) Tj ET /Jb Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    jb = jbig2_embed(_ccitt_test_bitmap())
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 10 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        f"/Length {len(jb)} >>",
+        jb,
+    )
+    return b.build_classic(cat), "WithJbig2" + CRLF, 1
+
+
+CASES["jbig2_image"] = _case_jbig2_image

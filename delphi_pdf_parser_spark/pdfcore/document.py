@@ -474,7 +474,21 @@ class PdfDocument:
             fname = to_name(f)
             if fname == "Crypt":
                 continue  # already decrypted above
-            out = apply_filter(out, fname, self.resolve(p) if p is not None else None)
+            rp = self.resolve(p) if p is not None else None
+            if fname in ("JBIG2Decode",) and isinstance(rp, dict):
+                # the globals stream must be loaded with document context;
+                # hand the filter layer raw bytes
+                g = rp.get("JBIG2Globals")
+                if g is not None and "_globals_bytes" not in rp:
+                    rp = dict(rp)
+                    try:
+                        from .cos import IndirectRef
+
+                        if isinstance(g, IndirectRef):
+                            rp["_globals_bytes"] = self.load_stream(g.num)
+                    except Exception:
+                        rp["_globals_bytes"] = b""
+            out = apply_filter(out, fname, rp)
         return out
 
     @staticmethod

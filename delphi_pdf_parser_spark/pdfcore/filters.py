@@ -282,7 +282,7 @@ _FILTER_ALIASES = {
     "DCT": "DCTDecode",
 }
 
-_IMAGE_ONLY = {"DCTDecode", "JBIG2Decode", "JPXDecode"}
+_IMAGE_ONLY = {"DCTDecode", "JPXDecode"}
 
 
 def apply_filter(data: bytes, name: str, parms: dict | None) -> bytes:
@@ -315,6 +315,15 @@ def apply_filter(data: bytes, name: str, parms: dict | None) -> bytes:
             )
         except CcittError as e:
             raise FilterError(f"ccitt_decode_failed:{e}")
+    elif name == "JBIG2Decode":
+        from .jbig2 import Jbig2Error, jbig2_decode
+
+        try:
+            _w, _h, out = jbig2_decode(
+                data, globals_data=parms.get("_globals_bytes", b"") or b""
+            )
+        except Jbig2Error as e:
+            raise FilterError(f"jbig2_decode_failed:{e}")
     elif name in _IMAGE_ONLY:
         raise FilterError(f"unsupported_filter:{name}")
     elif name == "Crypt":

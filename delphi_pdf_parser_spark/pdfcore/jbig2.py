@@ -1,0 +1,622 @@
+"""JBIG2 (embedded, PDF flavor) — generic-region decoding, from scratch.
+
+ABOVE-REFERENCE: the reference's own JBIG2 filter is a stub returning
+nil (src/vcl/fz_filterss.pas:441-445), so nothing here is required for
+parity — this implements the useful subset for real scanned PDFs whose
+pages are coded as generic regions: the MQ arithmetic decoder (ITU T.88
+Annex E software conventions), the embedded-stream segment parser
+(T.88 Annex D.2 / PDF 32000 §7.4.7, incl. JBIG2Globals), page info, and
+generic region decoding (T.88 §6.2) for templates 0-3 with nominal or
+custom AT pixels and TPGDON typical-prediction. Symbol-dictionary /
+text / halftone / refinement regions raise Jbig2Unsupported and the
+image sink falls back to raw passthrough + failure code (strictly more
+than the reference, which passes everything through).
+
+Caveat recorded for honesty: with no JBIG2 library in this runtime the
+MQ coder is validated by encoder/decoder round-trip (fixtures ship an
+independent MQ+generic-region ENCODER) plus the published state-table
+invariants — not against third-party streams.
+"""
+
+from __future__ import annotations
+
+
+class Jbig2Error(Exception):
+    pass
+
+
+class Jbig2Unsupported(Jbig2Error):
+    pass
+
+
+# ITU T.88 Table E.1 — MQ-coder probability state machine:
+# (Qe, NMPS, NLPS, SWITCH)
+QE_TABLE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQDecoder:
+    """T.88 Annex E (software conventions: INITDEC / DECODE / BYTEIN)."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _byte(self, i: int) -> int:
+        return self.data[i] if i < len(self.data) else 0xFF
+
+    def _bytein(self) -> None:
+        if self._byte(self.bp) == 0xFF:
+            if self._byte(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._byte(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._byte(self.bp) << 8
+            self.ct = 8
+
+    def decode(self, cx: list) -> int:
+        """cx = [index, mps] mutable context state."""
+        icx, mps = cx
+        qe, nmps, nlps, switch = QE_TABLE[icx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps
+                cx[0] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    cx[1] = 1 - mps
+                cx[0] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if (self.a & 0x8000) != 0:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    cx[1] = 1 - mps
+                cx[0] = nlps
+            else:
+                d = mps
+                cx[0] = nmps
+        # renormalize
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 Annex E encoder (INITENC / CODEMPS / CODELPS / FLUSH).
+    Fixture-side counterpart of MQDecoder; the state table is shared spec
+    data, the algorithms are disjoint. Interval layout matches the
+    decoder: LPS normally owns [0, Qe), MPS the top; conditional
+    exchange when the MPS share shrinks below Qe."""
+
+    __slots__ = ("out", "c", "a", "ct")
+
+    def __init__(self):
+        self.out = bytearray([0])  # scratch prefix byte (carry target)
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+
+    def _byteout(self) -> None:
+        if self.out[-1] == 0xFF:
+            # stuffed byte: bits 20-27 UNMASKED — bit 7 carries a pending
+            # carry (values up to 0x8F; that is exactly why the decoder
+            # treats >0x8F after 0xFF as the end marker)
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            if self.c > 0x7FFFFFF:
+                self.out[-1] += 1  # carry
+                self.c &= 0x7FFFFFF
+                if self.out[-1] == 0xFF:
+                    self.out.append((self.c >> 20) & 0xFF)
+                    self.c &= 0xFFFFF
+                    self.ct = 7
+                    return
+            self.out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: list, d: int) -> None:
+        icx, mps = cx
+        qe, nmps, nlps, switch = QE_TABLE[icx]
+        self.a -= qe
+        if d == mps:
+            if self.a & 0x8000:
+                self.c += qe  # MPS at top, no renorm
+                return
+            if self.a < qe:
+                self.a = qe  # exchange: MPS takes the bottom [0, Qe)
+            else:
+                self.c += qe
+            cx[0] = nmps
+        else:
+            if self.a < qe:
+                self.c += qe  # exchange: LPS at top, size a (= A - Qe)
+            else:
+                self.a = qe  # LPS at bottom [0, Qe)
+            if switch:
+                cx[1] = 1 - mps
+            cx[0] = nlps
+        self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS (OpenJPEG formulation of T.88 E.11)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        # strip the scratch prefix; trailing 0xFF bytes are harmless
+        # (the decoder feeds 1-bits past the end by design)
+        return bytes(self.out[1:])
+
+
+# --- generic region decoding (T.88 6.2) --------------------------------------
+
+# nominal AT pixel positions per template (T.88 6.2.5.3)
+_NOMINAL_AT = {
+    0: ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    1: ((3, -1),),
+    2: ((2, -1),),
+    3: ((2, -1),),
+}
+
+# TPGDON pseudo-pixel contexts (T.88 6.2.5.7)
+_TPGDON_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+_CTX_SIZE = {0: 1 << 16, 1: 1 << 13, 2: 1 << 10, 3: 1 << 10}
+
+
+def _gb_context(img, x, y, w, template, at):
+    """Context value for pixel (x, y); out-of-bounds pixels read 0.
+    Bit layout follows the T.88 template figures (low bits = the pixels
+    immediately left on the current row)."""
+
+    def px(dx, dy):
+        xx, yy = x + dx, y + dy
+        if xx < 0 or xx >= w or yy < 0:
+            return 0
+        return img[yy][xx]
+
+    if template == 0:
+        a1, a2, a3, a4 = at
+        return (
+            px(-1, 0)
+            | (px(-2, 0) << 1)
+            | (px(-3, 0) << 2)
+            | (px(-4, 0) << 3)
+            | (px(a1[0], a1[1]) << 4)
+            | (px(2, -1) << 5)
+            | (px(1, -1) << 6)
+            | (px(0, -1) << 7)
+            | (px(-1, -1) << 8)
+            | (px(-2, -1) << 9)
+            | (px(a2[0], a2[1]) << 10)
+            | (px(1, -2) << 11)
+            | (px(0, -2) << 12)
+            | (px(-1, -2) << 13)
+            | (px(a3[0], a3[1]) << 14)
+            | (px(a4[0], a4[1]) << 15)
+        )
+    if template == 1:
+        (a1,) = at
+        return (
+            px(-1, 0)
+            | (px(-2, 0) << 1)
+            | (px(-3, 0) << 2)
+            | (px(a1[0], a1[1]) << 3)
+            | (px(2, -1) << 4)
+            | (px(1, -1) << 5)
+            | (px(0, -1) << 6)
+            | (px(-1, -1) << 7)
+            | (px(-2, -1) << 8)
+            | (px(2, -2) << 9)
+            | (px(1, -2) << 10)
+            | (px(0, -2) << 11)
+            | (px(-1, -2) << 12)
+        )
+    if template == 2:
+        (a1,) = at
+        return (
+            px(-1, 0)
+            | (px(-2, 0) << 1)
+            | (px(a1[0], a1[1]) << 2)
+            | (px(1, -1) << 3)
+            | (px(0, -1) << 4)
+            | (px(-1, -1) << 5)
+            | (px(-2, -1) << 6)
+            | (px(1, -2) << 7)
+            | (px(0, -2) << 8)
+            | (px(-1, -2) << 9)
+        )
+    # template 3: single reference line
+    (a1,) = at
+    return (
+        px(-1, 0)
+        | (px(-2, 0) << 1)
+        | (px(-3, 0) << 2)
+        | (px(-4, 0) << 3)
+        | (px(a1[0], a1[1]) << 4)
+        | (px(1, -1) << 5)
+        | (px(0, -1) << 6)
+        | (px(-1, -1) << 7)
+        | (px(-2, -1) << 8)
+        | (px(-3, -1) << 9)
+    )
+
+
+def decode_generic_region(
+    data: bytes,
+    width: int,
+    height: int,
+    template: int = 0,
+    at: tuple | None = None,
+    tpgdon: bool = False,
+    max_pixels: int = 1 << 22,
+) -> list:
+    """MQ-coded generic region -> rows of 0/1 ints (1 = black).
+
+    Pure-Python sequential decode (arithmetic coding cannot be
+    vectorized); max_pixels guards the image sink against spending
+    minutes on a giant scan — larger regions raise Jbig2Unsupported and
+    fall back to raw passthrough."""
+    if width * height > max_pixels:
+        raise Jbig2Unsupported(f"region {width}x{height} > max_pixels")
+    at = tuple(at) if at else _NOMINAL_AT[template]
+    for ax, ay in at:
+        # AT pixels must reference already-decoded positions (T.88
+        # 6.2.5.4); anything else is a corrupt/hostile stream
+        if ay > 0 or (ay == 0 and ax >= 0):
+            raise Jbig2Error(f"non-causal AT pixel ({ax},{ay})")
+        if abs(ax) > 127 or abs(ay) > 127:
+            raise Jbig2Error("AT pixel out of range")
+    mq = MQDecoder(data)
+    cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+    img = [[0] * width for _ in range(height)]
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            sltp = mq.decode(cx[_TPGDON_CTX[template]])
+            ltp ^= sltp
+            if ltp:
+                if y > 0:
+                    img[y] = list(img[y - 1])
+                continue
+        row = img[y]
+        for x in range(width):
+            ctx = _gb_context(img, x, y, width, template, at)
+            row[x] = mq.decode(cx[ctx])
+    return img
+
+
+def encode_generic_region(
+    bitmap: list,
+    template: int = 0,
+    at: tuple | None = None,
+    tpgdon: bool = False,
+) -> bytes:
+    """Fixture-side generic-region encoder (same context model, disjoint
+    coder): encodes rows of 0/1 ints with the MQ encoder."""
+    height = len(bitmap)
+    width = len(bitmap[0]) if height else 0
+    at = tuple(at) if at else _NOMINAL_AT[template]
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+    img = [[0] * width for _ in range(height)]  # decoded-so-far view
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            same = y > 0 and bitmap[y] == img[y - 1]
+            sltp = 1 if (ltp ^ (1 if same else 0)) else 0
+            # choose SLTP so that new LTP == same
+            sltp = ltp ^ (1 if same else 0)
+            enc.encode(cx[_TPGDON_CTX[template]], sltp)
+            ltp ^= sltp
+            if ltp:
+                img[y] = list(img[y - 1])
+                continue
+        row = bitmap[y]
+        for x in range(width):
+            ctx = _gb_context(img, x, y, width, template, at)
+            enc.encode(cx[ctx], row[x])
+            img[y][x] = row[x]
+    return enc.flush()
+
+
+# --- embedded-stream segment parsing (T.88 7.2, PDF 32000 7.4.7) -------------
+
+
+def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
+    if pos + 11 > len(data):
+        raise Jbig2Error("truncated segment header")
+    number = int.from_bytes(data[pos : pos + 4], "big")
+    flags = data[pos + 4]
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    pos += 5
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:
+        count = int.from_bytes(data[pos : pos + 4], "big") & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8  # long form + retain bits
+    else:
+        pos += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    refs = []
+    for _ in range(count):
+        refs.append(int.from_bytes(data[pos : pos + ref_size], "big"))
+        pos += ref_size
+    if page_assoc_4:
+        page = int.from_bytes(data[pos : pos + 4], "big")
+        pos += 4
+    else:
+        page = data[pos]
+        pos += 1
+    length = int.from_bytes(data[pos : pos + 4], "big")
+    pos += 4
+    if length == 0xFFFFFFFF:
+        raise Jbig2Unsupported("unknown segment data length")
+    return (
+        {
+            "number": number,
+            "type": seg_type,
+            "refs": refs,
+            "page": page,
+            "length": length,
+        },
+        pos,
+    )
+
+
+def _iter_segments(data: bytes):
+    pos = 0
+    while pos < len(data):
+        hdr, body_start = _parse_segment_header(data, pos)
+        body = data[body_start : body_start + hdr["length"]]
+        yield hdr, body
+        pos = body_start + hdr["length"]
+
+
+def _parse_region_info(body: bytes) -> dict:
+    if len(body) < 17:
+        raise Jbig2Error("truncated region info")
+    return {
+        "w": int.from_bytes(body[0:4], "big"),
+        "h": int.from_bytes(body[4:8], "big"),
+        "x": int.from_bytes(body[8:12], "big"),
+        "y": int.from_bytes(body[12:16], "big"),
+        "comb_op": body[16] & 7,
+    }
+
+
+# segment types (T.88 table 34)
+_T_SYMBOL_DICT = 0
+_T_TEXT_REGION = (4, 6, 7)
+_T_PATTERN_DICT = 16
+_T_HALFTONE = (20, 22, 23)
+_T_GENERIC = (36, 38, 39)
+_T_REFINE = (40, 42, 43)
+_T_PAGE_INFO = 48
+_T_END_PAGE = 49
+_T_END_STRIPE = 50
+_T_END_FILE = 51
+_T_PROFILES = 52
+_T_TABLES = 53
+_T_EXTENSION = 62
+
+
+def jbig2_decode(
+    data: bytes,
+    globals_data: bytes = b"",
+    width: int | None = None,
+    height: int | None = None,
+    invert: bool = True,
+    max_pixels: int = 1 << 22,
+) -> tuple[int, int, bytes]:
+    """Typed boundary wrapper — corrupt segment bodies never surface bare
+    builtin exceptions."""
+    try:
+        return _jbig2_decode(
+            data, globals_data, width, height, invert, max_pixels
+        )
+    except Jbig2Error:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError) as e:
+        raise Jbig2Error(f"corrupt: {type(e).__name__}: {e}")
+
+
+def _jbig2_decode(
+    data, globals_data, width, height, invert, max_pixels
+) -> tuple[int, int, bytes]:
+    """Embedded JBIG2 (PDF flavor) -> (width, height, packed 1-bpc rows).
+
+    JBIG2 codes 1 = black; with invert=True (default) the output follows
+    the PDF imaging convention for 1-bpc DeviceGray (0 = black), like the
+    CCITT path's BlackIs1=false. Regions needing symbol/halftone/
+    refinement machinery raise Jbig2Unsupported (the sink falls back to
+    raw passthrough — still strictly more than the reference's nil stub).
+    """
+    page_w, page_h = width, height
+    page = None
+    default_pixel = 0
+
+    def ensure_page(w, h):
+        nonlocal page, page_w, page_h
+        if page is None:
+            page_w = page_w or w
+            page_h = page_h or h
+            if page_w * page_h > max_pixels or page_w <= 0 or page_h <= 0:
+                raise Jbig2Unsupported(
+                    f"page {page_w}x{page_h} exceeds max_pixels"
+                )
+            page = [
+                [default_pixel] * page_w for _ in range(page_h)
+            ]
+
+    for hdr, body in list(_iter_segments(globals_data)) + list(
+        _iter_segments(data)
+    ):
+        t = hdr["type"]
+        if t == _T_PAGE_INFO:
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            if h == 0xFFFFFFFF:
+                h = height or 0
+            flags = body[16] if len(body) > 16 else 0
+            default_pixel = (flags >> 2) & 1
+            if w and h:
+                ensure_page(w, h)
+        elif t in _T_GENERIC:
+            info = _parse_region_info(body)
+            if info["w"] * info["h"] > max_pixels or not info["w"] or not info["h"]:
+                raise Jbig2Unsupported(
+                    f"region {info['w']}x{info['h']} exceeds max_pixels"
+                )
+            flags = body[17]
+            mmr = flags & 1
+            template = (flags >> 1) & 3
+            tpgdon = bool(flags & 8)
+            pos = 18
+            at = None
+            if not mmr:
+                n_at = 4 if template == 0 else 1
+                at = []
+                for _ in range(n_at):
+                    ax = int.from_bytes(
+                        body[pos : pos + 1], "big", signed=True
+                    )
+                    ay = int.from_bytes(
+                        body[pos + 1 : pos + 2], "big", signed=True
+                    )
+                    at.append((ax, ay))
+                    pos += 2
+            payload = body[pos:]
+            if mmr:
+                from .ccitt import CcittError, ccitt_decode
+
+                try:
+                    packed = ccitt_decode(
+                        payload, columns=info["w"], rows=info["h"], k=-1,
+                        black_is_1=True,
+                    )
+                except CcittError as e:
+                    raise Jbig2Error(f"mmr: {e}")
+                stride = (info["w"] + 7) // 8
+                region = [
+                    [
+                        (packed[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+                        for x in range(info["w"])
+                    ]
+                    for y in range(info["h"])
+                ]
+            else:
+                region = decode_generic_region(
+                    payload, info["w"], info["h"], template=template,
+                    at=at, tpgdon=tpgdon, max_pixels=max_pixels,
+                )
+            ensure_page(info["x"] + info["w"], info["y"] + info["h"])
+            comb = info["comb_op"]  # 0=OR 1=AND 2=XOR 3=XNOR 4=REPLACE
+            for ry, row in enumerate(region):
+                py = info["y"] + ry
+                if py >= page_h:
+                    break
+                prow = page[py]
+                for rx, v in enumerate(row):
+                    px = info["x"] + rx
+                    if px >= page_w:
+                        break
+                    if comb == 0:
+                        prow[px] |= v
+                    elif comb == 1:
+                        prow[px] &= v
+                    elif comb == 2:
+                        prow[px] ^= v
+                    elif comb == 3:
+                        prow[px] = 1 - (prow[px] ^ v)
+                    else:
+                        prow[px] = v
+        elif t in (_T_END_PAGE, _T_END_STRIPE, _T_END_FILE, _T_PROFILES,
+                   _T_EXTENSION):
+            continue
+        elif t == _T_SYMBOL_DICT or t in _T_TEXT_REGION:
+            raise Jbig2Unsupported("symbol/text region coding")
+        elif t == _T_PATTERN_DICT or t in _T_HALFTONE:
+            raise Jbig2Unsupported("halftone region coding")
+        elif t in _T_REFINE:
+            raise Jbig2Unsupported("refinement region coding")
+        elif t == _T_TABLES:
+            raise Jbig2Unsupported("custom huffman tables")
+        # unknown types: skip (forward compatibility)
+    if page is None:
+        raise Jbig2Error("no page produced")
+    stride = (page_w + 7) // 8
+    out = bytearray(stride * page_h)
+    for y, row in enumerate(page):
+        base = y * stride
+        for x, v in enumerate(row):
+            if v:
+                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+    if invert:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+        if page_w & 7:
+            mask = 0xFF << (8 - (page_w & 7)) & 0xFF
+            for y in range(page_h):
+                out[y * stride + stride - 1] &= mask
+    return page_w, page_h, bytes(out)

@@ -117,3 +117,19 @@ def test_warc_mutation_robustness():
                 import zlib
 
                 assert isinstance(e, (zlib.error, EOFError, ValueError)), e
+
+
+def test_jbig2_mutation_robustness():
+    rng = random.Random(6)
+    from delphi_pdf_parser_spark.fixtures import (
+        _ccitt_test_bitmap,
+        jbig2_embed,
+    )
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import Jbig2Error, jbig2_decode
+
+    payload = jbig2_embed(_ccitt_test_bitmap())
+    for mut in _mutations(payload, rng):
+        try:
+            jbig2_decode(mut)
+        except Jbig2Error:
+            pass  # incl. Jbig2Unsupported — the typed contract

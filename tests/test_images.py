@@ -141,3 +141,104 @@ def test_op_census_counts():
     rows = op_census(pdf)
     assert [r["page"] for r in rows] == [0, 1, 2]
     assert all(r["n_ops"] > 0 for r in rows)
+
+
+def test_jbig2_image_decodes_to_png():
+    """JBIG2 generic-region raster must decode to a PNG whose pixels
+    equal the fixture bitmap (black->0). Above-reference: the Delphi
+    JBIG2 filter is a nil stub."""
+    import zlib as _z
+
+    from delphi_pdf_parser_spark.fixtures import _ccitt_test_bitmap
+
+    pdf, _, _ = CASES["jbig2_image"]()
+    (im,) = extract_images(pdf)
+    assert im.format == "png" and (im.width, im.height, im.bpc) == (16, 10, 1)
+    i = im.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", im.data[i : i + 4])
+    raw = _z.decompress(im.data[i + 8 : i + 8 + length])
+    bm = _ccitt_test_bitmap()
+    for y in range(10):
+        row = raw[y * 17 + 1 : y * 17 + 17]
+        want = bytes(0 if bm[y][x] else 255 for x in range(16))
+        assert row == want, (y, row.hex())
+
+
+def test_jbig2_unsupported_regions_fall_back_to_raw():
+    """A symbol-dictionary segment (real scanned text) must surface as a
+    typed failure -> raw passthrough, never a crash."""
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder,
+        _jbig2_segment,
+        jbig2_embed,
+        _ccitt_test_bitmap,
+    )
+
+    # splice a symbol-dict segment (type 0) in front of the page
+    good = jbig2_embed(_ccitt_test_bitmap())
+    sym = _jbig2_segment(9, 0, 1, b"\x00" * 8)
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /XObject << /Jb 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"/Jb Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    data = sym + good
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 10 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        f"/Length {len(data)} >>",
+        data,
+    )
+    (im,) = extract_images(b.build_classic(cat))
+    assert im.format == "raw"  # typed fallback, like the reference's nil
+
+
+def test_jbig2_globals_stream():
+    """Page info delivered via a JBIG2Globals stream (the PDF spec's
+    split): region segment in the image stream, page info in globals."""
+    from delphi_pdf_parser_spark.fixtures import (
+        _ccitt_test_bitmap,
+        jbig2_embed,
+        _jbig2_segment,
+        PdfBuilder,
+    )
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import jbig2_decode
+
+    bm = _ccitt_test_bitmap()
+    full = jbig2_embed(bm)
+    # split: first segment (page info) -> globals; rest -> stream
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import _parse_segment_header
+
+    hdr, body_start = _parse_segment_header(full, 0)
+    split = body_start + hdr["length"]
+    glob, rest = full[:split], full[split:]
+    w, h, packed = jbig2_decode(rest, globals_data=glob)
+    assert (w, h) == (16, 10)
+    got = [[1 - ((packed[y * 2 + (x >> 3)] >> (7 - (x & 7))) & 1)
+            for x in range(16)] for y in range(10)]
+    assert got == bm
+
+    # and through the PDF filter chain with /JBIG2Globals
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /XObject << /Jb 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"/Jb Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 10 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        "/DecodeParms << /JBIG2Globals 6 0 R >> "
+        f"/Length {len(rest)} >>",
+        rest,
+    )
+    b.add(f"<< /Length {len(glob)} >>", glob)
+    (im,) = extract_images(b.build_classic(cat))
+    assert im.format == "png" and (im.width, im.height) == (16, 10)
