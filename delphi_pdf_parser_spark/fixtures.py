@@ -2151,3 +2151,161 @@ def _case_jbig2_image():
 
 
 CASES["jbig2_image"] = _case_jbig2_image
+
+
+def jbig2_embed_text(
+    symbols: list, placements: list, page_w: int, page_h: int
+) -> bytes:
+    """Embedded-JBIG2 stream using a SYMBOL DICTIONARY + TEXT REGION (the
+    coding real scanned-text PDFs use): symbols are small glyph bitmaps
+    (rows of 0/1), placements are (symbol_index, s, t) with TOPLEFT
+    reference corners. Arithmetic coding, template 0, strips=1."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _CTX_SIZE,
+        _NOMINAL_AT,
+        IdCtx,
+        IntCtx,
+        MQEncoder,
+        OOB,
+        _gb_context,
+        encode_id,
+        encode_int,
+    )
+
+    # --- symbol dictionary: height classes ascending; remap ids ---------
+    order = sorted(range(len(symbols)), key=lambda i: (len(symbols[i]), i))
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+
+    enc = MQEncoder()
+    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
+    at = _NOMINAL_AT[0]
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    hc = 0
+    i = 0
+    while i < len(sorted_syms):
+        h = len(sorted_syms[i])
+        encode_int(enc, iadh, h - hc)
+        hc = h
+        prev_w = 0
+        while i < len(sorted_syms) and len(sorted_syms[i]) == hc:
+            bm = sorted_syms[i]
+            w = len(bm[0])
+            encode_int(enc, iadw, w - prev_w)
+            prev_w = w
+            # encode the bitmap through the SHARED coder/contexts
+            img = [[0] * w for _ in range(hc)]
+            for y in range(hc):
+                for x in range(w):
+                    ctx = _gb_context(img, x, y, w, 0, at)
+                    enc.encode(gb_cx[ctx], bm[y][x])
+                    img[y][x] = bm[y][x]
+            i += 1
+        encode_int(enc, iadw, OOB)
+    # export all: run(0)=0 not-exported, run(1)=all exported
+    encode_int(enc, iaex, 0)
+    encode_int(enc, iaex, len(sorted_syms))
+    sd_mq = enc.flush()
+    sd_body = (
+        (0).to_bytes(2, "big")  # flags: arith, template 0
+        + b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in at)
+        + len(sorted_syms).to_bytes(4, "big")  # SDNUMEXSYMS
+        + len(sorted_syms).to_bytes(4, "big")  # SDNUMNEWSYMS
+        + sd_mq
+    )
+
+    # --- text region: strips=1, TOPLEFT corner, OR composition ----------
+    codelen = max(1, (len(sorted_syms) - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(codelen)
+    inst = sorted(
+        ((remap[sid], s, t) for sid, s, t in placements),
+        key=lambda p: (p[2], p[1]),
+    )
+    encode_int(enc, iadt, 0)  # initial STRIPT = 0
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][2]
+        encode_int(enc, iadt, t - prev_t)
+        prev_t = t
+        # first symbol of the strip
+        sid, s, _ = inst[k]
+        encode_int(enc, iafs, s - firsts)
+        firsts = s
+        curs = s
+        encode_id(enc, iaid, sid)
+        curs += len(sorted_syms[sid][0]) - 1
+        k += 1
+        while k < len(inst) and inst[k][2] == t:
+            sid, s, _ = inst[k]
+            encode_int(enc, iads, s - curs)  # DSOFFSET = 0
+            curs = s
+            encode_id(enc, iaid, sid)
+            curs += len(sorted_syms[sid][0]) - 1
+            k += 1
+        encode_int(enc, iads, OOB)  # end of strip
+    tr_mq = enc.flush()
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    # flags: SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 REFCORNER=TL(1<<4)
+    tr_flags = (1 << 4)
+    tr_body = (
+        reg_info
+        + tr_flags.to_bytes(2, "big")
+        + len(inst).to_bytes(4, "big")
+        + tr_mq
+    )
+
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 0, 0, sd_body)  # symbol dict (page 0 per spec)
+    out += _jbig2_segment(2, 6, 1, tr_body, refs=(1,))  # immediate text
+    out += _jbig2_segment(3, 49, 1, b"")
+    return out
+
+
+def _case_jbig2_text_image():
+    """JBIG2 symbol-dictionary + text-region raster — the coding real
+    scanned-text PDFs use (glyph dictionary, placed instances)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Jt 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithJbig2Text) Tj ET /Jt Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    jb = jbig2_embed_text(*_jbig2_text_fixture_args())
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 14 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        f"/Length {len(jb)} >>",
+        jb,
+    )
+    return b.build_classic(cat), "WithJbig2Text" + CRLF, 1
+
+
+def _jbig2_text_fixture_args():
+    sym_i = [[1], [1], [1], [1]]
+    sym_l = [[1, 0, 0], [1, 0, 0], [1, 0, 0], [1, 1, 1]]
+    sym_o = [[0, 1, 0], [1, 0, 1], [0, 1, 0]]
+    placements = [
+        (0, 2, 2), (1, 5, 2), (2, 10, 3),
+        (1, 2, 9), (0, 7, 9), (2, 10, 9),
+    ]
+    return [sym_i, sym_l, sym_o], placements, 16, 14
+
+
+CASES["jbig2_text_image"] = _case_jbig2_text_image

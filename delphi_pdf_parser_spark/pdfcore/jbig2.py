@@ -7,10 +7,13 @@ pages are coded as generic regions: the MQ arithmetic decoder (ITU T.88
 Annex E software conventions), the embedded-stream segment parser
 (T.88 Annex D.2 / PDF 32000 §7.4.7, incl. JBIG2Globals), page info, and
 generic region decoding (T.88 §6.2) for templates 0-3 with nominal or
-custom AT pixels and TPGDON typical-prediction. Symbol-dictionary /
-text / halftone / refinement regions raise Jbig2Unsupported and the
-image sink falls back to raw passthrough + failure code (strictly more
-than the reference, which passes everything through).
+custom AT pixels and TPGDON typical-prediction, integer arithmetic
+decoding (Annex A IAx/IAID), SYMBOL DICTIONARIES and TEXT REGIONS
+(§6.5/§6.4, arithmetic — the coding real scanned-text PDFs use), and
+MMR regions via the CCITT G4 decoder. Huffman-coded variants and
+refinement/halftone coding raise Jbig2Unsupported and the image sink
+falls back to raw passthrough + failure code (strictly more than the
+reference, which passes everything through).
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -318,6 +321,13 @@ def decode_generic_region(
     fall back to raw passthrough."""
     if width * height > max_pixels:
         raise Jbig2Unsupported(f"region {width}x{height} > max_pixels")
+    at = _check_at(at, template)
+    mq = MQDecoder(data)
+    cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+    return _decode_generic_into(mq, cx, width, height, template, at, tpgdon)
+
+
+def _check_at(at, template):
     at = tuple(at) if at else _NOMINAL_AT[template]
     for ax, ay in at:
         # AT pixels must reference already-decoded positions (T.88
@@ -326,8 +336,12 @@ def decode_generic_region(
             raise Jbig2Error(f"non-causal AT pixel ({ax},{ay})")
         if abs(ax) > 127 or abs(ay) > 127:
             raise Jbig2Error("AT pixel out of range")
-    mq = MQDecoder(data)
-    cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+    return at
+
+
+def _decode_generic_into(mq, cx, width, height, template, at, tpgdon):
+    """Core generic decode with a SHARED MQ decoder + context array (the
+    symbol dictionary decodes every symbol through one coder/state)."""
     img = [[0] * width for _ in range(height)]
     ltp = 0
     for y in range(height):
@@ -495,6 +509,7 @@ def _jbig2_decode(
     page_w, page_h = width, height
     page = None
     default_pixel = 0
+    sym_dicts: dict[int, list] = {}  # segment number -> exported symbols
 
     def ensure_page(w, h):
         nonlocal page, page_w, page_h
@@ -594,8 +609,43 @@ def _jbig2_decode(
         elif t in (_T_END_PAGE, _T_END_STRIPE, _T_END_FILE, _T_PROFILES,
                    _T_EXTENSION):
             continue
-        elif t == _T_SYMBOL_DICT or t in _T_TEXT_REGION:
-            raise Jbig2Unsupported("symbol/text region coding")
+        elif t == _T_SYMBOL_DICT:
+            inputs: list = []
+            for r in hdr["refs"]:
+                inputs.extend(sym_dicts.get(r, []))
+            sym_dicts[hdr["number"]] = decode_symbol_dict(
+                body, inputs, max_pixels=max_pixels
+            )
+        elif t in _T_TEXT_REGION:
+            syms: list = []
+            for r in hdr["refs"]:
+                syms.extend(sym_dicts.get(r, []))
+            info, region = decode_text_region(
+                body, syms, max_pixels=max_pixels
+            )
+            if t == 4:
+                raise Jbig2Unsupported("intermediate text region")
+            ensure_page(info["x"] + info["w"], info["y"] + info["h"])
+            comb = info["comb_op"]
+            for ry, row in enumerate(region):
+                py = info["y"] + ry
+                if py >= page_h:
+                    break
+                prow = page[py]
+                for rx, v in enumerate(row):
+                    px = info["x"] + rx
+                    if px >= page_w:
+                        break
+                    if comb == 0:
+                        prow[px] |= v
+                    elif comb == 1:
+                        prow[px] &= v
+                    elif comb == 2:
+                        prow[px] ^= v
+                    elif comb == 3:
+                        prow[px] = 1 - (prow[px] ^ v)
+                    else:
+                        prow[px] = v
         elif t == _T_PATTERN_DICT or t in _T_HALFTONE:
             raise Jbig2Unsupported("halftone region coding")
         elif t in _T_REFINE:
@@ -620,3 +670,306 @@ def _jbig2_decode(
             for y in range(page_h):
                 out[y * stride + stride - 1] &= mask
     return page_w, page_h, bytes(out)
+
+
+# --- integer arithmetic decoding (T.88 Annex A) -------------------------------
+
+OOB = object()  # out-of-band marker (end of a run / strip)
+
+# value buckets: (prefix bits after sign, value bits, offset)
+_IA_BUCKETS = ((0, 2, 0), (1, 4, 4), (2, 6, 20), (3, 8, 84),
+               (4, 12, 340), (5, 32, 4436))
+
+
+class IntCtx:
+    """One IAx context: 512 MQ contexts addressed by the PREV tree."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = [[0, 0] for _ in range(512)]
+
+
+def decode_int(mq: MQDecoder, ia: IntCtx):
+    """-> int or OOB (T.88 A.2)."""
+    prev = 1
+
+    def bit():
+        nonlocal prev
+        b = mq.decode(ia.cx[prev])
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b) & 511) | 256)
+        )
+        return b
+
+    s = bit()
+    if not bit():
+        n, off = 2, 0
+    elif not bit():
+        n, off = 4, 4
+    elif not bit():
+        n, off = 6, 20
+    elif not bit():
+        n, off = 8, 84
+    elif not bit():
+        n, off = 12, 340
+    else:
+        n, off = 32, 4436
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return OOB
+    return -v if s else v
+
+
+def encode_int(mq: MQEncoder, ia: IntCtx, value) -> None:
+    """Inverse of decode_int (fixture side)."""
+    prev = 1
+
+    def bit(b):
+        nonlocal prev
+        mq.encode(ia.cx[prev], b)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b) & 511) | 256)
+        )
+
+    if value is OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+    bit(s)
+    for i, (_pfx, n, off) in enumerate(_IA_BUCKETS):
+        hi = off + (1 << n) - 1
+        if v <= hi or n == 32:
+            for _ in range(i):
+                bit(1)
+            if i < len(_IA_BUCKETS) - 1:
+                bit(0)
+            vv = v - off
+            for k in range(n - 1, -1, -1):
+                bit((vv >> k) & 1)
+            return
+    raise Jbig2Error("encode_int: value out of range")
+
+
+class IdCtx:
+    """IAID context tree: 2^(codelen+1) MQ contexts."""
+
+    __slots__ = ("cx", "codelen")
+
+    def __init__(self, codelen: int):
+        self.codelen = codelen
+        self.cx = [[0, 0] for _ in range(1 << (codelen + 1))]
+
+
+def decode_id(mq: MQDecoder, ia: IdCtx) -> int:
+    prev = 1
+    for _ in range(ia.codelen):
+        b = mq.decode(ia.cx[prev])
+        prev = (prev << 1) | b
+    return prev - (1 << ia.codelen)
+
+
+def encode_id(mq: MQEncoder, ia: IdCtx, value: int) -> None:
+    prev = 1
+    for k in range(ia.codelen - 1, -1, -1):
+        b = (value >> k) & 1
+        mq.encode(ia.cx[prev], b)
+        prev = (prev << 1) | b
+
+
+# --- symbol dictionary (T.88 6.5, arithmetic, no refinement) ------------------
+
+
+def decode_symbol_dict(
+    body: bytes, input_syms: list, max_pixels: int = 1 << 22
+) -> list:
+    """Symbol-dictionary segment body -> list of EXPORTED symbol bitmaps
+    (rows of 0/1). Arithmetic coding only; SDHUFF / refinement-aggregate
+    raise Jbig2Unsupported."""
+    flags = int.from_bytes(body[0:2], "big")
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise Jbig2Unsupported("SDHUFF symbol dictionary")
+    if sdrefagg:
+        raise Jbig2Unsupported("refinement/aggregate symbol dictionary")
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        ax = int.from_bytes(body[pos : pos + 1], "big", signed=True)
+        ay = int.from_bytes(body[pos + 1 : pos + 2], "big", signed=True)
+        at.append((ax, ay))
+        pos += 2
+    at = _check_at(at, template)
+    num_ex = int.from_bytes(body[pos : pos + 4], "big")
+    num_new = int.from_bytes(body[pos + 4 : pos + 8], "big")
+    pos += 8
+    if num_new > 10000 or num_ex > 10000:
+        raise Jbig2Unsupported("implausible symbol counts")
+
+    mq = MQDecoder(body[pos:])
+    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    new_syms: list = []
+    hcheight = 0
+    budget = max_pixels
+    while len(new_syms) < num_new:
+        dh = decode_int(mq, iadh)
+        if dh is OOB:
+            raise Jbig2Error("OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 10000:
+            raise Jbig2Error(f"bad symbol height {hcheight}")
+        symwidth = 0
+        while True:
+            dw = decode_int(mq, iadw)
+            if dw is OOB:
+                break  # end of height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 10000:
+                raise Jbig2Error(f"bad symbol width {symwidth}")
+            budget -= symwidth * hcheight
+            if budget < 0:
+                raise Jbig2Unsupported("symbol dict exceeds max_pixels")
+            new_syms.append(
+                _decode_generic_into(
+                    mq, gb_cx, symwidth, hcheight, template, at, False
+                )
+            )
+            if len(new_syms) > num_new:
+                raise Jbig2Error("too many symbols in height classes")
+    # export flags over input + new symbols (T.88 6.5.10)
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    cur_flag = 0
+    idx = 0
+    while idx < len(all_syms) and len(exported) <= num_ex:
+        run = decode_int(mq, iaex)
+        if run is OOB or run < 0:
+            raise Jbig2Error("bad export run")
+        if cur_flag:
+            exported.extend(all_syms[idx : idx + run])
+        idx += run
+        cur_flag ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error(
+            f"exported {len(exported)} symbols, header says {num_ex}"
+        )
+    return exported
+
+
+# --- text region (T.88 6.4, arithmetic, no refinement) ------------------------
+
+
+def decode_text_region(
+    body: bytes, syms: list, max_pixels: int = 1 << 22
+) -> tuple[dict, list]:
+    """Text-region segment body + symbol list -> (region info, bitmap)."""
+    info = _parse_region_info(body)
+    if info["w"] * info["h"] > max_pixels or not info["w"] or not info["h"]:
+        raise Jbig2Unsupported("text region exceeds max_pixels")
+    flags = int.from_bytes(body[17:19], "big")
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3  # 0 BL, 1 TL, 2 BR, 3 TR
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    if sbhuff:
+        raise Jbig2Unsupported("SBHUFF text region")
+    if refine:
+        raise Jbig2Unsupported("refinement text region")
+    strips = 1 << log_strips
+    pos = 19
+    num_instances = int.from_bytes(body[pos : pos + 4], "big")
+    pos += 4
+    if num_instances > 100000:
+        raise Jbig2Unsupported("implausible instance count")
+    if not syms:
+        raise Jbig2Error("text region with no symbols")
+    codelen = max(1, (len(syms) - 1).bit_length())
+
+    mq = MQDecoder(body[pos:])
+    iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(codelen)
+    w, h = info["w"], info["h"]
+    bitmap = [[def_pixel] * w for _ in range(h)]
+
+    def draw(sym, s, t):
+        sh = len(sym)
+        sw = len(sym[0]) if sh else 0
+        for yy in range(sh):
+            py = t + yy
+            if 0 <= py < h:
+                prow = bitmap[py]
+                srow = sym[yy]
+                for xx in range(sw):
+                    px = s + xx
+                    if 0 <= px < w:
+                        v = srow[xx]
+                        if comb_op == 0:
+                            prow[px] |= v
+                        elif comb_op == 1:
+                            prow[px] &= v
+                        elif comb_op == 2:
+                            prow[px] ^= v
+                        else:
+                            prow[px] = v
+
+    stript = decode_int(mq, iadt)
+    if stript is OOB:
+        raise Jbig2Error("OOB strip T")
+    stript = -stript * strips
+    firsts = 0
+    ninst = 0
+    while ninst < num_instances:
+        dt = decode_int(mq, iadt)
+        if dt is OOB:
+            raise Jbig2Error("OOB DT")
+        stript += dt * strips
+        dfs = decode_int(mq, iafs)
+        if dfs is OOB:
+            raise Jbig2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = decode_int(mq, iads)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            first = False
+            curt = 0 if strips == 1 else decode_int(mq, iait)
+            if curt is OOB:
+                raise Jbig2Error("OOB CURT")
+            tt = stript + curt
+            sid = decode_id(mq, iaid)
+            if sid >= len(syms):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
+            sh = len(sym)
+            sw = len(sym[0]) if sh else 0
+            if not transposed:
+                # T.88 6.4.5 3(c)(x): S is the left edge, T per corner
+                ty = tt if ref_corner in (1, 3) else tt - sh + 1
+                draw(sym, curs, ty)
+                curs += sw - 1
+            else:
+                tx = tt if ref_corner in (0, 1) else tt - sw + 1
+                draw(sym, tx, curs)
+                curs += sh - 1
+            ninst += 1
+            if ninst == num_instances:
+                break
+    return info, bitmap

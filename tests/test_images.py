@@ -165,8 +165,8 @@ def test_jbig2_image_decodes_to_png():
 
 
 def test_jbig2_unsupported_regions_fall_back_to_raw():
-    """A symbol-dictionary segment (real scanned text) must surface as a
-    typed failure -> raw passthrough, never a crash."""
+    """A HUFFMAN-coded symbol dictionary (SDHUFF, not implemented) must
+    surface as a typed failure -> raw passthrough, never a crash."""
     from delphi_pdf_parser_spark.fixtures import (
         PdfBuilder,
         _jbig2_segment,
@@ -174,9 +174,9 @@ def test_jbig2_unsupported_regions_fall_back_to_raw():
         _ccitt_test_bitmap,
     )
 
-    # splice a symbol-dict segment (type 0) in front of the page
+    # splice an SDHUFF symbol-dict segment (type 0) in front of the page
     good = jbig2_embed(_ccitt_test_bitmap())
-    sym = _jbig2_segment(9, 0, 1, b"\x00" * 8)
+    sym = _jbig2_segment(9, 0, 1, b"\x00\x01" + b"\x00" * 8)
     b = PdfBuilder()
     cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
     b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
@@ -242,3 +242,29 @@ def test_jbig2_globals_stream():
     b.add(f"<< /Length {len(glob)} >>", glob)
     (im,) = extract_images(b.build_classic(cat))
     assert im.format == "png" and (im.width, im.height) == (16, 10)
+
+
+def test_jbig2_symbol_text_region_decodes():
+    """Symbol-dict + text-region JBIG2 (the scanned-text coding) must
+    decode to a PNG whose pixels equal the reference rendering."""
+    import zlib as _z
+
+    from delphi_pdf_parser_spark.fixtures import _jbig2_text_fixture_args
+
+    pdf, _, _ = CASES["jbig2_text_image"]()
+    (im,) = extract_images(pdf)
+    assert im.format == "png" and (im.width, im.height) == (16, 14)
+    i = im.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", im.data[i : i + 4])
+    raw = _z.decompress(im.data[i + 8 : i + 8 + length])
+    symbols, placements, W, H = _jbig2_text_fixture_args()
+    want = [[0] * W for _ in range(H)]
+    for sid, s, t in placements:
+        for yy, row in enumerate(symbols[sid]):
+            for xx, v in enumerate(row):
+                if v:
+                    want[t + yy][s + xx] = 1
+    for y in range(H):
+        got = raw[y * (W + 1) + 1 : y * (W + 1) + 1 + W]
+        wrow = bytes(0 if want[y][x] else 255 for x in range(W))
+        assert got == wrow, (y, got.hex())
