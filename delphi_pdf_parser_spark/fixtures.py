@@ -2309,3 +2309,53 @@ def _jbig2_text_fixture_args():
 
 
 CASES["jbig2_text_image"] = _case_jbig2_text_image
+
+
+def _case_indexed_image():
+    """Indexed-palette raster (4-bpc indices into an RGB palette string,
+    plus a 8-bpc gray-palette variant via a stream lookup)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Ix 6 0 R /Iy 7 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithIndexed) Tj ET /Ix Do /Iy Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # 6x4 image, 4-bpc indices 0..5 into a 6-entry RGB palette (string)
+    pal = bytes.fromhex("ff0000" "00ff00" "0000ff" "ffffff" "000000" "804020")
+    rows = []
+    for y in range(4):
+        idx = [(x + y) % 6 for x in range(6)]
+        packed = bytearray()
+        for i in range(0, 6, 2):
+            packed.append((idx[i] << 4) | idx[i + 1])
+        rows.append(bytes(packed))
+    data = b"".join(rows)
+    comp = zlib.compress(data)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 6 /Height 4 "
+        "/BitsPerComponent 4 "
+        f"/ColorSpace [/Indexed /DeviceRGB 5 <{pal.hex().upper()}>] "
+        f"/Filter /FlateDecode /Length {len(comp)} >>",
+        comp,
+    )
+    # 4x2, 8-bpc indices into a gray palette delivered via a STREAM
+    gpal = bytes([0, 85, 170, 255])
+    gidx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    gcomp = zlib.compress(gidx)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+        "/BitsPerComponent 8 "
+        "/ColorSpace [/Indexed /DeviceGray 3 8 0 R] "
+        f"/Filter /FlateDecode /Length {len(gcomp)} >>",
+        gcomp,
+    )
+    b.add(f"<< /Length {len(gpal)} >>", gpal)
+    return b.build_classic(cat), "WithIndexed" + CRLF, 1
+
+
+CASES["indexed_image"] = _case_indexed_image

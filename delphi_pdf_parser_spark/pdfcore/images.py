@@ -142,6 +142,33 @@ def _colorspace_ncomp(doc: PdfDocument, cs) -> tuple[str, int]:
     return "", 0
 
 
+def _indexed_palette(doc: PdfDocument, cs) -> tuple[int, bytes] | None:
+    """[/Indexed base hival lookup] -> (base component count, palette
+    bytes). The lookup may be a string or a stream (pdf_load_colorspace
+    handles both in the reference, vcl/pdf_color_spcasess.pas)."""
+    cs = doc.resolve(cs)
+    if not (isinstance(cs, list) and len(cs) >= 4):
+        return None
+    base_name, base_n = _colorspace_ncomp(doc, cs[1])
+    if base_n not in (1, 3):
+        return None
+    lookup = cs[3]
+    from .cos import IndirectRef
+
+    if isinstance(lookup, IndirectRef):
+        resolved = doc.resolve(lookup)
+        if isinstance(resolved, bytes):
+            lookup = resolved
+        else:
+            try:
+                lookup = doc.load_stream(lookup.num)
+            except Exception:
+                return None
+    if not isinstance(lookup, (bytes, bytearray)):
+        return None
+    return base_n, bytes(lookup)
+
+
 def iter_images(doc: PdfDocument):
     """Full-object-table sweep for image streams (isimage,
     src/vcl/pdf_extracto.pas:11-16)."""
@@ -226,6 +253,40 @@ def extract_image(
     except Exception:
         doc.note_failure("image_decode_failed")
         return ExtractedImage(num, width, height, bpc, csname, last, "raw", b"")
+
+    if csname == "Indexed":
+        pal = _indexed_palette(doc, obj.get("ColorSpace"))
+        if pal is not None:
+            base_ncomp, lookup = pal
+            if base_ncomp in (1, 3) and bpc in (1, 2, 4, 8):
+                # per PDF imaging, index rows are padded to byte bounds
+                stride = (width * bpc + 7) // 8
+                if len(pixels) >= stride * height:
+                    out = bytearray(width * height * base_ncomp)
+                    mask = (1 << bpc) - 1
+                    per_byte = 8 // bpc
+                    k = 0
+                    for y in range(height):
+                        base = y * stride
+                        for x in range(width):
+                            b = pixels[base + x // per_byte]
+                            shift = 8 - bpc * (x % per_byte + 1)
+                            idx = (b >> shift) & mask
+                            o = idx * base_ncomp
+                            if o + base_ncomp <= len(lookup):
+                                out[k : k + base_ncomp] = lookup[
+                                    o : o + base_ncomp
+                                ]
+                            k += base_ncomp
+                    png = write_png(width, height, base_ncomp, bytes(out))
+                    return ExtractedImage(
+                        num, width, height, bpc,
+                        f"Indexed({base_ncomp})", last, "png", png,
+                    )
+        doc.note_failure("image_unsupported:Indexed")
+        return ExtractedImage(
+            num, width, height, bpc, csname, last, "raw", pixels
+        )
 
     if bpc == 8 and ncomp in (1, 3) and len(pixels) >= width * height * ncomp:
         png = write_png(width, height, ncomp, pixels[: width * height * ncomp])

@@ -268,3 +268,31 @@ def test_jbig2_symbol_text_region_decodes():
         got = raw[y * (W + 1) + 1 : y * (W + 1) + 1 + W]
         wrow = bytes(0 if want[y][x] else 255 for x in range(W))
         assert got == wrow, (y, got.hex())
+
+
+def test_indexed_palette_images_decode():
+    """Indexed rasters expand through the palette to true RGB/gray PNGs
+    (4-bpc packed indices + string palette; 8-bpc + stream palette)."""
+    import zlib as _z
+
+    pdf, _, _ = CASES["indexed_image"]()
+    ims = {im.obj_num: im for im in extract_images(pdf)}
+    rgb = ims[6]
+    assert rgb.format == "png" and rgb.colorspace == "Indexed(3)"
+    i = rgb.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", rgb.data[i : i + 4])
+    raw = _z.decompress(rgb.data[i + 8 : i + 8 + length])
+    pal = bytes.fromhex("ff0000" "00ff00" "0000ff" "ffffff" "000000" "804020")
+    for y in range(4):
+        row = raw[y * 19 + 1 : y * 19 + 19]
+        want = b"".join(
+            pal[((x + y) % 6) * 3 : ((x + y) % 6) * 3 + 3] for x in range(6)
+        )
+        assert row == want, (y, row.hex(), want.hex())
+    gray = ims[7]
+    assert gray.format == "png" and gray.colorspace == "Indexed(1)"
+    i = gray.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", gray.data[i : i + 4])
+    raw = _z.decompress(gray.data[i + 8 : i + 8 + length])
+    assert raw[1:5] == bytes([0, 85, 170, 255])
+    assert raw[6:10] == bytes([255, 170, 85, 0])
