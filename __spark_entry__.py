@@ -230,6 +230,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "page"
         )
 
+    def q_top_ngrams(spark, sf_dir):
+        return textstats.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+    def q_normalize_text(spark, sf_dir):
+        return textstats.normalize_text(_docs(spark, sf_dir)).orderBy(
+            "doc_id"
+        )
+
     def q_url_dedup(spark, sf_dir):
         """URL canonicalization + dedup: synthesize crawl-style URL
         variants (mixed-case host, default port, tracking params,
@@ -356,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_op_census": q_pdf_op_census,
         "warc_ingest": q_warc_ingest,
         "url_dedup": q_url_dedup,
+        "top_ngrams": q_top_ngrams,
+        "normalize_text": q_normalize_text,
         "html_main_content": q_html_main_content,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -565,6 +575,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
             WHERE event_type = 'purchase'
             ORDER BY user_id, day
+        """,
+        "top_ngrams": """
+            WITH toks AS (
+                SELECT str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), grams AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1]
+                )) AS ngram
+                FROM toks
+                WHERE len(t) >= 2
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM grams GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                        '\s+', ' ', 'g')) AS norm_text,
+                   length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                        '\s+', ' ', 'g'))) AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         "url_dedup": """
             WITH urls AS (

@@ -48,6 +48,8 @@ BENCH_QUERIES = (
     "multimodal_features",
     "html_main_content",
     "url_dedup",
+    "top_ngrams",
+    "normalize_text",
 )
 
 

@@ -129,3 +129,65 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
         F.length("text").alias("n_chars"),
         _ratio(F.col("text")).alias("zlib_ratio"),
     )
+
+
+def top_ngrams(
+    documents: DataFrame, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level n-gram frequency (the classic corpus statistic for
+    contamination/boilerplate hunting): explode word n-grams, one
+    hash-aggregate count (map-side partial), deterministic top-k by
+    (count desc, ngram asc). Shape: explode -> count -> global top-k;
+    the only full shuffle is the count's exchange."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    exploded = documents.select(F.explode(grams).alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical text normalization for dedup keys: Unicode NFC, control
+    chars stripped, whitespace collapsed, outer whitespace trimmed.
+    NFC needs a real Unicode database — an Arrow pandas UDF over
+    unicodedata (batch-vectorized transfer; the per-row work is C inside
+    CPython). Everything else stays in the same UDF to avoid a second
+    Python crossing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(text: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ws = re.compile(r"\s+")
+        ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            t = ctrl.sub("", t)
+            return ws.sub(" ", t).strip()
+
+        return text.map(one)
+
+    normed = documents.select(
+        "doc_id", norm(F.col("text")).alias("norm_text")
+    )
+    return normed.select(
+        "doc_id", "norm_text", F.length("norm_text").alias("n_chars")
+    )
