@@ -142,6 +142,43 @@ def _colorspace_ncomp(doc: PdfDocument, cs) -> tuple[str, int]:
     return "", 0
 
 
+def _decode_is_inverted(doc: PdfDocument, obj: dict, bpc: int) -> bool:
+    """True when /Decode flips the sample range (e.g. [1 0] on gray /
+    ImageMask — very common on fax masks)."""
+    dec = doc.resolve(obj.get("Decode") or obj.get("D"))
+    if isinstance(dec, list) and len(dec) >= 2:
+        try:
+            return float(doc.resolve(dec[0])) > float(doc.resolve(dec[1]))
+        except (TypeError, ValueError):
+            return False
+    return False
+
+
+def _expand_gray(pixels: bytes, width: int, height: int, bpc: int,
+                 inverted: bool) -> bytes | None:
+    """1/2/4/8-bpc single-component samples -> 8-bit gray, honoring the
+    Decode inversion. Rows are byte-aligned per PDF imaging."""
+    if bpc not in (1, 2, 4, 8):
+        return None
+    stride = (width * bpc + 7) // 8
+    if len(pixels) < stride * height:
+        return None
+    maxv = (1 << bpc) - 1
+    per_byte = 8 // bpc
+    out = bytearray(width * height)
+    k = 0
+    for y in range(height):
+        base = y * stride
+        for x in range(width):
+            b = pixels[base + x // per_byte]
+            v = (b >> (8 - bpc * (x % per_byte + 1))) & maxv
+            if inverted:
+                v = maxv - v
+            out[k] = (v * 255) // maxv
+            k += 1
+    return bytes(out)
+
+
 def _indexed_palette(doc: PdfDocument, cs) -> tuple[int, bytes] | None:
     """[/Indexed base hival lookup] -> (base component count, palette
     bytes). The lookup may be a string or a stream (pdf_load_colorspace
@@ -288,23 +325,25 @@ def extract_image(
             num, width, height, bpc, csname, last, "raw", pixels
         )
 
-    if bpc == 8 and ncomp in (1, 3) and len(pixels) >= width * height * ncomp:
+    inverted = _decode_is_inverted(doc, obj, bpc)
+
+    if (
+        bpc == 8 and ncomp in (1, 3) and not inverted
+        and len(pixels) >= width * height * ncomp
+    ):
         png = write_png(width, height, ncomp, pixels[: width * height * ncomp])
         return ExtractedImage(num, width, height, bpc, csname, last, "png", png)
 
-    stride = (width + 7) // 8
-    if bpc == 1 and ncomp == 1 and len(pixels) >= stride * height:
-        # 1-bpc gray / ImageMask / decoded CCITT: expand bits to 8-bit
-        # gray (bit 1 -> 255) and write a real PNG, matching the
-        # reference's pixmap expansion (fz_pixmapss.pas unpack path)
-        gray = bytearray(width * height)
-        for y in range(height):
-            base = y * stride
-            for x in range(width):
-                if (pixels[base + (x >> 3)] >> (7 - (x & 7))) & 1:
-                    gray[y * width + x] = 255
-        png = write_png(width, height, 1, bytes(gray))
-        return ExtractedImage(num, width, height, bpc, csname, last, "png", png)
+    if ncomp == 1:
+        # 1/2/4/8-bpc gray / ImageMask / decoded CCITT-JBIG2: expand to
+        # 8-bit gray honoring /Decode inversion, matching the reference's
+        # pixmap expansion (fz_pixmapss.pas unpack path)
+        gray = _expand_gray(pixels, width, height, bpc, inverted)
+        if gray is not None:
+            png = write_png(width, height, 1, gray)
+            return ExtractedImage(
+                num, width, height, bpc, csname, last, "png", png
+            )
 
     doc.note_failure(f"image_unsupported:{csname or 'unknown'}:{bpc}bpc")
     return ExtractedImage(num, width, height, bpc, csname, last, "raw", pixels)

@@ -296,3 +296,58 @@ def test_indexed_palette_images_decode():
     raw = _z.decompress(gray.data[i + 8 : i + 8 + length])
     assert raw[1:5] == bytes([0, 85, 170, 255])
     assert raw[6:10] == bytes([255, 170, 85, 0])
+
+
+def test_decode_array_and_subbyte_gray():
+    """/Decode [1 0] inverts samples; 2/4-bpc gray expands correctly."""
+    import zlib as _z
+
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /XObject << /A 5 0 R /B 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"/A Do /B Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    # 4-bpc gray 4x2 ramp with /Decode [1 0] (inverted)
+    vals = [[0, 5, 10, 15], [15, 10, 5, 0]]
+    packed = b"".join(
+        bytes([(vals[y][0] << 4) | vals[y][1], (vals[y][2] << 4) | vals[y][3]])
+        for y in range(2)
+    )
+    comp = _z.compress(packed)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+        "/BitsPerComponent 4 /ColorSpace /DeviceGray /Decode [1 0] "
+        f"/Filter /FlateDecode /Length {len(comp)} >>",
+        comp,
+    )
+    # 1-bpc ImageMask with /Decode [1 0]
+    mask = bytes([0b10100000])  # 3x1: pixels 1,0,1
+    comp2 = _z.compress(mask)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 3 /Height 1 "
+        "/ImageMask true /Decode [1 0] "
+        f"/Filter /FlateDecode /Length {len(comp2)} >>",
+        comp2,
+    )
+    ims = {im.obj_num: im for im in extract_images(b.build_classic(cat))}
+    a = ims[5]
+    assert a.format == "png"
+    i = a.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", a.data[i : i + 4])
+    raw = _z.decompress(a.data[i + 8 : i + 8 + length])
+    # inverted 4-bpc ramp: v -> (15-v)*255//15
+    want0 = bytes(((15 - v) * 255) // 15 for v in vals[0])
+    want1 = bytes(((15 - v) * 255) // 15 for v in vals[1])
+    assert raw[1:5] == want0 and raw[6:10] == want1
+    m = ims[6]
+    assert m.format == "png"
+    i = m.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", m.data[i : i + 4])
+    raw = _z.decompress(m.data[i + 8 : i + 8 + length])
+    assert raw[1:4] == bytes([0, 255, 0])  # bits 1,0,1 inverted
