@@ -188,15 +188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brute-force SQL oracle pins the whole IVF pipeline end-to-end
         e = _embs(spark, sf_dir)
         qs = e.filter(F.col("vec_id") < 5)
+        # train="first": full probe is training-independent, so skip the
+        # k-means job here (the oracle pins the plumbing, not the training)
         return similarity.ivf_topk(
-            e, qs, k=5, n_cells=16, n_probe=16
+            e, qs, k=5, n_cells=16, n_probe=16, train="first"
         ).orderBy("query_id", "rank")
 
     def q_ann_ivf(spark, sf_dir):
         e = _embs(spark, sf_dir)
         qs = e.filter(F.col("vec_id") < 5)
+        # k-means-trained cells (the real IVF path; rows-only by design —
+        # the cell assignment is training-specific)
         return similarity.ivf_topk(
-            e, qs, k=5, n_cells=16, n_probe=4
+            e, qs, k=5, n_cells=16, n_probe=4, train="kmeans"
         ).orderBy("query_id", "rank")
 
     def q_pdf_images(spark, sf_dir):
@@ -269,7 +273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_html_documents,
         )
 
-        docs = _docs(spark, sf_dir).limit(500)
+        # deterministic row set: doc_id < 500, not an unordered limit —
+        # limit() without orderBy can change rows under AQE/file layout
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
         body = F.concat(
             F.lit("<p>"),
             F.regexp_replace(F.col("text"), r"\.\s+", ".</p><p>"),
@@ -317,8 +323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from delphi_pdf_parser_spark.sources.warc import read_warc
 
-        d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_fixture")
-        os.makedirs(d, exist_ok=True)
         recs = [
             {
                 "url": f"https://warc.example/{i:03d}.pdf",
@@ -328,13 +332,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             }
             for i in range(20)
         ]
-        plain = os.path.join(d, "seg-0.warc")
-        gz = os.path.join(d, "seg-1.warc.gz")
-        if not os.path.exists(plain):
-            with open(plain, "wb") as f:
-                f.write(build_warc(recs[:10]))
-            with open(gz, "wb") as f:
-                f.write(build_warc(recs[10:], gzip_members=True))
+        seg0 = build_warc(recs[:10])
+        seg1 = build_warc(recs[10:], gzip_members=True)
+        # content-keyed cache dir + atomic writes (tmp name + rename): a
+        # crash between writes can't leave a half-built fixture, and stale
+        # files from an older bench_pdf version miss the key and rebuild
+        import hashlib
+
+        key = hashlib.sha256(seg0 + seg1).hexdigest()[:16]
+        d = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_warc_fixture_{key}"
+        )
+        os.makedirs(d, exist_ok=True)
+        for fname, payload in (("seg-0.warc", seg0), ("seg-1.warc.gz", seg1)):
+            path = os.path.join(d, fname)
+            if not os.path.exists(path):
+                tmp = path + f".tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)
         docs = read_warc(spark, d)
         return (
             extract_documents(docs, salt_partitions=4)

@@ -17,7 +17,31 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _cosine
+from .dedup import _cosine  # noqa: F401 — kept as the pinned expression spec
+
+
+def _cosine_arrow():
+    """Arrow-batched cosine: one vectorized NumPy pass per batch (row-wise
+    dot + norms) instead of three interpreted higher-order array passes
+    per row — `F.zip_with`/`F.aggregate` cannot be codegen'd and measured
+    7-70x slower in this repo's other kernels (shingles, signatures,
+    n-grams). The expression form `dedup._cosine` stays as the spec this
+    UDF is pinned against (tests/test_similarity.py::test_cosine_parity).
+    IEEE semantics match Spark's double division (inf/nan on zero norms)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dots / den)
+
+    return cosine
 
 
 def brute_force_topk(
@@ -38,7 +62,7 @@ def brute_force_topk(
     joined = e.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
     # round to 4 dp BEFORE ranking: float32 inputs summed in different
     # orders diverge around 1e-6, 4 dp + vec_id tiebreak is engine-stable
-    cos = F.round(_cosine(F.col("embedding"), F.col("qvec")), 4)
+    cos = F.round(_cosine_arrow()(F.col("embedding"), F.col("qvec")), 4)
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -114,17 +138,21 @@ def _plane_matrix(spark, dim: int, num_planes: int) -> np.ndarray:
 # columns [:dim] per batch. Eliminates both the per-call plane job and any
 # dimension-probe job (cached per session; ~100k-row JVM job once).
 _MAX_PLANE_DIM = 8192
-_PLANE_CACHE: dict = {}
 
 
 def _plane_broadcast(spark, num_planes: int):
-    key = (id(spark.sparkContext), num_planes)
-    bc = _PLANE_CACHE.get(key)
+    # cache lives as an attribute ON the context (not an id()-keyed module
+    # dict: an id can alias a new context allocated at the same address
+    # after teardown)
+    sc = spark.sparkContext
+    cache = getattr(sc, "_graft_plane_cache", None)
+    if cache is None:
+        cache = {}
+        sc._graft_plane_cache = cache
+    bc = cache.get(num_planes)
     if bc is None:
-        bc = spark.sparkContext.broadcast(
-            _plane_matrix(spark, _MAX_PLANE_DIM, num_planes)
-        )
-        _PLANE_CACHE[key] = bc
+        bc = sc.broadcast(_plane_matrix(spark, _MAX_PLANE_DIM, num_planes))
+        cache[num_planes] = bc
     return bc
 
 
@@ -154,23 +182,64 @@ def _signature_udf(spark, num_planes: int):
     return signature
 
 
+def _probe_udf(spark, num_planes: int, n_probe: int):
+    """Multi-probe bucket list per query: the signature bucket plus
+    single-bit flips of the (n_probe - 1) planes with the smallest
+    |projection| — vectors near a hyperplane boundary land on either side
+    of exactly those planes, so flipping them recovers the neighbors a
+    single-bucket probe loses (the standard multi-probe LSH heuristic)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _plane_broadcast(spark, num_planes)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        planes = bc.value
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        proj = m @ planes[:, : m.shape[1]].T  # (n, num_planes)
+        sig = ((proj >= 0.0) @ weights).astype(np.int64)
+        order = np.argsort(np.abs(proj), axis=1, kind="stable")
+        n_flip = min(n_probe - 1, num_planes)
+        out = []
+        for i in range(len(sig)):
+            buckets = [int(sig[i])]
+            for t in range(n_flip):
+                buckets.append(int(sig[i]) ^ (1 << int(order[i, t])))
+            out.append(buckets)
+        return pd.Series(out)
+
+    return probes
+
+
 def ann_lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, num_planes: int = 8
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    n_probe: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket."""
+    """Approximate top-k: candidates share one of the query's n_probe
+    hyperplane buckets (its own plus the lowest-|projection| bit flips).
+    Corpus vectors are signed once (one bucket each); only the tiny
+    broadcast query side fans out n_probe-fold, so the join stays linear
+    in the corpus."""
     spark = embeddings.sparkSession
     sig = _signature_udf(spark, num_planes)
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).withColumn("bucket", sig(F.col("embedding")))
+    probes = _probe_udf(spark, num_planes, n_probe)
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qvec"),
-        ).withColumn("bucket", sig(F.col("qvec")))
+        ).withColumn("bucket", F.explode(probes(F.col("qvec"))))
     )
     joined = e.join(q, on="bucket").filter(F.col("vec_id") != F.col("query_id"))
-    cos = F.round(_cosine(F.col("embedding"), F.col("qvec")), 4)
+    cos = F.round(_cosine_arrow()(F.col("embedding"), F.col("qvec")), 4)
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -180,40 +249,121 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    max_iter: int = 5,
+    train_limit: int | None = None,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) as a Spark job, for IVF coarse-quantizer
+    training. Deterministic throughout: seeding takes the n_cells vectors
+    with the lowest xxhash64(vec_id) (a pseudo-random but reproducible
+    spread, unlike lowest-vec_id which clusters on ingest order), and each
+    Lloyd iteration is one distributed pass — Arrow-batched assignment
+    against broadcast centroids, then a posexplode + (cell, pos) sum/count
+    hash-agg (map-side combined, JVM-side) whose n_cells x dim result is
+    the only collect. `train_limit` keeps the lowest-hash rows only —
+    at 100 TB you train the quantizer on a deterministic sample, not the
+    corpus. Empty cells keep their previous centroid. Centroids are
+    L2-normalized (the metric is cosine)."""
+    spark = embeddings.sparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if train_limit is not None:
+        e = (
+            e.withColumn("_h", F.xxhash64("vec_id"))
+            .orderBy("_h", "vec_id")
+            .limit(train_limit)
+            .drop("_h")
+        )
+        e = e.localCheckpoint(eager=False)
+    seed_rows = (
+        e.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n_cells).collect()
+    )
+    cmat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    )
+
+    def _norm(m):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    cmat = _norm(cmat)
+    sc = spark.sparkContext
+    for _ in range(max_iter):
+        bc = sc.broadcast(cmat)
+
+        @pandas_udf("int")
+        def assign(emb: pd.Series) -> pd.Series:
+            c = bc.value
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+            return pd.Series(np.argmax(_norm(m) @ c.T, axis=1))
+
+        stats = (
+            e.select(assign("embedding").alias("cell"), "embedding")
+            .select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cmat.copy()
+        sums = np.zeros_like(cmat)
+        counts = np.zeros(n_cells)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cmat = _norm(new)
+        bc.unpersist()
+    return cmat
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    train: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     its nearest-centroid cell; a query probes only its n_probe nearest
     cells and brute-forces within them. With n_probe == n_cells this
     degenerates to EXACT brute force (every vector is in exactly one
-    probed cell) — which is how the oracle pins it.
+    probed cell) — which is how the oracle pins it (training-independent:
+    every cell is probed regardless of where the centroids sit).
 
-    Deterministic 'training': centroids are the n_cells lowest vec_ids
-    (a deployment k-means-trains them offline; the Spark plumbing —
-    broadcast centroids, JVM/Arrow cell assignment, per-cell search,
-    window rank — is identical and is what this operator exercises).
-    The scale story: the centroid set is tiny (broadcast), assignment is
-    a map-only pass, and the search join fans each query out to n_probe
-    cells instead of the whole corpus.
+    Training (`train`): "kmeans" (default) runs the spherical-Lloyd Spark
+    job above for balanced cells; "first" takes the n_cells lowest
+    vec_ids — the cheap plumbing-only mode the full-probe oracle query
+    uses, where centroid quality cannot affect the result. The scale
+    story: the centroid set is tiny (broadcast), assignment is a map-only
+    pass, and the search join fans each query out to n_probe cells
+    instead of the whole corpus.
     """
     from pyspark.sql.functions import pandas_udf
 
     spark = embeddings.sparkSession
-    cent_rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(n_cells)
-        .collect()
-    )
-    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    norms = np.linalg.norm(cmat, axis=1)
-    norms[norms == 0] = 1.0
-    cmat = cmat / norms[:, None]
+    if train == "kmeans":
+        cmat = kmeans_centroids(embeddings, n_cells=n_cells)
+    else:
+        cent_rows = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
+        cmat = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]
+        )
+        norms = np.linalg.norm(cmat, axis=1)
+        norms[norms == 0] = 1.0
+        cmat = cmat / norms[:, None]
     bc = spark.sparkContext.broadcast(cmat)
 
     @pandas_udf("int")
@@ -245,7 +395,7 @@ def ivf_topk(
         .withColumn("cell", F.explode(probe_cells("qvec")))
     )
     joined = e.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
-    cos = F.round(_cosine(F.col("embedding"), F.col("qvec")), 4)
+    cos = F.round(_cosine_arrow()(F.col("embedding"), F.col("qvec")), 4)
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -228,6 +228,18 @@ def iter_images(doc: PdfDocument):
         yield num, obj
 
 
+def _raw_payload(doc: PdfDocument, num: int, obj: dict) -> bytes:
+    """Undecoded stream payload (decrypted, pre-filter) — what the raw
+    fallback passes through when the image filter chain fails, matching
+    the DCT/JPX branches which preserve the interchange bytes."""
+    raw = doc.data[
+        doc.stm_ofs[num] : doc.stm_ofs[num] + to_int(doc.get(obj, "Length"))
+    ]
+    if doc.crypt is not None and not doc._has_crypt_filter(obj):
+        raw = doc.crypt.decrypt_stream(raw, num, 0)
+    return raw
+
+
 def extract_image(
     doc: PdfDocument, num: int, obj: dict, transcode: bool = False
 ) -> ExtractedImage:
@@ -242,12 +254,7 @@ def extract_image(
 
     if last in ("DCTDecode", "DCT"):
         # the raw (possibly post-earlier-filters) payload is a JFIF file
-        raw = doc.data[
-            doc.stm_ofs[num] : doc.stm_ofs[num]
-            + to_int(doc.get(obj, "Length"))
-        ]
-        if doc.crypt is not None and not doc._has_crypt_filter(obj):
-            raw = doc.crypt.decrypt_stream(raw, num, 0)
+        raw = _raw_payload(doc, num, obj)
         for f in filters[:-1]:
             from .filters import apply_filter
 
@@ -281,17 +288,20 @@ def extract_image(
             num, width, height, bpc, csname, last, "jpeg", raw
         )
     if last in ("JPXDecode",):
-        raw = doc.data[
-            doc.stm_ofs[num] : doc.stm_ofs[num]
-            + to_int(doc.get(obj, "Length"))
-        ]
+        raw = _raw_payload(doc, num, obj)
         return ExtractedImage(num, width, height, bpc, csname, last, "jp2", raw)
 
     try:
         pixels = doc.load_stream(num)
     except Exception:
+        # raw passthrough + failure code: keep the undecoded payload (the
+        # documented contract) rather than dropping it
         doc.note_failure("image_decode_failed")
-        return ExtractedImage(num, width, height, bpc, csname, last, "raw", b"")
+        try:
+            raw = _raw_payload(doc, num, obj)
+        except Exception:
+            raw = b""
+        return ExtractedImage(num, width, height, bpc, csname, last, "raw", raw)
 
     if csname == "Indexed":
         pal = _indexed_palette(doc, obj.get("ColorSpace"))

@@ -245,6 +245,15 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     c for c in frame["comps"] if c["id"] == cs
                 )
                 scan.append((comp, tt >> 4, tt & 15))
+            if ns != len(frame["comps"]):
+                # Legal baseline non-interleaved JPEG (multiple SOS, each
+                # covering a subset of components). _decode_scan assumes one
+                # interleaved scan; silently returning it would zero-fill
+                # the remaining planes. Typed fallback instead.
+                raise UnsupportedJpegError(
+                    f"non-interleaved scan ({ns} of {len(frame['comps'])}"
+                    " components)"
+                )
             return _decode_scan(
                 data, i + 2 + seg_len, frame, scan, qt, huff_dc,
                 huff_ac, restart_interval,

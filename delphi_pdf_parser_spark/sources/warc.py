@@ -35,15 +35,25 @@ def parse_warc(data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":
         import zlib
 
+        # Common Crawl segments are ~1 GB with tens of thousands of gzip
+        # members; feed each member bounded chunks through a memoryview and
+        # advance by the consumed length, so ingestion is O(filesize) in
+        # memcpy instead of O(members x filesize) from re-slicing the tail.
+        mv = memoryview(data)
         parts = []
         pos = 0
-        while pos < len(data):
+        n = len(data)
+        chunk_size = 1 << 20
+        while pos < n:
             d = zlib.decompressobj(47)  # gzip member
-            parts.append(d.decompress(data[pos:]))
-            tail = d.unused_data
-            if not tail:
-                break
-            pos = len(data) - len(tail)
+            while not d.eof and pos < n:
+                chunk = mv[pos : pos + chunk_size]
+                parts.append(d.decompress(chunk))
+                pos += len(chunk)
+            if not d.eof:
+                break  # truncated final member: keep what decoded
+            # unused_data is the over-fed suffix of the last chunk only
+            pos -= len(d.unused_data)
         data = b"".join(parts)
     out = []
     pos = 0

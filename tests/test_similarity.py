@@ -38,12 +38,14 @@ def test_arrow_signature_matches_expression_form(spark):
 
 def test_ann_lsh_topk_rows_pinned(spark):
     """Same (query_id, rank, vec_id) rows as the r1 expression-form path
-    (the queries are the 5 lowest vec_ids, matching __spark_entry__)."""
+    (the queries are the 5 lowest vec_ids, matching __spark_entry__).
+    n_probe=1 pins the single-bucket spec; multi-probe is covered by the
+    recall test below."""
     emb = _embeddings(spark)
     queries = emb.orderBy("vec_id").limit(5)
     got = {
         (r["query_id"], r["rank"], r["vec_id"])
-        for r in ann_lsh_topk(emb, queries, k=3).collect()
+        for r in ann_lsh_topk(emb, queries, k=3, n_probe=1).collect()
     }
     # reference rows computed with the expression-form signature
     e = emb.select(
@@ -73,3 +75,103 @@ def test_ann_lsh_topk_rows_pinned(spark):
     }
     assert got == want
     assert got, "empty ANN result"
+
+
+def test_cosine_arrow_matches_expression_form(spark):
+    """The Arrow cosine kernel (one batched matmul) must agree with the
+    pinned expression spec dedup._cosine to 4 dp on real embeddings."""
+    from delphi_pdf_parser_spark.operators.dedup import _cosine
+    from delphi_pdf_parser_spark.operators.similarity import _cosine_arrow
+
+    emb = _embeddings(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = emb.alias("a")
+    b = emb.filter(F.col("vec_id") < 20).alias("b")
+    pairs = a.crossJoin(
+        b.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+    )
+    both = pairs.select(
+        F.round(_cosine_arrow()(F.col("embedding"), F.col("qvec")), 4).alias(
+            "fast"
+        ),
+        F.round(_cosine(F.col("embedding"), F.col("qvec")), 4).alias("ref"),
+    )
+    bad = both.filter(F.col("fast") != F.col("ref")).count()
+    assert bad == 0, f"{bad} cosine mismatches between Arrow and expression"
+
+
+def _clustered_embeddings(spark, n_clusters=8, per=60, dim=16, spread=0.2):
+    """Planted-cluster corpus: LSH recall is only meaningful when true
+    neighbors are actually close (the sf parquet embeddings are near-
+    uniform, where no sublinear index can beat chance)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_clusters, dim)) * 4
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(per, dim)) * spread
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall_vs_bruteforce(spark, emb, n_probe: int, k: int = 5) -> float:
+    from delphi_pdf_parser_spark.operators.similarity import brute_force_topk
+
+    queries = emb.filter(F.col("vec_id") % 30 == 0)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_lsh_topk(emb, queries, k=k, n_probe=n_probe).collect()
+    }
+    return len(exact & approx) / len(exact)
+
+
+def test_multiprobe_improves_recall(spark):
+    """Multi-probe LSH (bit-flips of the lowest-|projection| planes) must
+    not lose recall vs single-probe, and must reach a usable floor on a
+    clustered corpus where true neighbors are close."""
+    emb = _clustered_embeddings(spark)
+    r1 = _recall_vs_bruteforce(spark, emb, n_probe=1)
+    r3 = _recall_vs_bruteforce(spark, emb, n_probe=3)
+    assert r3 >= r1, f"multi-probe recall {r3} < single-probe {r1}"
+    assert r3 >= 0.6, f"multi-probe recall@5 too low: {r3}"
+
+
+def test_kmeans_cells_balanced(spark):
+    """Spherical k-means centroids on a clustered corpus: every planted
+    cluster gets a dedicated cell and assignment balance is bounded
+    (max/median below 4), unlike lowest-vec_id 'training' which collapses
+    onto whichever cluster the first ids came from."""
+    import numpy as np
+    from delphi_pdf_parser_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 8, 60, 16
+    centers = rng.normal(size=(n_clusters, dim)) * 4
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(per, dim)) * 0.2
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cmat = kmeans_centroids(df, n_cells=n_clusters, max_iter=8)
+    m = np.stack([np.array(r["embedding"]) for r in df.collect()])
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    assign = np.argmax(m @ cmat.T, axis=1)
+    counts = np.bincount(assign, minlength=n_clusters)
+    nonzero = counts[counts > 0]
+    assert (counts > 0).sum() == n_clusters, f"empty cells: {counts}"
+    ratio = nonzero.max() / np.median(nonzero)
+    assert ratio < 4, f"cell imbalance max/median={ratio:.2f} ({counts})"
