@@ -158,6 +158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_a", "doc_b"
         )
 
+    def q_dedup_recall(spark, sf_dir):
+        """Dedup QUALITY tracking: precision/recall of the LSH candidate
+        generator vs exact shingle-Jaccard truth, per threshold. Rows-only
+        (blake2b shingle hashes have no SQL analogue); the values are
+        pinned on a constructed near-dup corpus in tests/test_minhash.py."""
+        return dedup.lsh_recall(_docs(spark, sf_dir)).orderBy("threshold")
+
     def q_simhash(spark, sf_dir):
         return dedup.simhash_near_dups(_docs(spark, sf_dir)).orderBy(
             "doc_a", "doc_b"
@@ -414,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_jaccard_pairs": q_token_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_recall": q_dedup_recall,
         "simhash_near_dups": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,

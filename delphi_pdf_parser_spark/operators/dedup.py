@@ -245,6 +245,95 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_recall(
+    documents: DataFrame,
+    thresholds: tuple = (0.3, 0.5, 0.7),
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """Dedup QUALITY metric: precision/recall of the MinHash-LSH candidate
+    generator against exact shingle-Jaccard ground truth, per threshold —
+    so the pipeline tracks whether banding parameters actually recover the
+    near-dups, not just how many rows came out.
+
+    Ground truth is exact Jaccard over the same shingle-hash sets for all
+    pairs WITHIN a `source` block (the bounded-quadratic verify shape
+    token_jaccard_pairs uses; unblocked all-pairs truth would be corpus-
+    quadratic). Per threshold t:
+      recall    = |true pairs (j>=t) found by LSH| / |true pairs (j>=t)|
+      precision = |LSH candidates with j>=t|       / |LSH candidates|
+    Candidates carry their exact post-verify Jaccard, so precision needs
+    no second join. Rows-only for the driver (blake2b shingle hashes have
+    no SQL analogue); values pinned by tests/test_minhash.py."""
+    sh = _shingle_hash_table(documents, shingle_n).localCheckpoint(eager=False)
+    src = documents.select("doc_id", "source")
+    toks = sh.join(src, "doc_id")
+    sizes = toks.groupBy("source").agg(F.count("*").alias("_n"))
+    toks = toks.join(sizes, "source").filter(F.col("_n") <= max_block).drop("_n")
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(b, on="source").filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    truth = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 4).alias("true_j"),
+    ).filter(F.col("true_j") > 0)
+
+    cand = minhash_lsh_candidates(
+        documents, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+
+    spark = documents.sparkSession
+    t_df = F.broadcast(
+        spark.createDataFrame(
+            [(float(t),) for t in thresholds], "threshold double"
+        )
+    )
+    truth_c = truth.join(
+        cand.select("doc_a", "doc_b", F.lit(1).alias("is_cand")),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    rec = (
+        truth_c.crossJoin(t_df)
+        .filter(F.col("true_j") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("is_cand"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    prec = (
+        cand.crossJoin(t_df)
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                (F.col("jaccard") >= F.col("threshold")).cast("long")
+            ).alias("n_cand_good"),
+        )
+    )
+    return (
+        rec.join(prec, "threshold", "outer")
+        .select(
+            "threshold",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_cand_good") / F.col("n_candidates"), F.lit(0.0)), 4
+            ).alias("precision"),
+            F.round(
+                F.coalesce(F.col("n_hit") / F.col("n_true"), F.lit(0.0)), 4
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash from token xxhash64 values, bit-majority counting.
 

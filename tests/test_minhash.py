@@ -89,3 +89,50 @@ def test_minhash_pairs_nonempty_and_verified(spark):
     out = minhash_lsh_candidates(_docs(spark)).collect()
     assert len(out) > 0
     assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def _neardup_corpus(spark):
+    """Constructed corpus with KNOWN near-dup structure: 5 pairs of
+    40-word docs differing in exactly 2 words (shingle-Jaccard ~0.85),
+    one medium pair sharing the first 20 of 40 words (~0.4), and 4
+    unrelated docs. All one source so the truth blocking covers every
+    pair. Everything is deterministic (fixed words, fixed hashes)."""
+    rows = []
+    did = 0
+    for p in range(5):
+        base = [f"w{p}_{i}" for i in range(40)]
+        v = list(base)
+        v[10] = "editA"
+        v[30] = "editB"
+        rows.append((did, "s", " ".join(base))); did += 1
+        rows.append((did, "s", " ".join(v))); did += 1
+    shared = [f"m_{i}" for i in range(20)]
+    rows.append((did, "s", " ".join(shared + [f"x_{i}" for i in range(20)]))); did += 1
+    rows.append((did, "s", " ".join(shared + [f"y_{i}" for i in range(20)]))); did += 1
+    for u in range(4):
+        rows.append((did, "s", " ".join(f"u{u}_{i}" for i in range(40)))); did += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_lsh_recall_pinned(spark):
+    from delphi_pdf_parser_spark.operators.dedup import lsh_recall
+
+    out = {
+        r["threshold"]: r.asDict()
+        for r in lsh_recall(_neardup_corpus(spark)).collect()
+    }
+    # 5 planted ~0.85 pairs all found; the ~0.31 medium pair is in the
+    # 0.3 truth set but (deterministically, with these hash fns and 8x4
+    # banding) NOT surfaced by LSH — recall 5/6 pins the miss path too
+    assert out[0.3] == {
+        "threshold": 0.3, "n_true": 6, "n_candidates": 5, "n_hit": 5,
+        "precision": 1.0, "recall": 0.8333,
+    }
+    assert out[0.5] == {
+        "threshold": 0.5, "n_true": 5, "n_candidates": 5, "n_hit": 5,
+        "precision": 1.0, "recall": 1.0,
+    }
+    assert out[0.7] == {
+        "threshold": 0.7, "n_true": 5, "n_candidates": 5, "n_hit": 5,
+        "precision": 1.0, "recall": 1.0,
+    }
