@@ -2359,3 +2359,76 @@ def _case_indexed_image():
 
 
 CASES["indexed_image"] = _case_indexed_image
+
+
+def _case_cmyk_image():
+    """CMYK + Separation + DeviceN rasters exercising the colorspace
+    fixup path (saveimage's dorgb conversion, pdf_extracto.pas:47-53 ->
+    res_colorspace.pas cmyk_to_rgb / pdf_color_spcasess.pas
+    separation_to_rgb): an 8-bpc DeviceCMYK image, a Separation image
+    with a type-2 exponential tint into DeviceCMYK, and a 2-ink DeviceN
+    image with a type-0 sampled tint into DeviceRGB."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Ic 6 0 R /Is 7 0 R /In 9 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithCMYK) Tj ET /Ic Do /Is Do /In Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # 3x2 DeviceCMYK: white, cyan, magenta / yellow, black(K), rich black
+    cmyk = bytes(
+        [0, 0, 0, 0] + [255, 0, 0, 0] + [0, 255, 0, 0]
+        + [0, 0, 255, 0] + [0, 0, 0, 255] + [255, 255, 255, 255]
+    )
+    comp = zlib.compress(cmyk)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 3 /Height 2 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceCMYK "
+        f"/Filter /FlateDecode /Length {len(comp)} >>",
+        comp,
+    )
+    # 4x1 Separation ramp 0,85,170,255 -> type-2 tint (N=1) to CMYK:
+    # C0=[0 0 0 0], C1=[0.8 0.2 0 0.1] (a teal-ish spot ink)
+    sep = bytes([0, 85, 170, 255])
+    scomp = zlib.compress(sep)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 1 "
+        "/BitsPerComponent 8 "
+        "/ColorSpace [/Separation /TealSpot /DeviceCMYK 8 0 R] "
+        f"/Filter /FlateDecode /Length {len(scomp)} >>",
+        scomp,
+    )
+    b.add(
+        "<< /FunctionType 2 /Domain [0 1] /N 1 "
+        "/C0 [0 0 0 0] /C1 [0.8 0.2 0 0.1] >>"
+    )
+    # 2x1 DeviceN (2 inks) -> type-0 sampled tint to DeviceRGB:
+    # 2x2 lattice, 8 bps, samples (ink0, ink1) -> (r, g, b)
+    dn = bytes([0, 255, 255, 0])  # pixel0: ink0=0,ink1=1; pixel1: 1,0
+    ncomp2 = zlib.compress(dn)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 2 /Height 1 "
+        "/BitsPerComponent 8 "
+        "/ColorSpace [/DeviceN [/InkA /InkB] /DeviceRGB 10 0 R] "
+        f"/Filter /FlateDecode /Length {len(ncomp2)} >>",
+        ncomp2,
+    )
+    # lattice order: ink0 varies fastest. corners (i0,i1):
+    # (0,0)->black (0,0,0); (1,0)->red; (0,1)->blue; (1,1)->white
+    samp = bytes(
+        [0, 0, 0] + [255, 0, 0] + [0, 0, 255] + [255, 255, 255]
+    )
+    b.add(
+        "<< /FunctionType 0 /Domain [0 1 0 1] /Range [0 1 0 1 0 1] "
+        "/Size [2 2] /BitsPerSample 8 "
+        f"/Length {len(samp)} >>",
+        samp,
+    )
+    return b.build_classic(cat), "WithCMYK" + CRLF, 1
+
+
+CASES["cmyk_image"] = _case_cmyk_image

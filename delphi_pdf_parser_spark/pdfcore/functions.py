@@ -1,0 +1,244 @@
+"""PDF functions (types 0 sampled / 2 exponential / 3 stitching),
+vectorized over NumPy sample batches.
+
+Reference: pdf_load_function / pdf_eval_function dispatch in
+src/vcl/pdf_functionss.pas (SAMPLE eval :~load_sample/eval_sample,
+EXPONENTIAL, STITCHING; the type-4 PostScript calculator ps_run
+:210-682 is NOT implemented here — type 4 raises FunctionError and the
+caller records a decode-failure code).
+
+These exist for colorspace tint transforms (Separation / DeviceN →
+alternate space, res_colorspace.pas' separation_to_rgb calls
+pdf_eval_function per color) — the text path never evaluates functions
+(SURVEY A44), so this module is only reached from the image sink.
+
+Eval is batched: `eval_function(fn, x)` takes x of shape (k, m) and
+returns (k, n) — one NumPy pass per 256-entry Separation lookup or per
+image's worth of DeviceN samples, never per-pixel Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cos import to_int, to_real
+
+
+class FunctionError(Exception):
+    """Unsupported or malformed PDF function (e.g. type 4)."""
+
+
+def _float_list(doc, v) -> list[float]:
+    v = doc.resolve(v)
+    if not isinstance(v, list):
+        return []
+    return [to_real(doc.resolve(x)) for x in v]
+
+
+def load_function(doc, obj):
+    """Parse a function dict/stream into an eval-ready dict."""
+    ref = obj
+    obj = doc.resolve(obj)
+    if not isinstance(obj, dict):
+        raise FunctionError("function is not a dict")
+    ftype = to_int(doc.get(obj, "FunctionType"))
+    domain = _float_list(doc, obj.get("Domain"))
+    rng = _float_list(doc, obj.get("Range"))
+    if ftype == 2:
+        c0 = _float_list(doc, obj.get("C0")) or [0.0]
+        c1 = _float_list(doc, obj.get("C1")) or [1.0]
+        nv = doc.resolve(obj.get("N"))
+        if not isinstance(nv, (int, float)) or isinstance(nv, bool):
+            raise FunctionError("type 2 missing /N")
+        n = float(nv)
+        return {
+            "type": 2,
+            "domain": domain or [0.0, 1.0],
+            "range": rng,
+            "c0": np.asarray(c0, dtype=np.float64),
+            "c1": np.asarray(c1, dtype=np.float64),
+            "n": n,
+        }
+    if ftype == 3:
+        funcs = doc.resolve(obj.get("Functions"))
+        if not isinstance(funcs, list):
+            raise FunctionError("type 3 missing /Functions")
+        subs = [load_function(doc, f) for f in funcs]
+        bounds = _float_list(doc, obj.get("Bounds"))
+        encode = _float_list(doc, obj.get("Encode"))
+        if len(encode) != 2 * len(subs):
+            encode = [0.0, 1.0] * len(subs)
+        return {
+            "type": 3,
+            "domain": domain or [0.0, 1.0],
+            "range": rng,
+            "funcs": subs,
+            "bounds": bounds,
+            "encode": encode,
+        }
+    if ftype == 0:
+        # sampled: needs the stream payload
+        from .cos import IndirectRef
+
+        if not isinstance(ref, IndirectRef):
+            raise FunctionError("type 0 function must be a stream")
+        data = doc.load_stream(ref.num)
+        size = [to_int(doc.resolve(s)) for s in doc.resolve(obj.get("Size")) or []]
+        bps = to_int(doc.get(obj, "BitsPerSample"))
+        if not size or bps not in (1, 2, 4, 8, 16, 24, 32):
+            raise FunctionError("type 0 bad /Size or /BitsPerSample")
+        m = len(size)
+        if len(domain) != 2 * m or not rng:
+            raise FunctionError("type 0 bad /Domain or missing /Range")
+        n = len(rng) // 2
+        encode = _float_list(doc, obj.get("Encode"))
+        if len(encode) != 2 * m:
+            encode = []
+            for s in size:
+                encode += [0.0, float(s - 1)]
+        decode = _float_list(doc, obj.get("Decode")) or list(rng)
+        total = 1
+        for s in size:
+            total *= s
+        nbits = total * n * bps
+        if len(data) * 8 < nbits:
+            raise FunctionError("type 0 sample stream too short")
+        samples = _unpack_samples(data, total * n, bps)
+        return {
+            "type": 0,
+            "domain": domain,
+            "range": rng,
+            "size": size,
+            "bps": bps,
+            "encode": encode,
+            "decode": decode,
+            "samples": samples,  # float64 in [0, 1], length total*n
+            "n": n,
+        }
+    raise FunctionError(f"unsupported FunctionType {ftype}")
+
+
+def _unpack_samples(data: bytes, count: int, bps: int) -> np.ndarray:
+    """Big-endian bit-packed samples -> float64 scaled to [0, 1]."""
+    if bps == 8:
+        v = np.frombuffer(data[:count], dtype=np.uint8).astype(np.float64)
+        return v / 255.0
+    if bps == 16:
+        v = np.frombuffer(data[: 2 * count], dtype=">u2").astype(np.float64)
+        return v / 65535.0
+    if bps == 32:
+        v = np.frombuffer(data[: 4 * count], dtype=">u4").astype(np.float64)
+        return v / 4294967295.0
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    if bps == 1:
+        return bits[:count].astype(np.float64)
+    if bps in (2, 4):
+        per = bps
+        usable = (len(bits) // per) * per
+        grouped = bits[:usable].reshape(-1, per)
+        weights = 1 << np.arange(per - 1, -1, -1)
+        vals = (grouped * weights).sum(axis=1)[:count]
+        return vals.astype(np.float64) / ((1 << bps) - 1)
+    if bps == 24:
+        b = np.frombuffer(data[: 3 * count], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.float64) * 65536
+            + b[:, 1].astype(np.float64) * 256
+            + b[:, 2].astype(np.float64)
+        )
+        return v / 16777215.0
+    raise FunctionError(f"bps {bps}")
+
+
+def _interp(x, lo_in, hi_in, lo_out, hi_out):
+    span = hi_in - lo_in
+    t = np.where(span != 0, (x - lo_in) / np.where(span == 0, 1, span), 0.0)
+    return lo_out + t * (hi_out - lo_out)
+
+
+def eval_function(fn: dict, x: np.ndarray) -> np.ndarray:
+    """x: (k, m) inputs -> (k, n) outputs, domain/range-clipped like the
+    reference's pdf_eval_function."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    dom = fn["domain"]
+    m = x.shape[1]
+    for i in range(min(m, len(dom) // 2)):
+        x[:, i] = np.clip(x[:, i], dom[2 * i], dom[2 * i + 1])
+    if fn["type"] == 2:
+        t = x[:, 0:1] ** fn["n"]
+        out = fn["c0"][None, :] + t * (fn["c1"] - fn["c0"])[None, :]
+    elif fn["type"] == 3:
+        out = _eval_stitching(fn, x)
+    else:
+        out = _eval_sampled(fn, x)
+    rng = fn.get("range")
+    if rng:
+        for j in range(out.shape[1]):
+            if 2 * j + 1 < len(rng):
+                out[:, j] = np.clip(out[:, j], rng[2 * j], rng[2 * j + 1])
+    return out
+
+
+def _eval_stitching(fn: dict, x: np.ndarray) -> np.ndarray:
+    d0, d1 = fn["domain"][0], fn["domain"][1]
+    bounds = fn["bounds"]
+    subs = fn["funcs"]
+    k = len(subs)
+    xs = x[:, 0]
+    # subfunction index per input
+    edges = np.asarray([d0] + list(bounds) + [d1])
+    idx = np.clip(np.searchsorted(edges[1:-1], xs, side="right"), 0, k - 1)
+    # probe output width with the first subfunction
+    probe = eval_function(subs[0], np.asarray([[d0]]))
+    out = np.zeros((len(xs), probe.shape[1]))
+    for i in range(k):
+        sel = idx == i
+        if not sel.any():
+            continue
+        lo, hi = edges[i], edges[i + 1]
+        e0, e1 = fn["encode"][2 * i], fn["encode"][2 * i + 1]
+        sub_x = _interp(xs[sel], lo, hi, e0, e1)
+        out[sel] = eval_function(subs[i], sub_x[:, None])
+    return out
+
+
+def _eval_sampled(fn: dict, x: np.ndarray) -> np.ndarray:
+    """Multilinear interpolation over the sample lattice (the reference
+    interpolates linearly for m==1 and multilinearly via corner blending
+    for higher m; here: full multilinear for any m, vectorized)."""
+    size = fn["size"]
+    m = len(size)
+    n = fn["n"]
+    dom, enc, dec = fn["domain"], fn["encode"], fn["decode"]
+    k = x.shape[0]
+    # encode inputs to lattice coordinates
+    coords = np.zeros((k, m))
+    for i in range(m):
+        e = _interp(x[:, i], dom[2 * i], dom[2 * i + 1], enc[2 * i], enc[2 * i + 1])
+        coords[:, i] = np.clip(e, 0, size[i] - 1)
+    lo = np.floor(coords).astype(np.int64)
+    for i in range(m):
+        lo[:, i] = np.minimum(lo[:, i], max(size[i] - 2, 0))
+    frac = coords - lo
+    # strides in samples (first input varies fastest, per PDF spec)
+    strides = np.ones(m, dtype=np.int64)
+    for i in range(1, m):
+        strides[i] = strides[i - 1] * size[i - 1]
+    samples = fn["samples"]
+    out = np.zeros((k, n))
+    for corner in range(1 << m):
+        wt = np.ones(k)
+        idx = np.zeros(k, dtype=np.int64)
+        for i in range(m):
+            bit = (corner >> i) & 1
+            ci = lo[:, i] + bit
+            ci = np.minimum(ci, size[i] - 1)
+            idx += ci * strides[i]
+            wt = wt * (frac[:, i] if bit else (1.0 - frac[:, i]))
+        base = idx * n
+        for j in range(n):
+            out[:, j] += wt * samples[base + j]
+    # decode outputs from [0,1] to Decode range
+    for j in range(n):
+        out[:, j] = dec[2 * j] + out[:, j] * (dec[2 * j + 1] - dec[2 * j])
+    return out

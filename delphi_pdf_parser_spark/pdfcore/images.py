@@ -17,8 +17,11 @@ Here:
   text regions) via pdfcore/jbig2.py; Indexed palettes expand through
   the lookup; /Decode inversion honored; 1/2/4/8-bpc single-component
   rasters expand to 8-bit gray PNGs
-- anything else (JPX pixels, CMYK rasters, Separation/Lab colorspaces)
-  ships raw with format='raw' and a decode-failure code
+- CMYK / ICCBased(N=4) rasters convert to RGB via the reference's device
+  matrix; Separation/DeviceN via tint-transform eval (pdf functions
+  types 0/2/3) into a supported alternate — colorspace.py / functions.py
+- anything else (JPX pixels, Lab, type-4 tint transforms) ships raw
+  with format='raw' and a decode-failure code
 """
 
 from __future__ import annotations
@@ -353,6 +356,21 @@ def extract_image(
         gray = _expand_gray(pixels, width, height, bpc, inverted)
         if gray is not None:
             png = write_png(width, height, 1, gray)
+            return ExtractedImage(
+                num, width, height, bpc, csname, last, "png", png
+            )
+
+    # colorspace fixup (the reference's saveimage dorgb path,
+    # pdf_extracto.pas:47-53 -> fz_convert_pixmap): CMYK / ICCBased(N=4)
+    # via the device matrix, Separation/DeviceN via the tint transform
+    if bpc == 8:
+        from .colorspace import convert_to_rgb8
+
+        rgb = convert_to_rgb8(
+            doc, obj.get("ColorSpace"), pixels, width, height, bpc, inverted
+        )
+        if rgb is not None:
+            png = write_png(width, height, 3, rgb)
             return ExtractedImage(
                 num, width, height, bpc, csname, last, "png", png
             )

@@ -351,3 +351,81 @@ def test_decode_array_and_subbyte_gray():
     (length,) = struct.unpack(">I", m.data[i : i + 4])
     raw = _z.decompress(m.data[i + 8 : i + 8 + length])
     assert raw[1:4] == bytes([0, 255, 0])  # bits 1,0,1 inverted
+
+
+def _png_raw(im):
+    import zlib as _z
+
+    i = im.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", im.data[i : i + 4])
+    return _z.decompress(im.data[i + 8 : i + 8 + length])
+
+
+def test_cmyk_image_converts_to_rgb_png():
+    """DeviceCMYK rasters convert through the reference's device matrix
+    (res_colorspace.pas:104-174, incl. the ported 1000-corner quirk) and
+    trunc(v*255) quantization (fz_std_conv_pixmap) — anchor pixels are
+    hand-computed from the coefficient table, NOT from the module."""
+    pdf, _, _ = CASES["cmyk_image"]()
+    ims = {im.obj_num: im for im in extract_images(pdf)}
+    cmyk = ims[6]
+    assert cmyk.format == "png" and cmyk.colorspace == "DeviceCMYK"
+    raw = _png_raw(cmyk)
+    # 3x2 RGB rows with filter byte
+    row0 = raw[1:10]
+    row1 = raw[11:20]
+    # white (0,0,0,0): x(0000)=1 -> rgb (255,255,255)
+    assert row0[0:3] == bytes([255, 255, 255])
+    # pure cyan (1,0,0,0): only the 1000 corner fires; it accumulates the
+    # (here zero) 0111 x, so r=0, g=trunc(.6784*255)=172, b=trunc(.9373*255)=239
+    assert row0[3:6] == bytes([0, 172, 239])
+    # pure magenta (0,1,0,0): 0100 corner -> r=.9255, g=0, b=.5490
+    assert row0[6:9] == bytes([236, 0, 139])
+    # pure yellow (0,0,1,0): 0010 -> r=1, g=.9490, b=0
+    assert row1[0:3] == bytes([255, 241, 0])
+    # pure K (0,0,0,1): 0001 -> (.1373,.1216,.1255)
+    assert row1[3:6] == bytes([35, 31, 32])
+    # rich black (1,1,1,1): no corner fires -> (0,0,0)
+    assert row1[6:9] == bytes([0, 0, 0])
+
+
+def test_separation_tint_transform_converts():
+    """Separation ramp through a type-2 exponential tint into DeviceCMYK:
+    tint t maps to CMYK t*(0.8,0.2,0,0.1); spot value 255 (t=1) must land
+    on the CMYK conversion of (0.8,0.2,0,0.1)."""
+    import numpy as np
+
+    from delphi_pdf_parser_spark.pdfcore.colorspace import cmyk_to_rgb
+
+    pdf, _, _ = CASES["cmyk_image"]()
+    ims = {im.obj_num: im for im in extract_images(pdf)}
+    sep = ims[7]
+    assert sep.format == "png" and sep.colorspace == "Separation"
+    raw = _png_raw(sep)
+    px = raw[1:13]  # 4 RGB pixels
+    # t=0 -> CMYK (0,0,0,0) -> white
+    assert px[0:3] == bytes([255, 255, 255])
+    # t=1 -> CMYK (.8,.2,0,.1); expected via the (independently anchored
+    # above) matrix at full precision
+    want = np.trunc(
+        cmyk_to_rgb(np.array([[0.8, 0.2, 0.0, 0.1]])) * 255
+    ).astype(int)[0]
+    assert list(px[9:12]) == list(want)
+    # monotone ramp: r should decrease with tint (more cyan)
+    rs = [px[0], px[3], px[6], px[9]]
+    assert rs == sorted(rs, reverse=True)
+
+
+def test_devicen_sampled_tint_converts():
+    """2-ink DeviceN through a type-0 sampled (2x2 lattice, bilinear)
+    tint into DeviceRGB: corner inputs hit lattice corners exactly."""
+    pdf, _, _ = CASES["cmyk_image"]()
+    ims = {im.obj_num: im for im in extract_images(pdf)}
+    dn = ims[9]
+    assert dn.format == "png" and dn.colorspace == "DeviceN"
+    raw = _png_raw(dn)
+    px = raw[1:7]
+    # pixel0 (ink0=0, ink1=1) -> lattice (0,1) -> blue
+    assert px[0:3] == bytes([0, 0, 255])
+    # pixel1 (ink0=1, ink1=0) -> lattice (1,0) -> red
+    assert px[3:6] == bytes([255, 0, 0])
