@@ -2432,3 +2432,253 @@ def _case_cmyk_image():
 
 
 CASES["cmyk_image"] = _case_cmyk_image
+
+
+def jpeg_encode_progressive(
+    width: int, height: int, ncomp: int, pixels: bytes, quant: int = 1
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder for pinning the progressive
+    decoder: DC-first (Al=1) -> AC-first per component in two spectral
+    bands (1-5, 6-63, Al=1, with EOB runs) -> DC refinement -> AC
+    refinement per band (correction bits + buffered-bit EOB runs, the
+    libjpeg jcphuff shape). 4:4:4 only; gray or RGB. quant=1 keeps
+    round-trips near-lossless so the decode is pixel-pinnable."""
+    import numpy as np
+
+    from delphi_pdf_parser_spark.pdfcore.jpeg import _B, _ZIGZAG
+
+    if ncomp == 1:
+        planes = [
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
+    elif ncomp == 3:
+        rgb = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width, 3)
+            .astype(np.float64)
+        )
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(f"jpeg_encode_progressive: ncomp {ncomp}")
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    qtab = np.full(64, float(quant))
+    coeffs = []
+    for p in planes:
+        pp = np.pad(
+            p,
+            ((0, bh_blocks * 8 - p.shape[0]), (0, bw_blocks * 8 - p.shape[1])),
+            mode="edge",
+        )
+        cz = np.zeros((bh_blocks, bw_blocks, 64), dtype=np.int64)
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                s = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f = _B @ s @ _B.T
+                cz[by, bx] = np.round(f.reshape(64)[_ZIGZAG] / qtab).astype(
+                    np.int64
+                )
+        coeffs.append(cz)
+
+    dc_counts, dc_vals = _jpeg_huff_fixed(list(range(12)))
+    ac_syms = (
+        [(r << 4) for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_counts, ac_vals = _jpeg_huff_fixed(ac_syms)
+
+    def _codes(counts, vals):
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return table
+
+    dc_code = _codes(dc_counts, dc_vals)
+    ac_code = _codes(ac_counts, ac_vals)
+
+    def enc_dc_first(al):
+        bw = _JpegBitWriter()
+        pred = [0] * ncomp
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                for ci in range(ncomp):
+                    v = int(coeffs[ci][by, bx, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t, code = _jpeg_category(diff)
+                    ln, c = dc_code[t]
+                    bw.write(c, ln)
+                    if t:
+                        bw.write(code, t)
+        bw.flush()
+        return bytes(bw.out)
+
+    def enc_dc_refine(al):
+        bw = _JpegBitWriter()
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                for ci in range(ncomp):
+                    bw.write((int(coeffs[ci][by, bx, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def enc_ac_first(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                t = eobrun
+                nbits = 0
+                while t > 1:
+                    t >>= 1
+                    nbits += 1
+                ln, c = ac_code[nbits << 4]
+                bw.write(c, ln)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                zz = coeffs[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    t = int(zz[k])
+                    temp = abs(t) >> al
+                    if temp == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        ln, c = ac_code[0xF0]
+                        bw.write(c, ln)
+                        r -= 16
+                    sv = temp if t >= 0 else -temp
+                    nbits, code = _jpeg_category(sv)
+                    ln, c = ac_code[(r << 4) | nbits]
+                    bw.write(c, ln)
+                    bw.write(code, nbits)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def enc_ac_refine(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered across EOB run
+
+        def emit_eobrun():
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                t = eobrun
+                nbits = 0
+                while t > 1:
+                    t >>= 1
+                    nbits += 1
+                ln, c = ac_code[nbits << 4]
+                bw.write(c, ln)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                zz = coeffs[ci][by, bx]
+                absv = {}
+                eobpos = ss - 1
+                for k in range(ss, se + 1):
+                    t = int(zz[k])
+                    a = abs(t) >> al
+                    absv[k] = (a, t < 0)
+                    if a == 1:
+                        eobpos = k
+                r = 0
+                br: list[int] = []  # bits buffered within this block
+                for k in range(ss, se + 1):
+                    a, neg = absv[k]
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        emit_eobrun()
+                        ln, c = ac_code[0xF0]
+                        bw.write(c, ln)
+                        r -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    emit_eobrun()
+                    ln, c = ac_code[(r << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(0 if neg else 1, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al, entropy):
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes((cid, 0x00))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, bytes(body)) + entropy
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qtab))
+    sofc = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
+    for ci in range(ncomp):
+        sofc += bytes((ci + 1, 0x11, 0))
+    out += seg(0xC2, bytes(sofc))
+    dht = bytearray()
+    dht += bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals)
+    out += seg(0xC4, bytes(dht))
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    out += sos(all_ids, 0, 0, 0, 1, enc_dc_first(1))
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 5, 0, 1, enc_ac_first(ci, 1, 5, 1))
+        out += sos([ci + 1], 6, 63, 0, 1, enc_ac_first(ci, 6, 63, 1))
+    out += sos(all_ids, 0, 0, 1, 0, enc_dc_refine(0))
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 5, 1, 0, enc_ac_refine(ci, 1, 5, 0))
+        out += sos([ci + 1], 6, 63, 1, 0, enc_ac_refine(ci, 6, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -5,8 +5,9 @@ decoder can own are implemented for real: uncompressed BMP (8-bit gray /
 24-bit BGR), binary PPM/PGM (P5/P6), and non-interlaced 8-bit PNG
 (gray / RGB / gray+alpha / RGBA — zlib inflate + per-row filter undo,
 reusing the vectorized PNG un-predictor from pdfcore.filters), and
-baseline JPEG via the from-scratch DCT decoder in pdfcore/jpeg.py.
-Still-unsupported formats (WebP, progressive JPEG, ...) raise
+baseline + progressive (SOF2) JPEG via the from-scratch DCT decoder in
+pdfcore/jpeg.py.
+Still-unsupported formats (WebP, arithmetic-coded JPEG, ...) raise
 UnsupportedMediaError and surface as a decode-status column, the same
 contract the PDF pipeline uses for its failure codes.
 """

@@ -1,16 +1,21 @@
-"""Baseline JPEG (DCT) decoder, from scratch.
+"""JPEG (DCT) decoder, from scratch: baseline sequential AND progressive.
 
 The reference fully decodes DCT images to pixmaps on its image path (the
 DCTD filter in src/vcl/fz_filterss.pas via the factory
-src/vcl/mypdfstream.pas:280-389). This module reproduces baseline
-sequential JFIF decoding with NumPy: marker walk, DQT/DHT/SOF0/SOS/DRI,
-canonical Huffman decode (tables come FROM THE STREAM, none built in),
-dequantize, zigzag, 8x8 IDCT as two matmuls against the orthonormal DCT
-basis, replicate upsampling for subsampled chroma, YCbCr->RGB per JFIF.
+src/vcl/mypdfstream.pas:280-389, backed by libjpeg in filt_dctdss.pas —
+which handles progressive). This module reproduces both modes with
+NumPy: marker walk, DQT/DHT/SOF0/1/2/SOS/DRI, canonical Huffman decode
+(tables come FROM THE STREAM, none built in), scans accumulated into
+per-component coefficient buffers (T.81 G: DC/AC first scans +
+successive-approximation refinement with EOB runs), then ONE batched
+dequantize + zigzag + 8x8 IDCT (two stacked matmuls against the
+orthonormal DCT basis), replicate upsampling for subsampled chroma,
+YCbCr->RGB per JFIF.
 
-Supported: SOF0 (and SOF1) gray / 3-component, 8-bit, h/v factors <= 2,
-restart intervals. Progressive (SOF2), arithmetic coding, 12-bit, CMYK
-raise UnsupportedJpegError — surfaced as decode-status codes upstream.
+Supported: SOF0/SOF1/SOF2 gray / 3-component, 8-bit, h/v factors <= 2,
+restart intervals, multi-scan (non-interleaved) baseline. Arithmetic
+coding, lossless/hierarchical SOFs, 12-bit, CMYK raise
+UnsupportedJpegError — surfaced as decode-status codes upstream.
 """
 
 from __future__ import annotations
@@ -147,6 +152,26 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker's 0xFF at/after pos (skipping
+    entropy bytes, 0xFF00 stuffing, fill bytes and RSTn)."""
+    n = len(data)
+    p = pos
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        m = data[p + 1]
+        if m == 0x00 or m == 0xFF:
+            p += 2 if m == 0x00 else 1
+            continue
+        if 0xD0 <= m <= 0xD7:
+            p += 2
+            continue
+        return p
+    return n
+
+
 def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """-> (width, height, ncomp, pixels row-major 8-bit).
 
@@ -168,6 +193,7 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    scans_done = 0
     i = 2
     n = len(data)
     while i + 3 < n:
@@ -212,7 +238,9 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     counts, values
                 )
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise UnsupportedJpegError("multiple frames (hierarchical)")
             precision = body[0]
             if precision != 8:
                 raise UnsupportedJpegError(f"{precision}-bit precision")
@@ -228,8 +256,26 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise UnsupportedJpegError(f"sampling {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "prog": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = (w + 8 * hmax - 1) // (8 * hmax)
+            frame["mcuy"] = (h + 8 * vmax - 1) // (8 * vmax)
+            frame["coeffs"] = [
+                np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int32,
+                )
+                for c in comps
+            ]
+            frame["pred"] = [0] * nc
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(f"SOF{marker - 0xC0} coding")
         elif marker == 0xDD:  # DRI
@@ -241,94 +287,221 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             scan = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
-                comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
+                ci, comp = next(
+                    (ix, c)
+                    for ix, c in enumerate(frame["comps"])
+                    if c["id"] == cs
                 )
-                scan.append((comp, tt >> 4, tt & 15))
-            if ns != len(frame["comps"]):
-                # Legal baseline non-interleaved JPEG (multiple SOS, each
-                # covering a subset of components). _decode_scan assumes one
-                # interleaved scan; silently returning it would zero-fill
-                # the remaining planes. Typed fallback instead.
-                raise UnsupportedJpegError(
-                    f"non-interleaved scan ({ns} of {len(frame['comps'])}"
-                    " components)"
-                )
-            return _decode_scan(
-                data, i + 2 + seg_len, frame, scan, qt, huff_dc,
-                huff_ac, restart_interval,
+                scan.append((ci, comp, tt >> 4, tt & 15))
+            if frame["prog"]:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                ah, al = a >> 4, a & 15
+            else:
+                ss, se, ah, al = 0, 63, 0, 0
+            end = _decode_scan(
+                data, i + 2 + seg_len, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ah, al,
             )
+            scans_done += 1
+            i = end
+            continue
         i += 2 + seg_len
-    raise JpegError("no SOS marker")
+    if frame is None or scans_done == 0:
+        raise JpegError("no SOS marker")
+    return _finish(frame, qt)
 
 
 def _decode_scan(
-    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
-):
+    data, pos, frame, scan, huff_dc, huff_ac, restart_interval,
+    ss, se, ah, al,
+) -> int:
+    """Decode one scan's entropy data into frame['coeffs']; returns the
+    byte position of the next marker."""
+    br = _BitReader(data, pos)
+    eob = [0]  # EOB run, shared across blocks within the scan
+    pred = frame["pred"]
+    if ah == 0 and ss == 0:
+        # a new DC (or sequential) scan restarts the predictors
+        for ci, _c, _t, _t2 in scan:
+            pred[ci] = 0
+
+    def tables(ci_entry):
+        ci, comp, tdc, tac = ci_entry
+        dct = huff_dc.get(tdc)
+        act = huff_ac.get(tac)
+        if (ss == 0 and dct is None) or (se > 0 and act is None):
+            raise JpegError("missing table")
+        return dct, act
+
+    def restart():
+        br.align()
+        br.skip_rst()
+        for ci, _c, _t, _t2 in scan:
+            pred[ci] = 0
+        eob[0] = 0
+
+    if len(scan) > 1:
+        # interleaved MCU order (T.81: any multi-component scan). A
+        # single-component scan — sequential OR progressive — is
+        # non-interleaved and uses the component's own block raster.
+        mcu_count = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    restart()
+                for entry in scan:
+                    ci, comp, tdc, tac = entry
+                    dct, act = tables(entry)
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = frame["coeffs"][ci][
+                                my * comp["v"] + by, mx * comp["h"] + bx
+                            ]
+                            _decode_block(
+                                br, blk, dct, act, pred, ci,
+                                ss, se, ah, al, eob,
+                            )
+                mcu_count += 1
+    else:
+        # non-interleaved scan: the component's own block grid
+        entry = scan[0]
+        ci, comp, tdc, tac = entry
+        dct, act = tables(entry)
+        w, h = frame["w"], frame["h"]
+        cw = (w * comp["h"] + frame["hmax"] - 1) // frame["hmax"]
+        ch = (h * comp["v"] + frame["vmax"] - 1) // frame["vmax"]
+        bw = (cw + 7) // 8
+        bh = (ch + 7) // 8
+        blk_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and blk_count and (
+                    blk_count % restart_interval == 0
+                ):
+                    restart()
+                blk = frame["coeffs"][ci][by, bx]
+                _decode_block(
+                    br, blk, dct, act, pred, ci, ss, se, ah, al, eob
+                )
+                blk_count += 1
+    return _next_marker(data, br.pos)
+
+
+def _decode_block(br, blk, dct, act, pred, ci, ss, se, ah, al, eob):
+    """Decode one block's contribution for this scan (T.81 F.2 sequential
+    / G.1.2 progressive: DC first, DC refine, AC first, AC refine)."""
+    if ss == 0:
+        if ah == 0:
+            t = br.decode_huff(dct)
+            if t > 15:
+                raise JpegError("DC category out of range")
+            diff = _extend(br.read_bits(t), t)
+            pred[ci] += diff
+            val = pred[ci] << al
+            if not (-(1 << 30) <= val < (1 << 30)):
+                raise JpegError("DC out of range")  # corrupt stream
+            blk[0] = val
+        else:
+            if br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+        if se == 0:
+            return  # DC-only progressive scan
+        k = 1
+    else:
+        k = ss
+    if ah == 0:
+        # first (or sequential) AC pass
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        while k <= se:
+            rs = br.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += br.read_bits(r)
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC index overflow")
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine shape)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    if eob[0] == 0:
+        while k <= se:
+            rs = br.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += br.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("AC refine s != 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        # correction bits for remaining nonzero coefficients, then this
+        # block consumes one unit of the EOB run
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _finish(frame, qt) -> tuple[int, int, int, bytes]:
+    """Dequantize + un-zigzag + batched IDCT + assemble/upsample."""
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        )
-    br = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                br.align()
-                br.skip_rst()
-                pred = [0] * len(comps)
-            for ci, (comp, tdc, tac) in enumerate(scan):
-                dct = huff_dc.get(tdc)
-                act = huff_ac.get(tac)
-                q = qt.get(comp["tq"])
-                if dct is None or act is None or q is None:
-                    raise JpegError("missing table")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = br.decode_huff(dct)
-                        diff = _extend(br.read_bits(t), t)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_huff(act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC index overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = zz * q
-                        f = block.reshape(8, 8)
-                        spatial = _B.T @ f @ _B + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
-    # upsample to full resolution and crop
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for c, p in zip(comps, planes):
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise JpegError("missing table")
+        coef = frame["coeffs"][ci]
+        by, bx = coef.shape[:2]
+        zz = coef.reshape(-1, 64).astype(np.float64) * q[None, :]
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        f = nat.reshape(-1, 8, 8)
+        spatial = np.matmul(np.matmul(_B.T, f), _B) + 128.0
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(comps) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
