@@ -2682,3 +2682,518 @@ def jpeg_encode_progressive(
         out += sos([ci + 1], 6, 63, 1, 0, enc_ac_refine(ci, 6, 63, 0))
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 (JPX) fixture encoder — lossless 5/3, counterpart of pdfcore.jpx
+# ---------------------------------------------------------------------------
+
+class _JpxHeaderWriter:
+    """Bit-stuffed packet-header writer: after an emitted 0xFF byte the
+    next byte carries only 7 bits (mirrors pdfcore.jpx._HeaderBits)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cap = 8  # bits available in current byte
+        self.n = 0    # bits written into current byte
+
+    def bit(self, b: int) -> None:
+        self.buf = (self.buf << 1) | (b & 1)
+        self.n += 1
+        if self.n == self.cap:
+            self.out.append(self.buf)
+            self.cap = 7 if self.buf == 0xFF else 8
+            self.buf = 0
+            self.n = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def align(self) -> None:
+        """Pad to a byte boundary; if the final byte is 0xFF append the
+        stuffing byte the reader skips (pdfcore.jpx._HeaderBits.align)."""
+        while self.n:
+            self.bit(0)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+            self.cap = 8
+
+
+class _JpxEncTagTree:
+    """Encoder-side tag tree (T.800 B.10.2), state-mirrored against
+    pdfcore.jpx.TagTree.decode so every emitted bit is consumed."""
+
+    def __init__(self, leaves):
+        import numpy as np
+
+        a = np.asarray(leaves, dtype=np.int64)
+        self.levels = [a]
+        while a.shape != (1, 1):
+            h, w = a.shape
+            nh, nw = (h + 1) // 2, (w + 1) // 2
+            p = np.full((nh * 2, nw * 2), np.iinfo(np.int64).max, dtype=np.int64)
+            p[:h, :w] = a
+            a = np.minimum.reduce(
+                [p[0::2, 0::2], p[0::2, 1::2], p[1::2, 0::2], p[1::2, 1::2]]
+            )
+            self.levels.append(a)
+        self.low = [np.zeros_like(lv) for lv in self.levels]
+        self.known = [np.zeros(lv.shape, dtype=bool) for lv in self.levels]
+
+    def encode(self, bw: _JpxHeaderWriter, x: int, y: int, threshold: int) -> None:
+        path = []
+        lx, ly = x, y
+        for lvl in range(len(self.levels)):
+            path.append((lvl, lx, ly))
+            lx >>= 1
+            ly >>= 1
+        low = 0
+        for lvl, nx, ny in reversed(path):
+            if self.low[lvl][ny, nx] < low:
+                self.low[lvl][ny, nx] = low
+            nv = int(self.levels[lvl][ny, nx])
+            while (
+                self.low[lvl][ny, nx] < threshold
+                and not self.known[lvl][ny, nx]
+            ):
+                if self.low[lvl][ny, nx] == nv:
+                    bw.bit(1)
+                    self.known[lvl][ny, nx] = True
+                else:
+                    bw.bit(0)
+                    self.low[lvl][ny, nx] += 1
+            low = int(self.low[lvl][ny, nx])
+
+    def encode_value(self, bw: _JpxHeaderWriter, x: int, y: int) -> None:
+        """Counterpart of TagTree.decode_value: raise the threshold until
+        the leaf is fully resolved."""
+        t = 1
+        while not self.known[0][y, x]:
+            self.encode(bw, x, y, t)
+            t = int(self.low[0][y, x]) + 1
+
+
+def _jpx_fdwt_1d(x):
+    """Forward 5/3 analysis on one interleaved row/column; exact inverse
+    of pdfcore.jpx._sr_1d (whole-sample symmetric extension)."""
+    import numpy as np
+
+    n = len(x)
+    if n == 1:
+        return x.copy()
+    y = x.astype(np.int64).copy()
+    odd = np.arange(1, n, 2)
+    om = odd - 1
+    op = np.where(odd + 1 > n - 1, max(n - 2, 0), odd + 1)
+    y[odd] = x[odd] - ((x[om] + x[op]) >> 1)
+    even = np.arange(0, n, 2)
+    lm = np.where(even - 1 < 0, min(1, n - 1), even - 1)
+    lp = np.where(even + 1 > n - 1, max(n - 2, 0), even + 1)
+    y[even] = x[even] + ((y[lm] + y[lp] + 2) >> 2)
+    return y
+
+
+def _jpx_fdwt2(a, levels):
+    """-> (LL, [(HL, LH, HH)] lowest resolution first); inverse of
+    pdfcore.jpx._idwt53 (vertical analysis, then horizontal, per level)."""
+    import numpy as np
+
+    a = a.astype(np.int64)
+    out = []
+    for _ in range(levels):
+        h, w = a.shape
+        m = a.copy()
+        for c in range(w):
+            m[:, c] = _jpx_fdwt_1d(m[:, c])
+        for r in range(h):
+            m[r, :] = _jpx_fdwt_1d(m[r, :])
+        ll = m[0::2, 0::2]
+        hl = m[0::2, 1::2]
+        lh = m[1::2, 0::2]
+        hh = m[1::2, 1::2]
+        out.append((hl, lh, hh))
+        a = ll
+    out.reverse()
+    return a, out
+
+
+def _jpx_t1_encode(coeffs, band: str) -> tuple[int, int, bytes]:
+    """EBCOT Tier-1 encoder for one code-block; pass structure mirrors
+    pdfcore.jpx._t1_decode. -> (nplanes, npasses, mq_bytes)."""
+    from .pdfcore.jbig2 import MQEncoder
+    from .pdfcore.jpx import _Block, _CTX_RL, _CTX_UNI, _fresh_contexts, _sig_ctx
+
+    h, w = coeffs.shape
+    vals = [int(v) for row in coeffs for v in row]
+    nplanes = max((abs(v).bit_length() for v in vals), default=0)
+    if nplanes == 0:
+        return 0, 0, b""
+    blk = _Block(w, h, band)
+    mq = MQEncoder()
+    cx = _fresh_contexts()
+
+    def absbit(i: int, p: int) -> int:
+        return (abs(vals[i]) >> p) & 1
+
+    def code_sign(x: int, y: int, i: int, p: int) -> None:
+        sctx, xor = blk.sign_ctx(x, y)
+        s = 1 if vals[i] < 0 else 0
+        mq.encode(cx[sctx], s ^ xor)
+        blk.sgn[i] = s
+        blk.sig[i] = 1
+        blk.mag[i] = 1 << p
+
+    def spp(p: int) -> None:
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if blk.sig[i]:
+                        continue
+                    hh, vv, dd, *_ = blk._nbr(x, y)
+                    if hh + vv + dd == 0:
+                        continue
+                    blk.vis[i] = 1
+                    b = absbit(i, p)
+                    mq.encode(cx[_sig_ctx(hh, vv, dd, band)], b)
+                    if b:
+                        code_sign(x, y, i, p)
+
+    def mrp(p: int) -> None:
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    i = y * w + x
+                    if not blk.sig[i] or blk.vis[i]:
+                        continue
+                    if blk.ref[i]:
+                        ctx = 16
+                    else:
+                        hh, vv, dd, *_ = blk._nbr(x, y)
+                        ctx = 15 if hh + vv + dd > 0 else 14
+                    b = absbit(i, p)
+                    mq.encode(cx[ctx], b)
+                    if b:
+                        blk.mag[i] += 1 << p
+                    blk.ref[i] = 1
+                    blk.vis[i] = 1
+
+    def cup(p: int) -> None:
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                if y0 + 4 <= h:
+                    rl = True
+                    for yy in range(y0, y0 + 4):
+                        i = yy * w + x
+                        if blk.sig[i] or blk.vis[i]:
+                            rl = False
+                            break
+                        hh, vv, dd, *_ = blk._nbr(x, yy)
+                        if hh + vv + dd:
+                            rl = False
+                            break
+                    if rl:
+                        first = -1
+                        for yy in range(y0, y0 + 4):
+                            if absbit(yy * w + x, p):
+                                first = yy
+                                break
+                        if first < 0:
+                            mq.encode(cx[_CTX_RL], 0)
+                            continue
+                        mq.encode(cx[_CTX_RL], 1)
+                        r = first - y0
+                        mq.encode(cx[_CTX_UNI], (r >> 1) & 1)
+                        mq.encode(cx[_CTX_UNI], r & 1)
+                        i = first * w + x
+                        code_sign(x, first, i, p)
+                        y = first + 1
+                while y < min(y0 + 4, h):
+                    i = y * w + x
+                    if not blk.sig[i] and not blk.vis[i]:
+                        hh, vv, dd, *_ = blk._nbr(x, y)
+                        b = absbit(i, p)
+                        mq.encode(cx[_sig_ctx(hh, vv, dd, band)], b)
+                        if b:
+                            code_sign(x, y, i, p)
+                    y += 1
+
+    p = nplanes - 1
+    passes = [("cup", p)]
+    while p > 0:
+        p -= 1
+        passes += [("spp", p), ("mrp", p), ("cup", p)]
+    for kind, plane in passes:
+        if kind == "spp":
+            spp(plane)
+        elif kind == "mrp":
+            mrp(plane)
+        else:
+            cup(plane)
+        if kind == "cup":
+            blk.vis = bytearray(w * h)
+    return nplanes, len(passes), mq.flush()
+
+
+def _jpx_npasses_bits(bw: _JpxHeaderWriter, n: int) -> None:
+    """Inverse of pdfcore.jpx._read_npasses (T.800 Table B.4)."""
+    if n == 1:
+        bw.bit(0)
+        return
+    bw.bit(1)
+    if n == 2:
+        bw.bit(0)
+        return
+    bw.bit(1)
+    if n <= 5:
+        bw.bits(n - 3, 2)
+        return
+    bw.bits(3, 2)
+    if n <= 36:
+        bw.bits(n - 6, 5)
+        return
+    bw.bits(31, 5)
+    bw.bits(n - 37, 7)
+
+
+def jpx_encode(
+    width: int,
+    height: int,
+    ncomp: int,
+    pixels: bytes,
+    *,
+    levels: int = 2,
+    cb: tuple[int, int] = (6, 6),
+    tile: tuple[int, int] | None = None,
+    mct: bool | None = None,
+    jp2: bool = True,
+) -> bytes:
+    """Author a lossless 5/3 JPEG 2000 stream (JP2 container or raw J2K)
+    in exactly the shape pdfcore.jpx.jpx_decode supports: 8-bit unsigned
+    components, 1:1 sampling, one layer, LRCP, default precincts, one
+    tile-part per tile. Shares only the MQ coder + T1 pixel-state helpers
+    with the decoder; DWT/tag-tree/packet/codestream authoring is
+    independent (forward vs inverse algorithms)."""
+    import numpy as np
+
+    from .pdfcore.jpx import _floorlog2
+
+    if mct is None:
+        mct = ncomp >= 3
+    xcb, ycb = cb
+    tw, th = tile if tile else (width, height)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ncomp)
+    planes = [img[:, :, c].astype(np.int64) - 128 for c in range(ncomp)]
+    if mct and ncomp >= 3:
+        r, g, b = planes[0], planes[1], planes[2]
+        planes[0] = (r + 2 * g + b) >> 2  # Y
+        planes[1] = b - g                 # U
+        planes[2] = r - g                 # V
+
+    ntx = (width + tw - 1) // tw
+    nty = (height + th - 1) // th
+    guard = 2
+
+    # First pass over every tile: transform + T1-encode all code-blocks,
+    # recording per-band max bitplanes (QCD exponents are codestream-global).
+    band_maxplanes: dict = {}
+    tiles = []  # list of per-tile dicts: band key -> list of cb records
+    for ty in range(nty):
+        for tx in range(ntx):
+            x0, y0 = tx * tw, ty * th
+            ctw = min(tw, width - x0)
+            cth = min(th, height - y0)
+            tinfo = []
+            for ci in range(ncomp):
+                a = planes[ci][y0 : y0 + cth, x0 : x0 + ctw]
+                ll, lvl_bands = _jpx_fdwt2(a, levels)
+                bands = {"LL": ll}
+                for lvl, (hl, lh, hh) in enumerate(lvl_bands):
+                    bands[("HL", lvl)] = hl
+                    bands[("LH", lvl)] = lh
+                    bands[("HH", lvl)] = hh
+                comp_cbs = {}
+                for key, arr in bands.items():
+                    name = key if isinstance(key, str) else key[0]
+                    bh, bw_ = arr.shape
+                    cbs = []
+                    if bw_ and bh:
+                        ncx = (bw_ + (1 << xcb) - 1) >> xcb
+                        ncy = (bh + (1 << ycb) - 1) >> ycb
+                        for cy in range(ncy):
+                            for cx_ in range(ncx):
+                                bx, by = cx_ << xcb, cy << ycb
+                                blkc = arr[
+                                    by : by + (1 << ycb), bx : bx + (1 << xcb)
+                                ]
+                                npl, npas, data = _jpx_t1_encode(blkc, name)
+                                cbs.append((cx_, cy, npl, npas, data))
+                                mk = key if isinstance(key, str) else key
+                                band_maxplanes[mk] = max(
+                                    band_maxplanes.get(mk, 0), npl
+                                )
+                    comp_cbs[key] = cbs
+                tinfo.append(comp_cbs)
+            tiles.append(tinfo)
+
+    # QCD exponents: mb = guard + eps - 1 >= max bitplanes in the band
+    def eps_for(key) -> int:
+        mb = max(band_maxplanes.get(key, 0), 1)
+        return max(mb - guard + 1, 0)
+
+    exps = [eps_for("LL")]
+    for lvl in range(levels):
+        exps += [eps_for(("HL", lvl)), eps_for(("LH", lvl)), eps_for(("HH", lvl))]
+
+    # Second pass: packet headers + bodies per tile, LRCP (1 layer:
+    # resolution-major, then component), matching _decode_tiles.
+    tile_payloads = []
+    for tinfo in tiles:
+        body = bytearray()
+        for r in range(levels + 1):
+            for ci in range(ncomp):
+                if r == 0:
+                    keys = [("LL", exps[0])]
+                else:
+                    e = exps[1 + 3 * (r - 1) : 4 + 3 * (r - 1)]
+                    keys = [
+                        (("HL", r - 1), e[0]),
+                        (("LH", r - 1), e[1]),
+                        (("HH", r - 1), e[2]),
+                    ]
+                cb_lists = [(k, eps, tinfo[ci][k]) for k, eps in keys]
+                any_included = any(
+                    npl > 0
+                    for _, _, cbs in cb_lists
+                    for (_, _, npl, _, _) in cbs
+                )
+                bw = _JpxHeaderWriter()
+                datas = []
+                if not any_included:
+                    bw.bit(0)
+                    bw.align()
+                    body += bw.out
+                    continue
+                bw.bit(1)
+                for key, eps, cbs in cb_lists:
+                    if not cbs:
+                        continue
+                    ncx = max(cx_ for cx_, _, _, _, _ in cbs) + 1
+                    ncy = max(cy for _, cy, _, _, _ in cbs) + 1
+                    mb = guard + eps - 1
+                    incl_leaves = [[1] * ncx for _ in range(ncy)]
+                    zbp_leaves = [[0] * ncx for _ in range(ncy)]
+                    for cx_, cy, npl, npas, data in cbs:
+                        incl_leaves[cy][cx_] = 0 if npl > 0 else 1
+                        zbp_leaves[cy][cx_] = mb - npl if npl > 0 else 0
+                    incl = _JpxEncTagTree(incl_leaves)
+                    zbp = _JpxEncTagTree(zbp_leaves)
+                    for cx_, cy, npl, npas, data in cbs:
+                        incl.encode(bw, cx_, cy, 1)
+                        if npl <= 0:
+                            continue
+                        zbp.encode_value(bw, cx_, cy)
+                        _jpx_npasses_bits(bw, npas)
+                        length = len(data)
+                        need = max(length.bit_length(), 1)
+                        lblock = max(3, need - _floorlog2(npas))
+                        for _ in range(lblock - 3):
+                            bw.bit(1)
+                        bw.bit(0)
+                        bw.bits(length, lblock + _floorlog2(npas))
+                        datas.append(data)
+                bw.align()
+                body += bw.out
+                for d in datas:
+                    body += d
+        tile_payloads.append(bytes(body))
+
+    # Codestream assembly
+    out = bytearray(b"\xff\x4f")  # SOC
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, width, height, 0, 0, tw, th, 0, 0, ncomp
+    ) + bytes(v for _ in range(ncomp) for v in (7, 1, 1))
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    cod = bytes(
+        [0, 0]
+    ) + struct.pack(">H", 1) + bytes(
+        [1 if (mct and ncomp >= 3) else 0, levels, xcb - 2, ycb - 2, 0, 1]
+    )
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    for isot, payload in enumerate(tile_payloads):
+        psot = 12 + 2 + len(payload)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, isot, psot, 0, 1)
+        out += b"\xff\x93" + payload
+    out += b"\xff\xd9"  # EOC
+    if not jp2:
+        return bytes(out)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    sig = box(b"jP\x20\x20", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2\x20" + struct.pack(">I", 0) + b"jp2\x20")
+    ihdr = box(
+        b"ihdr",
+        struct.pack(">IIHBBBB", height, width, ncomp, 7, 7, 0, 0),
+    )
+    colr = box(
+        b"colr",
+        bytes([1, 0, 0]) + struct.pack(">I", 16 if ncomp >= 3 else 17),
+    )
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", bytes(out))
+
+
+def _jpx_fixture_pixels() -> tuple[bytes, bytes]:
+    """Deterministic (gray 24x16, rgb 20x12) test rasters."""
+    gray = bytes(((x * 7 + y * 13) % 256) for y in range(16) for x in range(24))
+    rgb = bytes(
+        v
+        for y in range(12)
+        for x in range(20)
+        for v in ((x * 12) % 256, (y * 21) % 256, (x * y) % 256)
+    )
+    return gray, rgb
+
+
+def _case_jpx_image():
+    """JPXDecode images: gray JP2 and an RGB raw-J2K codestream (tiled);
+    shipped raw by default, pixel-decoded under transcode=True via
+    pdfcore/jpx.py (the reference decodes via OpenJPEG,
+    src/vcl/filt_jpdxp.pas:26)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Jg 6 0 R /Jc 7 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithJpx) Tj ET /Jg Do /Jc Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    gray, rgb = _jpx_fixture_pixels()
+    jg = jpx_encode(24, 16, 1, gray, levels=2, cb=(4, 4))
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 24 /Height 16 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /JPXDecode "
+        f"/Length {len(jg)} >>",
+        jg,
+    )
+    jc = jpx_encode(20, 12, 3, rgb, levels=1, cb=(3, 3), tile=(12, 12), jp2=False)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 20 /Height 12 "
+        "/BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter /JPXDecode "
+        f"/Length {len(jc)} >>",
+        jc,
+    )
+    return b.build_classic(cat), "WithJpx" + CRLF, 1
+
+
+CASES["jpx_image"] = _case_jpx_image

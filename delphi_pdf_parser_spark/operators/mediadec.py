@@ -62,6 +62,19 @@ def _decode_any(payload: bytes) -> tuple[int, int, int, bytes]:
             raise UnsupportedMediaError(f"jpeg: {e}")
         except JpegError as e:
             raise MediaDecodeError(f"jpeg: {e}")
+    if payload[:4] == b"\xff\x4f\xff\x51" or payload[4:8] == b"jP\x20\x20":
+        from delphi_pdf_parser_spark.pdfcore.jpx import (
+            JpxError,
+            JpxUnsupported,
+            jpx_decode,
+        )
+
+        try:
+            return jpx_decode(payload)
+        except JpxUnsupported as e:
+            raise UnsupportedMediaError(f"jpx: {e}")
+        except JpxError as e:
+            raise MediaDecodeError(f"jpx: {e}")
     raise UnsupportedMediaError(f"unknown magic {payload[:4]!r}")
 
 

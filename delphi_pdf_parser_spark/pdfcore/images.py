@@ -10,7 +10,8 @@ Here:
 - DCT (JPEG) payloads pass through RAW by default — the undecoded
   stream IS the interchange file (true dimensions still read from SOF);
   transcode=True decodes via pdfcore/jpeg.py and writes PNG for full
-  reference parity. JPX passes through raw.
+  reference parity. JPX likewise: raw JP2/J2K by default (true dims from
+  the SIZ header), decoded via pdfcore/jpx.py under transcode=True.
 - Flate/LZW-compressed raster images with 8-bit gray/RGB(A) decode and
   re-encode as real PNGs via the pure-Python writer below
 - CCITT G3/G4 decodes via pdfcore/ccitt.py; JBIG2 (generic + symbol/
@@ -20,7 +21,7 @@ Here:
 - CMYK / ICCBased(N=4) rasters convert to RGB via the reference's device
   matrix; Separation/DeviceN via tint-transform eval (pdf functions
   types 0/2/3) into a supported alternate — colorspace.py / functions.py
-- anything else (JPX pixels, Lab, type-4 tint transforms) ships raw
+- anything else (Lab, type-4 tint transforms, 9/7-lossy JPX) ships raw
   with format='raw' and a decode-failure code
 """
 
@@ -291,7 +292,51 @@ def extract_image(
             num, width, height, bpc, csname, last, "jpeg", raw
         )
     if last in ("JPXDecode",):
+        # like the DCT branch: the payload is an interchange JP2/J2K file,
+        # shipped raw by default; transcode=True decodes via pdfcore/jpx.py
+        # (the reference always decodes, filt_jpdxp.pas:26 via OpenJPEG,
+        # wired at pdf_imagess.pas:348)
         raw = _raw_payload(doc, num, obj)
+        for f in filters[:-1]:
+            from .filters import apply_filter
+
+            raw = apply_filter(raw, f, None)
+        from .jpx import JpxError, jpx_decode, jpx_siz
+
+        siz = jpx_siz(raw)
+        if siz is not None:
+            width, height, ncomp, bpc = siz
+            csname = {1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK"}.get(
+                ncomp, csname
+            )
+        if transcode:
+            try:
+                w2, h2, nc2, pixels = jpx_decode(raw)
+                if nc2 in (1, 3):
+                    png = write_png(w2, h2, nc2, pixels)
+                    return ExtractedImage(
+                        num, w2, h2, 8, csname, last, "png", png
+                    )
+                if nc2 == 4:
+                    # JPX CMYK: same device-matrix fixup as raster CMYK
+                    # (pdf_imagess.pas:367 colorspace fixup path)
+                    import numpy as np
+
+                    from .colorspace import cmyk_to_rgb
+
+                    arr = (
+                        np.frombuffer(pixels, dtype=np.uint8)
+                        .reshape(-1, 4)
+                        .astype(np.float64)
+                        / 255.0
+                    )
+                    rgb = np.trunc(cmyk_to_rgb(arr) * 255.0).astype(np.uint8)
+                    png = write_png(w2, h2, 3, rgb.tobytes())
+                    return ExtractedImage(
+                        num, w2, h2, 8, csname, last, "png", png
+                    )
+            except JpxError:
+                doc.note_failure("image_decode_failed:jpx")
         return ExtractedImage(num, width, height, bpc, csname, last, "jp2", raw)
 
     try:

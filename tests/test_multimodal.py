@@ -277,3 +277,12 @@ def test_multiscan_baseline_jpeg():
     a = np.frombuffer(px, np.uint8).astype(int)
     b = np.frombuffer(out, np.uint8).astype(int)
     assert np.abs(a - b).max() <= 1
+
+
+def test_jp2_decode_via_media_path():
+    from delphi_pdf_parser_spark.fixtures import jpx_encode
+
+    px = _gray_pixels(16, 12)
+    assert decode_image(jpx_encode(16, 12, 1, px)) == (16, 12, 1, px)
+    # raw J2K codestream sniffs too
+    assert decode_image(jpx_encode(16, 12, 1, px, jp2=False)) == (16, 12, 1, px)

@@ -114,6 +114,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "pdf_op_census",
         "warc_ingest",
         "html_main_content",
+        "dedup_recall",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
