@@ -3197,3 +3197,168 @@ def _case_jpx_image():
 
 
 CASES["jpx_image"] = _case_jpx_image
+
+
+def jbig2_embed_text_huffman(
+    symbols: list, placements: list, page_w: int, page_h: int,
+    collective: str = "raw",
+) -> bytes:
+    """Huffman-coded counterpart of jbig2_embed_text: SDHUFF symbol
+    dictionary (height classes with raw or MMR collective bitmaps,
+    standard tables B.4/B.2/B.1) + SBHUFF text region (standard tables
+    B.6/B.8/B.11, runcode-coded symbol ID table per T.88 7.4.3.1.7)."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        OOB,
+        _BitWriter,
+        _N,
+        HuffTable,
+        std_table,
+    )
+
+    # symbols ascending by (height, width): B.4 needs DH >= 1 and the
+    # selector-0 DW table (B.2) has no negative range
+    order = sorted(
+        range(len(symbols)),
+        key=lambda i: (len(symbols[i]), len(symbols[i][0]), i),
+    )
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+
+    t1, t2, t4 = std_table(1), std_table(2), std_table(4)
+    t6, t8, t11 = std_table(6), std_table(8), std_table(11)
+
+    # --- symbol dictionary ------------------------------------------------
+    bw = _BitWriter()
+    hc = 0
+    i = 0
+    while i < len(sorted_syms):
+        h = len(sorted_syms[i])
+        t4.encode(bw, h - hc)
+        hc = h
+        cls = []
+        prev_w = 0
+        while i < len(sorted_syms) and len(sorted_syms[i]) == hc:
+            w = len(sorted_syms[i][0])
+            t2.encode(bw, w - prev_w)
+            prev_w = w
+            cls.append(sorted_syms[i])
+            i += 1
+        t2.encode(bw, OOB)
+        totwidth = sum(len(s[0]) for s in cls)
+        coll = [
+            [v for s in cls for v in s[y]] for y in range(hc)
+        ]
+        if collective == "raw":
+            t1.encode(bw, 0)  # BMSIZE 0 = uncompressed
+            stride = (totwidth + 7) // 8
+            raw = bytearray(stride * hc)
+            for y, row in enumerate(coll):
+                for x, v in enumerate(row):
+                    if v:
+                        raw[y * stride + (x >> 3)] |= 0x80 >> (x & 7)
+            bw.write_bytes(bytes(raw))
+        else:  # mmr
+            payload = ccitt_g4_encode(coll)
+            t1.encode(bw, len(payload))
+            bw.write_bytes(payload)
+    t1.encode(bw, 0)  # export runs: 0 not-exported,
+    t1.encode(bw, len(sorted_syms))  # then all exported
+    sd_body = (
+        (1).to_bytes(2, "big")  # flags: SDHUFF, selectors 0 (B.4/B.2/B.1)
+        + len(sorted_syms).to_bytes(4, "big")
+        + len(sorted_syms).to_bytes(4, "big")
+        + bw.flush()
+    )
+
+    # --- text region ------------------------------------------------------
+    nsyms = len(sorted_syms)
+    codelen = max(1, (nsyms - 1).bit_length())
+    bw = _BitWriter()
+    # symbol ID code table: all codes length `codelen`; runcode table
+    # assigns the single used runcode a 1-bit code
+    runlens = [0] * 35
+    runlens[codelen] = 1
+    for l in runlens:
+        bw.write(l, 4)
+    for _ in range(nsyms):
+        bw.write(0, 1)  # the runcode `codelen`, canonical code 0
+    bw.align()
+    symtab = HuffTable([(codelen, 0, i, _N) for i in range(nsyms)])
+
+    inst = sorted(
+        ((remap[sid], s, t) for sid, s, t in placements),
+        key=lambda p: (p[2], p[1]),
+    )
+    t11.encode(bw, 1)  # initial STRIPT = -1 (B.11 codes values >= 1)
+    prev_t = -1
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][2]
+        t11.encode(bw, t - prev_t)
+        prev_t = t
+        sid, s, _ = inst[k]
+        t6.encode(bw, s - firsts)
+        firsts = s
+        curs = s
+        symtab.encode(bw, sid)
+        curs += len(sorted_syms[sid][0]) - 1
+        k += 1
+        while k < len(inst) and inst[k][2] == t:
+            sid, s, _ = inst[k]
+            t8.encode(bw, s - curs)
+            curs = s
+            symtab.encode(bw, sid)
+            curs += len(sorted_syms[sid][0]) - 1
+            k += 1
+        t8.encode(bw, OOB)
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    tr_flags = 1 | (1 << 4)  # SBHUFF, REFCORNER=TL
+    tr_body = (
+        reg_info
+        + tr_flags.to_bytes(2, "big")
+        + (0).to_bytes(2, "big")  # SBHUFFFLAGS: all standard selector 0
+        + len(inst).to_bytes(4, "big")
+        + bw.flush()
+    )
+
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 0, 0, sd_body)
+    out += _jbig2_segment(2, 6, 1, tr_body, refs=(1,))
+    out += _jbig2_segment(3, 49, 1, b"")
+    return out
+
+
+def _case_jbig2_huffman_image():
+    """Huffman-coded JBIG2 (SDHUFF dictionary + SBHUFF text region) —
+    the other coding family real scanned PDFs use."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Jh 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithJbig2Huff) Tj ET /Jh Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    jb = jbig2_embed_text_huffman(*_jbig2_text_fixture_args())
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 14 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        f"/Length {len(jb)} >>",
+        jb,
+    )
+    return b.build_classic(cat), "WithJbig2Huff" + CRLF, 1
+
+
+CASES["jbig2_huffman_image"] = _case_jbig2_huffman_image

@@ -10,10 +10,14 @@ generic region decoding (T.88 §6.2) for templates 0-3 with nominal or
 custom AT pixels and TPGDON typical-prediction, integer arithmetic
 decoding (Annex A IAx/IAID), SYMBOL DICTIONARIES and TEXT REGIONS
 (§6.5/§6.4, arithmetic — the coding real scanned-text PDFs use), and
-MMR regions via the CCITT G4 decoder. Huffman-coded variants and
-refinement/halftone coding raise Jbig2Unsupported and the image sink
-falls back to raw passthrough + failure code (strictly more than the
-reference, which passes everything through).
+MMR regions via the CCITT G4 decoder, and the HUFFMAN coding family
+(T.88 Annex B standard tables B.1-B.15 with canonical B.3 code
+assignment; SDHUFF symbol dictionaries with raw/MMR height-class
+collective bitmaps per §6.5.9; SBHUFF text regions with the runcode
+symbol ID table of §7.4.3.1.7). Refinement/aggregate coding, halftone
+regions and custom table segments raise Jbig2Unsupported and the image
+sink falls back to raw passthrough + failure code (strictly more than
+the reference, which passes everything through).
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -794,10 +798,12 @@ def decode_symbol_dict(
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if sdhuff:
-        raise Jbig2Unsupported("SDHUFF symbol dictionary")
     if sdrefagg:
         raise Jbig2Unsupported("refinement/aggregate symbol dictionary")
+    if sdhuff:
+        return _decode_symbol_dict_huffman(
+            body, flags, input_syms, max_pixels
+        )
     pos = 2
     n_at = 4 if template == 0 else 1
     at = []
@@ -886,7 +892,9 @@ def decode_text_region(
     if ds_offset > 15:
         ds_offset -= 32  # signed 5-bit
     if sbhuff:
-        raise Jbig2Unsupported("SBHUFF text region")
+        return _decode_text_region_huffman(
+            body, info, flags, syms, max_pixels
+        )
     if refine:
         raise Jbig2Unsupported("refinement text region")
     strips = 1 << log_strips
@@ -962,6 +970,507 @@ def decode_text_region(
             sw = len(sym[0]) if sh else 0
             if not transposed:
                 # T.88 6.4.5 3(c)(x): S is the left edge, T per corner
+                ty = tt if ref_corner in (1, 3) else tt - sh + 1
+                draw(sym, curs, ty)
+                curs += sw - 1
+            else:
+                tx = tt if ref_corner in (0, 1) else tt - sw + 1
+                draw(sym, tx, curs)
+                curs += sh - 1
+            ninst += 1
+            if ninst == num_instances:
+                break
+    return info, bitmap
+
+
+# --- Huffman-coded variants (T.88 §6.4/§6.5 with Annex B tables) --------------
+
+
+class _BitReader:
+    """MSB-first bit reader over a bytes payload (T.88 Huffman side)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        if self.pos >= len(self.data):
+            raise Jbig2Error("huffman bitstream overrun")
+        v = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read1()
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+    def read_bytes(self, n: int) -> bytes:
+        self.align()
+        if self.pos + n > len(self.data):
+            raise Jbig2Error("huffman payload overrun")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+class _BitWriter:
+    """MSB-first counterpart (fixture encoders)."""
+
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                self.buf = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+    def write_bytes(self, b: bytes) -> None:
+        self.align()
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class HuffTable:
+    """Canonical Huffman table per T.88 Annex B: lines are
+    (prefix_len, range_len, range_low, kind) with kind 'n' (normal),
+    'lower' (values range_low, range_low-1, ... downward) or 'oob'.
+    Code assignment follows B.3 (counts per length, table order within a
+    length). decode() returns an int or the OOB sentinel."""
+
+    def __init__(self, lines):
+        self.lines = [
+            (pl, rl, lo, kd) for (pl, rl, lo, kd) in lines if pl > 0
+        ]
+        maxlen = max((pl for pl, _, _, _ in self.lines), default=0)
+        count = [0] * (maxlen + 1)
+        for pl, _, _, _ in self.lines:
+            count[pl] += 1
+        self.codes = {}
+        firstcode = 0
+        for curlen in range(1, maxlen + 1):
+            firstcode = (firstcode + count[curlen - 1]) << 1
+            cur = firstcode
+            for line in self.lines:
+                if line[0] == curlen:
+                    if cur >= (1 << curlen):
+                        raise Jbig2Error("huffman code overflow")
+                    self.codes[(curlen, cur)] = line
+                    cur += 1
+        self.maxlen = maxlen
+
+    def decode(self, br: _BitReader):
+        length = 0
+        code = 0
+        while length < self.maxlen:
+            code = (code << 1) | br.read1()
+            length += 1
+            line = self.codes.get((length, code))
+            if line is not None:
+                pl, rl, lo, kd = line
+                if kd == "oob":
+                    return OOB
+                v = br.read(rl)
+                if kd == "lower":
+                    return lo - v
+                return lo + v
+        raise Jbig2Error("invalid huffman code")
+
+    def _line_code(self, target):
+        for (length, code), line in self.codes.items():
+            if line is target:
+                return length, code
+        raise Jbig2Error("line has no code")
+
+    def encode(self, bw: _BitWriter, value) -> None:
+        """Fixture-side: emit the prefix + offset bits for `value`
+        (or the OOB sentinel)."""
+        if value is OOB:
+            for line in self.lines:
+                if line[3] == "oob":
+                    ln, cd = self._line_code(line)
+                    bw.write(cd, ln)
+                    return
+            raise Jbig2Error("table has no OOB line")
+        finite = None
+        for line in self.lines:
+            pl, rl, lo, kd = line
+            if kd == "n" and rl < 32 and lo <= value < lo + (1 << rl):
+                finite = line
+                break
+        if finite is None:
+            for line in self.lines:
+                pl, rl, lo, kd = line
+                if kd == "lower" and value <= lo:
+                    finite = line
+                    value = lo - value  # offset below
+                    ln, cd = self._line_code(line)
+                    bw.write(cd, ln)
+                    bw.write(value, rl)
+                    return
+                if kd == "n" and rl == 32 and value >= lo:
+                    finite = line
+                    break
+        if finite is None:
+            raise Jbig2Error(f"value {value} not codable by table")
+        pl, rl, lo, kd = finite
+        ln, cd = self._line_code(finite)
+        bw.write(cd, ln)
+        bw.write(value - lo, rl)
+
+
+# Annex B standard tables. Data: ITU-T T.88 Tables B.1-B.15 (public spec
+# tables, same category as the shared QE table). Interop caveat as for
+# the MQ coder: validated by encoder/decoder round-trip + per-table
+# range-continuity assertions, no third-party streams in this runtime.
+_N, _LOW, _OOB_K = "n", "lower", "oob"
+_STD_LINES = {
+    1: [(1, 4, 0, _N), (2, 8, 16, _N), (3, 16, 272, _N), (3, 32, 65808, _N)],
+    2: [(1, 0, 0, _N), (2, 0, 1, _N), (3, 0, 2, _N), (4, 3, 3, _N),
+        (5, 6, 11, _N), (6, 32, 75, _N), (6, 0, 0, _OOB_K)],
+    3: [(8, 8, -256, _N), (1, 0, 0, _N), (2, 0, 1, _N), (3, 0, 2, _N),
+        (4, 3, 3, _N), (5, 6, 11, _N), (8, 32, -257, _LOW),
+        (7, 32, 75, _N), (6, 0, 0, _OOB_K)],
+    4: [(1, 0, 1, _N), (2, 0, 2, _N), (3, 0, 3, _N), (4, 3, 4, _N),
+        (5, 6, 12, _N), (5, 32, 76, _N)],
+    5: [(7, 8, -255, _N), (1, 0, 1, _N), (2, 0, 2, _N), (3, 0, 3, _N),
+        (4, 3, 4, _N), (5, 6, 12, _N), (7, 32, -256, _LOW),
+        (6, 32, 76, _N)],
+    6: [(5, 10, -2048, _N), (4, 9, -1024, _N), (4, 8, -512, _N),
+        (4, 7, -256, _N), (5, 6, -128, _N), (5, 5, -64, _N),
+        (4, 5, -32, _N), (2, 7, 0, _N), (3, 7, 128, _N), (3, 8, 256, _N),
+        (4, 9, 512, _N), (4, 10, 1024, _N), (6, 32, -2049, _LOW),
+        (6, 32, 2048, _N)],
+    7: [(4, 9, -1024, _N), (3, 8, -512, _N), (4, 7, -256, _N),
+        (5, 6, -128, _N), (5, 5, -64, _N), (4, 5, -32, _N), (4, 5, 0, _N),
+        (5, 5, 32, _N), (5, 6, 64, _N), (4, 7, 128, _N), (3, 8, 256, _N),
+        (3, 9, 512, _N), (3, 10, 1024, _N), (5, 32, -1025, _LOW),
+        (5, 32, 2048, _N)],
+    8: [(8, 3, -15, _N), (9, 1, -7, _N), (8, 1, -5, _N), (9, 0, -3, _N),
+        (7, 0, -2, _N), (4, 0, -1, _N), (2, 1, 0, _N), (5, 0, 2, _N),
+        (6, 0, 3, _N), (3, 4, 4, _N), (6, 1, 20, _N), (4, 4, 22, _N),
+        (4, 5, 38, _N), (5, 6, 70, _N), (5, 7, 134, _N), (6, 7, 262, _N),
+        (7, 8, 390, _N), (6, 10, 646, _N), (9, 32, -16, _LOW),
+        (9, 32, 1670, _N), (2, 0, 0, _OOB_K)],
+    9: [(8, 4, -31, _N), (9, 2, -15, _N), (8, 2, -11, _N), (9, 1, -7, _N),
+        (7, 1, -5, _N), (4, 1, -3, _N), (3, 1, -1, _N), (3, 1, 1, _N),
+        (5, 1, 3, _N), (6, 1, 5, _N), (3, 5, 7, _N), (6, 2, 39, _N),
+        (4, 5, 43, _N), (4, 6, 75, _N), (5, 7, 139, _N), (5, 8, 267, _N),
+        (6, 8, 523, _N), (7, 9, 779, _N), (6, 11, 1291, _N),
+        (9, 32, -32, _LOW), (9, 32, 3339, _N), (2, 0, 0, _OOB_K)],
+    10: [(7, 4, -21, _N), (8, 0, -5, _N), (7, 0, -4, _N), (5, 0, -3, _N),
+         (2, 2, -2, _N), (5, 0, 2, _N), (6, 0, 3, _N), (7, 0, 4, _N),
+         (8, 0, 5, _N), (2, 6, 6, _N), (5, 5, 70, _N), (6, 5, 102, _N),
+         (6, 6, 134, _N), (6, 7, 198, _N), (6, 8, 326, _N),
+         (6, 9, 582, _N), (6, 10, 1094, _N), (7, 11, 2118, _N),
+         (8, 32, -22, _LOW), (8, 32, 4166, _N), (2, 0, 0, _OOB_K)],
+    11: [(1, 0, 1, _N), (2, 1, 2, _N), (4, 0, 4, _N), (4, 1, 5, _N),
+         (5, 1, 7, _N), (5, 2, 9, _N), (6, 2, 13, _N), (7, 2, 17, _N),
+         (7, 3, 21, _N), (7, 4, 29, _N), (7, 5, 45, _N), (7, 6, 77, _N),
+         (7, 32, 141, _N)],
+    12: [(1, 0, 1, _N), (2, 0, 2, _N), (3, 1, 3, _N), (5, 0, 5, _N),
+         (5, 1, 6, _N), (6, 1, 8, _N), (7, 0, 10, _N), (7, 1, 11, _N),
+         (7, 2, 13, _N), (7, 3, 17, _N), (7, 4, 25, _N), (8, 5, 41, _N),
+         (8, 32, 73, _N)],
+    13: [(1, 0, 1, _N), (3, 0, 2, _N), (4, 0, 3, _N), (5, 0, 4, _N),
+         (4, 1, 5, _N), (3, 3, 7, _N), (6, 1, 15, _N), (6, 2, 17, _N),
+         (6, 3, 21, _N), (6, 4, 29, _N), (6, 5, 45, _N), (7, 6, 77, _N),
+         (7, 32, 141, _N)],
+    14: [(3, 0, -2, _N), (3, 0, -1, _N), (1, 0, 0, _N), (3, 0, 1, _N),
+         (3, 0, 2, _N)],
+    15: [(7, 4, -24, _N), (6, 2, -8, _N), (5, 1, -4, _N), (4, 0, -2, _N),
+         (3, 0, -1, _N), (1, 0, 0, _N), (3, 0, 1, _N), (4, 0, 2, _N),
+         (5, 1, 3, _N), (6, 2, 5, _N), (7, 4, 9, _N), (7, 32, -25, _LOW),
+         (7, 32, 25, _N)],
+}
+
+_STD_CACHE: dict[int, HuffTable] = {}
+
+
+def std_table(n: int) -> HuffTable:
+    t = _STD_CACHE.get(n)
+    if t is None:
+        t = _STD_CACHE[n] = HuffTable(_STD_LINES[n])
+    return t
+
+
+def _check_table_continuity():
+    """Finite ranges must tile without gaps and meet the lower/upper
+    32-bit lines exactly — catches data-entry typos at import time."""
+    for n, lines in _STD_LINES.items():
+        finite = [
+            (lo, lo + (1 << rl) - 1)
+            for pl, rl, lo, kd in lines
+            if kd == "n" and rl < 32
+        ]
+        finite.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(finite, finite[1:]):
+            if b_lo != a_hi + 1:
+                raise AssertionError(f"table B.{n} gap at {a_hi}->{b_lo}")
+        uppers = [lo for pl, rl, lo, kd in lines if kd == "n" and rl == 32]
+        if uppers and finite and uppers[0] != finite[-1][1] + 1:
+            raise AssertionError(f"table B.{n} upper misaligned")
+        lowers = [lo for pl, rl, lo, kd in lines if kd == "lower"]
+        if lowers and finite and lowers[0] != finite[0][0] - 1:
+            raise AssertionError(f"table B.{n} lower misaligned")
+
+
+_check_table_continuity()
+
+
+def _mmr_bitmap(payload: bytes, width: int, height: int) -> list:
+    """MMR (T.6)-coded bytes -> rows of 0/1 via the CCITT G4 decoder."""
+    from .ccitt import CcittError, ccitt_decode
+
+    try:
+        packed = ccitt_decode(
+            payload, columns=width, rows=height, k=-1, black_is_1=True
+        )
+    except CcittError as e:
+        raise Jbig2Error(f"mmr: {e}")
+    stride = (width + 7) // 8
+    return [
+        [(packed[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+         for x in range(width)]
+        for y in range(height)
+    ]
+
+
+def _decode_symbol_dict_huffman(
+    body: bytes, flags: int, input_syms: list, max_pixels: int
+) -> list:
+    """SDHUFF=1, SDREFAGG=0 (T.88 6.5.9: height classes with collective
+    bitmaps, uncompressed or MMR). Custom table selectors (referred
+    table segments) stay typed-unsupported."""
+    dh_sel = (flags >> 2) & 3
+    dw_sel = (flags >> 4) & 3
+    bm_sel = (flags >> 6) & 1
+    agg_sel = (flags >> 7) & 1
+    if dh_sel == 3 or dw_sel == 3 or bm_sel or agg_sel:
+        raise Jbig2Unsupported("custom huffman tables (symbol dict)")
+    t_dh = std_table(4 if dh_sel == 0 else 5)
+    t_dw = std_table(2 if dw_sel == 0 else 3)
+    t_bm = std_table(1)
+    t_ex = std_table(1)
+    pos = 2  # no AT pixels in huffman mode (7.4.4.1)
+    num_ex = int.from_bytes(body[pos : pos + 4], "big")
+    num_new = int.from_bytes(body[pos + 4 : pos + 8], "big")
+    pos += 8
+    if num_new > 10000 or num_ex > 10000:
+        raise Jbig2Unsupported("implausible symbol counts")
+
+    br = _BitReader(body[pos:])
+    new_syms: list = []
+    hcheight = 0
+    budget = max_pixels
+    while len(new_syms) < num_new:
+        dh = t_dh.decode(br)
+        if dh is OOB:
+            raise Jbig2Error("OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 10000:
+            raise Jbig2Error(f"bad symbol height {hcheight}")
+        symwidth = 0
+        widths = []
+        totwidth = 0
+        while True:
+            dw = t_dw.decode(br)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 10000:
+                raise Jbig2Error(f"bad symbol width {symwidth}")
+            totwidth += symwidth
+            budget -= symwidth * hcheight
+            if budget < 0:
+                raise Jbig2Unsupported("symbol dict exceeds max_pixels")
+            widths.append(symwidth)
+            if len(new_syms) + len(widths) > num_new:
+                raise Jbig2Error("too many symbols in height classes")
+        if not widths:
+            continue
+        bmsize = t_bm.decode(br)
+        if bmsize is OOB or bmsize < 0:
+            raise Jbig2Error("bad BMSIZE")
+        stride = (totwidth + 7) // 8
+        if bmsize == 0:
+            raw = br.read_bytes(stride * hcheight)
+            coll = [
+                [(raw[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+                 for x in range(totwidth)]
+                for y in range(hcheight)
+            ]
+        else:
+            coll = _mmr_bitmap(br.read_bytes(bmsize), totwidth, hcheight)
+        x0 = 0
+        for w in widths:
+            new_syms.append([row[x0 : x0 + w] for row in coll])
+            x0 += w
+    # export runs (6.5.10), Table B.1
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    cur_flag = 0
+    idx = 0
+    while idx < len(all_syms) and len(exported) <= num_ex:
+        run = t_ex.decode(br)
+        if run is OOB or run < 0:
+            raise Jbig2Error("bad export run")
+        if cur_flag:
+            exported.extend(all_syms[idx : idx + run])
+        idx += run
+        cur_flag ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error(
+            f"exported {len(exported)} symbols, header says {num_ex}"
+        )
+    return exported
+
+
+def _symbol_id_table(br: _BitReader, nsyms: int) -> HuffTable:
+    """T.88 7.4.3.1.7: 35 4-bit runcode lengths -> runcode table ->
+    per-symbol code lengths -> symbol ID table. Byte-aligns at the end."""
+    runlens = [br.read(4) for _ in range(35)]
+    runtab = HuffTable(
+        [(l, 0, i, _N) for i, l in enumerate(runlens) if l]
+    )
+    lengths: list[int] = []
+    prev = 0
+    while len(lengths) < nsyms:
+        code = runtab.decode(br)
+        if code is OOB:
+            raise Jbig2Error("OOB runcode")
+        if code < 32:
+            lengths.append(code)
+            if code > 0:
+                prev = code
+        elif code == 32:
+            lengths += [prev] * (3 + br.read(2))
+        elif code == 33:
+            lengths += [0] * (3 + br.read(3))
+        else:
+            lengths += [0] * (11 + br.read(7))
+    if len(lengths) != nsyms:
+        raise Jbig2Error("runcode overrun")
+    br.align()
+    return HuffTable([(l, 0, i, _N) for i, l in enumerate(lengths) if l])
+
+
+def _decode_text_region_huffman(
+    body: bytes, info: dict, flags: int, syms: list, max_pixels: int
+) -> tuple[dict, list]:
+    """SBHUFF=1 text region (T.88 6.4 Huffman side, no refinement)."""
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    if (flags >> 1) & 1:
+        raise Jbig2Unsupported("refinement text region")
+    hf = int.from_bytes(body[19:21], "big")
+    fs_sel, ds_sel, dt_sel = hf & 3, (hf >> 2) & 3, (hf >> 4) & 3
+    if fs_sel == 3 or ds_sel == 3 or dt_sel == 3:
+        raise Jbig2Unsupported("custom huffman tables (text region)")
+    t_fs = std_table(6 + fs_sel)
+    t_ds = std_table(8 + ds_sel)
+    t_dt = std_table(11 + dt_sel)
+    pos = 21
+    num_instances = int.from_bytes(body[pos : pos + 4], "big")
+    pos += 4
+    if num_instances > 100000:
+        raise Jbig2Unsupported("implausible instance count")
+    if not syms:
+        raise Jbig2Error("text region with no symbols")
+    strips = 1 << log_strips
+
+    br = _BitReader(body[pos:])
+    symtab = _symbol_id_table(br, len(syms))
+    w, h = info["w"], info["h"]
+    bitmap = [[def_pixel] * w for _ in range(h)]
+
+    def draw(sym, s, t):
+        sh = len(sym)
+        sw = len(sym[0]) if sh else 0
+        for yy in range(sh):
+            py = t + yy
+            if 0 <= py < h:
+                prow = bitmap[py]
+                srow = sym[yy]
+                for xx in range(sw):
+                    px = s + xx
+                    if 0 <= px < w:
+                        v = srow[xx]
+                        if comb_op == 0:
+                            prow[px] |= v
+                        elif comb_op == 1:
+                            prow[px] &= v
+                        elif comb_op == 2:
+                            prow[px] ^= v
+                        else:
+                            prow[px] = v
+
+    stript = t_dt.decode(br)
+    if stript is OOB:
+        raise Jbig2Error("OOB strip T")
+    stript = -stript * strips
+    firsts = 0
+    ninst = 0
+    while ninst < num_instances:
+        dt = t_dt.decode(br)
+        if dt is OOB:
+            raise Jbig2Error("OOB DT")
+        stript += dt * strips
+        dfs = t_fs.decode(br)
+        if dfs is OOB:
+            raise Jbig2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = t_ds.decode(br)
+                if ids is OOB:
+                    break
+                curs += ids + ds_offset
+            first = False
+            curt = 0 if strips == 1 else br.read(log_strips)
+            tt = stript + curt
+            sid = symtab.decode(br)
+            if sid is OOB or sid >= len(syms):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
+            sh = len(sym)
+            sw = len(sym[0]) if sh else 0
+            if not transposed:
                 ty = tt if ref_corner in (1, 3) else tt - sh + 1
                 draw(sym, curs, ty)
                 curs += sw - 1

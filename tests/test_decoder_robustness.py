@@ -127,9 +127,21 @@ def test_jbig2_mutation_robustness():
     )
     from delphi_pdf_parser_spark.pdfcore.jbig2 import Jbig2Error, jbig2_decode
 
-    payload = jbig2_embed(_ccitt_test_bitmap())
-    for mut in _mutations(payload, rng):
-        try:
-            jbig2_decode(mut)
-        except Jbig2Error:
-            pass  # incl. Jbig2Unsupported — the typed contract
+    from delphi_pdf_parser_spark.fixtures import (
+        _jbig2_text_fixture_args,
+        jbig2_embed_text_huffman,
+    )
+
+    payloads = (
+        jbig2_embed(_ccitt_test_bitmap()),
+        jbig2_embed_text_huffman(*_jbig2_text_fixture_args()),
+        jbig2_embed_text_huffman(
+            *_jbig2_text_fixture_args(), collective="mmr"
+        ),
+    )
+    for payload in payloads:
+        for mut in _mutations(payload, rng):
+            try:
+                jbig2_decode(mut)
+            except Jbig2Error:
+                pass  # incl. Jbig2Unsupported — the typed contract

@@ -165,8 +165,9 @@ def test_jbig2_image_decodes_to_png():
 
 
 def test_jbig2_unsupported_regions_fall_back_to_raw():
-    """A HUFFMAN-coded symbol dictionary (SDHUFF, not implemented) must
-    surface as a typed failure -> raw passthrough, never a crash."""
+    """A refinement/aggregate symbol dictionary (SDREFAGG, not
+    implemented) must surface as a typed failure -> raw passthrough,
+    never a crash."""
     from delphi_pdf_parser_spark.fixtures import (
         PdfBuilder,
         _jbig2_segment,
@@ -174,9 +175,9 @@ def test_jbig2_unsupported_regions_fall_back_to_raw():
         _ccitt_test_bitmap,
     )
 
-    # splice an SDHUFF symbol-dict segment (type 0) in front of the page
+    # splice an SDREFAGG symbol-dict segment (type 0) in front of the page
     good = jbig2_embed(_ccitt_test_bitmap())
-    sym = _jbig2_segment(9, 0, 1, b"\x00\x01" + b"\x00" * 8)
+    sym = _jbig2_segment(9, 0, 1, b"\x00\x02" + b"\x00" * 8)
     b = PdfBuilder()
     cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
     b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
@@ -429,3 +430,66 @@ def test_devicen_sampled_tint_converts():
     assert px[0:3] == bytes([0, 0, 255])
     # pixel1 (ink0=1, ink1=0) -> lattice (1,0) -> red
     assert px[3:6] == bytes([255, 0, 0])
+
+
+def test_jbig2_huffman_text_decodes_to_same_png():
+    """Huffman coding family (SDHUFF dictionary with raw + MMR
+    collective bitmaps, SBHUFF text region with a runcode symbol ID
+    table) must produce the IDENTICAL page bitmap the arithmetic coding
+    of the same content does — two independent coding paths
+    cross-validate each other."""
+    from delphi_pdf_parser_spark.fixtures import (
+        _jbig2_text_fixture_args,
+        jbig2_embed_text,
+        jbig2_embed_text_huffman,
+    )
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import jbig2_decode
+
+    args = _jbig2_text_fixture_args()
+    ref = jbig2_decode(jbig2_embed_text(*args), invert=False)
+    for coll in ("raw", "mmr"):
+        got = jbig2_decode(
+            jbig2_embed_text_huffman(*args, collective=coll), invert=False
+        )
+        assert got == ref, coll
+    # and through the PDF image sink
+    pdf, _, _ = CASES["jbig2_huffman_image"]()
+    (im,) = extract_images(pdf)
+    assert im.format == "png" and (im.width, im.height) == (16, 14)
+    pdf_a, _, _ = CASES["jbig2_text_image"]()
+    (im_a,) = extract_images(pdf_a)
+    assert im.data == im_a.data  # byte-identical PNG vs arithmetic case
+
+
+def test_jbig2_standard_huffman_tables_roundtrip():
+    """Every Annex B table: encode->decode identity across its finite
+    ranges, the lower/upper 32-bit lines, and OOB where present."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        OOB,
+        _BitReader,
+        _BitWriter,
+        _STD_LINES,
+        std_table,
+    )
+
+    for n, lines in _STD_LINES.items():
+        tab = std_table(n)
+        values = []
+        for pl, rl, lo, kd in lines:
+            if kd == "n" and rl < 32:
+                values += [lo, lo + (1 << rl) - 1]
+            elif kd == "n":
+                values += [lo, lo + 12345]
+            elif kd == "lower":
+                values += [lo, lo - 999]
+        has_oob = any(kd == "oob" for _, _, _, kd in lines)
+        bw = _BitWriter()
+        for v in values:
+            tab.encode(bw, v)
+        if has_oob:
+            tab.encode(bw, OOB)
+        br = _BitReader(bw.flush())
+        for v in values:
+            assert tab.decode(br) == v, (n, v)
+        if has_oob:
+            assert tab.decode(br) is OOB, n
