@@ -3362,3 +3362,43 @@ def _case_jbig2_huffman_image():
 
 
 CASES["jbig2_huffman_image"] = _case_jbig2_huffman_image
+
+
+def _case_ps_function_image():
+    """Separation image whose tint transform is a TYPE 4 PostScript
+    calculator (with a conditional) — exercises ps_run parity
+    (pdf_functionss.pas:210-682)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Ip 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithPsFn) Tj ET /Ip Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    sep = bytes([0, 85, 170, 255])
+    scomp = zlib.compress(sep)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 1 "
+        "/BitsPerComponent 8 "
+        "/ColorSpace [/Separation /PsSpot /DeviceCMYK 7 0 R] "
+        f"/Filter /FlateDecode /Length {len(scomp)} >>",
+        scomp,
+    )
+    # t -> (0.8t, t<0.5 ? 0.2t : 0.3t, 0, 0.1t)
+    prog = (
+        b"{ dup 0.8 mul exch dup dup 0.5 lt "
+        b"{ 0.2 mul } { 0.3 mul } ifelse exch dup 0 mul exch 0.1 mul }"
+    )
+    b.add(
+        "<< /FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1 0 1] "
+        f"/Length {len(prog)} >>",
+        prog,
+    )
+    return b.build_classic(cat), "WithPsFn" + CRLF, 1
+
+
+CASES["ps_function_image"] = _case_ps_function_image

@@ -20,8 +20,8 @@ Here:
   rasters expand to 8-bit gray PNGs
 - CMYK / ICCBased(N=4) rasters convert to RGB via the reference's device
   matrix; Separation/DeviceN via tint-transform eval (pdf functions
-  types 0/2/3) into a supported alternate — colorspace.py / functions.py
-- anything else (Lab, type-4 tint transforms, 9/7-lossy JPX) ships raw
+  types 0/2/3/4) into a supported alternate — colorspace.py / functions.py
+- anything else (Lab, 9/7-lossy JPX) ships raw
   with format='raw' and a decode-failure code
 """
 

@@ -493,3 +493,28 @@ def test_jbig2_standard_huffman_tables_roundtrip():
             assert tab.decode(br) == v, (n, v)
         if has_oob:
             assert tab.decode(br) is OOB, n
+
+
+def test_ps_function_tint_image():
+    """Type-4 (PostScript calculator) tint transform on a Separation
+    image: the 256-entry lookup path evaluates the program once,
+    conversion matches hand-computed anchors."""
+    import numpy as np
+    import zlib as _z
+
+    from delphi_pdf_parser_spark.pdfcore.colorspace import cmyk_to_rgb
+
+    pdf, _, _ = CASES["ps_function_image"]()
+    (im,) = extract_images(pdf)
+    assert im.format == "png" and im.colorspace == "Separation"
+    i = im.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", im.data[i : i + 4])
+    raw = _z.decompress(im.data[i + 8 : i + 8 + length])
+    got = [tuple(raw[1 + 3 * x : 4 + 3 * x]) for x in range(4)]
+    exp = []
+    for v in (0, 85, 170, 255):
+        t = v / 255.0
+        cmyk = [0.8 * t, 0.2 * t if t < 0.5 else 0.3 * t, 0.0, 0.1 * t]
+        rgb = cmyk_to_rgb(np.asarray([cmyk]))[0]
+        exp.append(tuple(int(x) for x in np.trunc(rgb * 255.0)))
+    assert got == exp
