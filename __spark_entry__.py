@@ -249,6 +249,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def q_decontaminate(spark, sf_dir):
+        """Benchmark decontamination: 13-gram overlap of the corpus vs a
+        benchmark slice (doc_id % 97 == 0 stands in for the eval set).
+        Broadcast benchmark grams, matched-only aggregation shuffle."""
+        from delphi_pdf_parser_spark.operators.decontam import (
+            benchmark_overlap,
+        )
+
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return benchmark_overlap(docs, bench, n=13)
+
     def q_url_dedup(spark, sf_dir):
         """URL canonicalization + dedup: synthesize crawl-style URL
         variants (mixed-case host, default port, tracking params,
@@ -389,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "top_ngrams": q_top_ngrams,
         "normalize_text": q_normalize_text,
+        "decontaminate": q_decontaminate,
         "html_main_content": q_html_main_content,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -599,6 +612,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
             WHERE event_type = 'purchase'
             ORDER BY user_id, day
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 12),
+                           i -> array_to_string(t[i:i + 12], ' ')
+                       )) AS ngram
+                FROM toks
+                WHERE len(t) >= 13
+            ), bgrams AS (
+                SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0
+            ), counts AS (
+                SELECT g.doc_id,
+                       count(DISTINCT g.ngram) AS n_contaminated_ngrams
+                FROM grams g JOIN bgrams b USING (ngram)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+                   coalesce(c.n_contaminated_ngrams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id
         """,
         "top_ngrams": """
             WITH toks AS (

@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "url_dedup",
     "top_ngrams",
     "normalize_text",
+    "decontaminate",
 )
 
 
