@@ -3402,3 +3402,388 @@ def _case_ps_function_image():
 
 
 CASES["ps_function_image"] = _case_ps_function_image
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) fixture encoder — counterpart of webp.py
+# ---------------------------------------------------------------------------
+
+class _Vp8lWriter:
+    """LSB-first bit writer (mirrors webp._LsbReader)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, nbits: int) -> None:
+        """Prefix codes are walked MSB-of-code-first by the reader."""
+        for i in range(nbits - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _vp8l_huffman_lengths(counts: dict) -> dict:
+    """symbol -> code length (plain Huffman; alphabet is small in
+    fixtures so the 15-bit cap never binds)."""
+    import heapq
+
+    if not counts:
+        raise ValueError("empty histogram")
+    if len(counts) == 1:
+        return {next(iter(counts)): 0}
+    heap = [(c, i, [s]) for i, (s, c) in enumerate(sorted(counts.items()))]
+    heapq.heapify(heap)
+    lengths = {s: 0 for s in counts}
+    i = len(heap)
+    while len(heap) > 1:
+        c1, _, s1 = heapq.heappop(heap)
+        c2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (c1 + c2, i, s1 + s2))
+        i += 1
+    assert max(lengths.values()) <= 15
+    return lengths
+
+
+def _vp8l_canonical(lengths: dict) -> dict:
+    """symbol -> (code, len), DEFLATE canonical assignment."""
+    maxlen = max(lengths.values())
+    count = [0] * (maxlen + 1)
+    for l in lengths.values():
+        count[l] += 1
+    nextcode = [0] * (maxlen + 1)
+    code = 0
+    for l in range(1, maxlen + 1):
+        code = (code + count[l - 1]) << 1
+        nextcode[l] = code
+    out = {}
+    for s in sorted(lengths):
+        l = lengths[s]
+        if l > 0:
+            out[s] = (nextcode[l], l)
+            nextcode[l] += 1
+    return out
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+                  14, 15)
+
+
+def _vp8l_write_prefix(bw: _Vp8lWriter, counts: dict, alphabet: int) -> dict:
+    """Emit one prefix code; -> symbol -> (code, len) for the body."""
+    syms = sorted(counts)
+    if len(syms) <= 2 and syms[-1] <= 255:
+        # simple codes store raw 8-bit symbols, so codes >= 256
+        # (length/cache) must go through the normal path
+        bw.write(1, 1)  # simple
+        bw.write(len(syms) - 1, 1)
+        first_8 = 0 if syms[0] <= 1 else 1
+        bw.write(first_8, 1)
+        bw.write(syms[0], 8 if first_8 else 1)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+    bw.write(0, 1)  # normal
+    lengths = _vp8l_huffman_lengths(counts)
+    all_lens = [lengths.get(s, 0) for s in range(alphabet)]
+    cl_counts: dict = {}
+    for l in all_lens:
+        cl_counts[l] = cl_counts.get(l, 0) + 1
+    cl_lengths = _vp8l_huffman_lengths(cl_counts)
+    assert max(cl_lengths.values()) <= 7
+    bw.write(19 - 4, 4)  # emit all 19 code-length-code slots
+    for s in _VP8L_CL_ORDER:
+        bw.write(cl_lengths.get(s, 0), 3)
+    cl_codes = _vp8l_canonical(cl_lengths)
+    bw.write(0, 1)  # no max_symbol cap: every slot coded explicitly
+    for l in all_lens:
+        c, n = cl_codes[l]
+        bw.write_code(c, n)
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_lz77(pixels: list, use_lz77: bool):
+    """-> ops: ('lit', px) | ('copy', length, dist). Greedy run-of-
+    previous-pixel detection (dist 1), enough to exercise the decoder's
+    backward-reference path."""
+    ops = []
+    i = 0
+    n = len(pixels)
+    while i < n:
+        if use_lz77 and i > 0 and pixels[i] == pixels[i - 1]:
+            j = i
+            while j < n and pixels[j] == pixels[i - 1] and j - i < 4096:
+                j += 1
+            if j - i >= 3:
+                ops.append(("copy", j - i, 1))
+                i = j
+                continue
+        ops.append(("lit", pixels[i]))
+        i += 1
+    return ops
+
+
+def _vp8l_prefix_split(v: int):
+    """value -> (prefix_code, extra_bits, extra_val); inverse of
+    webp._prefix_value."""
+    if v <= 4:
+        return v - 1, 0, 0
+    v -= 1
+    nbits = v.bit_length() - 1
+    rest = v - (1 << nbits)
+    half = 1 << (nbits - 1)
+    if rest >= half:
+        return 2 * nbits + 1, nbits - 1, rest - half
+    return 2 * nbits, nbits - 1, rest
+
+
+def webp_encode(
+    width: int,
+    height: int,
+    ncomp: int,
+    pixels: bytes,
+    *,
+    sub_green: bool = False,
+    predictor: int | None = None,
+    color_te: tuple[int, int, int] | None = None,
+    cache_bits: int = 0,
+    use_lz77: bool = False,
+    palette: bool = False,
+) -> bytes:
+    """Author a lossless VP8L WebP. Transforms are applied forward here
+    and inverted by the decoder: optional SUBTRACT_GREEN, optional
+    PREDICTOR (one mode for every tile), optional COLOR transform (one
+    (g2r, g2b, r2b) element for every tile); optional color cache and
+    LZ77 dist-1 runs."""
+    px = []
+    for i in range(width * height):
+        if ncomp == 1:
+            v = pixels[i]
+            px.append((255, v, v, v))
+        elif ncomp == 3:
+            r, g, b = pixels[3 * i : 3 * i + 3]
+            px.append((255, r, g, b))
+        else:
+            r, g, b, a = pixels[4 * i : 4 * i + 4]
+            px.append((a, r, g, b))
+
+    bw = _Vp8lWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if ncomp == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    def emit_entropy_image(pix, w, h, cache_b, lz77, level0=False):
+        if cache_b:
+            bw.write(1, 1)
+            bw.write(cache_b, 4)
+        else:
+            bw.write(0, 1)
+        cache = [None] * (1 << cache_b) if cache_b else []
+        ops = _vp8l_lz77(pix, lz77)
+        # rewrite through the cache exactly as the decoder replays it
+        final = []
+        pos_pix = []
+        for op in ops:
+            if op[0] == "lit":
+                p = op[1]
+                if cache_b:
+                    argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+                    slot = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_b)
+                    if cache[slot] == argb:
+                        final.append(("cache", slot))
+                        pos_pix.append(p)
+                        continue
+                    cache[slot] = argb
+                final.append(op)
+                pos_pix.append(p)
+            else:
+                _, ln, dist = op
+                final.append(op)
+                for _ in range(ln):
+                    p = pos_pix[len(pos_pix) - dist]
+                    if cache_b:
+                        argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+                        slot = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (
+                            32 - cache_b
+                        )
+                        cache[slot] = argb
+                    pos_pix.append(p)
+        gc: dict = {}
+        rc: dict = {}
+        bc: dict = {}
+        ac: dict = {}
+        dc: dict = {}
+        for op in final:
+            if op[0] == "lit":
+                a, r, g, b = op[1]
+                gc[g] = gc.get(g, 0) + 1
+                rc[r] = rc.get(r, 0) + 1
+                bc[b] = bc.get(b, 0) + 1
+                ac[a] = ac.get(a, 0) + 1
+            elif op[0] == "copy":
+                lcode, _, _ = _vp8l_prefix_split(op[1])
+                gc[256 + lcode] = gc.get(256 + lcode, 0) + 1
+                dcode, _, _ = _vp8l_prefix_split(op[2] + 120)
+                dc[dcode] = dc.get(dcode, 0) + 1
+            else:
+                gc[280 + op[1]] = gc.get(280 + op[1], 0) + 1
+        for d, default in ((rc, 0), (bc, 0), (ac, 255), (dc, 0)):
+            if not d:
+                d[default] = 1
+        if level0:
+            bw.write(0, 1)  # no meta prefix-code image
+        g_alpha = 256 + 24 + ((1 << cache_b) if cache_b else 0)
+        g_codes = _vp8l_write_prefix(bw, gc, g_alpha)
+        r_codes = _vp8l_write_prefix(bw, rc, 256)
+        b_codes = _vp8l_write_prefix(bw, bc, 256)
+        a_codes = _vp8l_write_prefix(bw, ac, 256)
+        d_codes = _vp8l_write_prefix(bw, dc, 40)
+        for op in final:
+            if op[0] == "lit":
+                a, r, g, b = op[1]
+                bw.write_code(*g_codes[g])
+                bw.write_code(*r_codes[r])
+                bw.write_code(*b_codes[b])
+                bw.write_code(*a_codes[a])
+            elif op[0] == "copy":
+                lcode, nb, ev = _vp8l_prefix_split(op[1])
+                bw.write_code(*g_codes[256 + lcode])
+                bw.write(ev, nb)
+                dcode, dnb, dev = _vp8l_prefix_split(op[2] + 120)
+                bw.write_code(*d_codes[dcode])
+                bw.write(dev, dnb)
+            else:
+                bw.write_code(*g_codes[280 + op[1]])
+
+    # forward transforms (decoder inverts in reverse order, so emit
+    # transform headers in the order applied here)
+    if predictor is not None:
+        from .webp import _avg2, _clamp
+
+        bits = 4
+        tw = (width + 15) >> 4
+        th = (height + 15) >> 4
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(bits - 2, 3)
+        tiles = [(255, 0, predictor, 0)] * (tw * th)
+        emit_entropy_image(tiles, tw, th, 0, False)
+        res = []
+        for pos in range(width * height):
+            x, y = pos % width, pos // width
+            if pos == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px[pos - 1]
+            elif x == 0:
+                pred = px[pos - width]
+            else:
+                left, top = px[pos - 1], px[pos - width]
+                tl = px[pos - width - 1]
+                # same flat-index arithmetic as the decoder: for
+                # x == width-1 this reads (0, y) — the spec quirk
+                tr = px[pos - width + 1]
+                mode = predictor
+                if mode == 0:
+                    pred = (255, 0, 0, 0)
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 7:
+                    pred = _avg2(left, top)
+                elif mode == 12:
+                    pred = tuple(
+                        _clamp(l + t - c) for l, t, c in zip(left, top, tl)
+                    )
+                else:
+                    raise ValueError("fixture encoder: unsupported mode")
+            res.append(
+                tuple((p - q) & 0xFF for p, q in zip(px[pos], pred))
+            )
+        px = res
+    if color_te is not None:
+        from .webp import _ctd
+
+        g2r, g2b, r2b = color_te
+        bits = 4
+        tw = (width + 15) >> 4
+        th = (height + 15) >> 4
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR
+        bw.write(bits - 2, 3)
+        tiles = [(255, r2b, g2b, g2r)] * (tw * th)
+        emit_entropy_image(tiles, tw, th, 0, False)
+        fwd = []
+        for a, r, g, b in px:
+            # forward: subtract the deltas the decoder will add back
+            nr = (r - _ctd(g2r, g)) & 0xFF
+            nb = (b - _ctd(g2b, g) - _ctd(r2b, (nr + _ctd(g2r, g)) & 0xFF)) & 0xFF
+            fwd.append((a, nr, g, nb))
+        px = fwd
+    if sub_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        px = [(a, (r - g) & 0xFF, g, (b - g) & 0xFF) for a, r, g, b in px]
+    xsize = width
+    if palette:
+        colors = []
+        index = {}
+        for p in px:
+            if p not in index:
+                index[p] = len(colors)
+                colors.append(p)
+        if len(colors) > 256:
+            raise ValueError("fixture encoder: > 256 colors for palette")
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(colors) - 1, 8)
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for c in colors:
+            deltas.append(tuple((a - b) & 0xFF for a, b in zip(c, prev)))
+            prev = c
+        emit_entropy_image(deltas, len(colors), 1, 0, False)
+        n_pal = len(colors)
+        bpp = 1 if n_pal <= 2 else 2 if n_pal <= 4 else 4 if n_pal <= 16 else 8
+        if bpp == 8:
+            px = [(255, 0, index[p], 0) for p in px]
+        else:
+            ppb = 8 // bpp
+            xsize = (width + ppb - 1) // ppb
+            packed = []
+            for y in range(height):
+                for bx in range(xsize):
+                    g = 0
+                    for k in range(ppb):
+                        x = bx * ppb + k
+                        if x < width:
+                            g |= index[px[y * width + x]] << (bpp * k)
+                    packed.append((255, 0, g, 0))
+            px = packed
+    bw.write(0, 1)  # end of transforms
+
+    emit_entropy_image(px, xsize, height, cache_bits, use_lz77, level0=True)
+    payload = b"\x2f" + bw.flush()
+    riff = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        riff += b"\x00"
+    return b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP" + riff

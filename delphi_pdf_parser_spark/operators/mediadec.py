@@ -7,7 +7,7 @@ decoder can own are implemented for real: uncompressed BMP (8-bit gray /
 reusing the vectorized PNG un-predictor from pdfcore.filters), and
 baseline + progressive (SOF2) JPEG via the from-scratch DCT decoder in
 pdfcore/jpeg.py.
-Still-unsupported formats (WebP, arithmetic-coded JPEG, ...) raise
+Still-unsupported formats (lossy-VP8 WebP, arithmetic-coded JPEG, ...) raise
 UnsupportedMediaError and surface as a decode-status column, the same
 contract the PDF pipeline uses for its failure codes.
 """
@@ -62,6 +62,19 @@ def _decode_any(payload: bytes) -> tuple[int, int, int, bytes]:
             raise UnsupportedMediaError(f"jpeg: {e}")
         except JpegError as e:
             raise MediaDecodeError(f"jpeg: {e}")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from delphi_pdf_parser_spark.webp import (
+            WebpError,
+            WebpUnsupported,
+            webp_decode,
+        )
+
+        try:
+            return webp_decode(payload)
+        except WebpUnsupported as e:
+            raise UnsupportedMediaError(f"webp: {e}")
+        except WebpError as e:
+            raise MediaDecodeError(f"webp: {e}")
     if payload[:4] == b"\xff\x4f\xff\x51" or payload[4:8] == b"jP\x20\x20":
         from delphi_pdf_parser_spark.pdfcore.jpx import (
             JpxError,

@@ -63,10 +63,14 @@ FEATURE_SCHEMA = StructType(
 
 
 def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic REAL payloads: even doc_ids get an 8x8 gray BMP whose
-    pixels derive from md5(text); odd doc_ids get an opaque 'audio' blob
-    (no pure-Python audio codec — byte features only)."""
+    """Deterministic REAL payloads: doc_id % 4 == 0 gets an 8x8 gray BMP
+    whose pixels derive from md5(text); % 4 == 2 gets the SAME pixels as
+    a lossless WebP (VP8L — the web's second image format); odd doc_ids
+    get an opaque 'audio' blob (no pure-Python audio codec — byte
+    features only)."""
     import hashlib
+
+    from delphi_pdf_parser_spark.fixtures import webp_encode
 
     for b in batches:
         rows = []
@@ -74,9 +78,12 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             doc_id = int(doc_id)
             seed = hashlib.md5((text or "").encode("utf-8")).digest()
             blob = (seed * ((64 // len(seed)) + 1))[:64]
-            if doc_id % 2 == 0:
+            if doc_id % 4 == 0:
                 payload = encode_bmp(8, 8, 1, blob)
                 mtype = "image/bmp"
+            elif doc_id % 4 == 2:
+                payload = webp_encode(8, 8, 1, blob, use_lz77=True)
+                mtype = "image/webp"
             else:
                 payload = b"FAKEAUD0" + blob
                 mtype = "audio/fake"

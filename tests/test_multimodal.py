@@ -87,22 +87,27 @@ def test_media_features_decode_real_pixels(spark):
         r["doc_id"]: r["text"]
         for r in docs.select("doc_id", "text").collect()
     }
-    n_img = 0
+    n_bmp = n_webp = 0
     for r in rows:
-        if r["media_type"] == "image/bmp":
-            n_img += 1
+        if r["media_type"] in ("image/bmp", "image/webp"):
             assert r["decode_status"] == "ok"
-            assert (r["width"], r["height"], r["ncomp"]) == (8, 8, 1)
             seed = hashlib.md5(
                 (texts[r["doc_id"]] or "").encode("utf-8")
             ).digest()
             blob = (seed * 5)[:64]
             want = round(float(np.frombuffer(blob, np.uint8).mean()), 4)
+            # webp decodes gray to RGB triplets — same mean, ncomp 3
+            if r["media_type"] == "image/bmp":
+                n_bmp += 1
+                assert (r["width"], r["height"], r["ncomp"]) == (8, 8, 1)
+            else:
+                n_webp += 1
+                assert (r["width"], r["height"], r["ncomp"]) == (8, 8, 3)
             assert r["mean_pixel"] == want
         else:
             assert r["decode_status"] == "not_image"
             assert r["width"] is None and r["mean_pixel"] is None
-    assert n_img > 0
+    assert n_bmp > 0 and n_webp > 0
 
 
 def test_jpeg_decode_roundtrip():
