@@ -3787,3 +3787,460 @@ def webp_encode(
     if len(payload) & 1:
         riff += b"\x00"
     return b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP" + riff
+
+
+def jbig2_embed_refinement(base: list, refined: list) -> bytes:
+    """Page = generic region (base) + immediate refinement region that
+    refines it in place to `refined` (same dims, REPLACE comb op)."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _GR_CTX_SIZE,
+        _GR_NOMINAL_AT,
+        MQEncoder,
+        encode_generic_region,
+        encode_refinement,
+    )
+
+    h = len(base)
+    w = len(base[0])
+    assert len(refined) == h and len(refined[0]) == w
+    page_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    reg_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    gen = encode_generic_region(base)
+    gen_body = reg_info + bytes([0]) + bytes(
+        x & 0xFF for pair in ((3, -1), (-3, -1), (2, -2), (-2, -2))
+        for x in pair
+    ) + gen
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(_GR_CTX_SIZE[0])]
+    encode_refinement(enc, cx, refined, base, 0, 0, template=0)
+    # REPLACE comb op (region info flags = 4)
+    ref_reg_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([4])
+    )
+    ref_body = ref_reg_info + bytes([0]) + bytes(
+        x & 0xFF for pair in _GR_NOMINAL_AT for x in pair
+    ) + enc.flush()
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 38, 1, gen_body)   # immediate generic
+    out += _jbig2_segment(2, 42, 1, ref_body)   # immediate refinement
+    out += _jbig2_segment(3, 49, 1, b"")
+    return out
+
+
+def jbig2_embed_text_refine(
+    symbols: list, placements: list, page_w: int, page_h: int
+) -> bytes:
+    """Arithmetic symbol dict + text region with REFINE=1: placements are
+    (symbol_index, s, t, refined_bitmap_or_None); refined instances carry
+    RDW/RDH/RDX/RDY deltas + a refinement of the dictionary symbol."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _CTX_SIZE,
+        _GR_CTX_SIZE,
+        _GR_NOMINAL_AT,
+        _NOMINAL_AT,
+        IdCtx,
+        IntCtx,
+        MQEncoder,
+        OOB,
+        _gb_context,
+        encode_id,
+        encode_int,
+        encode_refinement,
+    )
+
+    order = sorted(range(len(symbols)), key=lambda i: (len(symbols[i]), i))
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+
+    enc = MQEncoder()
+    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
+    at = _NOMINAL_AT[0]
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    hc = 0
+    i = 0
+    while i < len(sorted_syms):
+        h = len(sorted_syms[i])
+        encode_int(enc, iadh, h - hc)
+        hc = h
+        prev_w = 0
+        while i < len(sorted_syms) and len(sorted_syms[i]) == hc:
+            bm = sorted_syms[i]
+            w = len(bm[0])
+            encode_int(enc, iadw, w - prev_w)
+            prev_w = w
+            img = [[0] * w for _ in range(hc)]
+            for y in range(hc):
+                for x in range(w):
+                    ctx = _gb_context(img, x, y, w, 0, at)
+                    enc.encode(gb_cx[ctx], bm[y][x])
+                    img[y][x] = bm[y][x]
+            i += 1
+        encode_int(enc, iadw, OOB)
+    encode_int(enc, iaex, 0)
+    encode_int(enc, iaex, len(sorted_syms))
+    sd_body = (
+        (0).to_bytes(2, "big")
+        + b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in at)
+        + len(sorted_syms).to_bytes(4, "big")
+        + len(sorted_syms).to_bytes(4, "big")
+        + enc.flush()
+    )
+
+    codelen = max(1, (len(sorted_syms) - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCtx(), IntCtx(), IntCtx()
+    iari = IntCtx()
+    iardw, iardh, iardx, iardy = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    gr_cx = [[0, 0] for _ in range(_GR_CTX_SIZE[0])]
+    iaid = IdCtx(codelen)
+    inst = sorted(
+        ((remap[sid], s, t, ref) for sid, s, t, ref in placements),
+        key=lambda p: (p[2], p[1]),
+    )
+    encode_int(enc, iadt, 0)
+    prev_t = 0
+    firsts = 0
+    k = 0
+
+    def emit_symbol(sid, ref):
+        encode_id(enc, iaid, sid)
+        sym = sorted_syms[sid]
+        if ref is None:
+            encode_int(enc, iari, 0)
+            return len(sym[0]) - 1
+        encode_int(enc, iari, 1)
+        rdw = len(ref[0]) - len(sym[0])
+        rdh = len(ref) - len(sym)
+        encode_int(enc, iardw, rdw)
+        encode_int(enc, iardh, rdh)
+        encode_int(enc, iardx, 0)
+        encode_int(enc, iardy, 0)
+        encode_refinement(
+            enc, gr_cx, ref, sym, rdw >> 1, rdh >> 1, template=0,
+            at=_GR_NOMINAL_AT,
+        )
+        return len(ref[0]) - 1
+
+    while k < len(inst):
+        t = inst[k][2]
+        encode_int(enc, iadt, t - prev_t)
+        prev_t = t
+        sid, s, _, ref = inst[k]
+        encode_int(enc, iafs, s - firsts)
+        firsts = s
+        curs = s + emit_symbol(sid, ref)
+        k += 1
+        while k < len(inst) and inst[k][2] == t:
+            sid, s, _, ref = inst[k]
+            encode_int(enc, iads, s - curs)
+            curs = s + emit_symbol(sid, ref)
+            k += 1
+        encode_int(enc, iads, OOB)
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    # flags: REFINE(1<<1), REFCORNER=TL(1<<4), SBRTEMPLATE=0
+    tr_flags = (1 << 1) | (1 << 4)
+    tr_body = (
+        reg_info
+        + tr_flags.to_bytes(2, "big")
+        + bytes(x & 0xFF for pair in _GR_NOMINAL_AT for x in pair)
+        + len(inst).to_bytes(4, "big")
+        + enc.flush()
+    )
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 0, 0, sd_body)
+    out += _jbig2_segment(2, 6, 1, tr_body, refs=(1,))
+    out += _jbig2_segment(3, 49, 1, b"")
+    return out
+
+
+def jbig2_embed_refagg_dict(
+    base_symbols: list, refined_symbols: list, placements: list,
+    page_w: int, page_h: int,
+) -> bytes:
+    """Dict 1: generic-coded base_symbols. Dict 2 (SDREFAGG,
+    REFAGGNINST=1): refined_symbols[i] refines base_symbols[i] (same
+    index, same dims here). Text region places dict-2 symbols."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _CTX_SIZE,
+        _GR_CTX_SIZE,
+        _GR_NOMINAL_AT,
+        _NOMINAL_AT,
+        IdCtx,
+        IntCtx,
+        MQEncoder,
+        OOB,
+        _gb_context,
+        encode_id,
+        encode_int,
+        encode_refinement,
+    )
+
+    def encode_dict_generic(syms):
+        enc = MQEncoder()
+        gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
+        at = _NOMINAL_AT[0]
+        iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+        hc = 0
+        i = 0
+        order = sorted(range(len(syms)), key=lambda j: (len(syms[j]), j))
+        assert order == list(range(len(syms))), "pass height-sorted symbols"
+        while i < len(syms):
+            h = len(syms[i])
+            encode_int(enc, iadh, h - hc)
+            hc = h
+            prev_w = 0
+            while i < len(syms) and len(syms[i]) == hc:
+                bm = syms[i]
+                w = len(bm[0])
+                encode_int(enc, iadw, w - prev_w)
+                prev_w = w
+                img = [[0] * w for _ in range(hc)]
+                for y in range(hc):
+                    for x in range(w):
+                        ctx = _gb_context(img, x, y, w, 0, at)
+                        enc.encode(gb_cx[ctx], bm[y][x])
+                        img[y][x] = bm[y][x]
+                i += 1
+            encode_int(enc, iadw, OOB)
+        encode_int(enc, iaex, 0)
+        encode_int(enc, iaex, len(syms))
+        return (
+            (0).to_bytes(2, "big")
+            + b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in at)
+            + len(syms).to_bytes(4, "big")
+            + len(syms).to_bytes(4, "big")
+            + enc.flush()
+        )
+
+    sd1_body = encode_dict_generic(base_symbols)
+
+    # dict 2: SDREFAGG over input (dict 1) symbols
+    n_in = len(base_symbols)
+    n_new = len(refined_symbols)
+    enc = MQEncoder()
+    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iardx, iardy = IntCtx(), IntCtx()
+    gr_cx = [[0, 0] for _ in range(_GR_CTX_SIZE[0])]
+    id_codelen = max(1, (n_in + n_new - 1).bit_length())
+    iaid = IdCtx(id_codelen)
+    hc = 0
+    i = 0
+    while i < n_new:
+        h = len(refined_symbols[i])
+        encode_int(enc, iadh, h - hc)
+        hc = h
+        prev_w = 0
+        while i < n_new and len(refined_symbols[i]) == hc:
+            bm = refined_symbols[i]
+            w = len(bm[0])
+            encode_int(enc, iadw, w - prev_w)
+            prev_w = w
+            encode_int(enc, iaai, 1)  # REFAGGNINST
+            encode_id(enc, iaid, i)   # refine base_symbols[i]
+            encode_int(enc, iardx, 0)
+            encode_int(enc, iardy, 0)
+            encode_refinement(
+                enc, gr_cx, bm, base_symbols[i], 0, 0, template=0,
+                at=_GR_NOMINAL_AT,
+            )
+            i += 1
+        encode_int(enc, iadw, OOB)
+    # export ONLY the new (refined) symbols: skip the n_in inputs
+    encode_int(enc, iaex, n_in)
+    encode_int(enc, iaex, n_new)
+    sd2_flags = (1 << 1)  # SDREFAGG, SDRTEMPLATE=0
+    sd2_body = (
+        sd2_flags.to_bytes(2, "big")
+        + b"".join(
+            bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0]
+        )
+        + bytes(x & 0xFF for pair in _GR_NOMINAL_AT for x in pair)
+        + n_new.to_bytes(4, "big")
+        + n_new.to_bytes(4, "big")
+        + enc.flush()
+    )
+
+    codelen = max(1, (n_new - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(codelen)
+    inst = sorted(placements, key=lambda p: (p[2], p[1]))
+    encode_int(enc, iadt, 0)
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][2]
+        encode_int(enc, iadt, t - prev_t)
+        prev_t = t
+        sid, s, _ = inst[k]
+        encode_int(enc, iafs, s - firsts)
+        firsts = s
+        curs = s
+        encode_id(enc, iaid, sid)
+        curs += len(refined_symbols[sid][0]) - 1
+        k += 1
+        while k < len(inst) and inst[k][2] == t:
+            sid, s, _ = inst[k]
+            encode_int(enc, iads, s - curs)
+            curs = s
+            encode_id(enc, iaid, sid)
+            curs += len(refined_symbols[sid][0]) - 1
+            k += 1
+        encode_int(enc, iads, OOB)
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    tr_body = (
+        reg_info
+        + (1 << 4).to_bytes(2, "big")
+        + len(inst).to_bytes(4, "big")
+        + enc.flush()
+    )
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 0, 0, sd1_body)
+    out += _jbig2_segment(2, 0, 0, sd2_body, refs=(1,))
+    out += _jbig2_segment(3, 6, 1, tr_body, refs=(2,))
+    out += _jbig2_segment(4, 49, 1, b"")
+    return out
+
+
+def jbig2_embed_halftone(
+    values: list, patterns: list, page_w: int, page_h: int
+) -> bytes:
+    """Pattern dictionary + immediate halftone region: `values` is the
+    HGH x HGW grid of pattern indices, `patterns` the HDPW x HDPH cells.
+    Grid vectors: HRX = HDPW << 8, HRY = 0 (square-step grid)."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _CTX_SIZE,
+        _NOMINAL_AT,
+        MQEncoder,
+        _gb_context,
+        encode_generic_region,
+    )
+
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    n = len(patterns)
+    assert all(len(p) == hdph and len(p[0]) == hdpw for p in patterns)
+    # collective bitmap: patterns side by side; A1 = (-HDPW, 0)
+    coll = [
+        [v for p in patterns for v in p[y]] for y in range(hdph)
+    ]
+    at = [(-hdpw, 0)] + list(_NOMINAL_AT[0][1:])
+    pd_payload = encode_generic_region(coll, template=0, at=tuple(at))
+    pd_body = (
+        bytes([0, hdpw, hdph]) + (n - 1).to_bytes(4, "big") + pd_payload
+    )
+
+    hgh = len(values)
+    hgw = len(values[0])
+    bits = max(1, (n - 1).bit_length())
+    # gray-code planes (C.5): p_{b-1} = v_{b-1}; p_j = v_j ^ v_{j+1};
+    # one shared coder + context across planes
+    enc = MQEncoder()
+    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
+    nat = _NOMINAL_AT[0]
+    prev_bit = [[0] * hgw for _ in range(hgh)]
+    for j in range(bits - 1, -1, -1):
+        plane = [[0] * hgw for _ in range(hgh)]
+        for y in range(hgh):
+            for x in range(hgw):
+                v = (values[y][x] >> j) & 1
+                plane[y][x] = v ^ prev_bit[y][x]
+                prev_bit[y][x] = v
+        img = [[0] * hgw for _ in range(hgh)]
+        for y in range(hgh):
+            for x in range(hgw):
+                ctx = _gb_context(img, x, y, hgw, 0, nat)
+                enc.encode(gb_cx[ctx], plane[y][x])
+                img[y][x] = plane[y][x]
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    ht_body = (
+        reg_info
+        + bytes([0])  # arith, template 0, no skip, OR, defpixel 0
+        + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+        + (0).to_bytes(4, "big", signed=True)
+        + (0).to_bytes(4, "big", signed=True)
+        + (hdpw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
+        + enc.flush()
+    )
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 16, 1, pd_body)
+    out += _jbig2_segment(2, 22, 1, ht_body, refs=(1,))
+    out += _jbig2_segment(3, 49, 1, b"")
+    return out
+
+
+def _case_jbig2_refine_halftone():
+    """JBIG2 refinement (REFINE=1 text region) and halftone images
+    through the PDF image sink."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Jr 6 0 R /Jh 7 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithJbig2RH) Tj ET /Jr Do /Jh Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    syms, placements, pw, ph = _jbig2_text_fixture_args()
+    ref_o = [row + [0] for row in syms[2]]
+    ref_o[1][1] ^= 1
+    plc = [(sid, s, t, ref_o if sid == 2 else None)
+           for sid, s, t in placements]
+    jr = jbig2_embed_text_refine(syms, plc, pw, ph)
+    b.add(
+        f"<< /Type /XObject /Subtype /Image /Width {pw} /Height {ph} "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        f"/Length {len(jr)} >>",
+        jr,
+    )
+    pats = [
+        [[0, 0], [0, 0]], [[1, 0], [0, 0]], [[1, 0], [0, 1]],
+        [[1, 1], [1, 1]],
+    ]
+    vals = [[(x + y) % 4 for x in range(6)] for y in range(5)]
+    jh = jbig2_embed_halftone(vals, pats, 12, 10)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 12 /Height 10 "
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter /JBIG2Decode "
+        f"/Length {len(jh)} >>",
+        jh,
+    )
+    return b.build_classic(cat), "WithJbig2RH" + CRLF, 1
+
+
+CASES["jbig2_refine_halftone"] = _case_jbig2_refine_halftone

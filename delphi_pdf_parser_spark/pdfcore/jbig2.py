@@ -14,10 +14,15 @@ MMR regions via the CCITT G4 decoder, and the HUFFMAN coding family
 (T.88 Annex B standard tables B.1-B.15 with canonical B.3 code
 assignment; SDHUFF symbol dictionaries with raw/MMR height-class
 collective bitmaps per §6.5.9; SBHUFF text regions with the runcode
-symbol ID table of §7.4.3.1.7). Refinement/aggregate coding, halftone
-regions and custom table segments raise Jbig2Unsupported and the image
-sink falls back to raw passthrough + failure code (strictly more than
-the reference, which passes everything through).
+symbol ID table of §7.4.3.1.7), GENERIC REFINEMENT (§6.3 templates 0/1
+with TPGRON — refinement region segments, REFINE=1 text-region
+instances, and SDREFAGG dictionaries with REFAGGNINST=1), and PATTERN
+DICTIONARIES + HALFTONE REGIONS (§6.7/§6.6: collective-bitmap pattern
+split, gray-coded bitplane grids sharing one coder, 8.8 fixed-point
+skew grid). Still typed-unsupported (raw passthrough + failure code,
+strictly more than the reference, which passes everything through):
+aggregate coding with REFAGGNINST > 1, huffman-refined text regions,
+MMR pattern/halftone variants, skip bitmaps, custom table segments.
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -514,6 +519,7 @@ def _jbig2_decode(
     page = None
     default_pixel = 0
     sym_dicts: dict[int, list] = {}  # segment number -> exported symbols
+    pat_dicts: dict[int, list] = {}  # segment number -> patterns
 
     def ensure_page(w, h):
         nonlocal page, page_w, page_h
@@ -650,10 +656,91 @@ def _jbig2_decode(
                         prow[px] = 1 - (prow[px] ^ v)
                     else:
                         prow[px] = v
-        elif t == _T_PATTERN_DICT or t in _T_HALFTONE:
-            raise Jbig2Unsupported("halftone region coding")
+        elif t == _T_PATTERN_DICT:
+            pat_dicts[hdr["number"]] = decode_pattern_dict(body, max_pixels)
+        elif t in _T_HALFTONE:
+            if t == 20:
+                raise Jbig2Unsupported("intermediate halftone region")
+            pats: list = []
+            for r in hdr["refs"]:
+                pats.extend(pat_dicts.get(r, []))
+            info, region = decode_halftone_region(
+                body, pats, max_pixels=max_pixels
+            )
+            ensure_page(info["x"] + info["w"], info["y"] + info["h"])
+            comb = info["comb_op"]
+            for ry, row in enumerate(region):
+                py = info["y"] + ry
+                if py >= page_h:
+                    break
+                prow = page[py]
+                for rx, v in enumerate(row):
+                    px = info["x"] + rx
+                    if px >= page_w:
+                        break
+                    if comb == 0:
+                        prow[px] |= v
+                    elif comb == 1:
+                        prow[px] &= v
+                    elif comb == 2:
+                        prow[px] ^= v
+                    elif comb == 3:
+                        prow[px] = 1 - (prow[px] ^ v)
+                    else:
+                        prow[px] = v
         elif t in _T_REFINE:
-            raise Jbig2Unsupported("refinement region coding")
+            # generic refinement region (T.88 §7.4.7): refine the current
+            # page content inside the region rect
+            if t == 40:
+                raise Jbig2Unsupported("intermediate refinement region")
+            info = _parse_region_info(body)
+            if info["w"] * info["h"] > max_pixels or not info["w"] or not info["h"]:
+                raise Jbig2Unsupported("refinement region exceeds max_pixels")
+            rflags = body[17]
+            template = rflags & 1
+            tpgron = bool(rflags & 2)
+            pos = 18
+            at = list(_GR_NOMINAL_AT)
+            if template == 0:
+                at = []
+                for _ in range(2):
+                    ax = int.from_bytes(body[pos : pos + 1], "big", signed=True)
+                    ay = int.from_bytes(body[pos + 1 : pos + 2], "big", signed=True)
+                    at.append((ax, ay))
+                    pos += 2
+            ensure_page(info["x"] + info["w"], info["y"] + info["h"])
+            ref = [
+                page[info["y"] + ry][info["x"] : info["x"] + info["w"]]
+                if 0 <= info["y"] + ry < page_h
+                else [0] * info["w"]
+                for ry in range(info["h"])
+            ]
+            mq = MQDecoder(body[pos:])
+            gr_cx = [[0, 0] for _ in range(_GR_CTX_SIZE[template])]
+            region = decode_refinement(
+                mq, gr_cx, info["w"], info["h"], ref, 0, 0,
+                template=template, at=at, tpgron=tpgron,
+            )
+            comb = info["comb_op"]
+            for ry, row in enumerate(region):
+                py = info["y"] + ry
+                if py >= page_h:
+                    break
+                prow = page[py]
+                for rx, v in enumerate(row):
+                    px = info["x"] + rx
+                    if px >= page_w:
+                        break
+                    if comb == 0:
+                        prow[px] |= v
+                    elif comb == 1:
+                        prow[px] &= v
+                    elif comb == 2:
+                        prow[px] ^= v
+                    elif comb == 3:
+                        prow[px] = 1 - (prow[px] ^ v)
+                    else:
+                        prow[px] = v
         elif t == _T_TABLES:
             raise Jbig2Unsupported("custom huffman tables")
         # unknown types: skip (forward compatibility)
@@ -798,8 +885,9 @@ def decode_symbol_dict(
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if sdrefagg:
-        raise Jbig2Unsupported("refinement/aggregate symbol dictionary")
+    rtemplate = (flags >> 12) & 1
+    if sdhuff and sdrefagg:
+        raise Jbig2Unsupported("huffman refinement/aggregate dictionary")
     if sdhuff:
         return _decode_symbol_dict_huffman(
             body, flags, input_syms, max_pixels
@@ -813,6 +901,14 @@ def decode_symbol_dict(
         at.append((ax, ay))
         pos += 2
     at = _check_at(at, template)
+    r_at = list(_GR_NOMINAL_AT)
+    if sdrefagg and rtemplate == 0:
+        r_at = []
+        for _ in range(2):
+            ax = int.from_bytes(body[pos : pos + 1], "big", signed=True)
+            ay = int.from_bytes(body[pos + 1 : pos + 2], "big", signed=True)
+            r_at.append((ax, ay))
+            pos += 2
     num_ex = int.from_bytes(body[pos : pos + 4], "big")
     num_new = int.from_bytes(body[pos + 4 : pos + 8], "big")
     pos += 8
@@ -822,6 +918,15 @@ def decode_symbol_dict(
     mq = MQDecoder(body[pos:])
     gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
     iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iardx, iardy = IntCtx(), IntCtx()
+    gr_cx = (
+        [[0, 0] for _ in range(_GR_CTX_SIZE[rtemplate])] if sdrefagg else None
+    )
+    # IAID code length spans input + new symbols (6.5.8.2.3)
+    id_codelen = max(1, (len(input_syms) + num_new - 1).bit_length()) if (
+        len(input_syms) + num_new > 1
+    ) else 1
+    iaid = IdCtx(id_codelen) if sdrefagg else None
     new_syms: list = []
     hcheight = 0
     budget = max_pixels
@@ -843,6 +948,32 @@ def decode_symbol_dict(
             budget -= symwidth * hcheight
             if budget < 0:
                 raise Jbig2Unsupported("symbol dict exceeds max_pixels")
+            if sdrefagg:
+                # 6.5.8.2: refinement/aggregate coding of the new symbol
+                nrefs = decode_int(mq, iaai)
+                if nrefs is OOB or nrefs < 1:
+                    raise Jbig2Error("bad REFAGGNINST")
+                if nrefs != 1:
+                    raise Jbig2Unsupported(
+                        "aggregate symbol coding (REFAGGNINST > 1)"
+                    )
+                rid = decode_id(mq, iaid)
+                rdx = decode_int(mq, iardx)
+                rdy = decode_int(mq, iardy)
+                if OOB in (rdx, rdy):
+                    raise Jbig2Error("OOB refinement offset")
+                pool = list(input_syms) + new_syms
+                if rid >= len(pool):
+                    raise Jbig2Error(f"refinement symbol id {rid}")
+                new_syms.append(
+                    decode_refinement(
+                        mq, gr_cx, symwidth, hcheight, pool[rid],
+                        rdx, rdy, template=rtemplate, at=r_at,
+                    )
+                )
+                if len(new_syms) > num_new:
+                    raise Jbig2Error("too many symbols in height classes")
+                continue
             new_syms.append(
                 _decode_generic_into(
                     mq, gb_cx, symwidth, hcheight, template, at, False
@@ -895,10 +1026,17 @@ def decode_text_region(
         return _decode_text_region_huffman(
             body, info, flags, syms, max_pixels
         )
-    if refine:
-        raise Jbig2Unsupported("refinement text region")
     strips = 1 << log_strips
     pos = 19
+    rtemplate = (flags >> 15) & 1
+    r_at = list(_GR_NOMINAL_AT)
+    if refine and rtemplate == 0:
+        r_at = []
+        for _ in range(2):
+            ax = int.from_bytes(body[pos : pos + 1], "big", signed=True)
+            ay = int.from_bytes(body[pos + 1 : pos + 2], "big", signed=True)
+            r_at.append((ax, ay))
+            pos += 2
     num_instances = int.from_bytes(body[pos : pos + 4], "big")
     pos += 4
     if num_instances > 100000:
@@ -909,6 +1047,11 @@ def decode_text_region(
 
     mq = MQDecoder(body[pos:])
     iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iari = IntCtx()
+    iardw, iardh, iardx, iardy = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    gr_cx = (
+        [[0, 0] for _ in range(_GR_CTX_SIZE[rtemplate])] if refine else None
+    )
     iaid = IdCtx(codelen)
     w, h = info["w"], info["h"]
     bitmap = [[def_pixel] * w for _ in range(h)]
@@ -966,6 +1109,23 @@ def decode_text_region(
             if sid >= len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
+            if refine and decode_int(mq, iari):
+                # 6.4.11: instance is a refinement of the symbol
+                rdw = decode_int(mq, iardw)
+                rdh = decode_int(mq, iardh)
+                rdx = decode_int(mq, iardx)
+                rdy = decode_int(mq, iardy)
+                if OOB in (rdw, rdh, rdx, rdy):
+                    raise Jbig2Error("OOB refinement delta")
+                nw = (len(sym[0]) if sym else 0) + rdw
+                nh = len(sym) + rdh
+                if not (0 < nw <= 10000 and 0 < nh <= 10000):
+                    raise Jbig2Error("bad refined symbol dims")
+                sym = decode_refinement(
+                    mq, gr_cx, nw, nh, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    template=rtemplate, at=r_at,
+                )
             sh = len(sym)
             sw = len(sym[0]) if sh else 0
             if not transposed:
@@ -1481,4 +1641,231 @@ def _decode_text_region_huffman(
             ninst += 1
             if ninst == num_instances:
                 break
+    return info, bitmap
+
+
+# --- generic refinement decoding (T.88 §6.3) ----------------------------------
+#
+# Context pixel order (coding-bitmap pixels first, then reference-bitmap
+# pixels around the dx/dy-shifted position, then the AT pixels for
+# template 0) follows the spec figures as implemented by the public
+# readers; the fixture encoder shares _gr_context so both sides agree
+# bit-for-bit. Nominal AT: A1 = (-1, -1) on the coding bitmap, A2 =
+# (-1, -1) on the reference.
+
+_GR_CODING = {
+    0: ((0, -1), (1, -1), (-1, 0)),
+    1: ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+}
+_GR_REFERENCE = {
+    0: ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    1: ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+}
+_GR_CTX_SIZE = {0: 1 << 13, 1: 1 << 10}
+_GR_NOMINAL_AT = ((-1, -1), (-1, -1))
+# TPGRON pseudo-pixel context per template (6.3.5.6)
+_GR_TPGRON_CTX = {0: 0x0020, 1: 0x0008}
+
+
+def _gr_context(img, ref, x, y, w, h, rw, rh, dx, dy, template, at):
+    """Context label for refinement pixel (x, y). img is the partially
+    decoded current bitmap; ref the reference; out-of-bounds reads 0."""
+
+    def cur(xx, yy):
+        if 0 <= xx < w and 0 <= yy < h:
+            return img[yy][xx]
+        return 0
+
+    def rp(xx, yy):
+        xx -= dx
+        yy -= dy
+        if 0 <= xx < rw and 0 <= yy < rh:
+            return ref[yy][xx]
+        return 0
+
+    ctx = 0
+    for ox, oy in _GR_CODING[template]:
+        ctx = (ctx << 1) | cur(x + ox, y + oy)
+    if template == 0:
+        ctx = (ctx << 1) | cur(x + at[0][0], y + at[0][1])
+    for ox, oy in _GR_REFERENCE[template]:
+        ctx = (ctx << 1) | rp(x + ox, y + oy)
+    if template == 0:
+        ctx = (ctx << 1) | rp(x + at[1][0], y + at[1][1])
+    return ctx
+
+
+def _gr_typical(ref, x, y, rw, rh, dx, dy):
+    """-> 0/1 if the 3x3 reference neighborhood is uniform, else None."""
+    first = None
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            xx, yy = x + ox - dx, y + oy - dy
+            v = ref[yy][xx] if 0 <= xx < rw and 0 <= yy < rh else 0
+            if first is None:
+                first = v
+            elif v != first:
+                return None
+    return first
+
+
+def decode_refinement(
+    mq: MQDecoder, cx: list, w: int, h: int, ref: list,
+    dx: int, dy: int, template: int = 0,
+    at=_GR_NOMINAL_AT, tpgron: bool = False,
+) -> list:
+    """-> rows of 0/1: the refined bitmap (6.3.5.6 decoding procedure)."""
+    if template not in (0, 1):
+        raise Jbig2Error(f"refinement template {template}")
+    rh = len(ref)
+    rw = len(ref[0]) if rh else 0
+    img = [[0] * w for _ in range(h)]
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            ltp ^= mq.decode(cx[_GR_TPGRON_CTX[template]])
+        for x in range(w):
+            if ltp:
+                t = _gr_typical(ref, x, y, rw, rh, dx, dy)
+                if t is not None:
+                    img[y][x] = t
+                    continue
+            ctx = _gr_context(
+                img, ref, x, y, w, h, rw, rh, dx, dy, template, at
+            )
+            img[y][x] = mq.decode(cx[ctx])
+    return img
+
+
+def encode_refinement(
+    enc: MQEncoder, cx: list, bitmap: list, ref: list,
+    dx: int, dy: int, template: int = 0, at=_GR_NOMINAL_AT,
+) -> None:
+    """Fixture-side mirror of decode_refinement (TPGRON=0 form)."""
+    h = len(bitmap)
+    w = len(bitmap[0]) if h else 0
+    rh = len(ref)
+    rw = len(ref[0]) if rh else 0
+    img = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            ctx = _gr_context(
+                img, ref, x, y, w, h, rw, rh, dx, dy, template, at
+            )
+            enc.encode(cx[ctx], bitmap[y][x])
+            img[y][x] = bitmap[y][x]
+
+
+# --- pattern dictionaries + halftone regions (T.88 §6.7 / §6.6) ---------------
+
+
+def decode_pattern_dict(body: bytes, max_pixels: int) -> list:
+    """Pattern-dictionary segment body -> list of HDPW x HDPH patterns.
+    Patterns arrive as ONE wide generic region (collective bitmap) with
+    A1 = (-HDPW, 0), split at HDPW strides (6.7.5)."""
+    flags = body[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = body[1], body[2]
+    graymax = int.from_bytes(body[3:7], "big")
+    if hdmmr:
+        raise Jbig2Unsupported("MMR pattern dictionary")
+    if not hdpw or not hdph or graymax > 255:
+        raise Jbig2Error("bad pattern dict header")
+    if hdpw > 127:
+        raise Jbig2Unsupported("pattern wider than 127 (collective AT)")
+    n = graymax + 1
+    cw = n * hdpw
+    if cw * hdph > max_pixels:
+        raise Jbig2Unsupported("pattern dict exceeds max_pixels")
+    at = [(-hdpw, 0)]  # A1 = (-HDPW, 0)
+    nominal = _NOMINAL_AT[template]
+    at += list(nominal[1:]) if template == 0 else []
+    coll = decode_generic_region(
+        body[7:], cw, hdph, template=template, at=tuple(at),
+        tpgdon=False, max_pixels=max_pixels,
+    )
+    return [
+        [row[i * hdpw : (i + 1) * hdpw] for row in coll] for i in range(n)
+    ]
+
+
+def _decode_grayscale(
+    mq: MQDecoder, gb_cx: list, w: int, h: int, bits: int, template: int, at
+) -> list:
+    """Annex C.5 gray-coded bitplane image -> rows of int values.
+    Planes decode MSB-first sharing ONE coder + context; bit j of the
+    value is plane_j XOR bit_{j+1}."""
+    vals = [[0] * w for _ in range(h)]
+    prev_bit = [[0] * w for _ in range(h)]
+    for j in range(bits - 1, -1, -1):
+        plane = _decode_generic_into(mq, gb_cx, w, h, template, at, False)
+        for y in range(h):
+            for x in range(w):
+                b = plane[y][x] ^ prev_bit[y][x]
+                vals[y][x] |= b << j
+                prev_bit[y][x] = b
+    return vals
+
+
+def decode_halftone_region(
+    body: bytes, patterns: list, max_pixels: int
+) -> tuple[dict, list]:
+    """Halftone-region segment body + pattern dict -> (info, bitmap):
+    gray-coded grid values index patterns drawn at skew-grid positions
+    (x = (HGX + mg*HRY + ng*HRX) >> 8, y = (HGY + mg*HRX - ng*HRY) >> 8,
+    the 8.8 fixed-point grid both public readers implement)."""
+    info = _parse_region_info(body)
+    if info["w"] * info["h"] > max_pixels or not info["w"] or not info["h"]:
+        raise Jbig2Unsupported("halftone region exceeds max_pixels")
+    flags = body[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enableskip = (flags >> 3) & 1
+    comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    if hmmr:
+        raise Jbig2Unsupported("MMR halftone region")
+    if enableskip:
+        raise Jbig2Unsupported("halftone skip bitmap")
+    if not patterns:
+        raise Jbig2Error("halftone region with no patterns")
+    hgw = int.from_bytes(body[18:22], "big")
+    hgh = int.from_bytes(body[22:26], "big")
+    hgx = int.from_bytes(body[26:30], "big", signed=True)
+    hgy = int.from_bytes(body[30:34], "big", signed=True)
+    hrx = int.from_bytes(body[34:36], "big")
+    hry = int.from_bytes(body[36:38], "big")
+    if hgw * hgh > max_pixels:
+        raise Jbig2Unsupported("halftone grid exceeds max_pixels")
+    bits = max(1, (len(patterns) - 1).bit_length())
+    mq = MQDecoder(body[38:])
+    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+    at = _NOMINAL_AT[template]
+    vals = _decode_grayscale(mq, gb_cx, hgw, hgh, bits, template, at)
+    w, h = info["w"], info["h"]
+    bitmap = [[def_pixel] * w for _ in range(h)]
+    pmax = len(patterns) - 1
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[min(vals[mg][ng], pmax)]
+            for yy, row in enumerate(pat):
+                py = y + yy
+                if 0 <= py < h:
+                    prow = bitmap[py]
+                    for xx, v in enumerate(row):
+                        px = x + xx
+                        if 0 <= px < w:
+                            if comb_op == 0:
+                                prow[px] |= v
+                            elif comb_op == 1:
+                                prow[px] &= v
+                            elif comb_op == 2:
+                                prow[px] ^= v
+                            elif comb_op == 3:
+                                prow[px] = 1 - (prow[px] ^ v)
+                            else:
+                                prow[px] = v
     return info, bitmap

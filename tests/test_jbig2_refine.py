@@ -1,0 +1,166 @@
+"""JBIG2 refinement + halftone coverage (T.88 §6.3/§6.6/§6.7): the
+fixture encoders mirror the decoder's context models (shared
+_gr_context/_gb_context, disjoint coders), so every surface is pinned
+by an exact page-bitmap comparison against independently-composed
+expectations."""
+
+from __future__ import annotations
+
+import random
+
+from delphi_pdf_parser_spark.fixtures import (
+    _jbig2_text_fixture_args,
+    jbig2_embed_halftone,
+    jbig2_embed_refagg_dict,
+    jbig2_embed_refinement,
+    jbig2_embed_text_refine,
+)
+from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+    _GR_CTX_SIZE,
+    MQDecoder,
+    MQEncoder,
+    decode_refinement,
+    encode_refinement,
+    jbig2_decode,
+)
+
+
+def _unpack(w, h, packed):
+    stride = (w + 7) // 8
+    return [
+        [(packed[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+         for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_refinement_core_roundtrip():
+    rng = random.Random(3)
+    for template in (0, 1):
+        ref = [[rng.randrange(2) for _ in range(20)] for _ in range(15)]
+        bm = [
+            [int(ref[min(y, 14)][min(x, 19)] ^ (rng.random() < 0.1))
+             for x in range(22)]
+            for y in range(16)
+        ]
+        for dx, dy in ((0, 0), (1, 1), (-1, 0)):
+            enc = MQEncoder()
+            cx = [[0, 0] for _ in range(_GR_CTX_SIZE[template])]
+            encode_refinement(enc, cx, bm, ref, dx, dy, template=template)
+            mq = MQDecoder(enc.flush())
+            cx = [[0, 0] for _ in range(_GR_CTX_SIZE[template])]
+            out = decode_refinement(
+                mq, cx, 22, 16, ref, dx, dy, template=template
+            )
+            assert out == bm, (template, dx, dy)
+
+
+def test_refinement_region_segment():
+    rng = random.Random(8)
+    base = [[rng.randrange(2) for _ in range(24)] for _ in range(18)]
+    refined = [
+        [int(v ^ (rng.random() < 0.08)) for v in row] for row in base
+    ]
+    w, h, p = jbig2_decode(
+        jbig2_embed_refinement(base, refined), invert=False
+    )
+    assert (w, h) == (24, 18)
+    assert _unpack(w, h, p) == refined
+
+
+def test_text_region_refined_instances():
+    syms, placements, pw, ph = _jbig2_text_fixture_args()
+    o = syms[2]
+    ref_o = [row + [0] for row in o]
+    ref_o[1][1] ^= 1
+    plc = [
+        (sid, s, t, ref_o if sid == 2 else None)
+        for sid, s, t in placements
+    ]
+    w, h, p = jbig2_decode(
+        jbig2_embed_text_refine(syms, plc, pw, ph), invert=False
+    )
+    exp = [[0] * pw for _ in range(ph)]
+    for sid, s, t, ref in plc:
+        bm = ref if ref is not None else syms[sid]
+        for yy, row in enumerate(bm):
+            for xx, v in enumerate(row):
+                if 0 <= t + yy < ph and 0 <= s + xx < pw:
+                    exp[t + yy][s + xx] |= v
+    assert _unpack(w, h, p) == exp
+
+
+def test_refagg_symbol_dictionary():
+    base_syms = [[[1, 1], [1, 0]], [[0, 1], [1, 1]]]
+    ref_syms = [[[1, 0], [1, 1]], [[1, 1], [1, 1]]]
+    plc = [(0, 1, 1), (1, 5, 1), (0, 9, 4)]
+    w, h, p = jbig2_decode(
+        jbig2_embed_refagg_dict(base_syms, ref_syms, plc, 14, 8),
+        invert=False,
+    )
+    exp = [[0] * 14 for _ in range(8)]
+    for sid, s, t in plc:
+        for yy, row in enumerate(ref_syms[sid]):
+            for xx, v in enumerate(row):
+                exp[t + yy][s + xx] |= v
+    assert _unpack(w, h, p) == exp
+
+
+def test_halftone_region():
+    rng = random.Random(4)
+    pats = [
+        [[0, 0, 0], [0, 0, 0], [0, 0, 0]],
+        [[0, 0, 0], [0, 1, 0], [0, 0, 0]],
+        [[1, 0, 1], [0, 1, 0], [1, 0, 1]],
+        [[1, 1, 1], [1, 1, 1], [1, 1, 1]],
+    ]
+    vals = [[rng.randrange(4) for _ in range(5)] for _ in range(4)]
+    w, h, p = jbig2_decode(
+        jbig2_embed_halftone(vals, pats, 15, 12), invert=False
+    )
+    exp = [[0] * 15 for _ in range(12)]
+    for mg in range(4):
+        for ng in range(5):
+            pat = pats[vals[mg][ng]]
+            for yy in range(3):
+                for xx in range(3):
+                    exp[mg * 3 + yy][ng * 3 + xx] |= pat[yy][xx]
+    assert (w, h) == (15, 12)
+    assert _unpack(w, h, p) == exp
+
+
+def test_refinement_mutation_robustness():
+    rng = random.Random(13)
+    base = [[rng.randrange(2) for _ in range(16)] for _ in range(10)]
+    refined = [
+        [int(v ^ (rng.random() < 0.1)) for v in row] for row in base
+    ]
+    pats = [[[0]], [[1]]]
+    vals = [[rng.randrange(2) for _ in range(6)] for _ in range(5)]
+    payloads = (
+        jbig2_embed_refinement(base, refined),
+        jbig2_embed_halftone(vals, pats, 6, 5),
+    )
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import Jbig2Error
+
+    for payload in payloads:
+        for _ in range(40):
+            kind = rng.randrange(3)
+            if kind == 0 and len(payload) > 1:
+                mut = payload[: rng.randrange(1, len(payload))]
+            elif kind == 1:
+                i = rng.randrange(len(payload))
+                b = bytearray(payload)
+                b[i] ^= 1 << rng.randrange(8)
+                mut = bytes(b)
+            else:
+                i = rng.randrange(len(payload))
+                mut = (
+                    payload[:i]
+                    + bytes(rng.randrange(256) for _ in range(8))
+                    + payload[i:]
+                )
+            try:
+                jbig2_decode(mut)
+            except Jbig2Error:
+                pass  # typed failure is the contract
