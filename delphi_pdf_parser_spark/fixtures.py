@@ -2959,6 +2959,49 @@ def _jpx_npasses_bits(bw: _JpxHeaderWriter, n: int) -> None:
     bw.bits(n - 37, 7)
 
 
+def _jpx_fdwt97_1d(x):
+    """Forward 9/7 analysis; exact inverse of pdfcore.jpx._sr97_1d."""
+    import numpy as np
+
+    from .pdfcore.jpx import _ALPHA97, _BETA97, _DELTA97, _GAMMA97, _K97
+
+    n = len(x)
+    if n == 1:
+        return x.astype(np.float64).copy()
+    y = x.astype(np.float64).copy()
+    even = np.arange(0, n, 2)
+    odd = np.arange(1, n, 2)
+    em = np.where(even - 1 < 0, min(1, n - 1), even - 1)
+    ep = np.where(even + 1 > n - 1, max(n - 2, 0), even + 1)
+    om = odd - 1
+    op = np.where(odd + 1 > n - 1, max(n - 2, 0), odd + 1)
+    y[odd] -= _ALPHA97 * (y[om] + y[op])
+    y[even] -= _BETA97 * (y[em] + y[ep])
+    y[odd] += _GAMMA97 * (y[om] + y[op])
+    y[even] += _DELTA97 * (y[em] + y[ep])
+    y[odd] *= _K97
+    y[even] /= _K97
+    return y
+
+
+def _jpx_fdwt97(a, levels):
+    import numpy as np
+
+    a = a.astype(np.float64)
+    out = []
+    for _ in range(levels):
+        h, w = a.shape
+        m = a.copy()
+        for c in range(w):
+            m[:, c] = _jpx_fdwt97_1d(m[:, c])
+        for r in range(h):
+            m[r, :] = _jpx_fdwt97_1d(m[r, :])
+        out.append((m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]))
+        a = m[0::2, 0::2]
+    out.reverse()
+    return a, out
+
+
 def jpx_encode(
     width: int,
     height: int,
@@ -2970,28 +3013,50 @@ def jpx_encode(
     tile: tuple[int, int] | None = None,
     mct: bool | None = None,
     jp2: bool = True,
+    lossy: bool = False,
+    prec: int = 4,
 ) -> bytes:
     """Author a lossless 5/3 JPEG 2000 stream (JP2 container or raw J2K)
     in exactly the shape pdfcore.jpx.jpx_decode supports: 8-bit unsigned
     components, 1:1 sampling, one layer, LRCP, default precincts, one
     tile-part per tile. Shares only the MQ coder + T1 pixel-state helpers
     with the decoder; DWT/tag-tree/packet/codestream authoring is
-    independent (forward vs inverse algorithms)."""
+    independent (forward vs inverse algorithms). lossy=True emits the
+    irreversible 9/7 path (forward ICT, float lifting, scalar-expounded
+    quantization with eps = Rb + prec, mu = 0)."""
     import numpy as np
 
-    from .pdfcore.jpx import _floorlog2
+    from .pdfcore.jpx import _band_gain, _floorlog2
 
     if mct is None:
         mct = ncomp >= 3
     xcb, ycb = cb
     tw, th = tile if tile else (width, height)
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ncomp)
-    planes = [img[:, :, c].astype(np.int64) - 128 for c in range(ncomp)]
-    if mct and ncomp >= 3:
-        r, g, b = planes[0], planes[1], planes[2]
-        planes[0] = (r + 2 * g + b) >> 2  # Y
-        planes[1] = b - g                 # U
-        planes[2] = r - g                 # V
+    if lossy:
+        planes = [
+            img[:, :, c].astype(np.float64) - 128.0 for c in range(ncomp)
+        ]
+        if mct and ncomp >= 3:
+            r, g, b = planes[0], planes[1], planes[2]
+            planes[0] = 0.299 * r + 0.587 * g + 0.114 * b
+            planes[1] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            planes[2] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    else:
+        planes = [img[:, :, c].astype(np.int64) - 128 for c in range(ncomp)]
+        if mct and ncomp >= 3:
+            r, g, b = planes[0], planes[1], planes[2]
+            planes[0] = (r + 2 * g + b) >> 2  # Y
+            planes[1] = b - g                 # U
+            planes[2] = r - g                 # V
+
+    depth = 8
+
+    def q_eps(name):
+        return depth + _band_gain(name) + prec
+
+    def q_delta(name):
+        return 2.0 ** (depth + _band_gain(name) - q_eps(name))
 
     ntx = (width + tw - 1) // tw
     nty = (height + th - 1) // th
@@ -3009,7 +3074,23 @@ def jpx_encode(
             tinfo = []
             for ci in range(ncomp):
                 a = planes[ci][y0 : y0 + cth, x0 : x0 + ctw]
-                ll, lvl_bands = _jpx_fdwt2(a, levels)
+                if lossy:
+                    llf, lvl_f = _jpx_fdwt97(a, levels)
+
+                    def qz(arr, name):
+                        d = q_delta(name)
+                        return (
+                            np.sign(arr)
+                            * np.floor(np.abs(arr) / d)
+                        ).astype(np.int64)
+
+                    ll = qz(llf, "LL")
+                    lvl_bands = [
+                        (qz(hl, "HL"), qz(lh, "LH"), qz(hh, "HH"))
+                        for hl, lh, hh in lvl_f
+                    ]
+                else:
+                    ll, lvl_bands = _jpx_fdwt2(a, levels)
                 bands = {"LL": ll}
                 for lvl, (hl, lh, hh) in enumerate(lvl_bands):
                     bands[("HL", lvl)] = hl
@@ -3041,6 +3122,11 @@ def jpx_encode(
 
     # QCD exponents: mb = guard + eps - 1 >= max bitplanes in the band
     def eps_for(key) -> int:
+        if lossy:
+            name = key if isinstance(key, str) else key[0]
+            e = q_eps(name)
+            assert band_maxplanes.get(key, 0) <= guard + e - 1
+            return e
         mb = max(band_maxplanes.get(key, 0), 1)
         return max(mb - guard + 1, 0)
 
@@ -3120,10 +3206,17 @@ def jpx_encode(
     cod = bytes(
         [0, 0]
     ) + struct.pack(">H", 1) + bytes(
-        [1 if (mct and ncomp >= 3) else 0, levels, xcb - 2, ycb - 2, 0, 1]
+        [1 if (mct and ncomp >= 3) else 0, levels, xcb - 2, ycb - 2, 0,
+         0 if lossy else 1]
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
-    qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+    if lossy:
+        # scalar expounded (style 2): 16-bit eps<<11 | mu per band
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", e << 11) for e in exps
+        )
+    else:
+        qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     for isot, payload in enumerate(tile_payloads):
         psot = 12 + 2 + len(payload)

@@ -19,8 +19,9 @@ fixup). This module re-implements the decode pipeline natively:
   symmetric extension), inverse RCT component transform, DC unshift
 
 Scope (typed JpxUnsupported otherwise — caller keeps the raw payload):
-reversible 5/3 only (the 9/7 irreversible path needs float filters and
-quant step decoding), <= 8-bit unsigned components at 1:1 subsampling,
+reversible 5/3 (lossless) AND irreversible 9/7 (lossy: scalar-expounded
+quantization, float lifting, inverse ICT), <= 8-bit unsigned components
+at 1:1 subsampling,
 default precincts, single tile-part per tile, LRCP/RLCP progression,
 one quality layer, default code-block style. That is exactly the shape
 of lossless scanned-archive JPX, and the encoder half
@@ -566,25 +567,41 @@ def _parse_cod(body: bytes) -> dict:
         raise JpxUnsupported(f"{layers} quality layers")
     if cbstyle != 0:
         raise JpxUnsupported(f"code-block style {cbstyle:#x}")
-    if transform != 1:
-        raise JpxUnsupported("irreversible 9/7 wavelet")
+    if transform not in (0, 1):
+        raise JpxError(f"transform {transform}")
     if xcb + ycb > 12:
         raise JpxError("code-block too large")
     return {
         "levels": levels, "xcb": xcb, "ycb": ycb, "mct": mct,
+        "transform": transform,  # 1 = reversible 5/3, 0 = irreversible 9/7
     }
 
 
-def _qcd_exponents(qcd: bytes, levels: int) -> tuple[int, list[int]]:
+def _qcd_exponents(qcd: bytes, levels: int) -> tuple[int, list, list]:
+    """-> (guard, exps, mus). Style 0 (no quantization, 8-bit entries)
+    pairs with the 5/3 path; style 2 (scalar expounded, 16-bit
+    exponent/mantissa entries) with 9/7. Style 1 (scalar derived) stays
+    typed-unsupported."""
     sqcd = qcd[0]
     style = sqcd & 0x1F
     guard = sqcd >> 5
-    if style != 0:
-        raise JpxUnsupported("quantization (non-reversible)")
-    exps = [b >> 3 for b in qcd[1 : 2 + 3 * levels]]
-    if len(exps) < 3 * levels + 1:
-        raise JpxError("QCD too short")
-    return guard, exps
+    nbands = 3 * levels + 1
+    if style == 0:
+        exps = [b >> 3 for b in qcd[1 : 1 + nbands]]
+        if len(exps) < nbands:
+            raise JpxError("QCD too short")
+        return guard, exps, [0] * nbands
+    if style == 2:
+        body = qcd[1 : 1 + 2 * nbands]
+        if len(body) < 2 * nbands:
+            raise JpxError("QCD too short")
+        exps, mus = [], []
+        for i in range(nbands):
+            (v,) = struct.unpack(">H", body[2 * i : 2 * i + 2])
+            exps.append(v >> 11)
+            mus.append(v & 0x7FF)
+        return guard, exps, mus
+    raise JpxUnsupported(f"quantization style {style}")
 
 
 def _band_dims(w: int, h: int, levels: int):
@@ -605,34 +622,102 @@ def _decode_tiles(siz, cod, qcd, tiles) -> tuple[int, int, int, bytes]:
     w, h = siz["w"], siz["h"]
     ncomp = len(siz["comps"])
     levels = cod["levels"]
-    guard, exps = _qcd_exponents(qcd, levels)
+    guard, exps, mus = _qcd_exponents(qcd, levels)
+    reversible = cod["transform"] == 1
     ntx = (w + siz["tw"] - 1) // siz["tw"]
     nty = (h + siz["th"] - 1) // siz["th"]
-    out = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    dtype = np.int64 if reversible else np.float64
+    out = [np.zeros((h, w), dtype=dtype) for _ in range(ncomp)]
     for isot, tdata in tiles:
         tx, ty = isot % ntx, isot // ntx
         x0, y0 = tx * siz["tw"], ty * siz["th"]
         tw = min(siz["tw"], w - x0)
         th = min(siz["th"], h - y0)
-        planes = _decode_tile(tdata, tw, th, ncomp, cod, guard, exps)
+        planes = _decode_tile(tdata, tw, th, ncomp, cod, guard, exps, mus,
+                              siz["comps"][0])
         for ci in range(ncomp):
             out[ci][y0 : y0 + th, x0 : x0 + tw] = planes[ci]
     if cod["mct"] and ncomp >= 3:
-        # inverse RCT (reversible): G = Y - floor((U + V) / 4)
-        yv, uv, vv = out[0], out[1], out[2]
-        g = yv - ((uv + vv) >> 2)
-        r = vv + g
-        b = uv + g
-        out[0], out[1], out[2] = r, g, b
+        if reversible:
+            # inverse RCT (reversible): G = Y - floor((U + V) / 4)
+            yv, uv, vv = out[0], out[1], out[2]
+            g = yv - ((uv + vv) >> 2)
+            r = vv + g
+            b = uv + g
+            out[0], out[1], out[2] = r, g, b
+        else:
+            # inverse ICT (irreversible YCbCr)
+            yv, cb, cr = out[0], out[1], out[2]
+            r = yv + 1.402 * cr
+            g = yv - 0.344136 * cb - 0.714136 * cr
+            b = yv + 1.772 * cb
+            out[0], out[1], out[2] = r, g, b
     depth = siz["comps"][0]
     shift = 1 << (depth - 1)
+    if not reversible:
+        out = [np.rint(p) for p in out]
     pix = np.stack(
         [np.clip(p + shift, 0, (1 << depth) - 1) for p in out], axis=-1
     ).astype(np.uint8)
     return w, h, ncomp, pix.tobytes()
 
 
-def _decode_tile(tdata, tw, th, ncomp, cod, guard, exps):
+# 9/7 lifting constants (T.800 F.4.8: analysis uses the SIGNED alpha
+# and beta — high-band steps subtract — with low scaled by 1/K and high
+# by K; the synthesis below is the exact reverse)
+_K97 = 1.230174104914001
+_ALPHA97 = 1.586134342059924
+_BETA97 = 0.052980118572961
+_GAMMA97 = 0.882911075530934
+_DELTA97 = 0.443506852043971
+
+
+def _sr97_1d(y: np.ndarray) -> np.ndarray:
+    """1D irreversible synthesis on interleaved [L0 H0 L1 H1 ...]
+    starting even, whole-sample symmetric extension."""
+    n = len(y)
+    if n == 1:
+        return y.astype(np.float64).copy()
+    x = y.astype(np.float64).copy()
+    even = np.arange(0, n, 2)
+    odd = np.arange(1, n, 2)
+    # neighbor index maps with symmetric extension
+    em = np.where(even - 1 < 0, min(1, n - 1), even - 1)
+    ep = np.where(even + 1 > n - 1, max(n - 2, 0), even + 1)
+    om = odd - 1
+    op = np.where(odd + 1 > n - 1, max(n - 2, 0), odd + 1)
+    x[even] *= _K97
+    x[odd] /= _K97
+    x[even] -= _DELTA97 * (x[em] + x[ep])
+    x[odd] -= _GAMMA97 * (x[om] + x[op])
+    x[even] += _BETA97 * (x[em] + x[ep])
+    x[odd] += _ALPHA97 * (x[om] + x[op])
+    return x
+
+
+def _idwt97(ll: np.ndarray, bands: list) -> np.ndarray:
+    a = ll.astype(np.float64)
+    for hl, lh, hh in bands:
+        h2 = a.shape[0] + lh.shape[0]
+        w2 = a.shape[1] + hl.shape[1]
+        m = np.zeros((h2, w2), dtype=np.float64)
+        m[0::2, 0::2] = a
+        m[0::2, 1::2] = hl
+        m[1::2, 0::2] = lh
+        m[1::2, 1::2] = hh
+        for r in range(h2):
+            m[r, :] = _sr97_1d(m[r, :])
+        for c in range(w2):
+            m[:, c] = _sr97_1d(m[:, c])
+        a = m
+    return a
+
+
+def _band_gain(name: str) -> int:
+    return {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[name]
+
+
+def _decode_tile(tdata, tw, th, ncomp, cod, guard, exps, mus, depth):
     levels = cod["levels"]
     xcb, ycb = cod["xcb"], cod["ycb"]
     (llw, llh), level_dims = _band_dims(tw, th, levels)
@@ -649,35 +734,64 @@ def _decode_tile(tdata, tw, th, ncomp, cod, guard, exps):
         band_arrays.append(arrays)
 
     br = _HeaderBits(tdata, 0)
+    band_q = {}  # band key -> (eps, mu) for dequantization
     # packets in LRCP/RLCP order with 1 layer: r-major, then component
     for r in range(levels + 1):
         for ci in range(ncomp):
             if r == 0:
                 bands = [("LL", None, exps[0])]
+                band_q["LL"] = (exps[0], mus[0])
             else:
                 e = exps[1 + 3 * (r - 1) : 4 + 3 * (r - 1)]
+                m = mus[1 + 3 * (r - 1) : 4 + 3 * (r - 1)]
                 bands = [
                     ("HL", r - 1, e[0]),
                     ("LH", r - 1, e[1]),
                     ("HH", r - 1, e[2]),
                 ]
+                for bi, nm in enumerate(("HL", "LH", "HH")):
+                    band_q[(nm, r - 1)] = (e[bi], m[bi])
             _decode_packet(
                 br, band_arrays[ci], bands, guard, xcb, ycb
             )
-    return [
-        _idwt53(
-            arrays["LL"],
-            [
-                (
-                    arrays[("HL", lvl)],
-                    arrays[("LH", lvl)],
-                    arrays[("HH", lvl)],
-                )
-                for lvl in range(levels)
-            ],
-        )
-        for arrays in band_arrays
-    ]
+    if cod["transform"] == 1:
+        return [
+            _idwt53(
+                arrays["LL"],
+                [
+                    (
+                        arrays[("HL", lvl)],
+                        arrays[("LH", lvl)],
+                        arrays[("HH", lvl)],
+                    )
+                    for lvl in range(levels)
+                ],
+            )
+            for arrays in band_arrays
+        ]
+
+    # irreversible: dequantize (E.1.1.2, r = 0.5 reconstruction bias)
+    # with delta_b = 2^(Rb - eps) * (1 + mu / 2^11), Rb = depth + gain
+    def deq(arr, key, name):
+        eps, mu = band_q[key]
+        rb = depth + _band_gain(name)
+        delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+        a = arr.astype(np.float64)
+        return np.where(a != 0, np.sign(a) * (np.abs(a) + 0.5) * delta, 0.0)
+
+    out = []
+    for arrays in band_arrays:
+        ll = deq(arrays["LL"], "LL", "LL")
+        bands_f = [
+            (
+                deq(arrays[("HL", lvl)], ("HL", lvl), "HL"),
+                deq(arrays[("LH", lvl)], ("LH", lvl), "LH"),
+                deq(arrays[("HH", lvl)], ("HH", lvl), "HH"),
+            )
+            for lvl in range(levels)
+        ]
+        out.append(_idwt97(ll, bands_f))
+    return out
 
 
 def _decode_packet(br, arrays, bands, guard, xcb, ycb):

@@ -145,3 +145,54 @@ def test_jpx_mutation_robustness():
                 assert len(out) == w * h * nc
             except JpxError:
                 pass  # typed failure is the contract (incl. Unsupported)
+
+
+def test_97_lifting_exact_inverse():
+    from delphi_pdf_parser_spark.fixtures import _jpx_fdwt97, _jpx_fdwt97_1d
+    from delphi_pdf_parser_spark.pdfcore.jpx import _idwt97, _sr97_1d
+
+    rng = np.random.default_rng(21)
+    for n in (1, 2, 8, 9, 17, 64):
+        x = rng.uniform(-128, 128, n)
+        assert np.allclose(_sr97_1d(_jpx_fdwt97_1d(x)), x, atol=1e-9)
+    # T.800 normalization invariants: constant c -> L == c, H == 0
+    y = _jpx_fdwt97_1d(np.full(16, 77.0))
+    assert np.allclose(y[0::2], 77.0) and np.allclose(y[1::2], 0.0)
+    a = rng.uniform(-128, 128, (31, 27))
+    ll, bands = _jpx_fdwt97(a, 3)
+    assert np.allclose(_idwt97(ll, list(bands)), a, atol=1e-9)
+
+
+def test_lossy_97_roundtrip_bounds():
+    rng = np.random.default_rng(23)
+    for (w, h, nc, kw) in (
+        (32, 32, 1, {}),
+        (32, 32, 3, {}),             # exercises forward/inverse ICT
+        (61, 47, 3, {"levels": 3, "cb": (4, 4)}),
+        (40, 30, 3, {"mct": False, "tile": (24, 16)}),
+    ):
+        pix = rng.integers(0, 256, (h, w, nc)).astype(np.uint8)
+        data = jpx_encode(w, h, nc, pix.tobytes(), lossy=True, **kw)
+        w2, h2, nc2, out = jpx_decode(data)
+        assert (w2, h2, nc2) == (w, h, nc)
+        got = np.frombuffer(out, np.uint8).reshape(h, w, nc).astype(np.int64)
+        err = np.abs(got - pix.astype(np.int64))
+        # delta = 2^-4 per band: reconstruction bias keeps error tiny
+        assert err.max() <= 3, (w, h, nc, kw, err.max())
+
+
+def test_lossy_97_coarse_quantization_actually_lossy():
+    """prec=1 (delta = 1/2) must shrink the stream AND introduce bounded
+    visible loss — pinning that quantization is real, not a no-op."""
+    g = np.fromfunction(
+        lambda y, x: 100 + 50 * np.sin(x / 5) + 40 * np.cos(y / 4), (48, 64)
+    )
+    pix = np.clip(g, 0, 255).astype(np.uint8)
+    fine = jpx_encode(64, 48, 1, pix.tobytes(), lossy=True, prec=4)
+    coarse = jpx_encode(64, 48, 1, pix.tobytes(), lossy=True, prec=1)
+    assert len(coarse) < len(fine)
+    _, _, _, out = jpx_decode(coarse)
+    got = np.frombuffer(out, np.uint8).reshape(48, 64).astype(np.int64)
+    err = np.abs(got - pix.astype(np.int64))
+    assert 0 < err.max() <= 4
+    assert err.mean() < 1.0
