@@ -249,6 +249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def q_q5(spark, sf_dir):
+        return relational.q5_local_supplier_volume(spark, sf_dir)
+
+    def q_stratified_sample(spark, sf_dir):
+        return textstats.stratified_sample(_docs(spark, sf_dir))
+
+    def q_unigram_logprob(spark, sf_dir):
+        return textstats.unigram_logprob(_docs(spark, sf_dir))
+
     def q_decontaminate(spark, sf_dir):
         """Benchmark decontamination: 13-gram overlap of the corpus vs a
         benchmark slice (doc_id % 97 == 0 stands in for the eval set).
@@ -402,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
+        "q5_local_supplier": q_q5,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
         "html_main_content": q_html_main_content,
         # relational suite
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -612,6 +624,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
             WHERE event_type = 'purchase'
             ORDER BY user_id, day
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND o_orderkey = l_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE substring(md5(source || ':s1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+            ORDER BY doc_id
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            ), toks2 AS (
+                SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), vocab AS (
+                SELECT tok, count(*) AS n FROM toks2 GROUP BY tok
+            ), tot AS (
+                SELECT sum(n) AS total, count(*) AS vsize FROM vocab
+            ), lm AS (
+                SELECT tok, log10((n + 0.5) / (total + 0.5 * vsize)) AS lp
+                FROM vocab, tot
+            )
+            SELECT t.doc_id,
+                   round(avg(lp), 4) AS mean_logprob,
+                   count(*) AS n_tokens
+            FROM toks2 t JOIN lm USING (tok)
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
         """,
         "decontaminate": """
             WITH toks AS (

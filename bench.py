@@ -51,6 +51,8 @@ BENCH_QUERIES = (
     "top_ngrams",
     "normalize_text",
     "decontaminate",
+    "q5_local_supplier",
+    "unigram_logprob",
 )
 
 

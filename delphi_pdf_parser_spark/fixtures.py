@@ -4337,3 +4337,37 @@ def _case_jbig2_refine_halftone():
 
 
 CASES["jbig2_refine_halftone"] = _case_jbig2_refine_halftone
+
+
+def _case_lab_image():
+    """L*a*b* raster through the reference's exact lab_to_rgb
+    (pdf_color_spcasess.pas:44-76: fung + matrix with per-channel scale
+    factors + sqrt gamma; byte scaling per res_colorspace.pas:530)."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Il 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (WithLab) Tj ET /Il Do"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # 3x2: white, mid-gray, black / teal-ish, yellow-ish, purple-ish
+    lab = bytes(
+        [255, 128, 128] + [128, 128, 128] + [0, 128, 128]
+        + [160, 60, 128] + [200, 128, 220] + [100, 180, 90]
+    )
+    comp = zlib.compress(lab)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 3 /Height 2 "
+        "/BitsPerComponent 8 "
+        "/ColorSpace [/Lab << /WhitePoint [0.9505 1 1.089] >>] "
+        f"/Filter /FlateDecode /Length {len(comp)} >>",
+        comp,
+    )
+    return b.build_classic(cat), "WithLab" + CRLF, 1
+
+
+CASES["lab_image"] = _case_lab_image

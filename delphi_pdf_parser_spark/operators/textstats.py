@@ -191,3 +191,57 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     return normed.select(
         "doc_id", "norm_text", F.length("norm_text").alias("n_chars")
     )
+
+
+def stratified_sample(
+    documents: DataFrame, frac_hex: str = "3333", salt: str = "s1"
+) -> DataFrame:
+    """Deterministic stratified sampling (domain-mixing primitive for
+    training-data pipelines): keep a document iff the first 4 hex chars
+    of md5(source:salt:doc_id) fall below `frac_hex` (~frac_hex/0xFFFF
+    of each source stratum). Pure map-side filter — no shuffle, no RNG
+    state, reproducible across runs/engines; md5 is bit-identical in
+    Spark and DuckDB so the driver oracle checks the exact row set."""
+    key = F.concat_ws(
+        ":", F.col("source"), F.lit(salt), F.col("doc_id").cast("string")
+    )
+    return (
+        documents.withColumn("h", F.substring(F.md5(key), 1, 4))
+        .filter(F.col("h") < F.lit(frac_hex))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """Model-based quality scoring stand-in: per-document mean unigram
+    log10-probability under the corpus's own add-k-smoothed unigram LM
+    (low scores flag gibberish / vocabulary outliers). Shape at 100 TB:
+    one token explode feeds BOTH the corpus count (map-side combined
+    agg; vocab is small) and the per-doc scoring join — the LM side
+    broadcasts, so scoring is a map-side join + per-doc agg."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    totals = vocab.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vsize")
+    )
+    lm = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log10(
+                (F.col("n") + F.lit(k))
+                / (F.col("total") + F.lit(k) * F.col("vsize"))
+            )
+        ).alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

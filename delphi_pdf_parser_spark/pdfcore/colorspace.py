@@ -102,6 +102,38 @@ def _base_to_rgb(name: str, ncomp: int):
     return None
 
 
+def lab_to_rgb(v: np.ndarray) -> np.ndarray:
+    """Exact port of the reference's lab_to_rgb
+    (pdf_color_spcasess.pas:44-76) including its per-channel scale
+    factors and sqrt gamma; inputs arrive as [0,1] byte fractions and
+    are rescaled the way res_colorspace.pas:530-545 does (L = s/255*100,
+    a/b = s - 128)."""
+    lstar = v[:, 0] * 100.0
+    astar = v[:, 1] * 255.0 - 128.0
+    bstar = v[:, 2] * 255.0 - 128.0
+    m = (lstar + 16.0) / 116.0
+    l = m + astar / 500.0
+    n = m - bstar / 200.0
+
+    def fung(x):
+        return np.where(
+            x >= 6.0 / 29.0, x * x * x, (108.0 / 841.0) * (x - 4.0 / 29.0)
+        )
+
+    x, y, z = fung(l), fung(m), fung(n)
+    r = (3.240449 * x - 1.537136 * y - 0.498531 * z) * 0.830026
+    g = (-0.969265 * x + 1.876011 * y + 0.041556 * z) * 1.05452
+    b = (0.055643 * x - 0.204026 * y + 1.057229 * z) * 1.1003
+    return np.stack(
+        [
+            np.sqrt(np.clip(r, 0.0, 1.0)),
+            np.sqrt(np.clip(g, 0.0, 1.0)),
+            np.sqrt(np.clip(b, 0.0, 1.0)),
+        ],
+        axis=1,
+    )
+
+
 def to_rgb_converter(doc, cs):
     """Resolve a colorspace object to (ncomp, f) where f maps (k, ncomp)
     floats in [0,1] to (k, 3) RGB floats — or None if unsupported.
@@ -127,6 +159,8 @@ def to_rgb_converter(doc, cs):
         return 1, gray_to_rgb
     if head == "CalRGB":
         return 3, (lambda v: v)
+    if head == "Lab":
+        return 3, lab_to_rgb
     if head in ("Separation", "DeviceN") and len(cs) >= 4:
         from .functions import FunctionError, eval_function, load_function
 

@@ -20,9 +20,9 @@ Here:
   rasters expand to 8-bit gray PNGs
 - CMYK / ICCBased(N=4) rasters convert to RGB via the reference's device
   matrix; Separation/DeviceN via tint-transform eval (pdf functions
-  types 0/2/3/4) into a supported alternate — colorspace.py / functions.py
-- anything else (Lab, 9/7-lossy JPX) ships raw
-  with format='raw' and a decode-failure code
+  types 0/2/3/4) into a supported alternate; Lab via the reference's
+  exact lab_to_rgb — colorspace.py / functions.py
+- anything else ships raw with format='raw' and a decode-failure code
 """
 
 from __future__ import annotations

@@ -518,3 +518,22 @@ def test_ps_function_tint_image():
         rgb = cmyk_to_rgb(np.asarray([cmyk]))[0]
         exp.append(tuple(int(x) for x in np.trunc(rgb * 255.0)))
     assert got == exp
+
+
+def test_lab_image_converts_to_rgb():
+    """Lab raster -> RGB via the reference's exact conversion; anchors
+    hand-derived from the pdf_color_spcasess.pas:44-76 math."""
+    import zlib as _z
+
+    pdf, _, _ = CASES["lab_image"]()
+    (im,) = extract_images(pdf)
+    assert im.format == "png" and im.colorspace == "Lab"
+    i = im.data.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", im.data[i : i + 4])
+    raw = _z.decompress(im.data[i + 8 : i + 8 + length])
+    rows = [raw[1 + 10 * y : 10 * (y + 1)] for y in range(2)]
+    px = [tuple(rows[y][3 * x : 3 * x + 3]) for y in range(2) for x in range(3)]
+    assert px == [
+        (255, 255, 255), (109, 109, 109), (0, 0, 0),
+        (0, 174, 140), (220, 183, 0), (131, 41, 146),
+    ]
