@@ -58,6 +58,10 @@ FEATURE_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("ncomp", IntegerType()),
         StructField("mean_pixel", DoubleType()),
+        # real decoded-audio features (NULL for non-audio rows)
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("mean_amplitude", DoubleType()),
     ]
 )
 
@@ -85,8 +89,15 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 payload = webp_encode(8, 8, 1, blob, use_lz77=True)
                 mtype = "image/webp"
             else:
-                payload = b"FAKEAUD0" + blob
-                mtype = "audio/fake"
+                # real PCM clip: 64 signed 16-bit samples from the seed
+                from .mediadec import encode_wav
+
+                samples = b"".join(
+                    (blob[i] - 128).to_bytes(2, "little", signed=True)
+                    for i in range(64)
+                )
+                payload = encode_wav(16000, 1, 16, samples)
+                mtype = "audio/wav"
             rows.append((doc_id, payload, mtype, 8, 8))
         yield pd.DataFrame(
             rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
@@ -112,7 +123,8 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, media, mtype in zip(b["doc_id"], b["media"], b["media_type"]):
             data = bytes(media)
             arr = np.frombuffer(data, dtype=np.uint8)
-            status, w, h, nc, mp = "not_image", None, None, None, None
+            status, w, h, nc, mp = "not_media", None, None, None, None
+            rate, dur, amp = None, None, None
             if str(mtype).startswith("image/"):
                 try:
                     w, h, nc, pixels = decode_image(data)
@@ -121,6 +133,29 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     status = "ok"
                 except UnsupportedMediaError as e:
                     status, w, h, nc = f"unsupported:{e}", None, None, None
+                except MediaDecodeError as e:
+                    status = f"corrupt:{e}"
+            elif str(mtype).startswith("audio/"):
+                from .mediadec import decode_audio
+
+                try:
+                    rate, channels, bits, samples = decode_audio(data)
+                    dt = np.int16 if bits == 16 else np.uint8
+                    sv = np.frombuffer(samples, dtype=dt).astype(np.float64)
+                    if bits == 8:
+                        sv -= 128.0
+                    scale = 32768.0 if bits == 16 else 128.0
+                    n_frames = len(sv) // channels
+                    dur = round(n_frames / rate * 1000.0, 3)
+                    amp = (
+                        round(float(np.abs(sv).mean()) / scale, 6)
+                        if len(sv)
+                        else 0.0
+                    )
+                    nc = channels
+                    status = "ok"
+                except UnsupportedMediaError as e:
+                    status, rate = f"unsupported:{e}", None
                 except MediaDecodeError as e:
                     status = f"corrupt:{e}"
             rows.append(
@@ -135,6 +170,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     h,
                     nc,
                     mp,
+                    rate,
+                    dur,
+                    amp,
                 )
             )
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])

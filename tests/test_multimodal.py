@@ -104,8 +104,26 @@ def test_media_features_decode_real_pixels(spark):
                 n_webp += 1
                 assert (r["width"], r["height"], r["ncomp"]) == (8, 8, 3)
             assert r["mean_pixel"] == want
+            assert r["sample_rate"] is None
         else:
-            assert r["decode_status"] == "not_image"
+            # real PCM WAV rows: 64 frames at 16 kHz = 4 ms
+            assert r["media_type"] == "audio/wav"
+            assert r["decode_status"] == "ok"
+            assert r["sample_rate"] == 16000
+            assert r["duration_ms"] == 4.0
+            assert r["ncomp"] == 1  # channels
+            seed = hashlib.md5(
+                (texts[r["doc_id"]] or "").encode("utf-8")
+            ).digest()
+            blob = (seed * 5)[:64]
+            want = round(
+                float(np.abs(
+                    np.frombuffer(blob, np.uint8)[:64].astype(np.float64)
+                    - 128.0
+                ).mean()) / 32768.0,
+                6,
+            )
+            assert r["mean_amplitude"] == want
             assert r["width"] is None and r["mean_pixel"] is None
     assert n_bmp > 0 and n_webp > 0
 
@@ -291,3 +309,266 @@ def test_jp2_decode_via_media_path():
     assert decode_image(jpx_encode(16, 12, 1, px)) == (16, 12, 1, px)
     # raw J2K codestream sniffs too
     assert decode_image(jpx_encode(16, 12, 1, px, jp2=False)) == (16, 12, 1, px)
+
+
+# --- PNG palette / bit-depth / Adam7, GIF, WAV ----------------------------
+
+def _png_chunk2(tag, payload):
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+_ADAM7_T = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _build_png(width, height, ctype, depth, pixels, plte=b"", trns=b"",
+               interlace=0):
+    """Independent PNG writer for decode tests (filter None rows;
+    Adam7 pass split when interlaced)."""
+    import struct
+    import zlib as _z
+
+    def pack_rows(rows, w):
+        out = bytearray()
+        for row in rows:
+            out.append(0)
+            if depth == 8:
+                for px in row:
+                    out += bytes(px)
+            else:
+                acc = n = 0
+                rb = bytearray()
+                for (v,) in row:
+                    acc = (acc << depth) | v
+                    n += 1
+                    if n == 8 // depth:
+                        rb.append(acc)
+                        acc = n = 0
+                if n:
+                    rb.append(acc << (8 - depth * n))
+                out += rb
+        return out
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_T:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            raw += pack_rows(
+                [[pixels[y0 + py * dy][x0 + px * dx] for px in range(pw)]
+                 for py in range(ph)],
+                pw,
+            )
+    else:
+        raw = pack_rows(pixels, width)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk2(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk2(b"PLTE", plte)
+    if trns:
+        out += _png_chunk2(b"tRNS", trns)
+    return out + _png_chunk2(b"IDAT", _z.compress(bytes(raw))) + _png_chunk2(
+        b"IEND", b""
+    )
+
+
+def test_png_palette_depths_and_trns():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pal = bytes(rng.integers(0, 256, 30).tolist())
+    idx = [[(int(rng.integers(0, 10)),) for _ in range(13)] for _ in range(7)]
+    w, h, nc, out = decode_image(_build_png(13, 7, 3, 8, idx, plte=pal))
+    assert (w, h, nc) == (13, 7, 3)
+    assert out == bytes(
+        v for row in idx for (i,) in row for v in pal[3 * i : 3 * i + 3]
+    )
+    idx = [[(int(rng.integers(0, 10)),) for _ in range(9)] for _ in range(5)]
+    trns = bytes([255, 128, 0] + [255] * 7)
+    w, h, nc, out = decode_image(_build_png(9, 5, 3, 4, idx, plte=pal,
+                                            trns=trns))
+    assert nc == 4
+    assert out == bytes(
+        v for row in idx for (i,) in row
+        for v in pal[3 * i : 3 * i + 3] + bytes([trns[i]])
+    )
+    bits = [[(int(rng.integers(0, 2)),) for _ in range(19)] for _ in range(6)]
+    _, _, _, out = decode_image(_build_png(19, 6, 0, 1, bits))
+    assert out == bytes(v * 255 for row in bits for (v,) in row)
+
+
+def test_png_adam7_interlace():
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    pix = [
+        [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(17)]
+        for _ in range(11)
+    ]
+    w, h, nc, out = decode_image(_build_png(17, 11, 2, 8, pix, interlace=1))
+    assert (w, h, nc) == (17, 11, 3)
+    assert out == bytes(v for row in pix for px in row for v in px)
+    pal = bytes(rng.integers(0, 256, 12).tolist())
+    idx = [[(int(rng.integers(0, 4)),) for _ in range(10)] for _ in range(9)]
+    _, _, _, out = decode_image(
+        _build_png(10, 9, 3, 2, idx, plte=pal, interlace=1)
+    )
+    assert out == bytes(
+        v for row in idx for (i,) in row for v in pal[3 * i : 3 * i + 3]
+    )
+
+
+def _gif_lzw_encode(indices, min_code):
+    clear = 1 << min_code
+    eoi = clear + 1
+    dic = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = ()
+    for i in indices:
+        cur = prev + (i,)
+        if cur in dic:
+            prev = cur
+            continue
+        emit(dic[prev])
+        if next_code < 4096:
+            dic[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        prev = (i,)
+    if prev:
+        emit(dic[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _build_gif(w, h, indices, palette, interlace=False, transparent=-1):
+    import struct
+
+    n = max(2, (len(palette) // 3 - 1).bit_length())
+    gct = palette + b"\x00" * (3 * (2 ** n) - len(palette))
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0) + gct
+    if transparent >= 0:
+        out += b"\x21\xf9\x04" + bytes([1, 0, 0, transparent]) + b"\x00"
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    min_code = max(2, n)
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        indices = [v for y in order for v in indices[y * w : (y + 1) * w]]
+    lzw = _gif_lzw_encode(indices, min_code)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    return out + b"\x00\x3b"
+
+
+def test_gif_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pal = bytes(rng.integers(0, 256, 24).tolist())
+    idx = [int(v) for v in rng.integers(0, 8, 21 * 13)]
+    exp = bytes(v for i in idx for v in pal[3 * i : 3 * i + 3])
+    assert decode_image(_build_gif(21, 13, idx, pal))[3] == exp
+    assert decode_image(_build_gif(21, 13, idx, pal, interlace=True))[3] == exp
+    w, h, nc, out = decode_image(_build_gif(21, 13, idx, pal, transparent=3))
+    assert nc == 4
+    assert out == bytes(
+        v for i in idx
+        for v in pal[3 * i : 3 * i + 3] + bytes([0 if i == 3 else 255])
+    )
+
+
+def test_wav_roundtrip_and_typed_errors():
+    import numpy as np
+    import pytest
+
+    from delphi_pdf_parser_spark.operators.mediadec import (
+        MediaDecodeError,
+        UnsupportedMediaError,
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-30000, 30000, 500).astype("<i2").tobytes()
+    assert decode_audio(encode_wav(16000, 1, 16, s)) == (16000, 1, 16, s)
+    s8 = rng.integers(0, 256, 301).astype(np.uint8).tobytes()
+    rate, ch, bits, data = decode_audio(encode_wav(8000, 2, 8, s8))
+    assert (rate, ch, bits) == (8000, 2, 8) and len(data) == 300  # frame-trim
+    with pytest.raises(UnsupportedMediaError):
+        decode_audio(b"OggS" + b"\x00" * 40)
+    with pytest.raises(MediaDecodeError):
+        decode_audio(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_media_mutation_robustness_new_formats():
+    import random
+
+    from delphi_pdf_parser_spark.operators.mediadec import (
+        MediaDecodeError,
+        UnsupportedMediaError,
+        decode_image,
+    )
+
+    rng = random.Random(9)
+    pal = bytes(range(30))
+    idx8 = [[(i % 10,) for i in range(11)] for _ in range(6)]
+    payloads = (
+        _build_png(11, 6, 3, 8, idx8, plte=pal, interlace=1),
+        _build_gif(11, 6, [i % 10 for i in range(66)], pal),
+    )
+    for payload in payloads:
+        for _ in range(40):
+            kind = rng.randrange(3)
+            if kind == 0 and len(payload) > 1:
+                mut = payload[: rng.randrange(1, len(payload))]
+            elif kind == 1:
+                i = rng.randrange(len(payload))
+                b = bytearray(payload)
+                b[i] ^= 1 << rng.randrange(8)
+                mut = bytes(b)
+            else:
+                i = rng.randrange(len(payload))
+                mut = (
+                    payload[:i]
+                    + bytes(rng.randrange(256) for _ in range(8))
+                    + payload[i:]
+                )
+            try:
+                decode_image(mut)
+            except (MediaDecodeError, UnsupportedMediaError):
+                pass  # typed contract
