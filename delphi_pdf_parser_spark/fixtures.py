@@ -3299,14 +3299,26 @@ def jbig2_embed_text_huffman(
     """Huffman-coded counterpart of jbig2_embed_text: SDHUFF symbol
     dictionary (height classes with raw or MMR collective bitmaps,
     standard tables B.4/B.2/B.1) + SBHUFF text region (standard tables
-    B.6/B.8/B.11, runcode-coded symbol ID table per T.88 7.4.3.1.7)."""
+    B.6/B.8/B.11, runcode-coded symbol ID table per T.88 7.4.3.1.7).
+    Placements may be (sid, s, t) or (sid, s, t, refined_bitmap) — the
+    latter emits REFINE=1 instances whose RSIZE-byte MQ refinement
+    segments follow B.14-coded deltas."""
     from delphi_pdf_parser_spark.pdfcore.jbig2 import (
         OOB,
         _BitWriter,
+        _GR_CTX_SIZE,
+        _GR_NOMINAL_AT,
         _N,
         HuffTable,
+        MQEncoder,
+        encode_refinement,
         std_table,
     )
+
+    placements = [
+        p if len(p) == 4 else (p[0], p[1], p[2], None) for p in placements
+    ]
+    any_refine = any(p[3] is not None for p in placements)
 
     # symbols ascending by (height, width): B.4 needs DH >= 1 and the
     # selector-0 DW table (B.2) has no negative range
@@ -3378,8 +3390,38 @@ def jbig2_embed_text_huffman(
     bw.align()
     symtab = HuffTable([(codelen, 0, i, _N) for i in range(nsyms)])
 
+    t14 = std_table(14)
+    t1b = std_table(1)
+
+    def emit_sym(sid, ref):
+        symtab.encode(bw, sid)
+        sym = sorted_syms[sid]
+        if not any_refine:
+            return len(sym[0]) - 1
+        if ref is None:
+            bw.write(0, 1)  # RI = 0
+            return len(sym[0]) - 1
+        bw.write(1, 1)
+        rdw = len(ref[0]) - len(sym[0])
+        rdh = len(ref) - len(sym)
+        t14.encode(bw, rdw)
+        t14.encode(bw, rdh)
+        t14.encode(bw, 0)
+        t14.encode(bw, 0)
+        enc = MQEncoder()
+        cx = [[0, 0] for _ in range(_GR_CTX_SIZE[0])]
+        encode_refinement(
+            enc, cx, ref, sym, rdw >> 1, rdh >> 1, template=0,
+            at=_GR_NOMINAL_AT,
+        )
+        seg = enc.flush()
+        t1b.encode(bw, len(seg))
+        bw.align()
+        bw.out += seg
+        return len(ref[0]) - 1
+
     inst = sorted(
-        ((remap[sid], s, t) for sid, s, t in placements),
+        ((remap[sid], s, t, ref) for sid, s, t, ref in placements),
         key=lambda p: (p[2], p[1]),
     )
     t11.encode(bw, 1)  # initial STRIPT = -1 (B.11 codes values >= 1)
@@ -3390,30 +3432,31 @@ def jbig2_embed_text_huffman(
         t = inst[k][2]
         t11.encode(bw, t - prev_t)
         prev_t = t
-        sid, s, _ = inst[k]
+        sid, s, _, ref = inst[k]
         t6.encode(bw, s - firsts)
         firsts = s
-        curs = s
-        symtab.encode(bw, sid)
-        curs += len(sorted_syms[sid][0]) - 1
+        curs = s + emit_sym(sid, ref)
         k += 1
         while k < len(inst) and inst[k][2] == t:
-            sid, s, _ = inst[k]
+            sid, s, _, ref = inst[k]
             t8.encode(bw, s - curs)
-            curs = s
-            symtab.encode(bw, sid)
-            curs += len(sorted_syms[sid][0]) - 1
+            curs = s + emit_sym(sid, ref)
             k += 1
         t8.encode(bw, OOB)
     reg_info = (
         page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
-    tr_flags = 1 | (1 << 4)  # SBHUFF, REFCORNER=TL
+    tr_flags = 1 | (1 << 4) | ((1 << 1) if any_refine else 0)
     tr_body = (
         reg_info
         + tr_flags.to_bytes(2, "big")
         + (0).to_bytes(2, "big")  # SBHUFFFLAGS: all standard selector 0
+        + (
+            bytes(x & 0xFF for pair in _GR_NOMINAL_AT for x in pair)
+            if any_refine
+            else b""
+        )
         + len(inst).to_bytes(4, "big")
         + bw.flush()
     )
@@ -4221,7 +4264,8 @@ def jbig2_embed_refagg_dict(
 
 
 def jbig2_embed_halftone(
-    values: list, patterns: list, page_w: int, page_h: int
+    values: list, patterns: list, page_w: int, page_h: int,
+    pattern_mmr: bool = False,
 ) -> bytes:
     """Pattern dictionary + immediate halftone region: `values` is the
     HGH x HGW grid of pattern indices, `patterns` the HDPW x HDPH cells.
@@ -4242,10 +4286,16 @@ def jbig2_embed_halftone(
     coll = [
         [v for p in patterns for v in p[y]] for y in range(hdph)
     ]
-    at = [(-hdpw, 0)] + list(_NOMINAL_AT[0][1:])
-    pd_payload = encode_generic_region(coll, template=0, at=tuple(at))
+    if pattern_mmr:
+        pd_payload = ccitt_g4_encode(coll)
+        pd_flags = 1
+    else:
+        at = [(-hdpw, 0)] + list(_NOMINAL_AT[0][1:])
+        pd_payload = encode_generic_region(coll, template=0, at=tuple(at))
+        pd_flags = 0
     pd_body = (
-        bytes([0, hdpw, hdph]) + (n - 1).to_bytes(4, "big") + pd_payload
+        bytes([pd_flags, hdpw, hdph]) + (n - 1).to_bytes(4, "big")
+        + pd_payload
     )
 
     hgh = len(values)

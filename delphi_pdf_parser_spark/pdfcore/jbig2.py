@@ -21,8 +21,8 @@ DICTIONARIES + HALFTONE REGIONS (§6.7/§6.6: collective-bitmap pattern
 split, gray-coded bitplane grids sharing one coder, 8.8 fixed-point
 skew grid). Still typed-unsupported (raw passthrough + failure code,
 strictly more than the reference, which passes everything through):
-aggregate coding with REFAGGNINST > 1, huffman-refined text regions,
-MMR pattern/halftone variants, skip bitmaps, custom table segments.
+aggregate coding with REFAGGNINST > 1, MMR halftone grayscale
+(MMR pattern dictionaries decode), skip bitmaps, custom table segments.
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -1545,7 +1545,9 @@ def _symbol_id_table(br: _BitReader, nsyms: int) -> HuffTable:
 def _decode_text_region_huffman(
     body: bytes, info: dict, flags: int, syms: list, max_pixels: int
 ) -> tuple[dict, list]:
-    """SBHUFF=1 text region (T.88 6.4 Huffman side, no refinement)."""
+    """SBHUFF=1 text region (T.88 6.4 Huffman side, incl. REFINE=1
+    instances whose refinement data arrives as byte-aligned RSIZE-byte
+    MQ segments)."""
     log_strips = (flags >> 2) & 3
     ref_corner = (flags >> 4) & 3
     transposed = (flags >> 6) & 1
@@ -1554,16 +1556,38 @@ def _decode_text_region_huffman(
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32
-    if (flags >> 1) & 1:
-        raise Jbig2Unsupported("refinement text region")
+    refine = (flags >> 1) & 1
+    rtemplate = (flags >> 15) & 1
     hf = int.from_bytes(body[19:21], "big")
     fs_sel, ds_sel, dt_sel = hf & 3, (hf >> 2) & 3, (hf >> 4) & 3
+    rdw_sel, rdh_sel = (hf >> 6) & 3, (hf >> 8) & 3
+    rdx_sel, rdy_sel = (hf >> 10) & 3, (hf >> 12) & 3
+    rsize_sel = (hf >> 14) & 1
     if fs_sel == 3 or ds_sel == 3 or dt_sel == 3:
         raise Jbig2Unsupported("custom huffman tables (text region)")
     t_fs = std_table(6 + fs_sel)
     t_ds = std_table(8 + ds_sel)
     t_dt = std_table(11 + dt_sel)
     pos = 21
+    t_rdw = t_rdh = t_rdx = t_rdy = t_rsize = None
+    r_at = list(_GR_NOMINAL_AT)
+    if refine:
+        if max(rdw_sel, rdh_sel, rdx_sel, rdy_sel) > 1 or rsize_sel:
+            raise Jbig2Unsupported("custom huffman tables (refinement)")
+        t_rdw = std_table(14 + rdw_sel)
+        t_rdh = std_table(14 + rdh_sel)
+        t_rdx = std_table(14 + rdx_sel)
+        t_rdy = std_table(14 + rdy_sel)
+        t_rsize = std_table(1)
+        if rtemplate == 0:
+            r_at = []
+            for _ in range(2):
+                ax = int.from_bytes(body[pos : pos + 1], "big", signed=True)
+                ay = int.from_bytes(
+                    body[pos + 1 : pos + 2], "big", signed=True
+                )
+                r_at.append((ax, ay))
+                pos += 2
     num_instances = int.from_bytes(body[pos : pos + 4], "big")
     pos += 4
     if num_instances > 100000:
@@ -1628,6 +1652,28 @@ def _decode_text_region_huffman(
             if sid is OOB or sid >= len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
+            if refine and br.read1():
+                # 6.4.11 huffman form: deltas via B.14/B.15, then a
+                # byte-aligned RSIZE-byte MQ refinement segment
+                rdw = t_rdw.decode(br)
+                rdh = t_rdh.decode(br)
+                rdx = t_rdx.decode(br)
+                rdy = t_rdy.decode(br)
+                rsize = t_rsize.decode(br)
+                if OOB in (rdw, rdh, rdx, rdy, rsize):
+                    raise Jbig2Error("OOB refinement field")
+                nw = (len(sym[0]) if sym else 0) + rdw
+                nh = len(sym) + rdh
+                if not (0 < nw <= 10000 and 0 < nh <= 10000):
+                    raise Jbig2Error("bad refined symbol dims")
+                seg = br.read_bytes(rsize)
+                mq = MQDecoder(seg)
+                gr_cx = [[0, 0] for _ in range(_GR_CTX_SIZE[rtemplate])]
+                sym = decode_refinement(
+                    mq, gr_cx, nw, nh, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    template=rtemplate, at=r_at,
+                )
             sh = len(sym)
             sw = len(sym[0]) if sh else 0
             if not transposed:
@@ -1768,23 +1814,24 @@ def decode_pattern_dict(body: bytes, max_pixels: int) -> list:
     template = (flags >> 1) & 3
     hdpw, hdph = body[1], body[2]
     graymax = int.from_bytes(body[3:7], "big")
-    if hdmmr:
-        raise Jbig2Unsupported("MMR pattern dictionary")
     if not hdpw or not hdph or graymax > 255:
         raise Jbig2Error("bad pattern dict header")
-    if hdpw > 127:
-        raise Jbig2Unsupported("pattern wider than 127 (collective AT)")
     n = graymax + 1
     cw = n * hdpw
     if cw * hdph > max_pixels:
         raise Jbig2Unsupported("pattern dict exceeds max_pixels")
-    at = [(-hdpw, 0)]  # A1 = (-HDPW, 0)
-    nominal = _NOMINAL_AT[template]
-    at += list(nominal[1:]) if template == 0 else []
-    coll = decode_generic_region(
-        body[7:], cw, hdph, template=template, at=tuple(at),
-        tpgdon=False, max_pixels=max_pixels,
-    )
+    if hdmmr:
+        coll = _mmr_bitmap(body[7:], cw, hdph)
+    else:
+        if hdpw > 127:
+            raise Jbig2Unsupported("pattern wider than 127 (collective AT)")
+        at = [(-hdpw, 0)]  # A1 = (-HDPW, 0)
+        nominal = _NOMINAL_AT[template]
+        at += list(nominal[1:]) if template == 0 else []
+        coll = decode_generic_region(
+            body[7:], cw, hdph, template=template, at=tuple(at),
+            tpgdon=False, max_pixels=max_pixels,
+        )
     return [
         [row[i * hdpw : (i + 1) * hdpw] for row in coll] for i in range(n)
     ]

@@ -164,3 +164,56 @@ def test_refinement_mutation_robustness():
                 jbig2_decode(mut)
             except Jbig2Error:
                 pass  # typed failure is the contract
+
+
+def test_huffman_refined_text_region():
+    """SBHUFF + REFINE=1: B.14-coded deltas, byte-aligned RSIZE-byte MQ
+    refinement segments. Same page bitmap as the independently composed
+    expectation; the plain Huffman stream stays identical to the
+    arithmetic coding of the same content."""
+    from delphi_pdf_parser_spark.fixtures import (
+        jbig2_embed_text,
+        jbig2_embed_text_huffman,
+    )
+
+    syms, placements, pw, ph = _jbig2_text_fixture_args()
+    ref = jbig2_decode(jbig2_embed_text(syms, placements, pw, ph),
+                       invert=False)
+    assert jbig2_decode(
+        jbig2_embed_text_huffman(syms, placements, pw, ph), invert=False
+    ) == ref
+    o = syms[2]
+    ref_o = [row + [0] for row in o]
+    ref_o[1][1] ^= 1
+    plc = [(sid, s, t, ref_o if sid == 2 else None)
+           for sid, s, t in placements]
+    w, h, p = jbig2_decode(
+        jbig2_embed_text_huffman(syms, plc, pw, ph), invert=False
+    )
+    exp = [[0] * pw for _ in range(ph)]
+    for sid, s, t, rf in plc:
+        bm = rf if rf is not None else syms[sid]
+        for yy, row in enumerate(bm):
+            for xx, v in enumerate(row):
+                if 0 <= t + yy < ph and 0 <= s + xx < pw:
+                    exp[t + yy][s + xx] |= v
+    assert _unpack(w, h, p) == exp
+
+
+def test_mmr_pattern_dictionary():
+    """HDMMR=1 pattern dictionaries decode via the CCITT G4 path and
+    produce the identical page the arithmetic collective does."""
+    pats = [
+        [[0, 0, 0], [0, 0, 0], [0, 0, 0]],
+        [[0, 0, 0], [0, 1, 0], [0, 0, 0]],
+        [[1, 0, 1], [0, 1, 0], [1, 0, 1]],
+        [[1, 1, 1], [1, 1, 1], [1, 1, 1]],
+    ]
+    rng = random.Random(4)
+    vals = [[rng.randrange(4) for _ in range(5)] for _ in range(4)]
+    a = jbig2_decode(jbig2_embed_halftone(vals, pats, 15, 12), invert=False)
+    b = jbig2_decode(
+        jbig2_embed_halftone(vals, pats, 15, 12, pattern_mmr=True),
+        invert=False,
+    )
+    assert a == b
