@@ -4421,3 +4421,210 @@ def _case_lab_image():
 
 
 CASES["lab_image"] = _case_lab_image
+
+
+def jbig2_embed_agg_dict(
+    base_symbols: list, agg_specs: list, placements: list,
+    page_w: int, page_h: int,
+) -> bytes:
+    """SDREFAGG dictionary with REFAGGNINST > 1 aggregates: each
+    agg_specs[i] is (width, height, [(input_sid, s, t, refined|None),
+    ...]) — the new symbol is a nested text region composing input
+    symbols (TL corners, OR). Text region then places the aggregates."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _CTX_SIZE,
+        _GR_CTX_SIZE,
+        _GR_NOMINAL_AT,
+        _NOMINAL_AT,
+        IdCtx,
+        IntCtx,
+        MQEncoder,
+        OOB,
+        _gb_context,
+        encode_id,
+        encode_int,
+        encode_refinement,
+    )
+
+    def encode_dict_generic(syms):
+        enc = MQEncoder()
+        gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
+        at = _NOMINAL_AT[0]
+        iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+        hc = 0
+        i = 0
+        while i < len(syms):
+            h = len(syms[i])
+            encode_int(enc, iadh, h - hc)
+            hc = h
+            prev_w = 0
+            while i < len(syms) and len(syms[i]) == hc:
+                bm = syms[i]
+                w = len(bm[0])
+                encode_int(enc, iadw, w - prev_w)
+                prev_w = w
+                img = [[0] * w for _ in range(hc)]
+                for y in range(hc):
+                    for x in range(w):
+                        ctx = _gb_context(img, x, y, w, 0, at)
+                        enc.encode(gb_cx[ctx], bm[y][x])
+                        img[y][x] = bm[y][x]
+                i += 1
+            encode_int(enc, iadw, OOB)
+        encode_int(enc, iaex, 0)
+        encode_int(enc, iaex, len(syms))
+        return (
+            (0).to_bytes(2, "big")
+            + b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in at)
+            + len(syms).to_bytes(4, "big")
+            + len(syms).to_bytes(4, "big")
+            + enc.flush()
+        )
+
+    sd1_body = encode_dict_generic(base_symbols)
+
+    n_in = len(base_symbols)
+    n_new = len(agg_specs)
+    enc = MQEncoder()
+    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iardx, iardy = IntCtx(), IntCtx()
+    iadt, iafs, iads, iari = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iardw, iardh = IntCtx(), IntCtx()
+    gr_cx = [[0, 0] for _ in range(_GR_CTX_SIZE[0])]
+    id_codelen = max(1, (n_in + n_new - 1).bit_length())
+    iaid = IdCtx(id_codelen)
+    specs = sorted(range(n_new), key=lambda i: (agg_specs[i][1], i))
+    assert specs == list(range(n_new)), "pass height-sorted aggregates"
+    hc = 0
+    i = 0
+    while i < n_new:
+        w, h, insts = agg_specs[i]
+        encode_int(enc, iadh, h - hc)
+        hc = h
+        prev_w = 0
+        while i < n_new and agg_specs[i][1] == hc:
+            w, _, insts = agg_specs[i]
+            encode_int(enc, iadw, w - prev_w)
+            prev_w = w
+            insts = [
+                p if len(p) == 4 else (p[0], p[1], p[2], None)
+                for p in insts
+            ]
+            encode_int(enc, iaai, len(insts))  # REFAGGNINST > 1
+            # nested text region, strips=1, TL, shared contexts
+            inst = sorted(insts, key=lambda p: (p[2], p[1]))
+            encode_int(enc, iadt, 0)  # STRIPT = 0
+            prev_t = 0
+            firsts = 0
+            k = 0
+            while k < len(inst):
+                t = inst[k][2]
+                encode_int(enc, iadt, t - prev_t)
+                prev_t = t
+                sid, s, _, ref = inst[k]
+                encode_int(enc, iafs, s - firsts)
+                firsts = s
+                curs = s
+
+                def emit(sid, ref, curs):
+                    encode_id(enc, iaid, sid)
+                    sym = base_symbols[sid]
+                    if ref is None:
+                        encode_int(enc, iari, 0)
+                        return curs + len(sym[0]) - 1
+                    encode_int(enc, iari, 1)
+                    rdw = len(ref[0]) - len(sym[0])
+                    rdh = len(ref) - len(sym)
+                    encode_int(enc, iardw, rdw)
+                    encode_int(enc, iardh, rdh)
+                    encode_int(enc, iardx, 0)
+                    encode_int(enc, iardy, 0)
+                    encode_refinement(
+                        enc, gr_cx, ref, sym, rdw >> 1, rdh >> 1,
+                        template=0, at=_GR_NOMINAL_AT,
+                    )
+                    return curs + len(ref[0]) - 1
+
+                curs = emit(sid, ref, curs)
+                k += 1
+                while k < len(inst) and inst[k][2] == t:
+                    sid, s, _, ref = inst[k]
+                    encode_int(enc, iads, s - curs)
+                    curs = emit(sid, ref, s)
+                    k += 1
+                encode_int(enc, iads, OOB)
+            i += 1
+        encode_int(enc, iadw, OOB)
+    encode_int(enc, iaex, n_in)  # skip inputs
+    encode_int(enc, iaex, n_new)
+    sd2_flags = (1 << 1)
+    sd2_body = (
+        sd2_flags.to_bytes(2, "big")
+        + b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+        + bytes(x & 0xFF for pair in _GR_NOMINAL_AT for x in pair)
+        + n_new.to_bytes(4, "big")
+        + n_new.to_bytes(4, "big")
+        + enc.flush()
+    )
+
+    agg_bitmaps = []
+    for w, h, insts in agg_specs:
+        bm = [[0] * w for _ in range(h)]
+        for p in insts:
+            sid, s, t = p[0], p[1], p[2]
+            src = p[3] if len(p) == 4 and p[3] is not None else base_symbols[sid]
+            for yy, row in enumerate(src):
+                for xx, v in enumerate(row):
+                    if 0 <= t + yy < h and 0 <= s + xx < w:
+                        bm[t + yy][s + xx] |= v
+        agg_bitmaps.append(bm)
+
+    codelen = max(1, (n_new - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(codelen)
+    inst = sorted(placements, key=lambda p: (p[2], p[1]))
+    encode_int(enc, iadt, 0)
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][2]
+        encode_int(enc, iadt, t - prev_t)
+        prev_t = t
+        sid, s, _ = inst[k]
+        encode_int(enc, iafs, s - firsts)
+        firsts = s
+        curs = s
+        encode_id(enc, iaid, sid)
+        curs += len(agg_bitmaps[sid][0]) - 1
+        k += 1
+        while k < len(inst) and inst[k][2] == t:
+            sid, s, _ = inst[k]
+            encode_int(enc, iads, s - curs)
+            curs = s
+            encode_id(enc, iaid, sid)
+            curs += len(agg_bitmaps[sid][0]) - 1
+            k += 1
+        encode_int(enc, iads, OOB)
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    tr_body = (
+        reg_info
+        + (1 << 4).to_bytes(2, "big")
+        + len(inst).to_bytes(4, "big")
+        + enc.flush()
+    )
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 0, 0, sd1_body)
+    out += _jbig2_segment(2, 0, 0, sd2_body, refs=(1,))
+    out += _jbig2_segment(3, 6, 1, tr_body, refs=(2,))
+    out += _jbig2_segment(4, 49, 1, b"")
+    return out, agg_bitmaps

@@ -16,13 +16,15 @@ assignment; SDHUFF symbol dictionaries with raw/MMR height-class
 collective bitmaps per §6.5.9; SBHUFF text regions with the runcode
 symbol ID table of §7.4.3.1.7), GENERIC REFINEMENT (§6.3 templates 0/1
 with TPGRON — refinement region segments, REFINE=1 text-region
-instances, and SDREFAGG dictionaries with REFAGGNINST=1), and PATTERN
+instances, and SDREFAGG dictionaries incl. REFAGGNINST>1 aggregates
+coded as nested text regions), and PATTERN
 DICTIONARIES + HALFTONE REGIONS (§6.7/§6.6: collective-bitmap pattern
 split, gray-coded bitplane grids sharing one coder, 8.8 fixed-point
 skew grid). Still typed-unsupported (raw passthrough + failure code,
 strictly more than the reference, which passes everything through):
-aggregate coding with REFAGGNINST > 1, MMR halftone grayscale
-(MMR pattern dictionaries decode), skip bitmaps, custom table segments.
+MMR halftone grayscale planes (MMR pattern dictionaries decode),
+skip bitmaps, huffman refinement-aggregate dictionaries, and custom
+table segments.
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -919,6 +921,10 @@ def decode_symbol_dict(
     gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
     iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
     iardx, iardy = IntCtx(), IntCtx()
+    # contexts for REFAGGNINST > 1 nested text regions (6.5.8.2.1:
+    # shared across the whole dictionary decode)
+    iadt, iafs, iads, iari = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iardw, iardh = IntCtx(), IntCtx()
     gr_cx = (
         [[0, 0] for _ in range(_GR_CTX_SIZE[rtemplate])] if sdrefagg else None
     )
@@ -951,18 +957,29 @@ def decode_symbol_dict(
             if sdrefagg:
                 # 6.5.8.2: refinement/aggregate coding of the new symbol
                 nrefs = decode_int(mq, iaai)
-                if nrefs is OOB or nrefs < 1:
+                if nrefs is OOB or not 1 <= nrefs <= 10000:
                     raise Jbig2Error("bad REFAGGNINST")
+                pool = list(input_syms) + new_syms
                 if nrefs != 1:
-                    raise Jbig2Unsupported(
-                        "aggregate symbol coding (REFAGGNINST > 1)"
+                    # nested text region (6.5.8.2.1): SBSTRIPS=1, TL
+                    # corner, OR composition, DSOFFSET 0, contexts shared
+                    new_syms.append(
+                        _refagg_text(
+                            mq, symwidth, hcheight, nrefs, pool,
+                            rtemplate, r_at, gr_cx, iadt, iafs, iads,
+                            iaid, iari, iardw, iardh, iardx, iardy,
+                        )
                     )
+                    if len(new_syms) > num_new:
+                        raise Jbig2Error(
+                            "too many symbols in height classes"
+                        )
+                    continue
                 rid = decode_id(mq, iaid)
                 rdx = decode_int(mq, iardx)
                 rdy = decode_int(mq, iardy)
                 if OOB in (rdx, rdy):
                     raise Jbig2Error("OOB refinement offset")
-                pool = list(input_syms) + new_syms
                 if rid >= len(pool):
                     raise Jbig2Error(f"refinement symbol id {rid}")
                 new_syms.append(
@@ -1138,8 +1155,9 @@ def decode_text_region(
                 draw(sym, tx, curs)
                 curs += sh - 1
             ninst += 1
-            if ninst == num_instances:
-                break
+            if ninst > num_instances:
+                raise Jbig2Error("text instance overflow")
+        # the strip ends only on the IDS OOB, which is always consumed
     return info, bitmap
 
 
@@ -1685,8 +1703,9 @@ def _decode_text_region_huffman(
                 draw(sym, tx, curs)
                 curs += sh - 1
             ninst += 1
-            if ninst == num_instances:
-                break
+            if ninst > num_instances:
+                raise Jbig2Error("text instance overflow")
+        # the strip ends only on the IDS OOB, which is always consumed
     return info, bitmap
 
 
@@ -1916,3 +1935,76 @@ def decode_halftone_region(
                             else:
                                 prow[px] = v
     return info, bitmap
+
+
+def _refagg_text(
+    mq, w, h, ninst, syms, rtemplate, r_at, gr_cx,
+    iadt, iafs, iads, iaid, iari, iardw, iardh, iardx, iardy,
+):
+    """Nested text region for aggregate symbol coding (6.5.8.2.1):
+    fixed parameters SBSTRIPS=1, REFCORNER=TL, TRANSPOSED=0, COMBOP=OR,
+    SBDEFPIXEL=0, SBDSOFFSET=0, REFINE=1; every context is the
+    dictionary's own (shared across all aggregates in the dict)."""
+    bitmap = [[0] * w for _ in range(h)]
+    stript = decode_int(mq, iadt)
+    if stript is OOB:
+        raise Jbig2Error("OOB aggregate strip T")
+    stript = -stript
+    firsts = 0
+    count = 0
+    while count < ninst:
+        dt = decode_int(mq, iadt)
+        if dt is OOB:
+            raise Jbig2Error("OOB aggregate DT")
+        stript += dt
+        dfs = decode_int(mq, iafs)
+        if dfs is OOB:
+            raise Jbig2Error("OOB aggregate first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = decode_int(mq, iads)
+                if ids is OOB:
+                    break
+                curs += ids
+            first = False
+            sid = decode_id(mq, iaid)
+            if sid >= len(syms):
+                raise Jbig2Error(f"aggregate symbol id {sid}")
+            sym = syms[sid]
+            if decode_int(mq, iari):
+                rdw = decode_int(mq, iardw)
+                rdh = decode_int(mq, iardh)
+                rdx = decode_int(mq, iardx)
+                rdy = decode_int(mq, iardy)
+                if OOB in (rdw, rdh, rdx, rdy):
+                    raise Jbig2Error("OOB aggregate refinement delta")
+                nw = (len(sym[0]) if sym else 0) + rdw
+                nh = len(sym) + rdh
+                if not (0 < nw <= 10000 and 0 < nh <= 10000):
+                    raise Jbig2Error("bad aggregate refined dims")
+                sym = decode_refinement(
+                    mq, gr_cx, nw, nh, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    template=rtemplate, at=r_at,
+                )
+            sh = len(sym)
+            sw = len(sym[0]) if sh else 0
+            for yy in range(sh):
+                py = stript + yy
+                if 0 <= py < h:
+                    prow = bitmap[py]
+                    srow = sym[yy]
+                    for xx in range(sw):
+                        px = curs + xx
+                        if 0 <= px < w:
+                            prow[px] |= srow[xx]
+            curs += sw - 1
+            count += 1
+            if count > ninst:
+                raise Jbig2Error("aggregate instance overflow")
+        # strips end only on the IDS OOB (always consumed — this
+        # matters here because the dictionary stream continues)
+    return bitmap

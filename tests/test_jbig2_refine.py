@@ -217,3 +217,30 @@ def test_mmr_pattern_dictionary():
         invert=False,
     )
     assert a == b
+
+
+def test_aggregate_symbol_dictionary_refaggninst_gt_1():
+    """REFAGGNINST > 1: new symbols are nested text regions composing
+    input symbols (with optional per-instance refinement). Also pins the
+    strip-terminator rule this surface exposed: the IDS OOB is consumed
+    even after the last instance, because the dictionary stream
+    continues past the nested region."""
+    from delphi_pdf_parser_spark.fixtures import jbig2_embed_agg_dict
+
+    l = [[1, 0], [1, 0], [1, 1]]
+    o = [[1, 1, 1], [1, 0, 1], [1, 1, 1]]
+    ref_o = [[1, 1, 1], [1, 1, 1], [1, 1, 1]]
+    aggs = [
+        (6, 3, [(0, 0, 0), (1, 3, 0)]),           # "lo" ligature
+        (6, 3, [(0, 0, 0), (1, 3, 0, ref_o)]),    # with a refined 'o'
+    ]
+    plc = [(0, 1, 1), (1, 9, 1), (0, 2, 6)]
+    data, agg_bitmaps = jbig2_embed_agg_dict([l, o], aggs, plc, 18, 11)
+    assert agg_bitmaps[0] != agg_bitmaps[1]  # refinement changed pixels
+    w, h, p = jbig2_decode(data, invert=False)
+    exp = [[0] * 18 for _ in range(11)]
+    for sid, s, t in plc:
+        for yy, row in enumerate(agg_bitmaps[sid]):
+            for xx, v in enumerate(row):
+                exp[t + yy][s + xx] |= v
+    assert _unpack(w, h, p) == exp
