@@ -3645,6 +3645,15 @@ def _vp8l_write_prefix(bw: _Vp8lWriter, counts: dict, alphabet: int) -> dict:
     cl_lengths = _vp8l_huffman_lengths(cl_counts)
     assert max(cl_lengths.values()) <= 7
     bw.write(19 - 4, 4)  # emit all 19 code-length-code slots
+    if len(cl_lengths) == 1:
+        # every symbol shares one code length: the CL code is a single
+        # symbol — written with any nonzero length, decoded as a 0-bit
+        # code, so the per-symbol body emits nothing
+        only = next(iter(cl_lengths))
+        for s in _VP8L_CL_ORDER:
+            bw.write(1 if s == only else 0, 3)
+        bw.write(0, 1)  # no max_symbol cap
+        return _vp8l_canonical(lengths)
     for s in _VP8L_CL_ORDER:
         bw.write(cl_lengths.get(s, 0), 3)
     cl_codes = _vp8l_canonical(cl_lengths)

@@ -38,35 +38,70 @@ class WebpUnsupported(WebpError):
 
 
 class _LsbReader:
-    __slots__ = ("data", "pos", "bit")
+    """Buffered LSB-first reader: peek() zero-pads past the end (the
+    overrun is raised on CONSUMPTION), which lets prefix decoding use an
+    8-bit lookahead table."""
+
+    __slots__ = ("data", "bytepos", "acc", "navail")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.bytepos = 0
+        self.acc = 0
+        self.navail = 0
+
+    def _fill(self, n: int) -> None:
+        data = self.data
+        while self.navail < n and self.bytepos < len(data):
+            self.acc |= data[self.bytepos] << self.navail
+            self.navail += 8
+            self.bytepos += 1
+
+    def peek(self, n: int) -> int:
+        if self.navail < n:
+            self._fill(n)
+        return self.acc & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.navail < n:
+            self._fill(n)
+            if self.navail < n:
+                raise WebpError("bitstream overrun")
+        self.acc >>= n
+        self.navail -= n
 
     def read1(self) -> int:
-        if self.pos >= len(self.data):
-            raise WebpError("bitstream overrun")
-        v = (self.data[self.pos] >> self.bit) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
+        v = self.peek(1)
+        self.skip(1)
         return v
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.read1() << i
+        v = self.peek(n)
+        self.skip(n)
         return v
 
 
 class _Prefix:
     """Canonical prefix code from per-symbol lengths (DEFLATE
-    construction); codes are walked MSB-of-code-first."""
+    construction); codes are walked MSB-of-code-first. Decode uses an
+    8-bit lookahead table (codes stream LSB-first, so table keys are the
+    bit-reversed codes); longer codes fall back to a bit walk."""
 
-    __slots__ = ("map", "maxlen", "single")
+    __slots__ = ("map", "maxlen", "single", "lut")
+
+    def _build_lut(self):
+        lut = [None] * 256
+        for (l, code), s in self.map.items():
+            if l > 8:
+                continue
+            # reverse the l code bits (first-transmitted bit = MSB of code)
+            key = 0
+            for i in range(l):
+                key |= ((code >> i) & 1) << (l - 1 - i)
+            entry = (s, l)
+            for hi in range(1 << (8 - l)):
+                lut[key | (hi << l)] = entry
+        self.lut = lut
 
     def __init__(self, lengths: list):
         used = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -76,6 +111,7 @@ class _Prefix:
             self.single = used[0][1]
             self.map = {}
             self.maxlen = 0
+            self.lut = None
             return
         self.single = None
         maxlen = max(l for l, _ in used)
@@ -99,6 +135,7 @@ class _Prefix:
             raise WebpError("incomplete prefix code")
         self.map = m
         self.maxlen = maxlen
+        self._build_lut()
 
     @classmethod
     def simple(cls, symbols: list):
@@ -107,20 +144,29 @@ class _Prefix:
             p.single = symbols[0]
             p.map = {}
             p.maxlen = 0
+            p.lut = None
         else:
             p.single = None
             p.map = {(1, 0): symbols[0], (1, 1): symbols[1]}
             p.maxlen = 1
+            p._build_lut()
         return p
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
+        e = self.lut[br.peek(8)]
+        if e is not None:
+            br.skip(e[1])
+            return e[0]
+        # codes longer than 8 bits: bit walk over a wide peek
+        v = br.peek(self.maxlen)
         acc = 0
         for l in range(1, self.maxlen + 1):
-            acc = (acc << 1) | br.read1()
+            acc = (acc << 1) | ((v >> (l - 1)) & 1)
             s = self.map.get((l, acc))
             if s is not None:
+                br.skip(l)
                 return s
         raise WebpError("invalid prefix code")
 
