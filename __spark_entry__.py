@@ -258,6 +258,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_unigram_logprob(spark, sf_dir):
         return textstats.unigram_logprob(_docs(spark, sf_dir))
 
+    def q_dedup_clusters(spark, sf_dir):
+        """Keep-one-per-cluster resolution: connected components over
+        the exact-Jaccard near-dup pairs (DuckDB oracle: recursive CTE
+        reachability -> min reachable id per node)."""
+        from delphi_pdf_parser_spark.operators.clusters import (
+            dedup_clusters,
+        )
+
+        return dedup_clusters(_docs(spark, sf_dir))
+
     def q_decontaminate(spark, sf_dir):
         """Benchmark decontamination: 13-gram overlap of the corpus vs a
         benchmark slice (doc_id % 97 == 0 stands in for the eval set).
@@ -411,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
         "q5_local_supplier": q_q5,
         "stratified_sample": q_stratified_sample,
         "unigram_logprob": q_unigram_logprob,
@@ -624,6 +635,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
             WHERE event_type = 'purchase'
             ORDER BY user_id, day
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, source, {tokset} AS tokset FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE round(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                            / (len(a.tokset) + len(b.tokset)
+                               - len(list_intersect(a.tokset, b.tokset))), 4) >= 0.5
+            ), edges AS (
+                SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id,
+                   min(lab) AS cluster_id,
+                   min(lab) = node AS is_canonical
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "q5_local_supplier": """
             SELECT n_name,

@@ -53,6 +53,7 @@ BENCH_QUERIES = (
     "decontaminate",
     "q5_local_supplier",
     "unigram_logprob",
+    "dedup_clusters",
 )
 
 

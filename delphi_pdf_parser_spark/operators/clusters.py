@@ -1,0 +1,79 @@
+"""Dedup cluster resolution: connected components over near-duplicate
+pairs, the keep-one-per-cluster step that follows candidate generation
+and verification in a training-data dedup pipeline.
+
+100 TB shape: iterative min-label propagation — per round, one shuffle
+join of the (symmetrized) edge list against the current labels and a
+min-aggregate, with localCheckpoint truncating the lineage so the plan
+does not grow per iteration. Rounds needed = graph diameter; dedup
+clusters are shallow (near-dup relations are near-transitive), so this
+converges in a handful of rounds even at corpus scale. The convergence
+check is one count() per round on the changed-label set — the classic
+Spark connected-components loop (the large-star/small-star variant
+halves round count but adds two joins per round; at dedup-cluster
+diameters plain propagation wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """nodes: (doc_id,); edges: (a, b) undirected pairs. -> (doc_id,
+    cluster_id, is_canonical) where cluster_id is the minimum doc_id
+    reachable from the node and is_canonical marks the cluster
+    representative (the row a keep-one-per-cluster filter retains)."""
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = nodes.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+def dedup_clusters(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs (exact token Jaccard, the LSH verify stage) ->
+    connected components -> per-doc cluster id + canonical flag."""
+    from .dedup import token_jaccard_pairs
+
+    pairs = token_jaccard_pairs(documents, threshold=threshold).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return connected_components(documents.select("doc_id"), pairs)

@@ -66,3 +66,46 @@ def test_short_docs_produce_no_grams(spark):
         for r in benchmark_overlap(docs, bench, n=3).collect()
     }
     assert rows == {0: False, 1: True}
+
+
+def test_connected_components_structure(spark):
+    """Chain, triangle, and isolated nodes resolve to min-id clusters;
+    canonical flags mark exactly one representative per cluster."""
+    from delphi_pdf_parser_spark.operators.clusters import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3 (diameter 3: exercises multi-round propagation),
+    # triangle 4-5-6, node 7 isolated
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 5), (5, 6), (6, 4)], "a long, b long"
+    )
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert rows == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        4: (4, True), 5: (4, False), 6: (4, False),
+        7: (7, True),
+    }
+
+
+def test_dedup_clusters_keep_one(spark):
+    from delphi_pdf_parser_spark.operators.clusters import dedup_clusters
+
+    # two near-identical docs + one distinct, same source
+    docs = spark.createDataFrame(
+        [
+            (0, "s", "alpha beta gamma delta epsilon"),
+            (1, "s", "alpha beta gamma delta zeta"),
+            (2, "s", "totally different words here now"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert rows == {0: (0, True), 1: (0, False), 2: (2, True)}
