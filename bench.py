@@ -53,7 +53,10 @@ BENCH_QUERIES = (
     "decontaminate",
     "q5_local_supplier",
     "unigram_logprob",
-    "dedup_clusters",
+    # dedup_clusters is deliberately NOT benched: an iterative
+    # connected-components loop (~10 s warm at sf0.1, dominated by
+    # per-round actions) would swamp the single-pass query totals; it
+    # stays driver-oracled at sf0.01
 )
 
 
