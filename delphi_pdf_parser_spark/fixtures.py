@@ -3294,7 +3294,7 @@ CASES["jpx_image"] = _case_jpx_image
 
 def jbig2_embed_text_huffman(
     symbols: list, placements: list, page_w: int, page_h: int,
-    collective: str = "raw",
+    collective: str = "raw", custom_ds: bool = False,
 ) -> bytes:
     """Huffman-coded counterpart of jbig2_embed_text: SDHUFF symbol
     dictionary (height classes with raw or MMR collective bitmaps,
@@ -3308,10 +3308,13 @@ def jbig2_embed_text_huffman(
         _BitWriter,
         _GR_CTX_SIZE,
         _GR_NOMINAL_AT,
+        _LOW,
         _N,
+        _OOB_K,
         HuffTable,
         MQEncoder,
         encode_refinement,
+        encode_table_segment,
         std_table,
     )
 
@@ -3330,7 +3333,17 @@ def jbig2_embed_text_huffman(
     sorted_syms = [symbols[i] for i in order]
 
     t1, t2, t4 = std_table(1), std_table(2), std_table(4)
-    t6, t8, t11 = std_table(6), std_table(8), std_table(11)
+    t6, t11 = std_table(6), std_table(11)
+    if custom_ds:
+        # a compact IDS table tuned to small deltas: [-8, 8) in 1-value
+        # ranges at 4-bit prefixes, 32-bit lower/upper lines, OOB
+        ds_lines = [(5, 0, v, _N) for v in range(-8, 8)]
+        ds_lines += [(3, 32, -9, _LOW), (3, 32, 8, _N), (2, 0, 0, _OOB_K)]
+        t8 = HuffTable(ds_lines)
+        ds_table_seg = encode_table_segment(ds_lines, htoob=True)
+    else:
+        t8 = std_table(8)
+        ds_table_seg = None
 
     # --- symbol dictionary ------------------------------------------------
     bw = _BitWriter()
@@ -3448,10 +3461,11 @@ def jbig2_embed_text_huffman(
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
     tr_flags = 1 | (1 << 4) | ((1 << 1) if any_refine else 0)
+    huff_flags = (3 << 2) if custom_ds else 0  # SBHUFFDS selector
     tr_body = (
         reg_info
         + tr_flags.to_bytes(2, "big")
-        + (0).to_bytes(2, "big")  # SBHUFFFLAGS: all standard selector 0
+        + huff_flags.to_bytes(2, "big")
         + (
             bytes(x & 0xFF for pair in _GR_NOMINAL_AT for x in pair)
             if any_refine
@@ -3468,8 +3482,13 @@ def jbig2_embed_text_huffman(
     )
     out = _jbig2_segment(0, 48, 1, page_info)
     out += _jbig2_segment(1, 0, 0, sd_body)
-    out += _jbig2_segment(2, 6, 1, tr_body, refs=(1,))
-    out += _jbig2_segment(3, 49, 1, b"")
+    if ds_table_seg is not None:
+        out += _jbig2_segment(2, 53, 0, ds_table_seg)
+        out += _jbig2_segment(3, 6, 1, tr_body, refs=(1, 2))
+        out += _jbig2_segment(4, 49, 1, b"")
+    else:
+        out += _jbig2_segment(2, 6, 1, tr_body, refs=(1,))
+        out += _jbig2_segment(3, 49, 1, b"")
     return out
 
 

@@ -20,11 +20,12 @@ instances, and SDREFAGG dictionaries incl. REFAGGNINST>1 aggregates
 coded as nested text regions), and PATTERN
 DICTIONARIES + HALFTONE REGIONS (§6.7/§6.6: collective-bitmap pattern
 split, gray-coded bitplane grids sharing one coder, 8.8 fixed-point
-skew grid). Still typed-unsupported (raw passthrough + failure code,
+skew grid). Custom Huffman
+table segments (T.88 B.2, type 53) parse and feed selector-3 table
+slots. Still typed-unsupported (raw passthrough + failure code,
 strictly more than the reference, which passes everything through):
 MMR halftone grayscale planes (MMR pattern dictionaries decode),
-skip bitmaps, huffman refinement-aggregate dictionaries, and custom
-table segments.
+skip bitmaps, and huffman refinement-aggregate dictionaries.
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -522,6 +523,7 @@ def _jbig2_decode(
     default_pixel = 0
     sym_dicts: dict[int, list] = {}  # segment number -> exported symbols
     pat_dicts: dict[int, list] = {}  # segment number -> patterns
+    custom_tables: dict[int, "HuffTable"] = {}  # table segments
 
     def ensure_page(w, h):
         nonlocal page, page_w, page_h
@@ -623,17 +625,23 @@ def _jbig2_decode(
             continue
         elif t == _T_SYMBOL_DICT:
             inputs: list = []
+            tabs: list = []
             for r in hdr["refs"]:
                 inputs.extend(sym_dicts.get(r, []))
+                if r in custom_tables:
+                    tabs.append(custom_tables[r])
             sym_dicts[hdr["number"]] = decode_symbol_dict(
-                body, inputs, max_pixels=max_pixels
+                body, inputs, max_pixels=max_pixels, tables=tabs
             )
         elif t in _T_TEXT_REGION:
             syms: list = []
+            tabs = []
             for r in hdr["refs"]:
                 syms.extend(sym_dicts.get(r, []))
+                if r in custom_tables:
+                    tabs.append(custom_tables[r])
             info, region = decode_text_region(
-                body, syms, max_pixels=max_pixels
+                body, syms, max_pixels=max_pixels, tables=tabs
             )
             if t == 4:
                 raise Jbig2Unsupported("intermediate text region")
@@ -744,7 +752,7 @@ def _jbig2_decode(
                     else:
                         prow[px] = v
         elif t == _T_TABLES:
-            raise Jbig2Unsupported("custom huffman tables")
+            custom_tables[hdr["number"]] = decode_table_segment(body)
         # unknown types: skip (forward compatibility)
     if page is None:
         raise Jbig2Error("no page produced")
@@ -878,7 +886,8 @@ def encode_id(mq: MQEncoder, ia: IdCtx, value: int) -> None:
 
 
 def decode_symbol_dict(
-    body: bytes, input_syms: list, max_pixels: int = 1 << 22
+    body: bytes, input_syms: list, max_pixels: int = 1 << 22,
+    tables: list | None = None,
 ) -> list:
     """Symbol-dictionary segment body -> list of EXPORTED symbol bitmaps
     (rows of 0/1). Arithmetic coding only; SDHUFF / refinement-aggregate
@@ -892,7 +901,7 @@ def decode_symbol_dict(
         raise Jbig2Unsupported("huffman refinement/aggregate dictionary")
     if sdhuff:
         return _decode_symbol_dict_huffman(
-            body, flags, input_syms, max_pixels
+            body, flags, input_syms, max_pixels, tables or []
         )
     pos = 2
     n_at = 4 if template == 0 else 1
@@ -1022,7 +1031,8 @@ def decode_symbol_dict(
 
 
 def decode_text_region(
-    body: bytes, syms: list, max_pixels: int = 1 << 22
+    body: bytes, syms: list, max_pixels: int = 1 << 22,
+    tables: list | None = None,
 ) -> tuple[dict, list]:
     """Text-region segment body + symbol list -> (region info, bitmap)."""
     info = _parse_region_info(body)
@@ -1041,7 +1051,7 @@ def decode_text_region(
         ds_offset -= 32  # signed 5-bit
     if sbhuff:
         return _decode_text_region_huffman(
-            body, info, flags, syms, max_pixels
+            body, info, flags, syms, max_pixels, tables or []
         )
     strips = 1 << log_strips
     pos = 19
@@ -1442,20 +1452,29 @@ def _mmr_bitmap(payload: bytes, width: int, height: int) -> list:
 
 
 def _decode_symbol_dict_huffman(
-    body: bytes, flags: int, input_syms: list, max_pixels: int
+    body: bytes, flags: int, input_syms: list, max_pixels: int,
+    tables: list,
 ) -> list:
     """SDHUFF=1, SDREFAGG=0 (T.88 6.5.9: height classes with collective
-    bitmaps, uncompressed or MMR). Custom table selectors (referred
-    table segments) stay typed-unsupported."""
+    bitmaps, uncompressed or MMR). Custom table selectors consume the
+    referred table segments in DH, DW, BMSIZE, AGG order (7.4.4.1.7)."""
     dh_sel = (flags >> 2) & 3
     dw_sel = (flags >> 4) & 3
     bm_sel = (flags >> 6) & 1
     agg_sel = (flags >> 7) & 1
-    if dh_sel == 3 or dw_sel == 3 or bm_sel or agg_sel:
-        raise Jbig2Unsupported("custom huffman tables (symbol dict)")
-    t_dh = std_table(4 if dh_sel == 0 else 5)
-    t_dw = std_table(2 if dw_sel == 0 else 3)
-    t_bm = std_table(1)
+    it = iter(tables)
+
+    def custom():
+        try:
+            return next(it)
+        except StopIteration:
+            raise Jbig2Error("missing referred custom table")
+
+    t_dh = custom() if dh_sel == 3 else std_table(4 if dh_sel == 0 else 5)
+    t_dw = custom() if dw_sel == 3 else std_table(2 if dw_sel == 0 else 3)
+    t_bm = custom() if bm_sel else std_table(1)
+    if agg_sel:
+        custom()  # SDHUFFAGG: consumed but only used by refagg dicts
     t_ex = std_table(1)
     pos = 2  # no AT pixels in huffman mode (7.4.4.1)
     num_ex = int.from_bytes(body[pos : pos + 4], "big")
@@ -1561,7 +1580,8 @@ def _symbol_id_table(br: _BitReader, nsyms: int) -> HuffTable:
 
 
 def _decode_text_region_huffman(
-    body: bytes, info: dict, flags: int, syms: list, max_pixels: int
+    body: bytes, info: dict, flags: int, syms: list, max_pixels: int,
+    tables: list,
 ) -> tuple[dict, list]:
     """SBHUFF=1 text region (T.88 6.4 Huffman side, incl. REFINE=1
     instances whose refinement data arrives as byte-aligned RSIZE-byte
@@ -1581,22 +1601,34 @@ def _decode_text_region_huffman(
     rdw_sel, rdh_sel = (hf >> 6) & 3, (hf >> 8) & 3
     rdx_sel, rdy_sel = (hf >> 10) & 3, (hf >> 12) & 3
     rsize_sel = (hf >> 14) & 1
-    if fs_sel == 3 or ds_sel == 3 or dt_sel == 3:
-        raise Jbig2Unsupported("custom huffman tables (text region)")
-    t_fs = std_table(6 + fs_sel)
-    t_ds = std_table(8 + ds_sel)
-    t_dt = std_table(11 + dt_sel)
+    it = iter(tables)
+
+    def custom():
+        try:
+            return next(it)
+        except StopIteration:
+            raise Jbig2Error("missing referred custom table")
+
+    # assignment order: FS, DS, DT, RDW, RDH, RDX, RDY, RSIZE (7.4.3.1.6)
+    t_fs = custom() if fs_sel == 3 else std_table(6 + fs_sel)
+    t_ds = custom() if ds_sel == 3 else std_table(8 + ds_sel)
+    t_dt = custom() if dt_sel == 3 else std_table(11 + dt_sel)
     pos = 21
     t_rdw = t_rdh = t_rdx = t_rdy = t_rsize = None
     r_at = list(_GR_NOMINAL_AT)
     if refine:
-        if max(rdw_sel, rdh_sel, rdx_sel, rdy_sel) > 1 or rsize_sel:
-            raise Jbig2Unsupported("custom huffman tables (refinement)")
-        t_rdw = std_table(14 + rdw_sel)
-        t_rdh = std_table(14 + rdh_sel)
-        t_rdx = std_table(14 + rdx_sel)
-        t_rdy = std_table(14 + rdy_sel)
-        t_rsize = std_table(1)
+        def rtab(sel):
+            if sel == 3:
+                return custom()
+            if sel > 1:
+                raise Jbig2Error(f"reserved refinement table selector {sel}")
+            return std_table(14 + sel)
+
+        t_rdw = rtab(rdw_sel)
+        t_rdh = rtab(rdh_sel)
+        t_rdx = rtab(rdx_sel)
+        t_rdy = rtab(rdy_sel)
+        t_rsize = custom() if rsize_sel else std_table(1)
         if rtemplate == 0:
             r_at = []
             for _ in range(2):
@@ -2008,3 +2040,64 @@ def _refagg_text(
         # strips end only on the IDS OOB (always consumed — this
         # matters here because the dictionary stream continues)
     return bitmap
+
+
+def decode_table_segment(body: bytes) -> HuffTable:
+    """Custom Huffman table segment (T.88 B.2): flags byte (HTOOB,
+    HTPS-1, HTRS-1), HTLOW/HTHIGH, then MSB-first bit-packed lines —
+    finite ranges tiling [HTLOW, HTHIGH), the lower and upper 32-bit
+    lines, and the OOB line when HTOOB is set."""
+    if len(body) < 9:
+        raise Jbig2Error("table segment too short")
+    flags = body[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow = int.from_bytes(body[1:5], "big", signed=True)
+    hthigh = int.from_bytes(body[5:9], "big", signed=True)
+    if hthigh <= htlow:
+        raise Jbig2Error("empty table range")
+    br = _BitReader(body[9:])
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        pl = br.read(htps)
+        rl = br.read(htrs)
+        if rl > 32:
+            raise Jbig2Error("table range length > 32")
+        lines.append((pl, rl, cur, _N))
+        cur += 1 << rl
+        if len(lines) > 4096:
+            raise Jbig2Error("implausible table line count")
+    lines.append((br.read(htps), 32, htlow - 1, _LOW))
+    lines.append((br.read(htps), 32, hthigh, _N))
+    if htoob:
+        lines.append((br.read(htps), 0, 0, _OOB_K))
+    return HuffTable(lines)
+
+
+def encode_table_segment(
+    lines: list, htoob: bool, htps: int = 4, htrs: int = 6
+) -> bytes:
+    """Fixture-side counterpart: lines in decode_table_segment's
+    in-range order (finite ranges ascending, then lower, upper, oob)."""
+    finite = [l for l in lines if l[3] == _N and l[1] < 32]
+    lower = [l for l in lines if l[3] == _LOW]
+    upper = [l for l in lines if l[3] == _N and l[1] == 32]
+    oob = [l for l in lines if l[3] == _OOB_K]
+    htlow = finite[0][2]
+    hthigh = finite[-1][2] + (1 << finite[-1][1])
+    out = bytearray(
+        [int(htoob) | ((htps - 1) << 1) | ((htrs - 1) << 4)]
+    )
+    out += htlow.to_bytes(4, "big", signed=True)
+    out += hthigh.to_bytes(4, "big", signed=True)
+    bw = _BitWriter()
+    for pl, rl, lo, _k in finite:
+        bw.write(pl, htps)
+        bw.write(rl, htrs)
+    bw.write(lower[0][0], htps)
+    bw.write(upper[0][0], htps)
+    if htoob:
+        bw.write(oob[0][0], htps)
+    return bytes(out) + bw.flush()

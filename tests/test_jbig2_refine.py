@@ -244,3 +244,41 @@ def test_aggregate_symbol_dictionary_refaggninst_gt_1():
             for xx, v in enumerate(row):
                 exp[t + yy][s + xx] |= v
     assert _unpack(w, h, p) == exp
+
+
+def test_custom_huffman_table_segments():
+    """Type-53 table segments (T.88 B.2): a custom DS table referred by
+    an SBHUFF text region (selector 3) decodes to the same page the
+    arithmetic and standard-table codings produce; the segment format
+    round-trips a standard table with lower/upper/OOB lines exactly."""
+    from delphi_pdf_parser_spark.fixtures import (
+        jbig2_embed_text,
+        jbig2_embed_text_huffman,
+    )
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        OOB,
+        _BitReader,
+        _BitWriter,
+        _STD_LINES,
+        HuffTable,
+        decode_table_segment,
+        encode_table_segment,
+    )
+
+    args = _jbig2_text_fixture_args()
+    ref = jbig2_decode(jbig2_embed_text(*args), invert=False)
+    assert jbig2_decode(
+        jbig2_embed_text_huffman(*args, custom_ds=True), invert=False
+    ) == ref
+
+    lines = _STD_LINES[8]
+    tab = decode_table_segment(encode_table_segment(lines, htoob=True))
+    refc = HuffTable(lines)
+    vals = [-15, -3, 0, 4, 21, 99, 646, 1669, 1700, -20]
+    bw = _BitWriter()
+    for v in vals:
+        refc.encode(bw, v)
+    refc.encode(bw, OOB)
+    br = _BitReader(bw.flush())
+    assert [tab.decode(br) for _ in vals] == vals
+    assert tab.decode(br) is OOB
