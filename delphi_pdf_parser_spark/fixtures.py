@@ -4293,7 +4293,7 @@ def jbig2_embed_refagg_dict(
 
 def jbig2_embed_halftone(
     values: list, patterns: list, page_w: int, page_h: int,
-    pattern_mmr: bool = False,
+    pattern_mmr: bool = False, gray_mmr: bool = False,
 ) -> bytes:
     """Pattern dictionary + immediate halftone region: `values` is the
     HGH x HGW grid of pattern indices, `patterns` the HDPW x HDPH cells.
@@ -4329,11 +4329,8 @@ def jbig2_embed_halftone(
     hgh = len(values)
     hgw = len(values[0])
     bits = max(1, (n - 1).bit_length())
-    # gray-code planes (C.5): p_{b-1} = v_{b-1}; p_j = v_j ^ v_{j+1};
-    # one shared coder + context across planes
-    enc = MQEncoder()
-    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
-    nat = _NOMINAL_AT[0]
+    # gray-code planes (C.5): p_{b-1} = v_{b-1}; p_j = v_j ^ v_{j+1}
+    planes = []
     prev_bit = [[0] * hgw for _ in range(hgh)]
     for j in range(bits - 1, -1, -1):
         plane = [[0] * hgw for _ in range(hgh)]
@@ -4342,24 +4339,34 @@ def jbig2_embed_halftone(
                 v = (values[y][x] >> j) & 1
                 plane[y][x] = v ^ prev_bit[y][x]
                 prev_bit[y][x] = v
-        img = [[0] * hgw for _ in range(hgh)]
-        for y in range(hgh):
-            for x in range(hgw):
-                ctx = _gb_context(img, x, y, hgw, 0, nat)
-                enc.encode(gb_cx[ctx], plane[y][x])
-                img[y][x] = plane[y][x]
+        planes.append(plane)
+    if gray_mmr:
+        gs_payload = ccitt_g4_encode([row for pl in planes for row in pl])
+    else:
+        # arithmetic: one shared coder + context across planes
+        enc = MQEncoder()
+        gb_cx = [[0, 0] for _ in range(_CTX_SIZE[0])]
+        nat = _NOMINAL_AT[0]
+        for plane in planes:
+            img = [[0] * hgw for _ in range(hgh)]
+            for y in range(hgh):
+                for x in range(hgw):
+                    ctx = _gb_context(img, x, y, hgw, 0, nat)
+                    enc.encode(gb_cx[ctx], plane[y][x])
+                    img[y][x] = plane[y][x]
+        gs_payload = None
     reg_info = (
         page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
     ht_body = (
         reg_info
-        + bytes([0])  # arith, template 0, no skip, OR, defpixel 0
+        + bytes([1 if gray_mmr else 0])  # template 0, no skip, OR
         + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
         + (0).to_bytes(4, "big", signed=True)
         + (0).to_bytes(4, "big", signed=True)
         + (hdpw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
-        + enc.flush()
+        + (gs_payload if gray_mmr else enc.flush())
     )
     page_info = (
         page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")

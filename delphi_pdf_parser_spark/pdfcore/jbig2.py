@@ -24,8 +24,7 @@ skew grid). Custom Huffman
 table segments (T.88 B.2, type 53) parse and feed selector-3 table
 slots. Still typed-unsupported (raw passthrough + failure code,
 strictly more than the reference, which passes everything through):
-MMR halftone grayscale planes (MMR pattern dictionaries decode),
-skip bitmaps, and huffman refinement-aggregate dictionaries.
+halftone skip bitmaps and huffman refinement-aggregate dictionaries.
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -1910,7 +1909,9 @@ def decode_halftone_region(
     body: bytes, patterns: list, max_pixels: int
 ) -> tuple[dict, list]:
     """Halftone-region segment body + pattern dict -> (info, bitmap):
-    gray-coded grid values index patterns drawn at skew-grid positions
+    gray-coded grid values (arithmetic bitplanes sharing one coder, or
+    MMR as one stacked G4 stream) index patterns drawn at skew-grid
+    positions
     (x = (HGX + mg*HRY + ng*HRX) >> 8, y = (HGY + mg*HRX - ng*HRY) >> 8,
     the 8.8 fixed-point grid both public readers implement)."""
     info = _parse_region_info(body)
@@ -1922,8 +1923,6 @@ def decode_halftone_region(
     enableskip = (flags >> 3) & 1
     comb_op = (flags >> 4) & 7
     def_pixel = (flags >> 7) & 1
-    if hmmr:
-        raise Jbig2Unsupported("MMR halftone region")
     if enableskip:
         raise Jbig2Unsupported("halftone skip bitmap")
     if not patterns:
@@ -1937,10 +1936,24 @@ def decode_halftone_region(
     if hgw * hgh > max_pixels:
         raise Jbig2Unsupported("halftone grid exceeds max_pixels")
     bits = max(1, (len(patterns) - 1).bit_length())
-    mq = MQDecoder(body[38:])
-    gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
-    at = _NOMINAL_AT[template]
-    vals = _decode_grayscale(mq, gb_cx, hgw, hgh, bits, template, at)
+    if hmmr:
+        # C.5 MMR form: all bitplanes as ONE G4 stream of hgh*bits rows
+        # (the reference line carries across plane boundaries)
+        stacked = _mmr_bitmap(body[38:], hgw, hgh * bits)
+        vals = [[0] * hgw for _ in range(hgh)]
+        prev = [[0] * hgw for _ in range(hgh)]
+        for j in range(bits - 1, -1, -1):
+            plane = stacked[(bits - 1 - j) * hgh : (bits - j) * hgh]
+            for y in range(hgh):
+                for x in range(hgw):
+                    b = plane[y][x] ^ prev[y][x]
+                    vals[y][x] |= b << j
+                    prev[y][x] = b
+    else:
+        mq = MQDecoder(body[38:])
+        gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
+        at = _NOMINAL_AT[template]
+        vals = _decode_grayscale(mq, gb_cx, hgw, hgh, bits, template, at)
     w, h = info["w"], info["h"]
     bitmap = [[def_pixel] * w for _ in range(h)]
     pmax = len(patterns) - 1

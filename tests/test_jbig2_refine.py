@@ -282,3 +282,29 @@ def test_custom_huffman_table_segments():
     br = _BitReader(bw.flush())
     assert [tab.decode(br) for _ in vals] == vals
     assert tab.decode(br) is OOB
+
+
+def test_mmr_halftone_grayscale():
+    """HMMR=1: all gray-code bitplanes as ONE G4 stream of hgh*bits rows
+    (reference line carries across plane boundaries). Fully-MMR halftone
+    (patterns + grayscale) matches the arithmetic coding."""
+    rng = random.Random(4)
+    pats = [
+        [[0, 0, 0], [0, 0, 0], [0, 0, 0]],
+        [[0, 0, 0], [0, 1, 0], [0, 0, 0]],
+        [[1, 0, 1], [0, 1, 0], [1, 0, 1]],
+        [[1, 1, 1], [1, 1, 1], [1, 1, 1]],
+    ]
+    vals = [[rng.randrange(4) for _ in range(5)] for _ in range(4)]
+    a = jbig2_decode(jbig2_embed_halftone(vals, pats, 15, 12), invert=False)
+    b = jbig2_decode(
+        jbig2_embed_halftone(vals, pats, 15, 12, gray_mmr=True),
+        invert=False,
+    )
+    c = jbig2_decode(
+        jbig2_embed_halftone(
+            vals, pats, 15, 12, gray_mmr=True, pattern_mmr=True
+        ),
+        invert=False,
+    )
+    assert a == b == c
