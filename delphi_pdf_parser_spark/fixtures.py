@@ -4294,6 +4294,7 @@ def jbig2_embed_refagg_dict(
 def jbig2_embed_halftone(
     values: list, patterns: list, page_w: int, page_h: int,
     pattern_mmr: bool = False, gray_mmr: bool = False,
+    grid_x: int = 0, grid_y: int = 0, enable_skip: bool = False,
 ) -> bytes:
     """Pattern dictionary + immediate halftone region: `values` is the
     HGH x HGW grid of pattern indices, `patterns` the HDPW x HDPH cells.
@@ -4340,6 +4341,17 @@ def jbig2_embed_halftone(
                 plane[y][x] = v ^ prev_bit[y][x]
                 prev_bit[y][x] = v
         planes.append(plane)
+    skip = None
+    if enable_skip:
+        assert not gray_mmr
+        skip = [[0] * hgw for _ in range(hgh)]
+        for mg in range(hgh):
+            for ng in range(hgw):
+                x = (grid_x + ng * (hdpw << 8)) >> 8
+                y = (grid_y + mg * (hdpw << 8)) >> 8
+                if (x + hdpw <= 0 or x >= page_w
+                        or y + hdph <= 0 or y >= page_h):
+                    skip[mg][ng] = 1
     if gray_mmr:
         gs_payload = ccitt_g4_encode([row for pl in planes for row in pl])
     else:
@@ -4351,6 +4363,8 @@ def jbig2_embed_halftone(
             img = [[0] * hgw for _ in range(hgh)]
             for y in range(hgh):
                 for x in range(hgw):
+                    if skip is not None and skip[y][x]:
+                        continue  # pixel not coded
                     ctx = _gb_context(img, x, y, hgw, 0, nat)
                     enc.encode(gb_cx[ctx], plane[y][x])
                     img[y][x] = plane[y][x]
@@ -4359,12 +4373,13 @@ def jbig2_embed_halftone(
         page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
+    ht_flags = (1 if gray_mmr else 0) | ((1 << 3) if enable_skip else 0)
     ht_body = (
         reg_info
-        + bytes([1 if gray_mmr else 0])  # template 0, no skip, OR
+        + bytes([ht_flags])  # template 0, OR composition
         + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
-        + (0).to_bytes(4, "big", signed=True)
-        + (0).to_bytes(4, "big", signed=True)
+        + grid_x.to_bytes(4, "big", signed=True)
+        + grid_y.to_bytes(4, "big", signed=True)
         + (hdpw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
         + (gs_payload if gray_mmr else enc.flush())
     )

@@ -22,9 +22,10 @@ DICTIONARIES + HALFTONE REGIONS (§6.7/§6.6: collective-bitmap pattern
 split, gray-coded bitplane grids sharing one coder, 8.8 fixed-point
 skew grid). Custom Huffman
 table segments (T.88 B.2, type 53) parse and feed selector-3 table
-slots. Still typed-unsupported (raw passthrough + failure code,
-strictly more than the reference, which passes everything through):
-halftone skip bitmaps and huffman refinement-aggregate dictionaries.
+slots. The only remaining typed fallback
+(raw passthrough + failure code, strictly more than the reference,
+which passes everything through) is huffman refinement-aggregate
+dictionaries (and skip bitmaps combined with MMR grayscale).
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -350,9 +351,12 @@ def _check_at(at, template):
     return at
 
 
-def _decode_generic_into(mq, cx, width, height, template, at, tpgdon):
+def _decode_generic_into(mq, cx, width, height, template, at, tpgdon,
+                         skip=None):
     """Core generic decode with a SHARED MQ decoder + context array (the
-    symbol dictionary decodes every symbol through one coder/state)."""
+    symbol dictionary decodes every symbol through one coder/state).
+    skip: optional bitmap — pixels where skip=1 are 0 WITHOUT decoding
+    (T.88 6.2.5.7 step 3; used by halftone HENABLESKIP)."""
     img = [[0] * width for _ in range(height)]
     ltp = 0
     for y in range(height):
@@ -364,7 +368,10 @@ def _decode_generic_into(mq, cx, width, height, template, at, tpgdon):
                     img[y] = list(img[y - 1])
                 continue
         row = img[y]
+        srow = skip[y] if skip is not None else None
         for x in range(width):
+            if srow is not None and srow[x]:
+                continue  # stays 0, no bit decoded
             ctx = _gb_context(img, x, y, width, template, at)
             row[x] = mq.decode(cx[ctx])
     return img
@@ -1888,7 +1895,8 @@ def decode_pattern_dict(body: bytes, max_pixels: int) -> list:
 
 
 def _decode_grayscale(
-    mq: MQDecoder, gb_cx: list, w: int, h: int, bits: int, template: int, at
+    mq: MQDecoder, gb_cx: list, w: int, h: int, bits: int, template: int, at,
+    skip=None,
 ) -> list:
     """Annex C.5 gray-coded bitplane image -> rows of int values.
     Planes decode MSB-first sharing ONE coder + context; bit j of the
@@ -1896,7 +1904,8 @@ def _decode_grayscale(
     vals = [[0] * w for _ in range(h)]
     prev_bit = [[0] * w for _ in range(h)]
     for j in range(bits - 1, -1, -1):
-        plane = _decode_generic_into(mq, gb_cx, w, h, template, at, False)
+        plane = _decode_generic_into(mq, gb_cx, w, h, template, at, False,
+                                     skip=skip)
         for y in range(h):
             for x in range(w):
                 b = plane[y][x] ^ prev_bit[y][x]
@@ -1923,8 +1932,6 @@ def decode_halftone_region(
     enableskip = (flags >> 3) & 1
     comb_op = (flags >> 4) & 7
     def_pixel = (flags >> 7) & 1
-    if enableskip:
-        raise Jbig2Unsupported("halftone skip bitmap")
     if not patterns:
         raise Jbig2Error("halftone region with no patterns")
     hgw = int.from_bytes(body[18:22], "big")
@@ -1936,6 +1943,22 @@ def decode_halftone_region(
     if hgw * hgh > max_pixels:
         raise Jbig2Unsupported("halftone grid exceeds max_pixels")
     bits = max(1, (len(patterns) - 1).bit_length())
+    hpw = len(patterns[0][0])
+    hph = len(patterns[0])
+    skip = None
+    if enableskip:
+        # 6.6.5.1: skip grid cells whose pattern lands fully outside
+        # the region; their gray pixels are not coded
+        if hmmr:
+            raise Jbig2Unsupported("skip bitmap with MMR grayscale")
+        skip = [[0] * hgw for _ in range(hgh)]
+        for mg in range(hgh):
+            for ng in range(hgw):
+                x = (hgx + mg * hry + ng * hrx) >> 8
+                y = (hgy + mg * hrx - ng * hry) >> 8
+                if (x + hpw <= 0 or x >= info["w"]
+                        or y + hph <= 0 or y >= info["h"]):
+                    skip[mg][ng] = 1
     if hmmr:
         # C.5 MMR form: all bitplanes as ONE G4 stream of hgh*bits rows
         # (the reference line carries across plane boundaries)
@@ -1953,7 +1976,8 @@ def decode_halftone_region(
         mq = MQDecoder(body[38:])
         gb_cx = [[0, 0] for _ in range(_CTX_SIZE[template])]
         at = _NOMINAL_AT[template]
-        vals = _decode_grayscale(mq, gb_cx, hgw, hgh, bits, template, at)
+        vals = _decode_grayscale(mq, gb_cx, hgw, hgh, bits, template, at,
+                                 skip=skip)
     w, h = info["w"], info["h"]
     bitmap = [[def_pixel] * w for _ in range(h)]
     pmax = len(patterns) - 1

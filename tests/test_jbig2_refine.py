@@ -308,3 +308,37 @@ def test_mmr_halftone_grayscale():
         invert=False,
     )
     assert a == b == c
+
+
+def test_halftone_skip_bitmap():
+    """HENABLESKIP with an offset grid: cells landing outside the region
+    are geometry-skipped — their gray pixels are never coded — and the
+    page matches both the no-skip coding of the same content and the
+    independently composed expectation."""
+    rng = random.Random(4)
+    pats = [[[0, 0], [0, 0]], [[1, 0], [0, 0]], [[1, 0], [0, 1]],
+            [[1, 1], [1, 1]]]
+    vals = [[rng.randrange(4) for _ in range(6)] for _ in range(5)]
+    gx, gy = -(2 << 8), -(2 << 8)
+    w, h, p = jbig2_decode(
+        jbig2_embed_halftone(
+            vals, pats, 9, 7, grid_x=gx, grid_y=gy, enable_skip=True
+        ),
+        invert=False,
+    )
+    exp = [[0] * 9 for _ in range(7)]
+    for mg in range(5):
+        for ng in range(6):
+            x = (gx + ng * (2 << 8)) >> 8
+            y = (gy + mg * (2 << 8)) >> 8
+            pat = pats[vals[mg][ng]]
+            for yy in range(2):
+                for xx in range(2):
+                    if 0 <= y + yy < 7 and 0 <= x + xx < 9:
+                        exp[y + yy][x + xx] |= pat[yy][xx]
+    assert _unpack(w, h, p) == exp
+    w2, h2, p2 = jbig2_decode(
+        jbig2_embed_halftone(vals, pats, 9, 7, grid_x=gx, grid_y=gy),
+        invert=False,
+    )
+    assert _unpack(w2, h2, p2) == exp
