@@ -405,28 +405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = synth_media(_docs(spark, sf_dir))
         return extract_media_features(media).orderBy("doc_id")
 
+    # ORDERING CONTRACT (VERDICT r3 finding #1): the driver verifies only the
+    # FIRST 50 entries of this dict.  Every DuckDB-oracled query must sit
+    # inside that window; rows-only-by-design entries (pdf_* pipeline, WARC,
+    # hash-function-specific dedup/ANN, multimodal) come last.  When adding a
+    # new oracled query, insert it BEFORE the "rows-only" comment below.
     return {
-        # PDF pipeline (rows-only)
-        "pdf_extract": _q_pdf_extract,
-        "pdf_golden_verify": _q_pdf_golden_verify,
-        "pdf_metrics_rollup": _q_pdf_metrics_rollup,
-        "pdf_resume_anti_join": _q_pdf_resume_anti_join,
-        "pdf_metadata": _q_pdf_metadata,
-        "pdf_stat_pass": _q_pdf_stat_pass,
-        "pdf_images": q_pdf_images,
-        "pdf_navigation": q_pdf_navigation,
-        "pdf_op_census": q_pdf_op_census,
-        "warc_ingest": q_warc_ingest,
-        "url_dedup": q_url_dedup,
-        "top_ngrams": q_top_ngrams,
-        "normalize_text": q_normalize_text,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "q5_local_supplier": q_q5,
-        "stratified_sample": q_stratified_sample,
-        "unigram_logprob": q_unigram_logprob,
-        "html_main_content": q_html_main_content,
-        # relational suite
+        # --- DuckDB-oracled (must stay within the driver's 50-query window) --
         "q1_pricing_summary": relational.q1_pricing_summary,
         "broadcast_dim_join": relational.broadcast_dim_join,
         "nation_revenue": relational.nation_revenue,
@@ -448,23 +433,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_event_sources": relational.union_event_sources,
         "value_quantiles": relational.value_quantiles,
         "q3_shipping_priority": relational.orders_lineitem_join_agg,
-        # training-data text ops
+        "q5_local_supplier": q_q5,
+        "url_dedup": q_url_dedup,
+        "top_ngrams": q_top_ngrams,
+        "normalize_text": q_normalize_text,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
         "token_count": q_token_count,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "compression_ratio": q_compression_ratio,
         "exact_dedup": q_exact_dedup,
         "token_jaccard_pairs": q_token_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_bruteforce_topk": q_ann_bruteforce,
+        "ann_ivf_full_probe": q_ann_ivf_full,
+        # --- rows-only by design (hash/plane-specific or non-SQL) -----------
+        # Highest-value rows-only entries stay inside the 50-window so the
+        # driver still records their row counts + schema stability.
+        "pdf_extract": _q_pdf_extract,
+        "pdf_golden_verify": _q_pdf_golden_verify,
+        "pdf_images": q_pdf_images,
+        "multimodal_features": q_multimodal_features,
         "minhash_lsh": q_minhash_lsh,
         "dedup_recall": q_dedup_recall,
         "simhash_near_dups": q_simhash,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_bruteforce_topk": q_ann_bruteforce,
         "ann_lsh_topk": q_ann_lsh,
-        "ann_ivf_full_probe": q_ann_ivf_full,
         "ann_ivf_topk": q_ann_ivf,
-        "multimodal_features": q_multimodal_features,
+        "compression_ratio": q_compression_ratio,
+        "warc_ingest": q_warc_ingest,
+        "html_main_content": q_html_main_content,
+        # --- past the driver's window (repo tests cover these) --------------
+        "pdf_metrics_rollup": _q_pdf_metrics_rollup,
+        "pdf_resume_anti_join": _q_pdf_resume_anti_join,
+        "pdf_metadata": _q_pdf_metadata,
+        "pdf_stat_pass": _q_pdf_stat_pass,
+        "pdf_navigation": q_pdf_navigation,
+        "pdf_op_census": q_pdf_op_census,
     }
 
 
