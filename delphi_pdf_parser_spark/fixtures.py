@@ -1472,6 +1472,91 @@ def _case_annot_appearance():
     return b.build_classic(cat), "Main" + CRLF + "Annot" + CRLF, 1
 
 
+def _case_ocg_layers():
+    """Optional-content (OCG) visibility: pdf_is_hidden_ocg
+    (src/vcl/pdf_interprets.pas:20-39) hides an XObject/annotation iff
+    /OC -> /OCGs -> [0] -> /Usage/View/ViewState == /OFF.
+
+    Four probes:
+    - /FxOff: OCMD whose /OCGs array's first OCG has ViewState OFF -> SKIPPED
+      (the pdf_run_Do check, pas:1494).
+    - /FxOn:  same shape, ViewState ON (and /OCGs as a direct dict, covering
+      the non-array branch) -> extracted.
+    - /FxBare: /OC points DIRECTLY at an OCG (no /OCGs key) whose usage says
+      OFF -- the reference's chain breaks at fz_dict_gets(obj,'OCGs') so it
+      is NOT hidden -> extracted (reference quirk, matched deliberately).
+    - annotation whose /OC is the OFF OCMD -> SKIPPED (pas:2689).
+    """
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /FxOff 6 0 R /FxOn 9 0 R /FxBare 12 0 R >> >> "
+        "/Contents 4 0 R /Annots [14 0 R] >>"
+    )
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Page) Tj ET "
+        b"/FxOff Do /FxOn Do /FxBare Do"
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    off_form = b"BT /F1 12 Tf 0 0 Td (OffLayer) Tj ET"
+    b.add(
+        "<< /Type /XObject /Subtype /Form /OC 7 0 R /BBox [0 0 200 50] "
+        f"/Matrix [1 0 0 1 72 690] /Length {len(off_form)} >>",
+        off_form,
+        num=6,
+    )
+    b.add("<< /Type /OCMD /OCGs [8 0 R] >>", num=7)
+    b.add(
+        "<< /Type /OCG /Name (Watermark) "
+        "/Usage << /View << /ViewState /OFF >> >> >>",
+        num=8,
+    )
+    on_form = b"BT /F1 12 Tf 0 0 Td (OnLayer) Tj ET"
+    b.add(
+        "<< /Type /XObject /Subtype /Form /OC 10 0 R /BBox [0 0 200 50] "
+        f"/Matrix [1 0 0 1 72 650] /Length {len(on_form)} >>",
+        on_form,
+        num=9,
+    )
+    b.add("<< /Type /OCMD /OCGs 11 0 R >>", num=10)
+    b.add(
+        "<< /Type /OCG /Name (Body) "
+        "/Usage << /View << /ViewState /ON >> >> >>",
+        num=11,
+    )
+    bare_form = b"BT /F1 12 Tf 0 0 Td (BareOCG) Tj ET"
+    b.add(
+        "<< /Type /XObject /Subtype /Form /OC 13 0 R /BBox [0 0 200 50] "
+        f"/Matrix [1 0 0 1 72 610] /Length {len(bare_form)} >>",
+        bare_form,
+        num=12,
+    )
+    b.add(
+        "<< /Type /OCG /Name (Direct) "
+        "/Usage << /View << /ViewState /OFF >> >> >>",
+        num=13,
+    )
+    b.add(
+        "<< /Type /Annot /Subtype /FreeText /OC 7 0 R "
+        "/Rect [100 100 300 150] /AP << /N 15 0 R >> >>",
+        num=14,
+    )
+    annot_ap = b"BT /F1 12 Tf 10 10 Td (OcgAnnot) Tj ET"
+    b.add(
+        "<< /Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+        "/Resources << /Font << /F1 5 0 R >> >> "
+        f"/Length {len(annot_ap)} >>",
+        annot_ap,
+        num=15,
+    )
+    golden = CRLF.join(["Page", "OnLayer", "BareOCG"]) + CRLF
+    return b.build_classic(cat), golden, 1
+
+
 def _case_image_xobjects():
     """Embedded images: a Flate gray raster (-> engine re-encodes PNG) and
     a DCT payload (-> raw JPEG passthrough). Text alongside proves the
@@ -1579,6 +1664,7 @@ CASES = {
     "outline_links": _case_outline_links,
     "symbol_font": _case_symbol_font,
     "annot_appearance": _case_annot_appearance,
+    "ocg_layers": _case_ocg_layers,
     "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,
     "aesv2_empty_password": _case_aesv2_empty_password,

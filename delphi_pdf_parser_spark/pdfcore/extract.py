@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 
 from .cos import to_int, is_indirect
 from .document import PdfDocument, PdfError
-from .interp import CSI, IDENTITY, run_buffer, run_form_xobject
+from .interp import CSI, IDENTITY, is_hidden_ocg, run_buffer, run_form_xobject
 from .metadata import extract_info
 from .pages import count_pages, load_page, load_page_tree
 from .textdev import TextDevice
@@ -49,6 +49,8 @@ def _run_page_text(doc: PdfDocument, csi_cache: dict, pageno: int) -> str:
         flags = to_int(doc.resolve(annot.get("F")))
         if flags & 0b100011:  # Invisible | Hidden | NoView
             continue
+        if is_hidden_ocg(doc, annot):
+            continue  # OFF optional-content annot (pdf_interprets.pas:2689)
         ap = doc.resolve(annot.get("AP"))
         if not isinstance(ap, dict):
             continue

@@ -642,6 +642,24 @@ def run_extgstate(csi: CSI, rdb):
         gs.size = to_real(doc.resolve(val[1]))
 
 
+def is_hidden_ocg(doc, obj, target: str = "View") -> bool:
+    """pdf_is_hidden_ocg (src/vcl/pdf_interprets.pas:20-39): an object is
+    hidden when ``/OC -> /OCGs -> [0] -> /Usage -> /<target> ->
+    /<target>State`` is the name ``OFF``.  The reference consults ONLY the
+    per-OCG usage dictionary -- never the document-level ``/OCProperties``
+    default configuration -- and only the FIRST OCG of an OCMD's ``/OCGs``
+    array; every missing link in the chain means "not hidden".  The page
+    run uses target = 'View' (pdf_run_page, :2715)."""
+    oc = doc.get(obj, "OC") if isinstance(obj, dict) else None
+    ocgs = doc.get(oc, "OCGs") if isinstance(oc, dict) else None
+    if isinstance(ocgs, list):
+        ocgs = doc.resolve(ocgs[0]) if ocgs else None
+    usage = doc.get(ocgs, "Usage") if isinstance(ocgs, dict) else None
+    tgt = doc.get(usage, target) if isinstance(usage, dict) else None
+    state = doc.get(tgt, target + "State") if isinstance(tgt, dict) else None
+    return to_name(state) == "OFF"
+
+
 def run_do(csi: CSI, rdb):
     """pdf_run_Do: Form XObjects recurse; images are skipped entirely
     (text device hint FZ_IGNORE_IMAGE)."""
@@ -655,6 +673,8 @@ def run_do(csi: CSI, rdb):
     if not isinstance(obj, dict):
         doc.note_failure("xobject_missing")
         return
+    if is_hidden_ocg(doc, obj):
+        return  # OFF optional-content layer: skip (pdf_interprets.pas:1494)
     subtype = to_name(doc.get(obj, "Subtype"))
     if subtype == "Form" and doc.get(obj, "Subtype2") is not None:
         subtype = to_name(doc.get(obj, "Subtype2"))

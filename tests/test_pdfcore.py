@@ -460,3 +460,68 @@ def test_compression_ratio_signal():
     r_rep = len(zlib.compress(rep, 6)) / len(rep)
     r_div = len(zlib.compress(div, 6)) / len(div)
     assert r_rep < 0.1 < r_div
+
+
+class TestHiddenOcg:
+    """pdf_is_hidden_ocg semantics (src/vcl/pdf_interprets.pas:20-39):
+    hidden iff /OC -> /OCGs -> [0] -> /Usage/View/ViewState == /OFF;
+    any missing link means visible. The reference never consults the
+    document /OCProperties default config — neither do we."""
+
+    def _doc(self):
+        class _FakeDoc:
+            def resolve(self, o):
+                return o
+
+            def get(self, d, key):
+                return d.get(key) if isinstance(d, dict) else None
+
+        return _FakeDoc()
+
+    def _ocg(self, state):
+        from delphi_pdf_parser_spark.pdfcore.cos import Name
+
+        return {"Usage": {"View": {"ViewState": Name(state)}}}
+
+    def test_ocmd_array_off_hidden(self):
+        from delphi_pdf_parser_spark.pdfcore.interp import is_hidden_ocg
+
+        obj = {"OC": {"OCGs": [self._ocg("OFF")]}}
+        assert is_hidden_ocg(self._doc(), obj)
+
+    def test_ocmd_dict_on_visible(self):
+        from delphi_pdf_parser_spark.pdfcore.interp import is_hidden_ocg
+
+        obj = {"OC": {"OCGs": self._ocg("ON")}}
+        assert not is_hidden_ocg(self._doc(), obj)
+
+    def test_direct_ocg_off_visible_reference_quirk(self):
+        # /OC -> OCG directly (no /OCGs key): the reference's lookup chain
+        # breaks, so even ViewState OFF stays VISIBLE. Matched deliberately.
+        from delphi_pdf_parser_spark.pdfcore.interp import is_hidden_ocg
+
+        obj = {"OC": self._ocg("OFF")}
+        assert not is_hidden_ocg(self._doc(), obj)
+
+    def test_no_oc_visible(self):
+        from delphi_pdf_parser_spark.pdfcore.interp import is_hidden_ocg
+
+        assert not is_hidden_ocg(self._doc(), {})
+        assert not is_hidden_ocg(self._doc(), None)
+
+    def test_only_first_ocg_consulted(self):
+        from delphi_pdf_parser_spark.pdfcore.interp import is_hidden_ocg
+
+        obj = {"OC": {"OCGs": [self._ocg("ON"), self._ocg("OFF")]}}
+        assert not is_hidden_ocg(self._doc(), obj)
+
+    def test_off_layer_text_suppressed_end_to_end(self):
+        from delphi_pdf_parser_spark.fixtures import generate_fixtures
+        from delphi_pdf_parser_spark.pdfcore import extract_text
+
+        fx = generate_fixtures()["ocg_layers"]
+        res = extract_text(fx["pdf"])
+        assert res.status == "ok"
+        assert "OffLayer" not in res.text
+        assert "OcgAnnot" not in res.text
+        assert res.text == fx["golden"]
