@@ -253,10 +253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return relational.q5_local_supplier_volume(spark, sf_dir)
 
     def q_stratified_sample(spark, sf_dir):
-        return textstats.stratified_sample(_docs(spark, sf_dir))
+        return textstats.stratified_sample(_docs(spark, sf_dir)).orderBy(
+            "doc_id"
+        )
 
     def q_unigram_logprob(spark, sf_dir):
-        return textstats.unigram_logprob(_docs(spark, sf_dir))
+        return textstats.unigram_logprob(_docs(spark, sf_dir)).orderBy(
+            "doc_id"
+        )
 
     def q_dedup_clusters(spark, sf_dir):
         """Keep-one-per-cluster resolution: connected components over
@@ -695,14 +699,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT tok, count(*) AS n FROM toks2 GROUP BY tok
             ), tot AS (
                 SELECT sum(n) AS total, count(*) AS vsize FROM vocab
+            ), top AS (
+                -- mirror the Spark-side top-V LM cap (top_v=100000,
+                -- ties by token); OOV tokens score as unseen
+                SELECT tok, n FROM vocab
+                ORDER BY n DESC, tok ASC LIMIT 100000
             ), lm AS (
                 SELECT tok, log10((n + 0.5) / (total + 0.5 * vsize)) AS lp
-                FROM vocab, tot
+                FROM top, tot
             )
             SELECT t.doc_id,
-                   round(avg(lp), 4) AS mean_logprob,
+                   round(avg(coalesce(lm.lp,
+                       log10(0.5 / (tot.total + 0.5 * tot.vsize)))), 4)
+                       AS mean_logprob,
                    count(*) AS n_tokens
-            FROM toks2 t JOIN lm USING (tok)
+            FROM toks2 t LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY t.doc_id
             ORDER BY t.doc_id
         """,
