@@ -107,10 +107,16 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def synth_media(documents: DataFrame) -> DataFrame:
     """Attach a deterministic binary payload per document (stands in for
     a decoded-at-ingest thumbnail / audio clip). Image payloads are real
-    BMP files so the decode path below runs on real pixels."""
-    return documents.select("doc_id", "text").mapInPandas(
-        _synth_batches, MEDIA_SCHEMA
-    )
+    BMP files so the decode path below runs on real pixels.
+
+    The input is repartitioned up to cluster parallelism when it arrives
+    under-split (a one-row-group parquet file serializes every Python
+    codec call onto one core otherwise); on a properly-split table the
+    guard is a no-op — see operators/parallelize.py."""
+    from .parallelize import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(documents.select("doc_id", "text"))
+    return docs.mapInPandas(_synth_batches, MEDIA_SCHEMA)
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

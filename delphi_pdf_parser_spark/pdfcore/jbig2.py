@@ -1946,11 +1946,12 @@ def decode_halftone_region(
     hpw = len(patterns[0][0])
     hph = len(patterns[0])
     skip = None
-    if enableskip:
+    if enableskip and not hmmr:
         # 6.6.5.1: skip grid cells whose pattern lands fully outside
-        # the region; their gray pixels are not coded
-        if hmmr:
-            raise Jbig2Unsupported("skip bitmap with MMR grayscale")
+        # the region; their gray pixels are not coded.  In MMR mode the
+        # skip bitmap has no effect on decoding (Annex C.5 passes
+        # USESKIP only to the arithmetic generic procedure; the G4
+        # stream codes every cell), so HENABLESKIP is simply ignored.
         skip = [[0] * hgw for _ in range(hgh)]
         for mg in range(hgh):
             for ng in range(hgw):

@@ -90,17 +90,15 @@ class _Prefix:
     __slots__ = ("map", "maxlen", "single", "lut")
 
     def _build_lut(self):
+        # used by simple() only (codes are 1 bit); __init__ fills its
+        # LUT inline during canonical assignment
         lut = [None] * 256
         for (l, code), s in self.map.items():
-            if l > 8:
-                continue
-            # reverse the l code bits (first-transmitted bit = MSB of code)
             key = 0
+            c = code
             for i in range(l):
-                key |= ((code >> i) & 1) << (l - 1 - i)
-            entry = (s, l)
-            for hi in range(1 << (8 - l)):
-                lut[key | (hi << l)] = entry
+                key |= ((c >> i) & 1) << (l - 1 - i)
+            lut[key :: 1 << l] = [(s, l)] * (1 << (8 - l))
         self.lut = lut
 
     def __init__(self, lengths: list):
@@ -123,11 +121,26 @@ class _Prefix:
         for l in range(1, maxlen + 1):
             code = (code + count[l - 1]) << 1
             nextcode[l] = code
+        # codes <= 8 bits fill the lookahead LUT directly (slice-assign:
+        # all 256 keys sharing the reversed code prefix in one step);
+        # only longer codes land in the bit-walk map
         m = {}
+        lut = [None] * 256
         for s, l in enumerate(lengths):
-            if l > 0:
-                m[(l, nextcode[l])] = s
-                nextcode[l] += 1
+            if l == 0:
+                continue
+            code = nextcode[l]
+            nextcode[l] += 1
+            if l <= 8:
+                # reverse the l code bits (first-transmitted = MSB)
+                key = 0
+                c = code
+                for _ in range(l):
+                    key = (key << 1) | (c & 1)
+                    c >>= 1
+                lut[key :: 1 << l] = [(s, l)] * (1 << (8 - l))
+            else:
+                m[(l, code)] = s
         # completeness: Kraft sum must be exactly 1 (spec requires it)
         if sum(count[l] * (1 << (maxlen - l)) for l in range(1, maxlen + 1)) != (
             1 << maxlen
@@ -135,7 +148,7 @@ class _Prefix:
             raise WebpError("incomplete prefix code")
         self.map = m
         self.maxlen = maxlen
-        self._build_lut()
+        self.lut = lut
 
     @classmethod
     def simple(cls, symbols: list):
@@ -189,26 +202,67 @@ def _read_code_lengths(br: _LsbReader, alphabet: int) -> list:
     lengths = [0] * alphabet
     prev = 8
     symbol = 0
+    # hot loop: one CL symbol per alphabet slot (up to 280+cache) per
+    # prefix tree per image — inline the LSB reader state locally to
+    # avoid per-symbol method-call overhead (CL codes are <= 7 bits, so
+    # the 8-bit LUT always resolves; extra-bit reads are <= 7 bits too)
+    data = br.data
+    ndata = len(data)
+    bytepos = br.bytepos
+    acc = br.acc
+    navail = br.navail
+    single = cl.single
+    lut = cl.lut
     while symbol < alphabet:
         if max_symbol == 0:
             break
         max_symbol -= 1
-        code = cl.decode(br)
+        if single is not None:
+            code = single
+        else:
+            while navail < 8 and bytepos < ndata:
+                acc |= data[bytepos] << navail
+                navail += 8
+                bytepos += 1
+            e = lut[acc & 0xFF]
+            if e is None:
+                raise WebpError("invalid prefix code")
+            code, n = e
+            if navail < n:
+                raise WebpError("bitstream overrun")
+            acc >>= n
+            navail -= n
         if code < 16:
             lengths[symbol] = code
             symbol += 1
             if code:
                 prev = code
-        elif code == 16:
-            rep = 3 + br.read(2)
-            for _ in range(rep):
-                if symbol < alphabet:
-                    lengths[symbol] = prev
-                    symbol += 1
-        elif code == 17:
-            symbol += 3 + br.read(3)
         else:
-            symbol += 11 + br.read(7)
+            if code == 16:
+                nb, base = 2, 3
+            elif code == 17:
+                nb, base = 3, 3
+            else:
+                nb, base = 7, 11
+            while navail < nb and bytepos < ndata:
+                acc |= data[bytepos] << navail
+                navail += 8
+                bytepos += 1
+            if navail < nb:
+                raise WebpError("bitstream overrun")
+            rep = base + (acc & ((1 << nb) - 1))
+            acc >>= nb
+            navail -= nb
+            if code == 16:
+                for _ in range(rep):
+                    if symbol < alphabet:
+                        lengths[symbol] = prev
+                        symbol += 1
+            else:
+                symbol += rep
+    br.bytepos = bytepos
+    br.acc = acc
+    br.navail = navail
     return lengths
 
 
