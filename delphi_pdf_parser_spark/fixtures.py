@@ -4466,8 +4466,10 @@ def jbig2_embed_halftone(
                 prev_bit[y][x] = v
         planes.append(plane)
     skip = None
-    if enable_skip:
-        assert not gray_mmr
+    if enable_skip and not gray_mmr:
+        # with HMMR=1 the flag is still set but the G4 stream codes
+        # every cell (Annex C.5: skip only applies to the arithmetic
+        # generic procedure) — the encoder just ignores it there
         skip = [[0] * hgw for _ in range(hgh)]
         for mg in range(hgh):
             for ng in range(hgw):
@@ -4802,3 +4804,255 @@ def jbig2_embed_agg_dict(
     out += _jbig2_segment(3, 6, 1, tr_body, refs=(2,))
     out += _jbig2_segment(4, 49, 1, b"")
     return out, agg_bitmaps
+
+
+def jbig2_embed_refagg_dict_huffman(
+    base_symbols: list, refined_symbols: list, placements: list,
+    page_w: int, page_h: int, agg_specs: list | None = None,
+) -> tuple[bytes, list]:
+    """Huffman counterpart of jbig2_embed_refagg_dict /
+    jbig2_embed_agg_dict (T.88 6.5.8.2 with SDHUFF=1): dict 1 is an
+    SDHUFF collective-bitmap dictionary for base_symbols; dict 2 is
+    SDHUFF+SDREFAGG where refined_symbols[i] refines base_symbols[i]
+    (REFAGGNINST=1: fixed-length ID, B.15 RDX/RDY, B.1 BMSIZE, then a
+    byte-aligned MQ refinement segment) and each agg_specs entry
+    (w, h, [(sid, s, t, refined|None), ...]) is a REFAGGNINST>1 nested
+    Huffman text region. The dict-2 exports [refined..., aggregates...]
+    must be in ascending height order. An arithmetic text region places
+    them per `placements` -> (stream, new_symbol_bitmaps)."""
+    from delphi_pdf_parser_spark.pdfcore.jbig2 import (
+        _GR_CTX_SIZE,
+        _GR_NOMINAL_AT,
+        IdCtx,
+        IntCtx,
+        MQEncoder,
+        OOB,
+        _BitWriter,
+        encode_id,
+        encode_int,
+        encode_refinement,
+        std_table,
+    )
+
+    agg_specs = agg_specs or []
+    t1, t2, t4 = std_table(1), std_table(2), std_table(4)
+    t6, t8, t11, t15 = (
+        std_table(6), std_table(8), std_table(11), std_table(15)
+    )
+
+    # --- dict 1: SDHUFF collective raw (as jbig2_embed_text_huffman) ----
+    bw = _BitWriter()
+    hc = 0
+    i = 0
+    while i < len(base_symbols):
+        h = len(base_symbols[i])
+        assert h > hc, "pass height-sorted base symbols"
+        t4.encode(bw, h - hc)
+        hc = h
+        cls = []
+        prev_w = 0
+        while i < len(base_symbols) and len(base_symbols[i]) == hc:
+            w = len(base_symbols[i][0])
+            t2.encode(bw, w - prev_w)
+            prev_w = w
+            cls.append(base_symbols[i])
+            i += 1
+        t2.encode(bw, OOB)
+        totwidth = sum(len(s[0]) for s in cls)
+        t1.encode(bw, 0)  # BMSIZE 0 = uncompressed
+        stride = (totwidth + 7) // 8
+        raw = bytearray(stride * hc)
+        x0 = 0
+        for s in cls:
+            for y, row in enumerate(s):
+                for x, v in enumerate(row):
+                    if v:
+                        raw[y * stride + ((x0 + x) >> 3)] |= (
+                            0x80 >> ((x0 + x) & 7)
+                        )
+            x0 += len(s[0])
+        bw.write_bytes(bytes(raw))
+    t1.encode(bw, 0)
+    t1.encode(bw, len(base_symbols))
+    sd1_body = (
+        (1).to_bytes(2, "big")
+        + len(base_symbols).to_bytes(4, "big")
+        + len(base_symbols).to_bytes(4, "big")
+        + bw.flush()
+    )
+
+    # --- dict 2: SDHUFF + SDREFAGG --------------------------------------
+    n_in = len(base_symbols)
+    # new symbols: ('ref', i, bitmap) then ('agg', spec, bitmap)
+    new_specs = [
+        ("ref", i, refined_symbols[i]) for i in range(len(refined_symbols))
+    ]
+    agg_bitmaps = []
+    for w, h, insts in agg_specs:
+        bm = [[0] * w for _ in range(h)]
+        for p in insts:
+            sid, s, t = p[0], p[1], p[2]
+            src = (
+                p[3] if len(p) == 4 and p[3] is not None
+                else base_symbols[sid]
+            )
+            for yy, row in enumerate(src):
+                for xx, v in enumerate(row):
+                    if 0 <= t + yy < h and 0 <= s + xx < w:
+                        bm[t + yy][s + xx] |= v
+        agg_bitmaps.append(bm)
+        new_specs.append(("agg", (w, h, insts), bm))
+    n_new = len(new_specs)
+    codelen = max(1, (n_in + n_new - 1).bit_length())
+
+    bw = _BitWriter()
+    hc = 0
+    i = 0
+    while i < n_new:
+        h = len(new_specs[i][2])
+        assert h > hc, "pass height-sorted new symbols"
+        t4.encode(bw, h - hc)
+        hc = h
+        prev_w = 0
+        while i < n_new and len(new_specs[i][2]) == hc:
+            kind, payload, bm = new_specs[i]
+            w = len(bm[0])
+            t2.encode(bw, w - prev_w)
+            prev_w = w
+            if kind == "ref":
+                base = base_symbols[payload]
+                t1.encode(bw, 1)        # REFAGGNINST = 1 via B.1
+                bw.write(payload, codelen)
+                t15.encode(bw, 0)       # RDX
+                t15.encode(bw, 0)       # RDY
+                enc = MQEncoder()
+                cx = [[0, 0] for _ in range(_GR_CTX_SIZE[0])]
+                encode_refinement(
+                    enc, cx, bm, base, 0, 0, template=0,
+                    at=_GR_NOMINAL_AT,
+                )
+                seg = enc.flush()
+                t1.encode(bw, len(seg))
+                bw.align()
+                bw.out += seg
+            else:
+                w_, h_, insts = payload
+                insts = [
+                    p if len(p) == 4 else (p[0], p[1], p[2], None)
+                    for p in insts
+                ]
+                t1.encode(bw, len(insts))  # REFAGGNINST > 1
+                # nested huffman text region (SBSTRIPS=1, TL, OR)
+                inst = sorted(insts, key=lambda p: (p[2], p[1]))
+                t11.encode(bw, 1)  # initial STRIPT = -1 (B.11 min 1)
+                prev_t = -1
+                firsts = 0
+                k = 0
+                while k < len(inst):
+                    t = inst[k][2]
+                    t11.encode(bw, t - prev_t)
+                    prev_t = t
+                    first = True
+                    curs = 0
+                    while k < len(inst) and inst[k][2] == t:
+                        sid, s, _, ref = inst[k]
+                        if first:
+                            t6.encode(bw, s - firsts)
+                            firsts = s
+                            first = False
+                        else:
+                            t8.encode(bw, s - curs)
+                        bw.write(sid, codelen)
+                        sym = base_symbols[sid]
+                        if ref is None:
+                            bw.write(0, 1)  # R bit
+                            curs = s + len(sym[0]) - 1
+                        else:
+                            bw.write(1, 1)
+                            rdw = len(ref[0]) - len(sym[0])
+                            rdh = len(ref) - len(sym)
+                            t15.encode(bw, rdw)
+                            t15.encode(bw, rdh)
+                            t15.encode(bw, 0)
+                            t15.encode(bw, 0)
+                            enc = MQEncoder()
+                            cx = [
+                                [0, 0]
+                                for _ in range(_GR_CTX_SIZE[0])
+                            ]
+                            encode_refinement(
+                                enc, cx, ref, sym, rdw >> 1, rdh >> 1,
+                                template=0, at=_GR_NOMINAL_AT,
+                            )
+                            seg = enc.flush()
+                            t1.encode(bw, len(seg))
+                            bw.align()
+                            bw.out += seg
+                            curs = s + len(ref[0]) - 1
+                        k += 1
+                    t8.encode(bw, OOB)
+            i += 1
+        t2.encode(bw, OOB)
+    t1.encode(bw, n_in)   # export runs: skip inputs,
+    t1.encode(bw, n_new)  # export all new symbols
+    sd2_flags = 1 | (1 << 1)  # SDHUFF | SDREFAGG, SDRTEMPLATE=0
+    sd2_body = (
+        sd2_flags.to_bytes(2, "big")
+        + bytes(x & 0xFF for pair in _GR_NOMINAL_AT for x in pair)
+        + n_new.to_bytes(4, "big")
+        + n_new.to_bytes(4, "big")
+        + bw.flush()
+    )
+
+    new_bitmaps = [bm for _, _, bm in new_specs]
+
+    # --- arithmetic text region placing dict-2 exports ------------------
+    tcodelen = max(1, (n_new - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads = IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(tcodelen)
+    inst = sorted(placements, key=lambda p: (p[2], p[1]))
+    encode_int(enc, iadt, 0)
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][2]
+        encode_int(enc, iadt, t - prev_t)
+        prev_t = t
+        sid, s, _ = inst[k]
+        encode_int(enc, iafs, s - firsts)
+        firsts = s
+        curs = s
+        encode_id(enc, iaid, sid)
+        curs += len(new_bitmaps[sid][0]) - 1
+        k += 1
+        while k < len(inst) and inst[k][2] == t:
+            sid, s, _ = inst[k]
+            encode_int(enc, iads, s - curs)
+            curs = s
+            encode_id(enc, iaid, sid)
+            curs += len(new_bitmaps[sid][0]) - 1
+            k += 1
+        encode_int(enc, iads, OOB)
+    reg_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    tr_body = (
+        reg_info
+        + (1 << 4).to_bytes(2, "big")
+        + len(inst).to_bytes(4, "big")
+        + enc.flush()
+    )
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out = _jbig2_segment(0, 48, 1, page_info)
+    out += _jbig2_segment(1, 0, 0, sd1_body)
+    out += _jbig2_segment(2, 0, 0, sd2_body, refs=(1,))
+    out += _jbig2_segment(3, 6, 1, tr_body, refs=(2,))
+    out += _jbig2_segment(4, 49, 1, b"")
+    return out, new_bitmaps

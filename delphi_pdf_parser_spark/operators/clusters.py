@@ -59,6 +59,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still changing: the
+        # result would be silently wrong (ADVICE r3) — fail loudly;
+        # callers with deeper graphs must raise max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

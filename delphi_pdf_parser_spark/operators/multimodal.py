@@ -1,13 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads ride as ``binary`` columns exactly like the
-PDF bytes do. Since r2 the image decode step is REAL for the formats a
-pure-Python decoder can own (BMP / PPM-PGM / non-interlaced 8-bit PNG —
-see operators/mediadec.py); formats that need an entropy codec not in
-this runtime (JPEG/WebP) surface a decode_status failure code instead,
-the same contract the PDF pipeline uses. The Spark plumbing — schema,
-Arrow batch shape, mapInPandas signature, partitioning — is identical
-for every format.
+PDF bytes do. The decode step is REAL, from scratch, for every format
+the synthetic corpus and the PDF image sink emit (see
+operators/mediadec.py): BMP / PPM-PGM, full PNG (Adam7 interlace, bit
+depths 1-16), GIF, baseline + progressive JPEG, JPEG 2000 (JPX), WebP
+(VP8L lossless), and PCM WAV audio. Payloads that are none of these
+surface a typed decode_status failure code instead, the same contract
+the PDF pipeline uses. The Spark plumbing — schema, Arrow batch shape,
+mapInPandas signature, partitioning — is identical for every format.
 """
 
 from __future__ import annotations

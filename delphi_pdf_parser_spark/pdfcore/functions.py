@@ -467,7 +467,9 @@ def _interp(x, lo_in, hi_in, lo_out, hi_out):
 def eval_function(fn: dict, x: np.ndarray) -> np.ndarray:
     """x: (k, m) inputs -> (k, n) outputs, domain/range-clipped like the
     reference's pdf_eval_function."""
-    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    # copy=True: the domain clip below writes into x, and np.asarray
+    # would alias a caller-owned float64 2-D array (ADVICE r3)
+    x = np.atleast_2d(np.array(x, dtype=np.float64, copy=True))
     dom = fn["domain"]
     m = x.shape[1]
     for i in range(min(m, len(dom) // 2)):

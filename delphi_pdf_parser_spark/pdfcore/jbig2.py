@@ -17,15 +17,19 @@ collective bitmaps per §6.5.9; SBHUFF text regions with the runcode
 symbol ID table of §7.4.3.1.7), GENERIC REFINEMENT (§6.3 templates 0/1
 with TPGRON — refinement region segments, REFINE=1 text-region
 instances, and SDREFAGG dictionaries incl. REFAGGNINST>1 aggregates
-coded as nested text regions), and PATTERN
+coded as nested text regions, in BOTH the arithmetic and the Huffman
+form: SDHUFF+SDREFAGG dictionaries decode fixed-length symbol IDs,
+B.15 offsets and byte-aligned BMSIZE-byte MQ refinement segments per
+§6.5.8.2.2, with REFAGGNINST>1 aggregates as nested Huffman text
+regions per §6.5.8.2.1), and PATTERN
 DICTIONARIES + HALFTONE REGIONS (§6.7/§6.6: collective-bitmap pattern
 split, gray-coded bitplane grids sharing one coder, 8.8 fixed-point
-skew grid). Custom Huffman
+skew grid, HENABLESKIP geometry skip — ignored in MMR grayscale mode
+per Annex C.5). Custom Huffman
 table segments (T.88 B.2, type 53) parse and feed selector-3 table
-slots. The only remaining typed fallback
-(raw passthrough + failure code, strictly more than the reference,
-which passes everything through) is huffman refinement-aggregate
-dictionaries (and skip bitmaps combined with MMR grayscale).
+slots. No typed fallbacks remain: every T.88 segment family the
+embedded (PDF) profile can carry decodes (the reference's own JBIG2
+filter passes everything through).
 
 Caveat recorded for honesty: with no JBIG2 library in this runtime the
 MQ coder is validated by encoder/decoder round-trip (fixtures ship an
@@ -903,8 +907,6 @@ def decode_symbol_dict(
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
-    if sdhuff and sdrefagg:
-        raise Jbig2Unsupported("huffman refinement/aggregate dictionary")
     if sdhuff:
         return _decode_symbol_dict_huffman(
             body, flags, input_syms, max_pixels, tables or []
@@ -1461,9 +1463,16 @@ def _decode_symbol_dict_huffman(
     body: bytes, flags: int, input_syms: list, max_pixels: int,
     tables: list,
 ) -> list:
-    """SDHUFF=1, SDREFAGG=0 (T.88 6.5.9: height classes with collective
-    bitmaps, uncompressed or MMR). Custom table selectors consume the
-    referred table segments in DH, DW, BMSIZE, AGG order (7.4.4.1.7)."""
+    """SDHUFF=1 dictionaries. SDREFAGG=0: height classes with collective
+    bitmaps, uncompressed or MMR (T.88 6.5.9). SDREFAGG=1: each symbol
+    is refinement/aggregate coded (6.5.8.2) — REFAGGNINST via SDHUFFAGG,
+    single-instance refinements as byte-aligned BMSIZE-byte MQ segments
+    (ID read as a SBSYMCODELEN-bit value, RDX/RDY via Table B.15, BMSIZE
+    via Table B.1), multi-instance aggregates as a nested Huffman text
+    region (6.5.8.2.1). Custom table selectors consume the referred
+    table segments in DH, DW, BMSIZE, AGG order (7.4.4.1.7)."""
+    sdrefagg = (flags >> 1) & 1
+    rtemplate = (flags >> 12) & 1
     dh_sel = (flags >> 2) & 3
     dw_sel = (flags >> 4) & 3
     bm_sel = (flags >> 6) & 1
@@ -1479,15 +1488,28 @@ def _decode_symbol_dict_huffman(
     t_dh = custom() if dh_sel == 3 else std_table(4 if dh_sel == 0 else 5)
     t_dw = custom() if dw_sel == 3 else std_table(2 if dw_sel == 0 else 3)
     t_bm = custom() if bm_sel else std_table(1)
-    if agg_sel:
-        custom()  # SDHUFFAGG: consumed but only used by refagg dicts
+    t_agg = custom() if agg_sel else std_table(1)
     t_ex = std_table(1)
-    pos = 2  # no AT pixels in huffman mode (7.4.4.1)
+    pos = 2  # no generic AT pixels in huffman mode (7.4.4.1.2)
+    r_at = list(_GR_NOMINAL_AT)
+    if sdrefagg and rtemplate == 0:
+        # SDRAT present iff SDREFAGG=1 and SDRTEMPLATE=0 (7.4.4.1.3)
+        r_at = []
+        for _ in range(2):
+            ax = int.from_bytes(body[pos : pos + 1], "big", signed=True)
+            ay = int.from_bytes(body[pos + 1 : pos + 2], "big", signed=True)
+            r_at.append((ax, ay))
+            pos += 2
     num_ex = int.from_bytes(body[pos : pos + 4], "big")
     num_new = int.from_bytes(body[pos + 4 : pos + 8], "big")
     pos += 8
     if num_new > 10000 or num_ex > 10000:
         raise Jbig2Unsupported("implausible symbol counts")
+    # 6.5.8.2.3: fixed-length symbol ID codes span input + new symbols
+    total_ids = len(input_syms) + num_new
+    codelen = max(1, (total_ids - 1).bit_length()) if total_ids > 1 else 1
+    t_rd = std_table(15)
+    t_rsize = std_table(1)
 
     br = _BitReader(body[pos:])
     new_syms: list = []
@@ -1514,10 +1536,51 @@ def _decode_symbol_dict_huffman(
             budget -= symwidth * hcheight
             if budget < 0:
                 raise Jbig2Unsupported("symbol dict exceeds max_pixels")
+            if sdrefagg:
+                # 6.5.8.2: each symbol coded individually, inline
+                nrefs = t_agg.decode(br)
+                if nrefs is OOB or not 1 <= nrefs <= 10000:
+                    raise Jbig2Error("bad REFAGGNINST")
+                pool = list(input_syms) + new_syms
+                if nrefs == 1:
+                    # 6.5.8.2.2 huffman form: fixed-length ID, B.15
+                    # offsets, then a byte-aligned BMSIZE-byte MQ
+                    # refinement segment with fresh contexts
+                    rid = br.read(codelen)
+                    rdx = t_rd.decode(br)
+                    rdy = t_rd.decode(br)
+                    bmsize = t_rsize.decode(br)
+                    if OOB in (rdx, rdy, bmsize) or bmsize <= 0:
+                        raise Jbig2Error("bad huffman refinement fields")
+                    if rid >= len(pool):
+                        raise Jbig2Error(f"refinement symbol id {rid}")
+                    seg = br.read_bytes(bmsize)
+                    mq = MQDecoder(seg)
+                    gr_cx = [
+                        [0, 0] for _ in range(_GR_CTX_SIZE[rtemplate])
+                    ]
+                    new_syms.append(
+                        decode_refinement(
+                            mq, gr_cx, symwidth, hcheight, pool[rid],
+                            rdx, rdy, template=rtemplate, at=r_at,
+                        )
+                    )
+                else:
+                    # 6.5.8.2.1: nested huffman text region (SBSTRIPS=1,
+                    # TL corner, OR, DSOFFSET 0, standard tables)
+                    new_syms.append(
+                        _refagg_text_huffman(
+                            br, symwidth, hcheight, nrefs, pool,
+                            rtemplate, r_at, codelen,
+                        )
+                    )
+                if len(new_syms) > num_new:
+                    raise Jbig2Error("too many symbols in height classes")
+                continue
             widths.append(symwidth)
             if len(new_syms) + len(widths) > num_new:
                 raise Jbig2Error("too many symbols in height classes")
-        if not widths:
+        if sdrefagg or not widths:
             continue
         bmsize = t_bm.decode(br)
         if bmsize is OOB or bmsize < 0:
@@ -2077,6 +2140,86 @@ def _refagg_text(
                 raise Jbig2Error("aggregate instance overflow")
         # strips end only on the IDS OOB (always consumed — this
         # matters here because the dictionary stream continues)
+    return bitmap
+
+
+def _refagg_text_huffman(
+    br: _BitReader, w: int, h: int, ninst: int, syms: list,
+    rtemplate: int, r_at, codelen: int,
+) -> list:
+    """Nested Huffman text region for aggregate symbol coding
+    (6.5.8.2.1 with SDHUFF=1): fixed parameters SBSTRIPS=1,
+    REFCORNER=TL, TRANSPOSED=0, COMBOP=OR, SBDEFPIXEL=0, SBDSOFFSET=0,
+    REFINE=1; FS/DS/DT from Tables B.6/B.8/B.11, RDW/RDH/RDX/RDY from
+    Table B.15, RSIZE from Table B.1; symbol IDs are fixed
+    SBSYMCODELEN-bit values (Table 17); refinement data arrives as
+    byte-aligned RSIZE-byte MQ segments with fresh contexts."""
+    t_fs, t_ds, t_dt = std_table(6), std_table(8), std_table(11)
+    t_rd, t_rsize = std_table(15), std_table(1)
+    bitmap = [[0] * w for _ in range(h)]
+    stript = t_dt.decode(br)
+    if stript is OOB:
+        raise Jbig2Error("OOB aggregate strip T")
+    stript = -stript
+    firsts = 0
+    count = 0
+    while count < ninst:
+        dt = t_dt.decode(br)
+        if dt is OOB:
+            raise Jbig2Error("OOB aggregate DT")
+        stript += dt
+        dfs = t_fs.decode(br)
+        if dfs is OOB:
+            raise Jbig2Error("OOB aggregate first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = t_ds.decode(br)
+                if ids is OOB:
+                    break
+                curs += ids
+            first = False
+            sid = br.read(codelen)
+            if sid >= len(syms):
+                raise Jbig2Error(f"aggregate symbol id {sid}")
+            sym = syms[sid]
+            if br.read1():  # R bit (REFINE=1: present per instance)
+                rdw = t_rd.decode(br)
+                rdh = t_rd.decode(br)
+                rdx = t_rd.decode(br)
+                rdy = t_rd.decode(br)
+                rsize = t_rsize.decode(br)
+                if OOB in (rdw, rdh, rdx, rdy, rsize) or rsize <= 0:
+                    raise Jbig2Error("OOB aggregate refinement delta")
+                nw = (len(sym[0]) if sym else 0) + rdw
+                nh = len(sym) + rdh
+                if not (0 < nw <= 10000 and 0 < nh <= 10000):
+                    raise Jbig2Error("bad aggregate refined dims")
+                seg = br.read_bytes(rsize)
+                mq = MQDecoder(seg)
+                gr_cx = [[0, 0] for _ in range(_GR_CTX_SIZE[rtemplate])]
+                sym = decode_refinement(
+                    mq, gr_cx, nw, nh, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    template=rtemplate, at=r_at,
+                )
+            sh = len(sym)
+            sw = len(sym[0]) if sh else 0
+            for yy in range(sh):
+                py = stript + yy
+                if 0 <= py < h:
+                    prow = bitmap[py]
+                    srow = sym[yy]
+                    for xx in range(sw):
+                        px = curs + xx
+                        if 0 <= px < w:
+                            prow[px] |= srow[xx]
+            curs += sw - 1
+            count += 1
+            if count > ninst:
+                raise Jbig2Error("aggregate instance overflow")
     return bitmap
 
 

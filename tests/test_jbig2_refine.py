@@ -342,3 +342,92 @@ def test_halftone_skip_bitmap():
         invert=False,
     )
     assert _unpack(w2, h2, p2) == exp
+
+
+def test_huffman_refagg_symbol_dictionary():
+    """SDHUFF=1 + SDREFAGG=1 (T.88 6.5.8.2 Huffman side) — the last
+    typed fallback in the module. Cross-validated: the Huffman refagg
+    stream must decode to the SAME page as the arithmetic refagg stream
+    built from identical symbols/placements (REFAGGNINST=1 path:
+    fixed-length IDs, B.15 offsets, byte-aligned MQ refinement
+    segments)."""
+    from delphi_pdf_parser_spark.fixtures import (
+        jbig2_embed_refagg_dict_huffman,
+    )
+
+    base_syms = [[[1, 1], [1, 0]], [[0, 1], [1, 1]]]
+    ref_syms = [[[1, 0], [1, 1]], [[1, 1], [1, 1]]]
+    plc = [(0, 1, 1), (1, 5, 1), (0, 9, 4)]
+    arith = jbig2_decode(
+        jbig2_embed_refagg_dict(base_syms, ref_syms, plc, 14, 8),
+        invert=False,
+    )
+    data, new_bms = jbig2_embed_refagg_dict_huffman(
+        base_syms, ref_syms, plc, 14, 8
+    )
+    assert new_bms[:2] == ref_syms
+    huff = jbig2_decode(data, invert=False)
+    assert huff == arith
+    w, h, p = huff
+    exp = [[0] * 14 for _ in range(8)]
+    for sid, s, t in plc:
+        for yy, row in enumerate(ref_syms[sid]):
+            for xx, v in enumerate(row):
+                exp[t + yy][s + xx] |= v
+    assert _unpack(w, h, p) == exp
+
+
+def test_huffman_refagg_aggregate_gt_1():
+    """REFAGGNINST > 1 with SDHUFF=1: the aggregate symbol is a nested
+    Huffman text region (6.5.8.2.1 — B.6/B.8/B.11 position tables,
+    fixed-length symbol IDs, per-instance R bits with byte-aligned MQ
+    refinement segments). Pinned against an independently composed
+    expectation, with one refined instance inside the aggregate."""
+    from delphi_pdf_parser_spark.fixtures import (
+        jbig2_embed_refagg_dict_huffman,
+    )
+
+    l = [[1, 0], [1, 0], [1, 1]]
+    o = [[1, 1, 1], [1, 0, 1], [1, 1, 1]]
+    ref_o = [[1, 1, 1], [1, 1, 1], [1, 1, 1]]
+    aggs = [
+        (6, 3, [(0, 0, 0), (1, 3, 0)]),
+        (6, 3, [(0, 0, 0), (1, 3, 0, ref_o)]),
+    ]
+    plc = [(0, 1, 1), (1, 9, 1), (0, 2, 6)]
+    data, new_bms = jbig2_embed_refagg_dict_huffman(
+        [l, o], [], plc, 18, 11, agg_specs=aggs
+    )
+    assert new_bms[0] != new_bms[1]  # the refinement changed pixels
+    w, h, p = jbig2_decode(data, invert=False)
+    exp = [[0] * 18 for _ in range(11)]
+    for sid, s, t in plc:
+        for yy, row in enumerate(new_bms[sid]):
+            for xx, v in enumerate(row):
+                exp[t + yy][s + xx] |= v
+    assert _unpack(w, h, p) == exp
+
+
+def test_halftone_mmr_with_skip_flag():
+    """HENABLESKIP=1 combined with HMMR=1: per Annex C.5 the skip
+    bitmap has no effect on MMR decoding (the G4 stream codes every
+    cell), so the page must equal the plain-MMR page bit for bit."""
+    rng = random.Random(7)
+    pats = [
+        [[0, 0], [0, 0]],
+        [[1, 0], [0, 1]],
+        [[0, 1], [1, 0]],
+        [[1, 1], [1, 1]],
+    ]
+    vals = [[rng.randrange(4) for _ in range(5)] for _ in range(4)]
+    plain = jbig2_decode(
+        jbig2_embed_halftone(vals, pats, 10, 8, gray_mmr=True),
+        invert=False,
+    )
+    skipped = jbig2_decode(
+        jbig2_embed_halftone(
+            vals, pats, 10, 8, gray_mmr=True, enable_skip=True
+        ),
+        invert=False,
+    )
+    assert skipped == plain
