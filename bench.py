@@ -190,6 +190,49 @@ def _mp_ceiling(
     return out
 
 
+def _stream_worker(seconds: float, q):
+    """STREAM-style triad in NumPy: a = b + s*c over 64 MB arrays, done
+    as two vector passes (read c/write a, then read a+b/write a =
+    5 x 8 bytes moved per element per iteration)."""
+    import numpy as np
+
+    n = 8_000_000
+    a = np.empty(n)
+    b = np.full(n, 1.5)
+    c = np.full(n, 0.25)
+    # warm the pages
+    np.multiply(c, 2.0, out=a)
+    a += b
+    moved = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        np.multiply(c, 2.0, out=a)
+        a += b
+        moved += n * 8 * 5
+    q.put(moved / (time.perf_counter() - t0))
+
+
+def _stream_bandwidth(nprocs: int, seconds: float = 1.5) -> float:
+    """Aggregate memory bandwidth (GB/s) with nprocs concurrent triad
+    workers on the current cpuset — the PURE-HARDWARE ceiling: no Python
+    objects, no coordination, no allocator churn. If this does not scale
+    4x from N to 4N cores, nothing memory-bound on this box can, which
+    is the direct evidence behind the normalized scaling argument."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    procs = [
+        mp.Process(target=_stream_worker, args=(seconds, q))
+        for _ in range(nprocs)
+    ]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return round(total / 1e9, 2)
+
+
 def _mk_spark(cpus: int):
     from delphi_pdf_parser_spark.session import get_spark
 
@@ -241,6 +284,7 @@ def _scale_child(n: int, docs: int, corpus: str):
                 "docs_per_sec": round(docs / salted, 2),
                 "noshuffle_docs_per_sec": round(docs / noshuf, 2),
                 "mp_ceiling_docs_per_sec": ceiling[n],
+                "stream_gbps": _stream_bandwidth(n),
             }
         )
     )
@@ -305,6 +349,9 @@ def main():
                         acc["mp_ceiling_docs_per_sec"],
                         r["mp_ceiling_docs_per_sec"],
                     )
+                    acc["stream_gbps"] = max(
+                        acc["stream_gbps"], r["stream_gbps"]
+                    )
         eff = (results["B"]["docs_per_sec"] / results["A"]["docs_per_sec"]) / (
             cpus / lo
         )
@@ -323,6 +370,11 @@ def main():
             cpus: results["B"]["mp_ceiling_docs_per_sec"],
         }
         ceil_eff = (ceiling[cpus] / ceiling[lo]) / (cpus / lo)
+        stream = {
+            lo: results["A"]["stream_gbps"],
+            cpus: results["B"]["stream_gbps"],
+        }
+        stream_eff = (stream[cpus] / stream[lo]) / (cpus / lo)
         print(
             json.dumps(
                 {
@@ -335,6 +387,8 @@ def main():
                     "cpuset_pinned": True,
                     "mp_ceiling_docs_per_sec": ceiling,
                     "mp_ceiling_efficiency": round(ceil_eff, 3),
+                    "stream_gbps": stream,
+                    "stream_efficiency": round(stream_eff, 3),
                     "spark_fraction_of_ceiling": {
                         "A": round(results["A"]["docs_per_sec"] / ceiling[lo], 3),
                         "B": round(results["B"]["docs_per_sec"] / ceiling[cpus], 3),
