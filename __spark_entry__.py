@@ -409,6 +409,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = synth_media(_docs(spark, sf_dir))
         return extract_media_features(media).orderBy("doc_id")
 
+    def q_video_frame_sample(spark, sf_dir):
+        """Video frame sampling: deterministic animated-GIF payloads,
+        REAL animation decode (mediadec.decode_gif_frames), every-2nd
+        frame -> per-frame features. Rows-only (no SQL GIF decoder);
+        frame pixels pinned in tests/test_multimodal.py."""
+        from delphi_pdf_parser_spark.operators.multimodal import (
+            sample_video_frames,
+            synth_video,
+        )
+
+        return sample_video_frames(
+            synth_video(_docs(spark, sf_dir)), every_k=2
+        ).orderBy("doc_id", "frame_idx")
+
+    def q_image_resize(spark, sf_dir):
+        """Nearest-neighbor thumbnail resize of every decodable image
+        payload (NumPy fancy-indexing per image). Rows-only; resized
+        bytes pinned against a NumPy reference in tests."""
+        from delphi_pdf_parser_spark.operators.multimodal import (
+            resize_images,
+            synth_media,
+        )
+
+        return resize_images(
+            synth_media(_docs(spark, sf_dir)), out_w=4, out_h=4
+        ).orderBy("doc_id")
+
     # ORDERING CONTRACT (VERDICT r3 finding #1): the driver verifies only the
     # FIRST 50 entries of this dict.  Every DuckDB-oracled query must sit
     # inside that window; rows-only-by-design entries (pdf_* pipeline, WARC,
@@ -470,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         # --- past the driver's window (repo tests cover these) --------------
+        "video_frame_sample": q_video_frame_sample,
+        "image_resize": q_image_resize,
         "pdf_metrics_rollup": _q_pdf_metrics_rollup,
         "pdf_resume_anti_join": _q_pdf_resume_anti_join,
         "pdf_metadata": _q_pdf_metadata,

@@ -3842,6 +3842,77 @@ def _vp8l_prefix_split(v: int):
     return 2 * nbits, nbits - 1, rest
 
 
+def _gif_lzw_encode_frame(indices, min_code: int) -> bytes:
+    """GIF-flavor LZW (LSB-first, CLEAR/EOI, 12-bit cap) — the encode
+    mirror of mediadec._gif_lzw."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    dic = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = ()
+    for i in indices:
+        cur = prev + (i,)
+        if cur in dic:
+            prev = cur
+            continue
+        emit(dic[prev])
+        if next_code < 4096:
+            dic[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        prev = (i,)
+    if prev:
+        emit(dic[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode_animated(
+    w: int, h: int, frames: list, palette: bytes, delay_cs: int = 4
+) -> bytes:
+    """Animated GIF89a: each frames[i] is a full-canvas list of palette
+    indices; every frame gets a GCE (delay, no transparency, disposal
+    'do not dispose') + a full-size image descriptor."""
+    import struct as _struct
+
+    n = max(2, (len(palette) // 3 - 1).bit_length())
+    gct = palette + b"\x00" * (3 * (2 ** n) - len(palette))
+    out = bytearray(
+        b"GIF89a" + _struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0) + gct
+    )
+    min_code = max(2, n)
+    for idx in frames:
+        out += b"\x21\xf9\x04" + bytes(
+            [1 << 2, delay_cs & 0xFF, delay_cs >> 8, 0]
+        ) + b"\x00"
+        out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
+        lzw = _gif_lzw_encode_frame(idx, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def webp_encode(
     width: int,
     height: int,

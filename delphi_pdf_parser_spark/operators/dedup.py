@@ -118,8 +118,17 @@ def _shingle_hash_table(documents: DataFrame, shingle_n: int) -> DataFrame:
     pipeline's biggest intermediate (the per-doc shingle array) at
     8 bytes/shingle instead of a ~25-byte string. Profiling note: a pure
     JVM variant (xxhash64 inside F.transform) evaluates interpreted
-    per element and measured 7x SLOWER than this Arrow pass."""
+    per element and measured 7x SLOWER than this Arrow pass.
+
+    Input is repartitioned up to cluster parallelism when under-split
+    (one-row-group parquet -> one scan partition would serialize the
+    whole Arrow shingle pass); no-op on properly-split tables — see
+    operators/parallelize.py."""
     from pyspark.sql.functions import pandas_udf
+
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents)
 
     @pandas_udf("array<long>")
     def shingle_hashes(text: pd.Series) -> pd.Series:
@@ -340,7 +349,14 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     Shape: explode tokens -> hash -> 64 bit-count aggregates per doc.
     Flat aggregate expressions stay inside whole-stage codegen; the
     equivalent F.aggregate(...) higher-order forms fall back to
-    interpreted evaluation and run ~10x slower."""
+    interpreted evaluation and run ~10x slower.
+
+    Under-split inputs are repartitioned up to cluster parallelism so
+    the 65-aggregate map side isn't serialized on one scan partition
+    (no-op on properly-split tables — operators/parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents)
     toks = documents.select(
         "doc_id",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),

@@ -73,7 +73,13 @@ def prefilter_html(documents: DataFrame) -> DataFrame:
 def extract_html_documents(
     documents: DataFrame, prefilter: bool = True
 ) -> DataFrame:
+    from .parallelize import ensure_min_parallelism
+
     df = prefilter_html(documents) if prefilter else documents.select(
         "url", "html"
     )
-    return df.mapInPandas(_html_batches, HTML_EXTRACTED_SCHEMA)
+    # under-split inputs fan out before the Python stage (no-op on
+    # properly-split tables — operators/parallelize.py)
+    return ensure_min_parallelism(df).mapInPandas(
+        _html_batches, HTML_EXTRACTED_SCHEMA
+    )

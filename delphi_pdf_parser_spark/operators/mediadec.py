@@ -454,6 +454,121 @@ def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     raise MediaDecodeError("gif: no image descriptor")
 
 
+def decode_gif_frames(
+    data: bytes, max_frames: int = 64
+) -> tuple[int, int, list]:
+    """Animated GIF89a -> (canvas_w, canvas_h, [RGB frame bytes]):
+    every frame composited onto the logical-screen canvas (GCE
+    transparency leaves prior content; disposal 2 restores the
+    background rectangle, 0/1 leave the frame in place). This is the
+    'video' decode path for the frame-sampling operator — GIF is the
+    one animation container a from-scratch pure-Python decoder can own
+    in this runtime."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("gif: bad header")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    bg_index = data[11]
+    if sw * sh > 50_000_000 or not sw or not sh:
+        raise MediaDecodeError("gif: implausible dimensions")
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (
+        gct[3 * bg_index : 3 * bg_index + 3]
+        if gct and bg_index < len(gct) // 3
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames: list = []
+    transparent = -1
+    disposal = 0
+    while pos < len(data) and len(frames) < max_frames:
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:
+                transparent = data[pos + 4] if data[pos + 1] & 1 else -1
+                disposal = (data[pos + 1] >> 2) & 7
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise MediaDecodeError(f"gif: unknown block {b:#x}")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        iflags = data[pos + 9]
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            table = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if not table:
+            raise MediaDecodeError("gif: no color table")
+        if w * h > 50_000_000 or not w or not h:
+            raise MediaDecodeError("gif: implausible dimensions")
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise MediaDecodeError(f"gif: LZW min code {min_code}")
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = _gif_lzw(bytes(lzw), min_code, w * h)
+        idx += [0] * (w * h - len(idx))
+        if iflags & 0x40:
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+            grid = [None] * h
+            for src_y, dst_y in enumerate(order):
+                grid[dst_y] = rows[src_y]
+            idx = [v for row in grid for v in row]
+        npal = len(table) // 3
+        for y in range(h):
+            cy = top + y
+            if cy >= sh:
+                break
+            for x in range(w):
+                cx = left + x
+                if cx >= sw:
+                    continue
+                i = idx[y * w + x]
+                if i == transparent or i >= npal:
+                    continue
+                k = (cy * sw + cx) * 3
+                canvas[k : k + 3] = table[3 * i : 3 * i + 3]
+        frames.append(bytes(canvas))
+        if disposal == 2:  # restore background rectangle
+            for y in range(h):
+                cy = top + y
+                if cy >= sh:
+                    break
+                for x in range(w):
+                    cx = left + x
+                    if cx >= sw:
+                        continue
+                    k = (cy * sw + cx) * 3
+                    canvas[k : k + 3] = bg_rgb
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise MediaDecodeError("gif: no image descriptor")
+    return sw, sh, frames
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """RIFF/WAVE PCM -> (sample_rate, n_channels, bits_per_sample,
     sample bytes). Only integer PCM (format 1); typed errors otherwise.

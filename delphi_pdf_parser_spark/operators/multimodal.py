@@ -190,3 +190,183 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     stats for every payload + real decoded-pixel features (dimensions,
     components, mean pixel) for decodable image formats."""
     return media.mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+# --- video (animated GIF) frame sampling ------------------------------------
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames_total", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("frame_md5", StringType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+
+def _synth_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic animated GIF per document: 8x8, 6 frames whose
+    palette indices derive from md5(text || frame)."""
+    import hashlib
+
+    from delphi_pdf_parser_spark.fixtures import gif_encode_animated
+
+    for b in batches:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            doc_id = int(doc_id)
+            seed = (text or "").encode("utf-8")
+            palette = hashlib.md5(seed + b"|pal").digest()[:12]  # 4 colors
+            frames = []
+            for f in range(6):
+                d = hashlib.md5(seed + b"|f%d" % f).digest()
+                frames.append([d[i % 16] & 3 for i in range(64)])
+            payload = gif_encode_animated(8, 8, frames, palette)
+            rows.append((doc_id, payload, "video/gif", 6))
+        yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+
+def synth_video(documents: DataFrame) -> DataFrame:
+    """Attach a deterministic animated-GIF 'video' payload per document
+    (the frame-sampling stand-in for real video containers; the GIF
+    animation decode is real — operators/mediadec.decode_gif_frames).
+    Under-split inputs fan out first (operators/parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(documents.select("doc_id", "text"))
+    return docs.mapInPandas(_synth_video_batches, VIDEO_SCHEMA)
+
+
+def sample_video_frames(video: DataFrame, every_k: int = 2) -> DataFrame:
+    """Sample every k-th frame of each video payload and emit per-frame
+    features (the training-data 'frame-sample' primitive: one input row
+    fans out to ceil(n_frames/k) frame rows). Map-only — scales linearly
+    with corpus size; frame decode cost is bounded by max_frames=64."""
+    import hashlib
+
+    import numpy as np
+
+    from .mediadec import MediaDecodeError, decode_gif_frames
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, media in zip(b["doc_id"], b["media"]):
+                data = bytes(media)
+                try:
+                    w, h, frames = decode_gif_frames(data)
+                except MediaDecodeError as e:
+                    rows.append(
+                        (int(doc_id), -1, None, None, None, None, None,
+                         f"corrupt:{e}")
+                    )
+                    continue
+                for fi in range(0, len(frames), every_k):
+                    px = np.frombuffer(frames[fi], dtype=np.uint8)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            w,
+                            h,
+                            len(frames),
+                            round(float(px.mean()), 4),
+                            hashlib.md5(frames[fi]).hexdigest(),
+                            "ok",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return video.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+# --- image resize ------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("mean_before", DoubleType()),
+        StructField("mean_after", DoubleType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """Nearest-neighbor resize of every decodable image payload (the
+    thumbnail/normalize step of a multimodal ingest pipeline), emitted
+    as raw interleaved bytes. Vectorized per image via NumPy fancy
+    indexing; map-only."""
+    import numpy as np
+
+    from .mediadec import (
+        MediaDecodeError,
+        UnsupportedMediaError,
+        decode_image,
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, media in zip(b["doc_id"], b["media"]):
+                data = bytes(media)
+                try:
+                    w, h, nc, pixels = decode_image(data)
+                except UnsupportedMediaError as e:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None,
+                         None, f"unsupported:{e}")
+                    )
+                    continue
+                except MediaDecodeError as e:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None,
+                         None, f"corrupt:{e}")
+                    )
+                    continue
+                px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nc)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = px[ys][:, xs]
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        resized.tobytes(),
+                        round(float(px.mean()), 4),
+                        round(float(resized.mean()), 4),
+                        "ok",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.filter(
+        F.col("media_type").startswith("image/")
+    ).mapInPandas(_batches, RESIZED_SCHEMA)

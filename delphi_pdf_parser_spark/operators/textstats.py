@@ -108,10 +108,14 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
     boilerplate signal: highly repetitive text compresses far below
     natural prose). Arrow-batched pandas UDF — zlib is the one thing the
     JVM built-ins can't express; rows-only in the oracle gate (DuckDB has
-    no deflate)."""
+    no deflate). Under-split inputs fan out first (parallelize.py)."""
     import zlib
 
     from pyspark.sql.functions import pandas_udf
+
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents)
 
     @pandas_udf("double")
     def _ratio(text: pd.Series) -> pd.Series:

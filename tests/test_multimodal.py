@@ -572,3 +572,73 @@ def test_media_mutation_robustness_new_formats():
                 decode_image(mut)
             except (MediaDecodeError, UnsupportedMediaError):
                 pass  # typed contract
+
+
+def test_gif_animation_frames_decode():
+    """decode_gif_frames: compositing semantics pinned — frame 2 leaves
+    frame 1's pixels where transparent, disposal-2 restores background."""
+    from delphi_pdf_parser_spark.fixtures import gif_encode_animated
+    from delphi_pdf_parser_spark.operators.mediadec import decode_gif_frames
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    f0 = [0] * 16
+    f1 = [1] * 16
+    f2 = [i % 4 for i in range(16)]
+    data = gif_encode_animated(4, 4, [f0, f1, f2], pal)
+    w, h, frames = decode_gif_frames(data)
+    assert (w, h) == (4, 4)
+    assert len(frames) == 3
+    assert frames[0] == pal[0:3] * 16
+    assert frames[1] == pal[3:6] * 16
+    exp2 = b"".join(pal[3 * (i % 4) : 3 * (i % 4) + 3] for i in range(16))
+    assert frames[2] == exp2
+
+
+def test_video_frame_sampling(spark):
+    from delphi_pdf_parser_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_video,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    out = sample_video_frames(synth_video(docs), every_k=2).toPandas()
+    # 6 frames, every 2nd -> frames 0, 2, 4 per doc
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 2, 4]
+    assert len(out) == 6
+    assert (out["decode_status"] == "ok").all()
+    assert (out["n_frames_total"] == 6).all()
+    assert out["frame_md5"].nunique() == 6  # frames differ per doc+index
+
+
+def test_image_resize(spark):
+    import hashlib
+
+    import numpy as np
+
+    from delphi_pdf_parser_spark.operators.multimodal import (
+        resize_images,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (2, "beta"), (1, "audio-doc")],
+        "doc_id long, text string",
+    )
+    out = (
+        resize_images(synth_media(docs), out_w=4, out_h=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # only the two image rows survive the media_type filter
+    assert sorted(out.index.tolist()) == [0, 2]
+    assert (out["decode_status"] == "ok").all()
+    # pin against a NumPy reference on the known synth payload
+    seed = hashlib.md5(b"alpha").digest()
+    blob = (seed * 5)[:64]
+    px = np.frombuffer(blob, dtype=np.uint8).reshape(8, 8, 1)
+    ys = (np.arange(4) * 8) // 4
+    exp = px[ys][:, ys]
+    assert bytes(out.loc[0, "resized"]) == exp.tobytes()
+    assert out.loc[0, "mean_after"] == round(float(exp.mean()), 4)
