@@ -128,7 +128,7 @@ def _shingle_hash_table(documents: DataFrame, shingle_n: int) -> DataFrame:
 
     from .parallelize import ensure_min_parallelism
 
-    documents = ensure_min_parallelism(documents)
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
 
     @pandas_udf("array<long>")
     def shingle_hashes(text: pd.Series) -> pd.Series:
@@ -356,7 +356,7 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     (no-op on properly-split tables — operators/parallelize.py)."""
     from .parallelize import ensure_min_parallelism
 
-    documents = ensure_min_parallelism(documents)
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     toks = documents.select(
         "doc_id",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),

@@ -80,6 +80,6 @@ def extract_html_documents(
     )
     # under-split inputs fan out before the Python stage (no-op on
     # properly-split tables — operators/parallelize.py)
-    return ensure_min_parallelism(df).mapInPandas(
+    return ensure_min_parallelism(df, min_bytes=2 << 20).mapInPandas(
         _html_batches, HTML_EXTRACTED_SCHEMA
     )

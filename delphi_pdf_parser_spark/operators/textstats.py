@@ -115,7 +115,7 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
 
     from .parallelize import ensure_min_parallelism
 
-    documents = ensure_min_parallelism(documents)
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
 
     @pandas_udf("double")
     def _ratio(text: pd.Series) -> pd.Series:
