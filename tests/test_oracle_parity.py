@@ -115,6 +115,8 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "warc_ingest",
         "html_main_content",
         "dedup_recall",
+        "video_frame_sample",
+        "image_resize",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
