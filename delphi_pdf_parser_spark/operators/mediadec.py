@@ -463,7 +463,17 @@ def decode_gif_frames(
     background rectangle, 0/1 leave the frame in place). This is the
     'video' decode path for the frame-sampling operator — GIF is the
     one animation container a from-scratch pure-Python decoder can own
-    in this runtime."""
+    in this runtime. Same typed boundary as decode_image: corrupt
+    payloads raise MediaDecodeError, never bare struct/index errors."""
+    try:
+        return _decode_gif_frames(data, max_frames)
+    except MediaDecodeError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error) as e:
+        raise MediaDecodeError(f"corrupt: {type(e).__name__}: {e}")
+
+
+def _decode_gif_frames(data: bytes, max_frames: int) -> tuple[int, int, list]:
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("gif: bad header")
     sw, sh = struct.unpack_from("<HH", data, 6)

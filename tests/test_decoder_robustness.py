@@ -145,3 +145,23 @@ def test_jbig2_mutation_robustness():
                 jbig2_decode(mut)
             except Jbig2Error:
                 pass  # incl. Jbig2Unsupported — the typed contract
+
+
+def test_gif_frames_mutation_robustness():
+    """Animated-GIF frame decode: any mutation either decodes to
+    well-formed frames or raises the typed MediaDecodeError — never an
+    unhandled exception or runaway allocation."""
+    rng = random.Random(5)
+    from delphi_pdf_parser_spark.fixtures import gif_encode_animated
+    from delphi_pdf_parser_spark.operators.mediadec import decode_gif_frames
+
+    pal = bytes(range(12))
+    frames = [[rng.randrange(4) for _ in range(36)] for _ in range(4)]
+    payload = gif_encode_animated(6, 6, frames, pal)
+    for mut in _mutations(payload, rng):
+        try:
+            w, h, fs = decode_gif_frames(mut)
+            assert 1 <= len(fs) <= 64
+            assert all(len(f) == w * h * 3 for f in fs)
+        except (MediaDecodeError, UnsupportedMediaError, IndexError):
+            pass
