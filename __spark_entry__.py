@@ -262,6 +262,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def q_kmv_distinct(spark, sf_dir):
+        """KMV (k-minimum-values) distinct-token sketch per source —
+        deterministic cross-engine cardinality estimation (md5 hashes,
+        lexicographic order, explicit hex-fraction arithmetic), so the
+        DuckDB oracle pins the ESTIMATES bit-for-bit, not just shapes."""
+        from delphi_pdf_parser_spark.operators.sketches import (
+            kmv_distinct_tokens,
+        )
+
+        # k=16 < per-source vocab so the kth-hash ESTIMATOR path (not
+        # just the exact-count fallback) is what the oracle verifies
+        return kmv_distinct_tokens(_docs(spark, sf_dir), k=16).orderBy(
+            "source"
+        )
+
     def q_dedup_clusters(spark, sf_dir):
         """Keep-one-per-cluster resolution: connected components over
         the exact-Jaccard near-dup pairs (DuckDB oracle: recursive CTE
@@ -472,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "unigram_logprob": q_unigram_logprob,
+        "kmv_distinct_tokens": q_kmv_distinct,
         "token_count": q_token_count,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -745,6 +761,34 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        "kmv_distinct_tokens": """
+            WITH toks AS (
+                SELECT source AS grp,
+                       unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
+                FROM documents
+            ), hs AS (
+                SELECT DISTINCT grp, md5(tok) AS h
+                FROM toks WHERE tok <> ''
+            ), ranked AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+                FROM hs
+            ), topk AS (
+                SELECT * FROM ranked WHERE rnk <= 16
+            ), agg AS (
+                SELECT grp, count(*) AS n_hashes,
+                       max(CASE WHEN rnk = 16 THEN h END) AS kth_hash
+                FROM topk GROUP BY grp
+            )
+            SELECT grp AS source, n_hashes, kth_hash,
+                   CASE WHEN kth_hash IS NOT NULL THEN
+                       round(15.0 / (
+                           CAST(('0x' || substr(kth_hash, 1, 6)) AS BIGINT)
+                           / 16777216.0), 2)
+                   ELSE CAST(n_hashes AS DOUBLE) END AS est_distinct
+            FROM agg
+            ORDER BY source
         """,
         "decontaminate": """
             WITH toks AS (

@@ -40,3 +40,30 @@ def test_unigram_uncapped_equals_capped_when_vocab_fits(spark):
     a = sorted(unigram_logprob(docs, top_v=100_000).collect())
     b = sorted(unigram_logprob(docs, top_v=4).collect())
     assert a == b
+
+
+def test_kmv_distinct_estimator_accuracy(spark):
+    """KMV sketch: on a corpus with known distinct-token cardinality the
+    estimate lands within the standard ~1/sqrt(k-2) relative error, and
+    groups under capacity report exact counts."""
+    from delphi_pdf_parser_spark.operators.sketches import (
+        kmv_distinct_tokens,
+    )
+
+    rows = []
+    # group "big": 2000 distinct tokens spread over docs
+    for d in range(40):
+        toks = " ".join(f"tok{d}_{i}" for i in range(50))
+        rows.append((d, "big", toks))
+    # group "small": 5 distinct tokens (< k -> exact)
+    rows.append((100, "small", "a b c d e a b"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in kmv_distinct_tokens(docs, k=64, group_col="source").collect()
+    }
+    assert out["small"]["est_distinct"] == 5.0
+    assert out["small"]["kth_hash"] is None
+    est = out["big"]["est_distinct"]
+    # 3 sigma of ~ n/sqrt(k-2) at k=64, n=2000 -> +-760
+    assert 1240 < est < 2760, est
