@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "unigram_logprob": q_unigram_logprob,
         "kmv_distinct_tokens": q_kmv_distinct,
+        "conversion_funnel": relational.conversion_funnel,
         "token_count": q_token_count,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -761,6 +762,33 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        "conversion_funnel": """
+            WITH views AS (
+                SELECT user_id, min(ts) AS view_ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), clicks AS (
+                SELECT e.user_id, min(e.ts) AS click_ts
+                FROM events e JOIN views v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.view_ts
+                GROUP BY e.user_id
+            ), purch AS (
+                SELECT e.user_id, min(e.ts) AS purchase_ts
+                FROM events e JOIN clicks c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id,
+                   floor(epoch(v.view_ts))::BIGINT AS view_epoch,
+                   floor(epoch(c.click_ts))::BIGINT AS click_epoch,
+                   floor(epoch(p.purchase_ts))::BIGINT AS purchase_epoch,
+                   CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                        WHEN c.click_ts IS NOT NULL THEN 2
+                        ELSE 1 END AS funnel_stage
+            FROM views v
+            LEFT JOIN clicks c USING (user_id)
+            LEFT JOIN purch p USING (user_id)
+            ORDER BY v.user_id
         """,
         "kmv_distinct_tokens": """
             WITH toks AS (

