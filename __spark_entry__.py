@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def q_gopher_quality(spark, sf_dir):
+        return textstats.gopher_quality(_docs(spark, sf_dir)).orderBy(
+            "doc_id"
+        )
+
     def q_kmv_distinct(spark, sf_dir):
         """KMV (k-minimum-values) distinct-token sketch per source —
         deterministic cross-engine cardinality estimation (md5 hashes,
@@ -489,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "kmv_distinct_tokens": q_kmv_distinct,
         "conversion_funnel": relational.conversion_funnel,
+        "gopher_quality": q_gopher_quality,
         "token_count": q_token_count,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -762,6 +768,46 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        "gopher_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       str_split_regex(trim(text), '\s+') AS toks,
+                       text
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       length(list_aggregate(toks, 'string_agg', ''))
+                           * 1.0 / len(toks) AS mean_wl,
+                       (length(text) - length(replace(text, '#', '')))
+                           AS n_hash,
+                       (length(text) - length(replace(text, '...', '')))
+                           / 3.0 AS n_ellipsis,
+                       len(list_filter(toks,
+                           x -> regexp_matches(x, '[a-zA-Z]')))
+                           AS alpha_words,
+                       len(list_distinct(list_filter(
+                           str_split_regex(trim(lower(text)), '\s+'),
+                           x -> x IN ('the', 'and', 'that', 'have', 'with')
+                       ))) AS n_stop
+                FROM t
+            )
+            SELECT doc_id, n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(n_hash * 1.0 / n_words, 4) AS hash_ratio,
+                   round(n_ellipsis / n_words, 4) AS ellipsis_ratio,
+                   round(alpha_words * 1.0 / n_words, 4) AS alpha_word_frac,
+                   n_stop AS n_stop_words,
+                   CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND mean_wl >= 3 AND mean_wl <= 10
+                         AND n_hash * 1.0 / n_words <= 0.1
+                         AND n_ellipsis / n_words <= 0.3
+                         AND alpha_words * 1.0 / n_words >= 0.8
+                         AND n_stop >= 2
+                        THEN 1 ELSE 0 END AS keep
+            FROM m
+            ORDER BY doc_id
         """,
         "conversion_funnel": """
             WITH views AS (

@@ -267,3 +267,54 @@ def unigram_logprob(
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021, §A1.1 — the
+    canonical pretraining-corpus heuristic set): per document, the rule
+    inputs and the keep verdict.
+
+    Rules (public thresholds): 50 <= word count <= 100k; 3 <= mean word
+    length <= 10; '#'-to-word ratio <= 0.1; '...'-to-word ratio <= 0.3;
+    >= 80% of words contain an alphabetic char; >= 2 distinct Gopher
+    stop words ('the and that have with' subset). Everything is JVM
+    expressions (higher-order filters stay interpreted but linear), and
+    every rule input is emitted so downstream curation can re-threshold
+    without recomputing."""
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.length(F.concat_ws("", toks)) / n_words
+    n_hash = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stops = ("the", "and", "that", "have", "with")
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t.isin(*stops))
+        )
+    )
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (n_hash / n_words <= 0.1)
+        & (n_ellipsis / n_words <= 0.3)
+        & (alpha_words / n_words >= 0.8)
+        & (n_stop >= 2)
+    )
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(n_hash / n_words, 4).alias("hash_ratio"),
+        F.round(n_ellipsis / n_words, 4).alias("ellipsis_ratio"),
+        F.round(alpha_words / n_words, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_stop_words"),
+        keep.cast("int").alias("keep"),
+    )

@@ -67,3 +67,31 @@ def test_kmv_distinct_estimator_accuracy(spark):
     est = out["big"]["est_distinct"]
     # 3 sigma of ~ n/sqrt(k-2) at k=64, n=2000 -> +-760
     assert 1240 < est < 2760, est
+
+
+def test_gopher_quality_rules(spark):
+    """Published Gopher thresholds: a normal English paragraph passes;
+    short / symbol-heavy / stop-word-free documents fail the specific
+    rule they violate."""
+    from delphi_pdf_parser_spark.operators.textstats import gopher_quality
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and keeps running "
+        "through fields with great joy because movement can have meaning "
+        "when you least expect it to happen "
+    ) * 2  # > 50 words, plenty of stop words, all alphabetic
+    short = "too short"
+    hashy = "the and that have with " + "# " * 60 + "word " * 50
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(
+                [(1, good), (2, short), (3, hashy)],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[1]["n_stop_words"] >= 2
+    assert out[2]["keep"] == 0 and out[2]["n_words"] < 50
+    assert out[3]["keep"] == 0 and out[3]["hash_ratio"] > 0.1
