@@ -185,6 +185,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "rank"
         )
 
+    def q_ann_pq(spark, sf_dir):
+        """PQ ADC shortlist (32 codebooks x 16 codes = 32-byte vectors)
+        + exact-cosine re-rank at refine_factor=10: the production
+        IVF-PQ second stage. With this refine margin the result equals
+        exact brute force on the synthetic corpus (verified at sf0.001
+        and sf0.01), so the brute-force SQL is its oracle — the driver
+        pins the ENTIRE train->encode->ADC->rerank pipeline end-to-end,
+        not just its shape."""
+        e = _embs(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.pq_topk(
+            e, qs, k=5, refine_factor=10
+        ).orderBy("query_id", "rank")
+
     def q_ann_lsh(spark, sf_dir):
         e = _embs(spark, sf_dir)
         qs = e.filter(F.col("vec_id") < 5)
@@ -504,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
         "ann_ivf_full_probe": q_ann_ivf_full,
+        "ann_pq_rerank_topk": q_ann_pq,
         # --- rows-only by design (hash/plane-specific or non-SQL) -----------
         # Highest-value rows-only entries stay inside the 50-window so the
         # driver still records their row counts + schema stability.
@@ -1069,6 +1084,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_a, vec_b
         """,
         "ann_bruteforce_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, vec_id, cosine FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_pq_rerank_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 5),
             scored AS (

@@ -175,3 +175,68 @@ def test_kmeans_cells_balanced(spark):
     assert (counts > 0).sum() == n_clusters, f"empty cells: {counts}"
     ratio = nonzero.max() / np.median(nonzero)
     assert ratio < 4, f"cell imbalance max/median={ratio:.2f} ({counts})"
+
+
+def test_pq_adc_recall_and_rerank_exactness(spark):
+    """PQ: the raw ADC shortlist must carry real signal (recall@5 >= 0.5
+    vs brute force at 32x16 codes on the synthetic 64-dim embeddings),
+    and the production two-stage form (ADC shortlist -> exact-cosine
+    re-rank at refine_factor=10) must reproduce brute force EXACTLY —
+    values, ranks and all (the property the driver oracle relies on)."""
+    from pyspark.sql import functions as F
+
+    from delphi_pdf_parser_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(e, qs, k=5).collect()
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf}
+
+    adc = pq_topk(e, qs, k=5).collect()
+    adc_set = {(r["query_id"], r["vec_id"]) for r in adc}
+    assert len(bf_set & adc_set) / len(bf_set) >= 0.5
+
+    refined = pq_topk(e, qs, k=5, refine_factor=10).collect()
+    assert sorted(map(tuple, refined)) == sorted(map(tuple, bf))
+
+
+def test_pq_encode_roundtrip_quality(spark):
+    """pq_encode: decoding a vector from its codes (centroid
+    concatenation) must be closer to the original than to a random
+    other vector, i.e. the codebooks actually quantize."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from delphi_pdf_parser_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_train_codebooks(e, m=16, kcodes=16)
+    rows = (
+        pq_encode(e, books)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    m, _, dsub = books.shape
+    vecs = []
+    recons = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        rec = np.concatenate([books[s][r["codes"][s]] for s in range(m)])
+        vecs.append(v)
+        recons.append(rec)
+    own = np.mean(
+        [np.linalg.norm(v - r) for v, r in zip(vecs, recons)]
+    )
+    cross = np.mean(
+        [np.linalg.norm(vecs[i] - recons[(i + 7) % 20]) for i in range(20)]
+    )
+    assert own < cross * 0.8, (own, cross)
