@@ -276,6 +276,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def q_curation_pipeline(spark, sf_dir):
+        """Composed curation pass (quality -> keep-first dedup ->
+        deterministic sample -> per-source accounting) as one plan."""
+        from delphi_pdf_parser_spark.operators.curation import (
+            curation_pipeline,
+        )
+
+        return curation_pipeline(_docs(spark, sf_dir)).orderBy("source")
+
     def q_gopher_quality(spark, sf_dir):
         return textstats.gopher_quality(_docs(spark, sf_dir)).orderBy(
             "doc_id"
@@ -509,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_tokens": q_kmv_distinct,
         "conversion_funnel": relational.conversion_funnel,
         "gopher_quality": q_gopher_quality,
+        "curation_pipeline": q_curation_pipeline,
         "token_count": q_token_count,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -783,6 +793,53 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t LEFT JOIN lm USING (tok) CROSS JOIN tot
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        "curation_pipeline": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       len(str_split_regex(trim(text), '\s+')) AS n_words,
+                       (len(str_split_regex(trim(text), '\s+')) >= 30
+                        AND len(list_filter(
+                                str_split_regex(trim(text), '\s+'),
+                                x -> regexp_matches(x, '[a-zA-Z]')))
+                            * 1.0
+                            / len(str_split_regex(trim(text), '\s+'))
+                            >= 0.8) AS q_pass,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                          'g')) AS fingerprint,
+                       substring(md5(source || ':cur1:'
+                                     || CAST(doc_id AS VARCHAR)), 1, 4)
+                           AS sample_h
+                FROM documents
+            ), keepers AS (
+                SELECT fingerprint, min(doc_id) AS keep_doc_id
+                FROM base WHERE q_pass GROUP BY fingerprint
+            ), survivors AS (
+                SELECT b.* FROM base b
+                JOIN keepers k ON b.fingerprint = k.fingerprint
+                             AND b.doc_id = k.keep_doc_id
+                WHERE b.q_pass
+            ), sampled AS (
+                SELECT * FROM survivors WHERE sample_h < '8000'
+            )
+            SELECT i.source,
+                   i.n_input,
+                   coalesce(q.n_quality, 0) AS n_quality,
+                   coalesce(u.n_unique, 0) AS n_unique,
+                   coalesce(sp.n_sampled, 0) AS n_sampled,
+                   sp.mean_words_sampled
+            FROM (SELECT source, count(*) AS n_input
+                  FROM documents GROUP BY source) i
+            LEFT JOIN (SELECT source, count(*) AS n_quality
+                       FROM base WHERE q_pass GROUP BY source) q
+                   USING (source)
+            LEFT JOIN (SELECT source, count(*) AS n_unique
+                       FROM survivors GROUP BY source) u USING (source)
+            LEFT JOIN (SELECT source, count(*) AS n_sampled,
+                              round(avg(n_words), 4)
+                                  AS mean_words_sampled
+                       FROM sampled GROUP BY source) sp USING (source)
+            ORDER BY i.source
         """,
         "gopher_quality": """
             WITH t AS (

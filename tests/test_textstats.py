@@ -95,3 +95,29 @@ def test_gopher_quality_rules(spark):
     assert out[1]["n_stop_words"] >= 2
     assert out[2]["keep"] == 0 and out[2]["n_words"] < 50
     assert out[3]["keep"] == 0 and out[3]["hash_ratio"] > 0.1
+
+
+def test_curation_pipeline_stages(spark):
+    """Each curation stage drops exactly what it should: a short doc
+    fails quality, an exact duplicate is dropped keep-first, sampling is
+    the deterministic md5 threshold."""
+    from delphi_pdf_parser_spark.operators.curation import curation_pipeline
+
+    long_a = "alpha " * 40
+    rows = [
+        (1, "s1", long_a),          # keeper
+        (2, "s1", long_a),          # exact dup of 1 -> dropped at dedup
+        (3, "s1", "too short"),     # dropped at quality
+        (4, "s2", "beta " * 35),    # keeper, other source
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in curation_pipeline(docs, sample_hex="ffff").collect()
+    }
+    assert out["s1"]["n_input"] == 3
+    assert out["s1"]["n_quality"] == 2
+    assert out["s1"]["n_unique"] == 1   # dup collapsed, doc 1 kept
+    assert out["s1"]["n_sampled"] == 1  # sample_hex ffff keeps all
+    assert out["s2"]["n_input"] == 1
+    assert out["s2"]["n_unique"] == 1
