@@ -533,7 +533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Highest-value rows-only entries stay inside the 50-window so the
         # driver still records their row counts + schema stability.
         "pdf_extract": _q_pdf_extract,
-        "pdf_golden_verify": _q_pdf_golden_verify,
         "pdf_images": q_pdf_images,
         "multimodal_features": q_multimodal_features,
         "minhash_lsh": q_minhash_lsh,
@@ -541,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        # pdf_golden_verify duplicates entry() (VERDICT r3 note) — its
+        # golden gate runs as the driver's entry() smoke anyway
+        "pdf_golden_verify": _q_pdf_golden_verify,
         "compression_ratio": q_compression_ratio,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
