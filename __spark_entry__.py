@@ -847,6 +847,9 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id,
                        str_split_regex(trim(text), '\s+') AS toks,
+                       list_filter(list_transform(str_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines,
                        text
                 FROM documents
             ), m AS (
@@ -858,29 +861,50 @@ def oracle_sql() -> dict[str, str]:
                            AS n_hash,
                        (length(text) - length(replace(text, '...', '')))
                            / 3.0 AS n_ellipsis,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines,
+                           x -> left(x, 1) IN ('•', '-', '*')))
+                           AS bullet_lines,
+                       len(list_filter(lines,
+                           x -> ends_with(x, '...') OR ends_with(x, '…')))
+                           AS ellipsis_lines,
                        len(list_filter(toks,
                            x -> regexp_matches(x, '[a-zA-Z]')))
                            AS alpha_words,
                        len(list_distinct(list_filter(
                            str_split_regex(trim(lower(text)), '\s+'),
-                           x -> x IN ('the', 'and', 'that', 'have', 'with')
+                           x -> x IN ('the', 'be', 'to', 'of', 'and',
+                                      'that', 'have', 'with')
                        ))) AS n_stop
                 FROM t
+            ), f AS (
+                SELECT *,
+                       CASE WHEN n_lines > 0
+                            THEN bullet_lines * 1.0 / n_lines
+                            ELSE 0.0 END AS bullet_frac,
+                       CASE WHEN n_lines > 0
+                            THEN ellipsis_lines * 1.0 / n_lines
+                            ELSE 0.0 END AS ell_line_frac
+                FROM m
             )
             SELECT doc_id, n_words,
                    round(mean_wl, 4) AS mean_word_len,
                    round(n_hash * 1.0 / n_words, 4) AS hash_ratio,
                    round(n_ellipsis / n_words, 4) AS ellipsis_ratio,
+                   round(bullet_frac, 4) AS bullet_line_frac,
+                   round(ell_line_frac, 4) AS ellipsis_line_frac,
                    round(alpha_words * 1.0 / n_words, 4) AS alpha_word_frac,
                    n_stop AS n_stop_words,
                    CASE WHEN n_words >= 50 AND n_words <= 100000
                          AND mean_wl >= 3 AND mean_wl <= 10
                          AND n_hash * 1.0 / n_words <= 0.1
-                         AND n_ellipsis / n_words <= 0.3
+                         AND n_ellipsis / n_words <= 0.1
+                         AND bullet_frac <= 0.9
+                         AND ell_line_frac <= 0.3
                          AND alpha_words * 1.0 / n_words >= 0.8
                          AND n_stop >= 2
                         THEN 1 ELSE 0 END AS keep
-            FROM m
+            FROM f
             ORDER BY doc_id
         """,
         "conversion_funnel": """
@@ -932,8 +956,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS source, n_hashes, kth_hash,
                    CASE WHEN kth_hash IS NOT NULL THEN
                        round(15.0 / (
-                           CAST(('0x' || substr(kth_hash, 1, 6)) AS BIGINT)
-                           / 16777216.0), 2)
+                           CAST(('0x' || substr(kth_hash, 1, 12)) AS BIGINT)
+                           / 281474976710656.0), 2)
                    ELSE CAST(n_hashes AS DOUBLE) END AS est_distinct
             FROM agg
             ORDER BY source

@@ -3885,11 +3885,21 @@ def _gif_lzw_encode_frame(indices, min_code: int) -> bytes:
 
 
 def gif_encode_animated(
-    w: int, h: int, frames: list, palette: bytes, delay_cs: int = 4
+    w: int,
+    h: int,
+    frames: list,
+    palette: bytes,
+    delay_cs: int = 4,
+    controls: list | None = None,
 ) -> bytes:
     """Animated GIF89a: each frames[i] is a full-canvas list of palette
-    indices; every frame gets a GCE (delay, no transparency, disposal
-    'do not dispose') + a full-size image descriptor."""
+    indices (or, with a per-frame control rect, a rect-sized list); by
+    default every frame gets a GCE (delay, no transparency, disposal
+    'do not dispose') + a full-size image descriptor.
+
+    controls[i], when given, is a dict overriding that frame's GCE and
+    descriptor: 'disposal' (0..3), 'transparent' (palette index or
+    None), 'rect' ((left, top, fw, fh) sub-rectangle)."""
     import struct as _struct
 
     n = max(2, (len(palette) // 3 - 1).bit_length())
@@ -3898,11 +3908,16 @@ def gif_encode_animated(
         b"GIF89a" + _struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0) + gct
     )
     min_code = max(2, n)
-    for idx in frames:
+    for fno, idx in enumerate(frames):
+        ctl = (controls[fno] if controls and fno < len(controls) else None) or {}
+        disposal = ctl.get("disposal", 1)
+        transparent = ctl.get("transparent")
+        left, top, fw, fh = ctl.get("rect", (0, 0, w, h))
+        gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
         out += b"\x21\xf9\x04" + bytes(
-            [1 << 2, delay_cs & 0xFF, delay_cs >> 8, 0]
+            [gce_flags, delay_cs & 0xFF, delay_cs >> 8, transparent or 0]
         ) + b"\x00"
-        out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + _struct.pack("<HHHHB", left, top, fw, fh, 0)
         lzw = _gif_lzw_encode_frame(idx, min_code)
         out += bytes([min_code])
         for i in range(0, len(lzw), 255):

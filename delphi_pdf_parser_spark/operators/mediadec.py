@@ -460,7 +460,8 @@ def decode_gif_frames(
     """Animated GIF89a -> (canvas_w, canvas_h, [RGB frame bytes]):
     every frame composited onto the logical-screen canvas (GCE
     transparency leaves prior content; disposal 2 restores the
-    background rectangle, 0/1 leave the frame in place). This is the
+    background rectangle, 3 restores the pre-frame canvas snapshot,
+    0/1 leave the frame in place). This is the
     'video' decode path for the frame-sampling operator — GIF is the
     one animation container a from-scratch pure-Python decoder can own
     in this runtime. Same typed boundary as decode_image: corrupt
@@ -547,6 +548,8 @@ def _decode_gif_frames(data: bytes, max_frames: int) -> tuple[int, int, list]:
                 grid[dst_y] = rows[src_y]
             idx = [v for row in grid for v in row]
         npal = len(table) // 3
+        # disposal 3 = restore-to-previous: snapshot before compositing
+        prev_canvas = bytes(canvas) if disposal == 3 else None
         for y in range(h):
             cy = top + y
             if cy >= sh:
@@ -572,6 +575,8 @@ def _decode_gif_frames(data: bytes, max_frames: int) -> tuple[int, int, list]:
                         continue
                     k = (cy * sw + cx) * 3
                     canvas[k : k + 3] = bg_rgb
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = bytearray(prev_canvas)
         transparent = -1
         disposal = 0
     if not frames:

@@ -7,7 +7,7 @@ smallest distinct hash h_(k) estimates the cardinality as
 engine-specific), this implementation is DETERMINISTIC and
 cross-engine: the hash is md5 (bit-identical in Spark and DuckDB), the
 order is the hex string's lexicographic order (identical), and the
-fraction is computed from the first 6 hex nibbles with explicit
+fraction is computed from the first 12 hex nibbles with explicit
 arithmetic — so the driver's DuckDB oracle pins the estimate exactly,
 not just row shapes.
 
@@ -23,14 +23,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def _hex_fraction(col):
-    """First 6 hex nibbles of an md5 string -> value in [0, 1).
+    """First 12 hex nibbles of an md5 string -> value in [0, 1).
 
-    conv(hex, 16, 10) / 16^6: the integer is identical in DuckDB via
-    ('0x' || nibbles)::BIGINT, and a single int/double division is
-    bit-identical across engines.  Resolution 16^-6 ~ 6e-8, ample for
-    k/n fractions down to n ~ 10^6 per group at k = 64."""
-    return F.conv(F.substring(col, 1, 6), 16, 10).cast("double") / F.lit(
-        float(16 ** 6)
+    conv(hex, 16, 10) / 16^12: the 48-bit integer is exact in a double
+    and identical in DuckDB via ('0x' || nibbles)::BIGINT, and a single
+    int/double division is bit-identical across engines.  Resolution
+    16^-12 ~ 3.6e-15: the k-th minimum hash stays far above quantization
+    even for per-group distinct cardinalities ~ 10^12 (k/n down to
+    ~6e-11 at k = 64), matching the engine's 100 TB design point."""
+    return F.conv(F.substring(col, 1, 12), 16, 10).cast("double") / F.lit(
+        float(16 ** 12)
     )
 
 

@@ -269,18 +269,26 @@ def unigram_logprob(
     )
 
 
+# Rae et al. 2021 §A1.1: "the, be, to, of, and, that, have, with" —
+# document must contain at least two of these (full published list).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def gopher_quality(documents: DataFrame) -> DataFrame:
-    """Gopher-style quality-rule filter (Rae et al. 2021, §A1.1 — the
+    """Gopher quality-rule filter (Rae et al. 2021, §A1.1 — the
     canonical pretraining-corpus heuristic set): per document, the rule
     inputs and the keep verdict.
 
-    Rules (public thresholds): 50 <= word count <= 100k; 3 <= mean word
-    length <= 10; '#'-to-word ratio <= 0.1; '...'-to-word ratio <= 0.3;
-    >= 80% of words contain an alphabetic char; >= 2 distinct Gopher
-    stop words ('the and that have with' subset). Everything is JVM
-    expressions (higher-order filters stay interpreted but linear), and
-    every rule input is emitted so downstream curation can re-threshold
-    without recomputing."""
+    Published thresholds, applied as published: 50 <= word count <=
+    100k; 3 <= mean word length <= 10; symbol-to-word ratio <= 0.1 for
+    BOTH '#' and '...'; <= 90% of lines start with a bullet; <= 30% of
+    lines end with an ellipsis; >= 80% of words contain an alphabetic
+    char; >= 2 of the 8 Gopher stop words. The two line-level rules are
+    computed over trimmed non-empty lines (documents with no such lines
+    trivially pass them). Everything is JVM expressions (higher-order
+    filters stay interpreted but linear), and every rule input is
+    emitted so downstream curation can re-threshold without
+    recomputing."""
     toks = _tokens(F.col("text"))
     n_words = F.size(toks)
     mean_wl = F.length(F.concat_ws("", toks)) / n_words
@@ -292,11 +300,29 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
     ) / 3
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    stops = ("the", "and", "that", "have", "with")
     n_stop = F.size(
         F.array_distinct(
-            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t.isin(*stops))
+            F.filter(
+                _tokens(F.lower(F.col("text"))),
+                lambda t: t.isin(*GOPHER_STOPS),
+            )
         )
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), F.trim),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.substring(x, 1, 1).isin("•", "-", "*"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    # no non-empty lines -> the line rules trivially pass (frac 0)
+    bullet_frac = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(0.0)
+    ell_line_frac = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(
+        0.0
     )
     keep = (
         (n_words >= 50)
@@ -304,7 +330,9 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         & (mean_wl >= 3)
         & (mean_wl <= 10)
         & (n_hash / n_words <= 0.1)
-        & (n_ellipsis / n_words <= 0.3)
+        & (n_ellipsis / n_words <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_line_frac <= 0.3)
         & (alpha_words / n_words >= 0.8)
         & (n_stop >= 2)
     )
@@ -314,6 +342,8 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         F.round(mean_wl, 4).alias("mean_word_len"),
         F.round(n_hash / n_words, 4).alias("hash_ratio"),
         F.round(n_ellipsis / n_words, 4).alias("ellipsis_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ell_line_frac, 4).alias("ellipsis_line_frac"),
         F.round(alpha_words / n_words, 4).alias("alpha_word_frac"),
         n_stop.alias("n_stop_words"),
         keep.cast("int").alias("keep"),

@@ -163,5 +163,6 @@ def test_gif_frames_mutation_robustness():
             w, h, fs = decode_gif_frames(mut)
             assert 1 <= len(fs) <= 64
             assert all(len(f) == w * h * 3 for f in fs)
-        except (MediaDecodeError, UnsupportedMediaError, IndexError):
+        except (MediaDecodeError, UnsupportedMediaError):
+            # deliberately NOT IndexError: the typed boundary converts it
             pass

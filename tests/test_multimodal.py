@@ -594,6 +594,40 @@ def test_gif_animation_frames_decode():
     assert frames[2] == exp2
 
 
+def test_gif_disposal_restore_to_previous():
+    """Disposal 3 (restore-to-previous): a frame drawn with disposal 3
+    must NOT leak into the composition base of the following frame —
+    the canvas reverts to its pre-frame snapshot before the next frame
+    composites."""
+    from delphi_pdf_parser_spark.fixtures import gif_encode_animated
+    from delphi_pdf_parser_spark.operators.mediadec import decode_gif_frames
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    base = [0] * 16  # full-canvas color 0
+    overlay = [1] * 4  # 2x2 rect of color 1 at (1,1), disposal 3
+    dot = [2]  # 1x1 rect of color 2 at (3,3)
+    data = gif_encode_animated(
+        4,
+        4,
+        [base, overlay, dot],
+        pal,
+        controls=[
+            {"disposal": 1},
+            {"disposal": 3, "rect": (1, 1, 2, 2)},
+            {"disposal": 1, "rect": (3, 3, 1, 1)},
+        ],
+    )
+    w, h, frames = decode_gif_frames(data)
+    assert (w, h) == (4, 4) and len(frames) == 3
+    red = pal[3:6]
+    # frame 1 shows the overlay rect
+    assert frames[1][(1 * 4 + 1) * 3 : (1 * 4 + 1) * 3 + 3] == red
+    # frame 2: overlay reverted (restore-to-previous), dot drawn
+    assert frames[2][(1 * 4 + 1) * 3 : (1 * 4 + 1) * 3 + 3] == pal[0:3]
+    assert frames[2][(2 * 4 + 2) * 3 : (2 * 4 + 2) * 3 + 3] == pal[0:3]
+    assert frames[2][(3 * 4 + 3) * 3 : (3 * 4 + 3) * 3 + 3] == pal[6:9]
+
+
 def test_video_frame_sampling(spark):
     from delphi_pdf_parser_spark.operators.multimodal import (
         sample_video_frames,

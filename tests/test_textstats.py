@@ -82,11 +82,34 @@ def test_gopher_quality_rules(spark):
     ) * 2  # > 50 words, plenty of stop words, all alphabetic
     short = "too short"
     hashy = "the and that have with " + "# " * 60 + "word " * 50
+    # ellipsis-to-word ratio 0.2: passed the old (misread) 0.3 bar, must
+    # FAIL the published 0.1 symbol-ratio rule
+    dotty = "the of and that have " + "... " * 12 + "word " * 45
+    # >30% of lines end with an ellipsis -> line rule fails even though
+    # the symbol ratio (9/62 > 0.1 too) — give it few enough ellipses
+    # that only the LINE rule can catch it: 2 of 4 lines end with "..."
+    liney = "\n".join(
+        [
+            "the quick brown fox jumps over that lazy dog " + "word " * 15,
+            "this line trails off like so ...",
+            "a perfectly ordinary line of and to be text " + "word " * 15,
+            "and so does this one …",
+        ]
+    )
+    # >90% bullet lines
+    bullets = "\n".join("• the item of and %d" % i for i in range(20))
     out = {
         r["doc_id"]: r
         for r in gopher_quality(
             spark.createDataFrame(
-                [(1, good), (2, short), (3, hashy)],
+                [
+                    (1, good),
+                    (2, short),
+                    (3, hashy),
+                    (4, dotty),
+                    (5, liney),
+                    (6, bullets),
+                ],
                 "doc_id long, text string",
             )
         ).collect()
@@ -95,6 +118,11 @@ def test_gopher_quality_rules(spark):
     assert out[1]["n_stop_words"] >= 2
     assert out[2]["keep"] == 0 and out[2]["n_words"] < 50
     assert out[3]["keep"] == 0 and out[3]["hash_ratio"] > 0.1
+    assert out[4]["keep"] == 0 and 0.1 < out[4]["ellipsis_ratio"] <= 0.3
+    assert out[5]["ellipsis_line_frac"] == 0.5 and out[5]["keep"] == 0
+    assert out[6]["bullet_line_frac"] == 1.0 and out[6]["keep"] == 0
+    # the 8-word published stop list: 'of' and 'to' and 'be' now count
+    assert out[5]["n_stop_words"] >= 5
 
 
 def test_curation_pipeline_stages(spark):
