@@ -74,17 +74,26 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k with a deterministic tie-break (row_number, not limit)."""
+    """Top-k with a deterministic tie-break.
+
+    The cut is `orderBy().limit()` so Catalyst plans
+    TakeOrderedAndProject — every partition keeps its own top-10 and
+    only those merge on one task. The rank column is then a row_number
+    window over the 10 SURVIVING rows (a single-partition exchange of
+    exactly k rows, scale-independent) — NOT a window over the full
+    table, which would sort the entire orders table on one task (the
+    classic global-window scale-killer this replaced)."""
     o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select(
-            "rk",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("total_price"),
-        )
+    return top.select(
+        F.row_number().over(w).alias("rk"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
     )
 
 

@@ -509,13 +509,12 @@ def pq_train_codebooks(
     return books
 
 
-def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
-    """-> (vec_id, codes array<int>): each (normalized) vector reduced
-    to m subspace code indices — the m-byte representation that makes
-    100 TB of embeddings fit scan-speed ANN."""
+def _pq_encoder_udf(spark, books: np.ndarray):
+    """Arrow pandas_udf mapping an embedding column to its m subspace
+    code indices against broadcast `books` — shared by pq_encode and
+    the IVF-PQ corpus pass (which computes codes and cell in ONE scan)."""
     from pyspark.sql.functions import pandas_udf
 
-    spark = embeddings.sparkSession
     m, _, dsub = books.shape
     bc = spark.sparkContext.broadcast(books)
 
@@ -537,10 +536,127 @@ def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 
+    return enc
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
+    """-> (vec_id, codes array<int>): each (normalized) vector reduced
+    to m subspace code indices — the m-byte representation that makes
+    100 TB of embeddings fit scan-speed ANN."""
+    enc = _pq_encoder_udf(embeddings.sparkSession, books)
     return embeddings.select(
         "vec_id",
         enc(F.col("embedding").cast("array<double>")).alias("codes"),
     )
+
+
+def _adc_score_batches(bc, keep: int):
+    """Arrow-batch ADC scorer with an in-batch partial top-k.
+
+    Emits, per Arrow batch, only each query's `keep` best rows under
+    the SAME total order the downstream global window uses
+    ((approx_cosine desc, vec_id asc), on the already-rounded scores)
+    with the self-match removed in-batch — so the union over batches
+    provably contains the global top-`keep` and the shuffle into the
+    shortlist window is O(n_batches * nq * keep), independent of corpus
+    size. `bc` is a broadcast (or any .value holder) of (qids, lut) or,
+    for IVF-PQ, (qids, lut, probe_masks) where probe_masks is an
+    (nq, n_cells) bool array and the batch carries a `cell` column —
+    each query then scores only rows in its probed cells."""
+
+    def score_batches(batches):
+        payload = bc.value
+        qids_, lut_ = payload[0], payload[1]
+        probes_ = payload[2] if len(payload) > 2 else None
+        nq = len(qids_)
+        mm = lut_.shape[1]
+        ar = np.arange(mm)
+        for b in batches:
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in b["codes"]]
+            )
+            vids = b["vec_id"].to_numpy()
+            cells = b["cell"].to_numpy() if probes_ is not None else None
+            # (nq, B): sum of per-subspace LUT entries along each code row
+            scores = np.round(
+                np.stack(
+                    [lut_[qi][ar, codes].sum(axis=1) for qi in range(nq)]
+                ),
+                4,
+            )
+            out_q, out_v, out_s = [], [], []
+            for qi in range(nq):
+                s, v = scores[qi], vids
+                mask = v != qids_[qi]  # self-match out before the cut
+                if probes_ is not None:
+                    mask &= probes_[qi][cells]
+                s, v = s[mask], v[mask]
+                # total order (s desc, v asc): lexsort's LAST key is
+                # primary
+                order = np.lexsort((v, -s))[:keep]
+                out_q.append(np.full(len(order), qids_[qi], dtype=np.int64))
+                out_v.append(v[order])
+                out_s.append(s[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "approx_cosine": np.concatenate(out_s),
+                }
+            )
+
+    return score_batches
+
+
+def _pq_scored(
+    embeddings: DataFrame, queries: DataFrame, books: np.ndarray, keep: int
+) -> DataFrame:
+    """Encode the corpus with `books` and ADC-score it against
+    `queries`, emitting at most nq*keep candidate rows per Arrow batch
+    (see _adc_score_batches). Split out of pq_topk so tests can pin the
+    exchange row bound directly."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = embeddings.sparkSession
+    enc = pq_encode(embeddings, books)
+    q_rows = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    dsub = books.shape[2]
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.stack(
+        [np.asarray(r["qvec"], dtype=np.float64) for r in q_rows]
+    )
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    # LUT[q, s, c] = <query subvector s, codebook[s][c]>
+    lut = np.stack(
+        [
+            qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T
+            for s in range(books.shape[0])
+        ],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((qids, lut))
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("approx_cosine", DoubleType()),
+        ]
+    )
+    return enc.mapInPandas(_adc_score_batches(bc, keep), out_schema)
 
 
 def pq_topk(
@@ -567,82 +683,35 @@ def pq_topk(
     re-ranked by EXACT cosine against the original vectors (one join of
     the tiny shortlist back to the embeddings table) — compressed-scan
     speed with near-exact recall. Recall both ways is measured against
-    brute force in tests/test_similarity.py."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    brute force in tests/test_similarity.py.
 
-    spark = embeddings.sparkSession
+    Scale shape: the ADC scorer cuts its own per-batch top-`keep` per
+    query INSIDE the Arrow batch (same (score desc, vec_id asc) total
+    order as the global ranking, self-match excluded in-batch), so the
+    exchange feeding the shortlist window carries at most
+    n_batches * nq * keep rows — NOT the nq * corpus cross product.
+    Per-batch cut with the global total order is exact: a row in the
+    global top-keep is necessarily in its own batch's top-keep."""
     books = pq_train_codebooks(
         embeddings, m=m, kcodes=kcodes, max_iter=max_iter,
         train_limit=train_limit,
     )
-    enc = pq_encode(embeddings, books)
-    q_rows = (
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("qvec"),
-        )
-        .orderBy("query_id")
-        .collect()
-    )
-    dsub = books.shape[2]
-    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    qmat = np.stack(
-        [np.asarray(r["qvec"], dtype=np.float64) for r in q_rows]
-    )
-    qn = np.linalg.norm(qmat, axis=1)
-    qn[qn == 0] = 1.0
-    qmat = qmat / qn[:, None]
-    # LUT[q, s, c] = <query subvector s, codebook[s][c]>
-    lut = np.stack(
-        [
-            np.stack(
-                [
-                    qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T
-                    for s in range(books.shape[0])
-                ],
-                axis=1,
-            )
-        ]
-    )[0]
-    bc = spark.sparkContext.broadcast((qids, lut))
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("vec_id", LongType()),
-            StructField("approx_cosine", DoubleType()),
-        ]
-    )
+    keep = k * refine_factor if refine_factor else k
+    scored = _pq_scored(embeddings, queries, books, keep)
+    return _cut_or_rerank(scored, embeddings, queries, k, refine_factor)
 
-    def score_batches(batches):
-        qids_, lut_ = bc.value
-        nq = len(qids_)
-        mm = lut_.shape[1]
-        ar = np.arange(mm)
-        for b in batches:
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in b["codes"]]
-            )
-            vids = b["vec_id"].to_numpy()
-            # (nq, B): sum of per-subspace LUT entries along each code row
-            scores = np.stack(
-                [lut_[qi][ar, codes].sum(axis=1) for qi in range(nq)]
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids_, len(vids)),
-                    "vec_id": np.tile(vids, nq),
-                    "approx_cosine": np.round(scores.ravel(), 4),
-                }
-            )
 
-    scored = enc.mapInPandas(score_batches, out_schema).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+def _cut_or_rerank(
+    scored: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine_factor: int,
+) -> DataFrame:
+    """Shared ADC tail: rank the (already batch-bounded) candidate
+    stream; with refine_factor, cut a k*rf shortlist and re-rank it by
+    EXACT cosine via one join of the tiny shortlist back to the
+    embeddings table (queries stay the broadcast side)."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("vec_id")
     )
@@ -685,3 +754,117 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    kcodes: int = 16,
+    max_iter: int = 5,
+    train_limit: int | None = None,
+    refine_factor: int = 10,
+) -> DataFrame:
+    """IVF x PQ — the production web-scale ANN layout (both halves of
+    Jégou et al.'s IVFADC, composed): a spherical-k-means coarse
+    quantizer partitions the corpus into cells, every vector is stored
+    as an m-byte PQ code WITH its cell id (computed in ONE scan of the
+    embeddings table), and a query (1) picks its n_probe nearest cells
+    driver-side against the broadcast centroid matrix, (2) ADC-scans
+    ONLY rows of probed cells — the scan is prefiltered to the union of
+    all probed cells (with a cell-partitioned codes table at 100 TB this
+    is partition pruning; locally it's a pushed-down `cell IN (...)`
+    filter) and each query is masked to its own probe set inside the
+    Arrow batch, (3) keeps the per-batch top-k*refine_factor (the same
+    bounded-exchange cut as pq_topk), and (4) exact-cosine re-ranks the
+    k*rf shortlist.
+
+    Codes quantize the raw (normalized) vectors, not per-cell residuals
+    — residual encoding buys recall at equal m but breaks the
+    cell-independence that lets one LUT serve all cells; the re-rank
+    stage recovers the exactness either way. With n_probe == n_cells
+    every vector is scanned regardless of centroid placement, which is
+    how the driver oracle pins this end-to-end ≡ brute force (training-
+    independent, same trick as ann_pq_rerank_topk)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = embeddings.sparkSession
+    cmat = kmeans_centroids(
+        embeddings, n_cells=n_cells, max_iter=max_iter,
+        train_limit=train_limit,
+    )
+    books = pq_train_codebooks(
+        embeddings, m=m, kcodes=kcodes, max_iter=max_iter,
+        train_limit=train_limit,
+    )
+    keep = k * refine_factor if refine_factor else k
+
+    bc_cent = spark.sparkContext.broadcast(cmat)
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        c = bc_cent.value
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((mat / n[:, None]) @ c.T, axis=1))
+
+    enc = _pq_encoder_udf(spark, books)
+    emb_d = F.col("embedding").cast("array<double>")
+    # one scan: vec_id + cell + m-byte codes (the stored IVF-PQ layout)
+    codes = embeddings.select(
+        "vec_id",
+        cell_of(emb_d).alias("cell"),
+        enc(emb_d).alias("codes"),
+    )
+
+    # query side is driver-resident anyway (it feeds the broadcast LUT):
+    # probe cells + LUT in one pass over the collected queries
+    q_rows = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), emb_d.alias("qvec")
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    dsub = books.shape[2]
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    lut = np.stack(
+        [
+            qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T
+            for s in range(books.shape[0])
+        ],
+        axis=1,
+    )
+    sims = qmat @ cmat.T
+    # deterministic probe pick: (sim desc, cell asc)
+    order = np.lexsort((np.arange(n_cells)[None, :].repeat(len(qids), 0), -sims))
+    probe_masks = np.zeros((len(qids), n_cells), dtype=bool)
+    for qi in range(len(qids)):
+        probe_masks[qi, order[qi, :n_probe]] = True
+    probed_union = sorted(int(c) for c in np.where(probe_masks.any(axis=0))[0])
+
+    bc = spark.sparkContext.broadcast((qids, lut, probe_masks))
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("approx_cosine", DoubleType()),
+        ]
+    )
+    pruned = codes.filter(F.col("cell").isin(probed_union))
+    scored = pruned.mapInPandas(_adc_score_batches(bc, keep), out_schema)
+    return _cut_or_rerank(scored, embeddings, queries, k, refine_factor)

@@ -154,3 +154,26 @@ def test_q5_region_filter_pushed_before_fact_joins(spark):
     i_fact = plan.find("o_custkey")
     i_c_prune = plan.find("c_nk")
     assert 0 <= i_fact < i_c_prune, (i_fact, i_c_prune)
+
+
+def test_topk_orders_take_ordered_not_global_window(spark):
+    """VERDICT r4 #2: the top-k cut must be TakeOrderedAndProject
+    (per-partition top-k + single merge of k rows per partition), never
+    a row_number window over the whole table (which would sort ALL
+    orders rows on one task). The only window allowed is the rank over
+    the 10 surviving rows, i.e. it must sit above the limit."""
+    from delphi_pdf_parser_spark.operators.relational import topk_orders
+    from delphi_pdf_parser_spark.plans import explain_str
+
+    df = topk_orders(spark, SF_DIR)
+    simple = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in simple, simple
+    # the window (rank assignment) must consume the TakeOrdered result:
+    # in the bottom-up text rendering the Window line appears ABOVE the
+    # TakeOrderedAndProject line
+    i_win = simple.find("Window")
+    i_take = simple.find("TakeOrderedAndProject")
+    assert 0 <= i_win < i_take, simple
+    # scan reads only the two needed orders columns
+    rep = plan_report(df)
+    assert rep["read_schema"] and "o_custkey" not in rep["read_schema"][0], rep
