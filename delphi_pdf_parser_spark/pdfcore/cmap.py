@@ -38,6 +38,7 @@ class CMap:
         "table",
         "_lows",
         "_sorted",
+        "_np",
     )
 
     def __init__(self, name: str = ""):
@@ -49,6 +50,7 @@ class CMap:
         self.table: list[int] = []
         self._lows: list[int] = []
         self._sorted = False
+        self._np = None  # cached (ranges, lows) int64 arrays for lookup_arrays
 
     # --- construction --------------------------------------------------------
     def add_codespace(self, low: int, high: int, n: int):
@@ -89,6 +91,7 @@ class CMap:
         self.ranges.sort(key=lambda r: r[0])
         self._lows = [r[0] for r in self.ranges]
         self._sorted = True
+        self._np = None
 
     # --- lookup ---------------------------------------------------------------
     def _find(self, cpt: int):
@@ -130,6 +133,57 @@ class CMap:
         if self.usecmap is not None:
             return self.usecmap.lookup_full(cpt)
         return []
+
+    def lookup_arrays(self, codes):
+        """Vectorized pdf_lookup_cmap over an int64 NumPy array — same
+        binary-search-last-low semantics as _find, evaluated for every
+        code at once (the ToUnicode build scans 64Ki codes per CID font;
+        per-code bisects were 90% of extraction time on CJK documents).
+
+        Returns (val, kind) int64/int8 arrays: kind 0 = unmapped,
+        1 = single value in val (SINGLE/RANGE arithmetic or TABLE
+        gather), 2 = MULTI with val = the table offset. usecmap chains
+        exactly like the scalar path (only unmapped positions fall
+        through)."""
+        import numpy as np
+
+        if not self._sorted:
+            self.sort()
+        val = np.full(codes.shape, -1, dtype=np.int64)
+        kind = np.zeros(codes.shape, dtype=np.int8)
+        if self.ranges:
+            if self._np is None:
+                self._np = (
+                    np.array(self.ranges, dtype=np.int64),
+                    np.array(self._lows, dtype=np.int64),
+                )
+            arr, lows = self._np
+            idx = np.searchsorted(lows, codes, side="right") - 1
+            okpos = idx >= 0
+            idx0 = np.where(okpos, idx, 0)
+            low = arr[idx0, 0]
+            high = arr[idx0, 1]
+            flag = arr[idx0, 2]
+            off = arr[idx0, 3]
+            inr = okpos & (codes >= low) & (codes <= high)
+            sr = inr & ((flag == SINGLE) | (flag == RANGE))
+            val[sr] = codes[sr] - low[sr] + off[sr]
+            kind[sr] = 1
+            tb = inr & (flag == TABLE)
+            if tb.any():
+                t = np.array(self.table, dtype=np.int64)
+                val[tb] = t[codes[tb] - low[tb] + off[tb]]
+                kind[tb] = 1
+            mu = inr & (flag == MULTI)
+            val[mu] = off[mu]
+            kind[mu] = 2
+        if self.usecmap is not None:
+            un = kind == 0
+            if un.any():
+                v2, k2 = self.usecmap.lookup_arrays(codes[un])
+                val[un] = v2
+                kind[un] = k2
+        return val, kind
 
     def decode(self, buf: bytes, pos: int) -> tuple[int, int]:
         """pdf_decode_cmap: longest(first)-codespace-match over 1..4 bytes.

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from bisect import bisect_right
 
+import numpy as np
+
 from .cmap import (
     CMap,
     SystemCMapUnavailable,
@@ -236,24 +238,108 @@ class FontDesc:
         return self._fast_arrays
 
 
+# Per-process memo of parsed ToUnicode CMap streams, keyed by content
+# digest — the executor-level analog of the reference's resource store
+# (pdf_store, src/vcl/fz_pdf_store.pas): identical font CMap programs
+# repeat across documents in any real corpus (site-wide embedded
+# subsets, the standard CJK encodings), so each executor parses a given
+# stream once. Entries are READ-ONLY after parse — only the
+# _load_to_unicode path uses this, and it never mutates the result
+# (the per-font encoding path at load_cid_font does set_usecmap, so it
+# deliberately does NOT use this cache).
+_TU_CMAP_CACHE: dict = {}
+_TU_CMAP_CACHE_CAP = 256
+
+
+def _parse_cmap_cached(data: bytes) -> CMap:
+    import hashlib
+
+    key = hashlib.blake2b(data, digest_size=16).digest()
+    hit = _TU_CMAP_CACHE.get(key)
+    if hit is None:
+        if len(_TU_CMAP_CACHE) >= _TU_CMAP_CACHE_CAP:
+            _TU_CMAP_CACHE.clear()
+        hit = _TU_CMAP_CACHE[key] = parse_cmap(data)
+    return hit
+
+
 def _load_to_unicode(
     doc, font: FontDesc, strings: list | None, collection: str | None, cmapstm
 ):
     """pdf_load_to_unicode (src/vcl/pdf_unicodess.pas:10-98)."""
     if is_indirect(cmapstm) and doc.is_stream(cmapstm):
         data = doc.load_stream(cmapstm.num)
-        cmap = parse_cmap(data)
+        cmap = _parse_cmap_cached(data)
         tu = CMap()
         limit = 255 if strings is not None else 65535
-        for i in range(limit + 1):
-            cid = font.encoding.lookup(i) if font.encoding else -1
-            if cid >= 0:
-                vals = cmap.lookup_full(i)
-                if len(vals) == 1:
-                    tu.map_range_to_range(cid, cid, vals[0])
-                elif len(vals) > 1:
-                    tu.map_one_to_many(cid, vals)
-        tu.sort()
+        # Vectorized form of the reference's per-code scan (the scalar
+        # loop — encoding.lookup(i) + cmap.lookup_full(i) for every i —
+        # was 64Ki bisects per CID font and dominated extraction time).
+        # Exactly the scalar semantics: cid = encoding.lookup(i) must be
+        # a SINGLE value (lookup() returns -1 on MULTI), ToUnicode
+        # values of length 1 become per-code SINGLE ranges, MULTI
+        # entries go through map_one_to_many, all in ascending-i order
+        # so the stable sort keeps the same tie order as the loop.
+        codes = np.arange(limit + 1, dtype=np.int64)
+        if font.encoding is not None:
+            ev, ek = font.encoding.lookup_arrays(codes)
+            cid_arr = np.where(ek == 1, ev, -1)
+        else:
+            cid_arr = np.full(limit + 1, -1, dtype=np.int64)
+        tv, tk = cmap.lookup_arrays(codes)
+        mapped = cid_arr >= 0
+        single = mapped & (tk == 1)
+        multi = mapped & (tk == 2)
+        if not multi.any():
+            from .cmap import RANGE as _R
+            from .cmap import SINGLE as _S
+
+            c = cid_arr[single]
+            v = tv[single]
+            # sort by low (stable = same tie order as appending in i
+            # order then tu.sort()), then keep the LAST entry of each
+            # duplicate low — exactly what the scalar bisect-last-low
+            # lookup resolves to
+            order = np.argsort(c, kind="stable")
+            c, v = c[order], v[order]
+            if len(c):
+                last = np.concatenate([c[1:] != c[:-1], [True]])
+                c, v = c[last], v[last]
+            # coalesce contiguous (low+1, val+1) runs into RANGE rows —
+            # the reference's own pdf_sort_cmap coalescing; lookups
+            # agree because lows stay strictly increasing and the
+            # in-range arithmetic reproduces each per-code value
+            if len(c):
+                brk = np.where((np.diff(c) != 1) | (np.diff(v) != 1))[0] + 1
+                starts = np.concatenate([[0], brk])
+                ends = np.concatenate([brk - 1, [len(c) - 1]])
+                flags = np.where(starts == ends, _S, _R)
+                arr = np.stack(
+                    [c[starts], c[ends], flags, v[starts]], axis=1
+                )
+                tu.ranges = arr.tolist()
+                tu._lows = arr[:, 0].tolist()
+            tu._sorted = True
+        else:
+            # rare path: MULTI entries must interleave in i order; the
+            # lookups are still precomputed, only dispatch is per-code
+            for i in np.where(single | multi)[0]:
+                if single[i]:
+                    tu.map_range_to_range(
+                        int(cid_arr[i]), int(cid_arr[i]), int(tv[i])
+                    )
+                else:
+                    off = int(tv[i])
+                    n = cmap.table[off]
+                    vals = cmap.table[off + 1 : off + 1 + n]
+                    if len(vals) == 1:
+                        tu.map_range_to_range(
+                            int(cid_arr[i]), int(cid_arr[i]), vals[0]
+                        )
+                    elif len(vals) > 1:
+                        tu.map_one_to_many(int(cid_arr[i]), vals)
+        if not tu._sorted:
+            tu.sort()
         font.to_unicode = tu
     elif collection:
         if collection in (
