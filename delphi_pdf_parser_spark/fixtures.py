@@ -1557,6 +1557,69 @@ def _case_ocg_layers():
     return b.build_classic(cat), golden, 1
 
 
+def _case_shading_ops():
+    """Shading operators for the census (src/vcl/pdf_shadess.pas
+    dispatches ShadingType 1..7): a page that fires `sh` against a
+    function-based (1), axial (2), radial (3) and free-form-mesh (4,
+    stream-based) shading, plus a fill through a PatternType-2 shading
+    pattern set with scn — both entry paths into the reference's
+    shading evaluator. Text extraction ignores all of it (the north
+    rule's text device has no shading hook), so the golden text is just
+    the page text; the op census classifies every target by type."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/Shading << /Ax 6 0 R /Ra 7 0 R /Fn 8 0 R /Me 9 0 R >> "
+        "/Pattern << /P1 10 0 R >> >> "
+        "/Contents 4 0 R >>"
+    )
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (ShadingPage) Tj ET "
+        b"q /Ax sh Q q /Ra sh Q q /Fn sh Q q /Me sh Q "
+        b"/Pattern cs /P1 scn 100 100 200 120 re f"
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    fn2 = (
+        "<< /FunctionType 2 /Domain [0 1] /C0 [1 0 0] /C1 [0 0 1] /N 1 >>"
+    )
+    b.add(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB "
+        f"/Coords [0 0 612 792] /Function {fn2} >>",
+        num=6,
+    )
+    b.add(
+        "<< /ShadingType 3 /ColorSpace /DeviceRGB "
+        f"/Coords [306 396 0 306 396 300] /Function {fn2} >>",
+        num=7,
+    )
+    b.add(
+        "<< /ShadingType 1 /ColorSpace /DeviceRGB "
+        f"/Domain [0 1 0 1] /Function {fn2} >>",
+        num=8,
+    )
+    # type 4 free-form Gouraud mesh is a STREAM shading: one triangle,
+    # 8-bit coords/colors (census only reads /ShadingType; the payload
+    # just has to be spec-shaped)
+    mesh = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 0, 128, 128, 0, 0, 255])
+    b.add(
+        "<< /ShadingType 4 /ColorSpace /DeviceRGB /BitsPerCoordinate 8 "
+        "/BitsPerComponent 8 /BitsPerFlag 8 "
+        f"/Decode [0 612 0 792 0 1 0 1 0 1] /Length {len(mesh)} >>",
+        mesh,
+        num=9,
+    )
+    b.add(
+        "<< /Type /Pattern /PatternType 2 /Shading 7 0 R >>",
+        num=10,
+    )
+    golden = "ShadingPage" + CRLF
+    return b.build_classic(cat), golden, 1
+
+
 def _case_image_xobjects():
     """Embedded images: a Flate gray raster (-> engine re-encodes PNG) and
     a DCT payload (-> raw JPEG passthrough). Text alongside proves the
@@ -1665,6 +1728,7 @@ CASES = {
     "symbol_font": _case_symbol_font,
     "annot_appearance": _case_annot_appearance,
     "ocg_layers": _case_ocg_layers,
+    "shading_ops": _case_shading_ops,
     "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,
     "aesv2_empty_password": _case_aesv2_empty_password,

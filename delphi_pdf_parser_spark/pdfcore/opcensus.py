@@ -44,7 +44,29 @@ _MAX_FORM_DEPTH = 16  # same guard as the interpreter's Do recursion
 _CATS = (
     "text", "path", "paint", "clip", "state", "color", "marked",
     "shading", "type3", "compat", "image", "form", "other",
+    # /Shading classification (src/vcl/pdf_shadess.pas dispatches on
+    # ShadingType 1..7: function / axial / radial / free-form mesh /
+    # lattice mesh / Coons patch / tensor patch). The census resolves
+    # every `sh` operand and every PatternType-2 pattern set by
+    # scn/SCN into these buckets — the last reference subsystem
+    # counted short of rasterizing.
+    "sh_type1", "sh_type2", "sh_type3", "sh_type4", "sh_type5",
+    "sh_type6", "sh_type7", "sh_type_other", "sh_pattern",
 )
+
+
+def _classify_shading(doc, shobj, counts: dict) -> None:
+    """Bucket one shading dict/stream by its /ShadingType (1..7)."""
+    sh = doc.resolve(shobj)
+    t = None
+    if isinstance(sh, dict):
+        st = doc.resolve(sh.get("ShadingType"))
+        if isinstance(st, (int, float)) and not isinstance(st, bool):
+            t = int(st)
+    if t is not None and 1 <= t <= 7:
+        counts[f"sh_type{t}"] += 1
+    else:
+        counts["sh_type_other"] += 1
 
 
 def _census_stream(
@@ -55,10 +77,18 @@ def _census_stream(
     from .parser import parse_dict
 
     xobjects = None
+    shadings = None
+    patterns = None
     if isinstance(resources, dict):
         xo = doc.resolve(resources.get("XObject"))
         if isinstance(xo, dict):
             xobjects = xo
+        shd = doc.resolve(resources.get("Shading"))
+        if isinstance(shd, dict):
+            shadings = shd
+        pat = doc.resolve(resources.get("Pattern"))
+        if isinstance(pat, dict):
+            patterns = pat
     toks = ContentTokens(Lexer(contents))
     last_name: str | None = None
     while True:
@@ -119,9 +149,29 @@ def _census_stream(
                         )
             else:
                 counts["other"] += 1
+        elif op == "sh":
+            counts["shading"] += 1
+            if shadings is not None and last_name is not None:
+                _classify_shading(doc, shadings.get(last_name), counts)
+            else:
+                counts["sh_type_other"] += 1
         else:
             cat = _CATEGORY.get(op)
             counts[cat if cat is not None else "other"] += 1
+            # a shading PATTERN set as fill/stroke color (the second
+            # entry path into pdf_shadess.pas): scn/SCN with a name
+            # operand whose pattern is PatternType 2
+            if (
+                op in ("scn", "SCN")
+                and patterns is not None
+                and last_name is not None
+            ):
+                p = doc.resolve(patterns.get(last_name))
+                if isinstance(p, dict):
+                    pt = doc.resolve(p.get("PatternType"))
+                    if pt == 2:
+                        counts["sh_pattern"] += 1
+                        _classify_shading(doc, p.get("Shading"), counts)
         last_name = None
 
 

@@ -143,6 +143,26 @@ def test_op_census_counts():
     assert all(r["n_ops"] > 0 for r in rows)
 
 
+def test_op_census_shading_classification():
+    """VERDICT r4 #7: every `sh` operand resolves to its /ShadingType
+    bucket (1=function, 2=axial, 3=radial, 4=free-form mesh incl. the
+    stream-object form) and a PatternType-2 pattern set via scn counts
+    as a shading pattern AND classifies its /Shading — both entry paths
+    into src/vcl/pdf_shadess.pas, pinned."""
+    from delphi_pdf_parser_spark.pdfcore.opcensus import op_census
+
+    pdf, _, _ = CASES["shading_ops"]()
+    (row,) = op_census(pdf)
+    assert row["shading"] == 4  # four sh ops
+    assert row["sh_type1"] == 1 and row["sh_type2"] == 1
+    # radial hit twice: once via sh, once via the scn pattern's /Shading
+    assert row["sh_type3"] == 2
+    assert row["sh_type4"] == 1  # the stream-based mesh
+    assert row["sh_type5"] == row["sh_type6"] == row["sh_type7"] == 0
+    assert row["sh_type_other"] == 0
+    assert row["sh_pattern"] == 1
+
+
 def test_jbig2_image_decodes_to_png():
     """JBIG2 generic-region raster must decode to a PNG whose pixels
     equal the fixture bitmap (black->0). Above-reference: the Delphi
