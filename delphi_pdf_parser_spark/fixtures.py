@@ -937,6 +937,82 @@ def _case_ttf_nonsymbolic_unicode():
     return b.build_classic(cat), "AB?" + CRLF, 1
 
 
+def _case_ttf_widths_vs_hmtx():
+    """ADVERSARIAL A38 metrics fixture (VERDICT r4 #5): the embedded
+    TrueType's hmtx advances (700/1000) deliberately disagree with the
+    PDF /Widths array (500/1000). This engine uses PDF widths for BOTH
+    tm advancement and the text device's pen (fonts.py module doctrine);
+    the reference instead drives its PEN from FT_Get_Advance of the
+    loaded face (src/vcl/dev_textss.pas:296) while tm uses the PDF
+    widths. The geometry makes the divergence MEASURABLE, not assumed
+    (the space rule fires on |pen jump| > 0.2*size in either direction,
+    |dot| > 0.95): at size 12, (AB) advances the PDF-widths pen to
+    72+2*6.0 = 84 and the second show starts at 87 — |gap| 3.0 >= 2.4,
+    so PDF-widths semantics emit 'AB CD'. An FT-advance pen sits at
+    72+2*8.4 = 88.8, |gap| 1.8 < 2.4 — it would emit 'ABCD' (recorded
+    in FIXTURES.md; verified by the no-/Widths hmtx-fallback variant in
+    tests)."""
+    ttf = build_ttf(
+        cmaps=[(3, 1, {0x41: 1, 0x42: 2, 0x43: 3, 0x44: 4})],
+        post_names=None,
+        advances=(500, 700, 700, 700, 700),
+    )
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TestTTF "
+        "/Flags 32 /FontFile2 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /TrueType /BaseFont /TestTTF "
+        "/FontDescriptor 6 0 R /FirstChar 65 /LastChar 68 "
+        "/Widths [500 500 500 500] >>"
+    )
+    b2, cat = simple_doc(
+        _bt("72 720 Td (AB) Tj 15 0 Td (CD) Tj"),
+        font_body=font,
+        builder=b,
+    )
+    return b2.build_classic(cat), "AB CD" + CRLF, 1
+
+
+def _case_cff_widths_vs_charstrings():
+    """ADVERSARIAL A38 metrics fixture, CFF flavor: the embedded Type1C
+    program carries NO width information (endchar-only charstrings, no
+    Private-DICT defaultWidthX), so an FT-advance pen would see
+    advance 0 for every glyph — after (AB) it would still sit at 72,
+    and the second show at 82 is a 10 pt jump: > 2.4 (space) and
+    <= 10.8 (not a newline) — 'AB CD'. The PDF /Widths pen (500/1000
+    at size 12) lands at 84, so 82 is a |gap| of 2.0 < 2.4 — NO space.
+    Golden pins the PDF-widths choice: 'ABCD' (divergence recorded in
+    FIXTURES.md)."""
+    cff = build_cff(
+        encoding_codes={65: 1, 66: 2, 67: 3, 68: 4},
+        charset_sids=[0, 34, 35, 36, 37],  # A B C D standard SIDs
+        custom_strings=[],
+        n_glyphs=5,
+    )
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(cff)} /Subtype /Type1C >>", cff)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TestCFFW /Flags 4"
+        " /FontFile3 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TestCFFW "
+        "/FontDescriptor 6 0 R /FirstChar 65 /LastChar 68 "
+        "/Widths [500 500 500 500] >>"
+    )
+    b2, cat = simple_doc(
+        _bt("72 720 Td (AB) Tj 10 0 Td (CD) Tj"),
+        font_body=font,
+        builder=b,
+    )
+    return b2.build_classic(cat), "ABCD" + CRLF, 1
+
+
 def _cff_index(items: list[bytes]) -> bytes:
     """Serialize a CFF INDEX (offSize 2 for simplicity)."""
     if not items:
@@ -1261,6 +1337,33 @@ def _case_wmode_vertical():
     ops = f"306 700 Td {_hex16('VERT')} Tj"
     b = _identity_h_doc(ops, encoding="/Identity-V")
     golden = CRLF.join("VERT") + CRLF
+    return b.build_classic(1), golden, 1
+
+
+def _case_vertical_word_space():
+    """ADVERSARIAL A38: word spacing in VERTICAL mode on a 2-BYTE space
+    code (VERDICT r4 #5). Two reference quirks pinned at once, with the
+    geometry chosen so each is measurable:
+
+    - Tw applies after RAW codepoint 32 even when it arrives as the
+      2-byte Identity-V code <0020> (pdf_show_string,
+      src/vcl/pdf_fontss.pas show path :546-580 — spec-conformant
+      readers restrict word spacing to 1-byte code 32, the reference
+      does not), and in wmode 1 it is an UNSCALED (0, tadj) translate.
+    - the vertical pen quirk: the pen moves UP by the horizontal
+      advance while tm steps DOWN by the vmtx default (-1000/1000 *
+      size), so at size 12 the space-glyph pen sits +12 while the next
+      origin sits -12 + Tw: distance |Tw - 24|.
+
+    At Tw 18 the distance is 6 — inside the 0.9*size=10.8 line
+    threshold, past the 0.2*size space threshold, so 'T' JOINS the
+    space's line: 'V', ' T'. If Tw were ignored for the 2-byte code
+    (or applied scaled), the distance would be 24 — a line break:
+    'V', ' ', 'T'. The Tw-less control is pinned alongside in
+    wmode_vertical."""
+    ops = f"18 Tw 306 700 Td {_hex16('V T')} Tj"
+    b = _identity_h_doc(ops, encoding="/Identity-V")
+    golden = "V" + CRLF + " T" + CRLF
     return b.build_classic(1), golden, 1
 
 
@@ -1710,6 +1813,8 @@ CASES = {
     "ttf_nonsymbolic_unicode": _case_ttf_nonsymbolic_unicode,
     "type1_builtin_encoding": _case_type1_builtin_encoding,
     "cff_custom_encoding": _case_cff_custom_encoding,
+    "ttf_widths_vs_hmtx": _case_ttf_widths_vs_hmtx,
+    "cff_widths_vs_charstrings": _case_cff_widths_vs_charstrings,
     "winansi_differences": _case_winansi_differences,
     "macroman": _case_macroman,
     "tounicode_bfchar": _case_tounicode_bfchar,
@@ -1722,6 +1827,7 @@ CASES = {
     "cid_w_widths": _case_cid_w_widths,
     "type3_widths": _case_type3_widths,
     "wmode_vertical": _case_wmode_vertical,
+    "vertical_word_space": _case_vertical_word_space,
     "wmode_vertical_cjk": _case_wmode_vertical_cjk,
     "control_chars": _case_control_chars,
     "outline_links": _case_outline_links,

@@ -525,3 +525,53 @@ class TestHiddenOcg:
         assert "OffLayer" not in res.text
         assert "OcgAnnot" not in res.text
         assert res.text == fx["golden"]
+
+
+def test_a38_width_source_divergence_is_measurable():
+    """VERDICT r4 #5: the adversarial metrics fixtures must actually
+    discriminate between the two width sources. With /Widths present
+    (the engine's documented PDF-widths-everywhere choice) the goldens
+    hold; with /Widths REMOVED the loader's ft_width fallback uses the
+    embedded program's advances (the FT_Get_Advance analog,
+    src/vcl/dev_textss.pas:296) and the output flips — proving the
+    divergence is measured, not assumed."""
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder,
+        _bt,
+        build_ttf,
+        generate_fixtures,
+        simple_doc,
+    )
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    fx = generate_fixtures()
+    assert (
+        extract_text(bytes(fx["ttf_widths_vs_hmtx"]["pdf"])).text
+        == "AB CD\r\n"
+    )
+    assert (
+        extract_text(bytes(fx["cff_widths_vs_charstrings"]["pdf"])).text
+        == "ABCD\r\n"
+    )
+
+    # same embedded TTF, no /Widths -> hmtx(=FT) pen -> the space vanishes
+    ttf = build_ttf(
+        cmaps=[(3, 1, {0x41: 1, 0x42: 2, 0x43: 3, 0x44: 4})],
+        post_names=None,
+        advances=(500, 700, 700, 700, 700),
+    )
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TestTTF /Flags 32"
+        " /FontFile2 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /TrueType /BaseFont /TestTTF"
+        " /FontDescriptor 6 0 R >>"
+    )
+    b2, cat = simple_doc(
+        _bt("72 720 Td (AB) Tj 15 0 Td (CD) Tj"), font_body=font, builder=b
+    )
+    assert extract_text(b2.build_classic(cat)).text == "ABCD\r\n"
