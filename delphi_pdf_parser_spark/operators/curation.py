@@ -22,24 +22,23 @@ from pyspark.sql import functions as F
 _NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
 
 
-def curation_pipeline(
+def curation_base(
     documents: DataFrame,
     min_words: int = 30,
     min_alpha_frac: float = 0.8,
-    sample_hex: str = "8000",
     salt: str = "cur1",
 ) -> DataFrame:
-    """-> (source, n_input, n_quality, n_unique, n_sampled,
-    mean_words_sampled): per-source survivor counts after each curation
-    stage. Thresholds are parameters — the published Gopher set lives in
-    textstats.gopher_quality; this pipeline demonstrates the composed
-    plan with knobs suited to the corpus at hand."""
+    """The STATELESS per-document stage of the curation pass:
+    (doc_id, source, n_words, q_pass, fingerprint, sample_h). Pure
+    expressions, so the same projection serves the batch pipeline and
+    the streaming form (streaming/curation_stream.py) — stage parity by
+    construction."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(toks)
     alpha_frac = F.size(
         F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
     ) / n_words
-    base = documents.select(
+    return documents.select(
         "doc_id",
         "source",
         n_words.alias("n_words"),
@@ -60,6 +59,21 @@ def curation_pipeline(
             4,
         ).alias("sample_h"),
     )
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    min_words: int = 30,
+    min_alpha_frac: float = 0.8,
+    sample_hex: str = "8000",
+    salt: str = "cur1",
+) -> DataFrame:
+    """-> (source, n_input, n_quality, n_unique, n_sampled,
+    mean_words_sampled): per-source survivor counts after each curation
+    stage. Thresholds are parameters — the published Gopher set lives in
+    textstats.gopher_quality; this pipeline demonstrates the composed
+    plan with knobs suited to the corpus at hand."""
+    base = curation_base(documents, min_words, min_alpha_frac, salt)
     # keep-first dedup over the quality survivors (global: a duplicate in
     # another source still counts as a duplicate)
     keepers = (
