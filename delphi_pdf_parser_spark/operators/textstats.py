@@ -348,3 +348,121 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         n_stop.alias("n_stop_words"),
         keep.cast("int").alias("keep"),
     )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, Table A1 — the
+    REPETITION half; gopher_quality carries the quality half): per
+    document, duplicate-line fraction <= 0.30, duplicate-line CHARACTER
+    fraction <= 0.20, and the fraction of characters covered by the
+    single most frequent {2,3,4}-gram <= 0.20 / 0.18 / 0.16. Lines are
+    trimmed non-empty (same convention as gopher_quality); grams are
+    over lowercased whitespace tokens with deterministic mode tie-break
+    (count desc, gram asc); char coverage = count * length(gram) /
+    normalized text length (occurrence-sum semantics). The duplicated-
+    {5..10}-gram char-coverage family needs overlap-marking semantics
+    with no exact SQL mirror and is deliberately out of scope.
+
+    Scale shape: line stats are map-only array expressions; the
+    per-document n-gram mode is explode -> (doc_id, n, gram) hash-count
+    (map-side combined) -> per-(doc, n) top-1 window -> conditional-agg
+    pivot — the same one-exchange shape as corpus top_ngrams, keyed per
+    document (the window partitions on (doc_id, n): millions of small
+    groups, never a global sort)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), F.trim),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dline_chars = F.aggregate(dlines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - F.size(dlines)) / n_lines
+    ).otherwise(0.0)
+    dup_char_frac = F.when(
+        line_chars > 0, (line_chars - dline_chars) / line_chars
+    ).otherwise(0.0)
+    base = documents.select(
+        "doc_id",
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(dup_char_frac, 4).alias("dup_line_char_frac"),
+        F.length(F.concat_ws(" ", toks)).alias("_chars"),
+        toks.alias("_toks"),
+    )
+    views = []
+    for n in (2, 3, 4):
+        parts = [
+            F.slice(
+                F.col("_toks"),
+                j + 1,
+                F.greatest(F.size("_toks") - n + 1, F.lit(0)),
+            )
+            for j in range(n)
+        ]
+        views.append(
+            base.select(
+                "doc_id",
+                "_chars",
+                F.lit(n).alias("n"),
+                F.explode(F.arrays_zip(*parts)).alias("z"),
+            ).select(
+                "doc_id",
+                "_chars",
+                "n",
+                F.concat_ws(
+                    " ", *[F.col(f"z.{j}") for j in range(n)]
+                ).alias("gram"),
+            )
+        )
+    grams = views[0].unionByName(views[1]).unionByName(views[2])
+    counted = grams.groupBy("doc_id", "n", "gram", "_chars").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    top = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                F.col("cnt") * F.length("gram") / F.col("_chars"), 4
+            ).alias("frac"),
+        )
+    )
+    pivoted = top.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("frac"))), F.lit(0.0)
+            ).alias(f"top{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ]
+    )
+    joined = base.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac"
+    ).join(pivoted, "doc_id", "left")
+    t2 = F.coalesce("top2gram_char_frac", F.lit(0.0))
+    t3 = F.coalesce("top3gram_char_frac", F.lit(0.0))
+    t4 = F.coalesce("top4gram_char_frac", F.lit(0.0))
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (t2 <= 0.20)
+        & (t3 <= 0.18)
+        & (t4 <= 0.16)
+    )
+    return joined.select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        t2.alias("top2gram_char_frac"),
+        t3.alias("top3gram_char_frac"),
+        t4.alias("top4gram_char_frac"),
+        keep.cast("int").alias("keep"),
+    )

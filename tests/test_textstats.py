@@ -149,3 +149,66 @@ def test_curation_pipeline_stages(spark):
     assert out["s1"]["n_sampled"] == 1  # sample_hex ffff keeps all
     assert out["s2"]["n_input"] == 1
     assert out["s2"]["n_unique"] == 1
+
+
+def test_gopher_repetition_rules(spark):
+    """Repetition half of Rae et al. A1.1: each rule catches exactly the
+    document built to violate it."""
+    from delphi_pdf_parser_spark.operators.textstats import gopher_repetition
+
+    # genuinely non-repetitive: every word unique -> every n-gram unique
+    clean = "\n".join(
+        " ".join(f"w{i}_{j}" for j in range(7)) for i in range(10)
+    )
+    # 6 of 10 lines are the same -> dup_line_frac 0.5 > 0.30
+    dup_lines = "\n".join(
+        ["repeated line of text"] * 6
+        + [f"fresh line {i} here" for i in range(4)]
+    )
+    # one 2-gram dominating: "buy now" * 30 in otherwise-short text
+    spammy = "buy now " * 30 + "other words close the document"
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition(
+            spark.createDataFrame(
+                [(1, clean), (2, dup_lines), (3, spammy)],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["keep"] == 0 and out[2]["dup_line_frac"] == 0.5
+    assert out[2]["dup_line_char_frac"] > 0.20
+    assert out[3]["keep"] == 0 and out[3]["top2gram_char_frac"] > 0.20
+    # deterministic mode: 'buy now'/'now buy' tie-break by gram asc
+    assert out[3]["top3gram_char_frac"] > 0.18
+
+
+def test_pii_scrub_counts_and_masking(spark):
+    """PII pass: per-class counts on the original text, sequential typed
+    masking, and the no-PII document untouched."""
+    from delphi_pdf_parser_spark.operators.pii import pii_scrub
+
+    rich = (
+        "contact alice@example.com or bob.smith+x@sub.domain.org, "
+        "server at 10.0.0.1 and 192.168.254.3, call +1 (555) 123-4567"
+    )
+    clean = "no personal data here, just 3.14 and version 1.2"
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(
+                [(1, rich), (2, clean)], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_emails"] == 2 and r1["n_ipv4"] == 2 and r1["n_phones"] == 1
+    assert r1["n_pii"] == 5
+    m = r1["masked_text"]
+    assert m.count("<EMAIL>") == 2 and m.count("<IP>") == 2
+    assert m.count("<PHONE>") == 1
+    assert "example.com" not in m and "10.0.0.1" not in m
+    r2 = out[2]
+    assert r2["n_pii"] == 0 and r2["masked_text"] == clean
