@@ -75,8 +75,19 @@ class FontDesc:
         "_cid_cache",
     )
 
-    def __init__(self, ident):
-        self.ident = ident  # identity key for text-run flush comparison
+    _next_ident = 0
+
+    def __init__(self, ident=None):
+        # identity key for the text-run flush comparison. Process-unique
+        # counter, NOT the caller's (num, gen) load key: with the
+        # cross-document font memo, a FontDesc cached from one document
+        # can coexist with a DIFFERENT font whose load key happens to be
+        # the same (num, gen) in another document — equal idents there
+        # would merge two fonts' glyphs into one text run and advance
+        # the pen with the wrong metrics. The `ident` parameter is
+        # accepted for call-site compatibility and ignored.
+        FontDesc._next_ident += 1
+        self.ident = FontDesc._next_ident
         self.name = ""
         self.wmode = 0
         self.flags = 0
@@ -680,12 +691,21 @@ def load_type3_font(doc, rdb, dict_: dict, ident) -> FontDesc:
     return font
 
 
-def _pure_font_key(obj):
-    """Hashable canonical form of a font dict made only of direct scalar/
-    name/string/array/dict values — i.e. fully self-contained, identical
-    bytes imply identical semantics in ANY document. Returns None when the
-    dict references other objects (indirect refs) and so must be loaded
-    per document."""
+def _pure_font_key(obj, doc=None, depth: int = 0, seen: frozenset = frozenset()):
+    """Hashable canonical form of a font dict.
+
+    Direct scalar/name/string/array/dict values canonicalize
+    structurally. With `doc` given, INDIRECT references are resolved
+    transitively: a referenced stream becomes a digest of its DECODED
+    bytes (decode already applies filters + decryption, so identical
+    font programs in different files — even differently compressed or
+    encrypted — key identically), a referenced dict/array recurses.
+    Identical keys therefore imply identical load semantics in ANY
+    document, which is what lets embedded fonts (FontFile / ToUnicode /
+    Descriptor chains — the norm in real corpora, where the same
+    site-wide subset repeats across millions of pages) share one parsed
+    FontDesc per executor instead of one per document. Returns None
+    (no memo) on cycles, depth > 8, or load failures."""
     if obj is None or isinstance(obj, (bool, int, float, bytes)):
         return obj
     if isinstance(obj, Name):
@@ -693,7 +713,7 @@ def _pure_font_key(obj):
     if isinstance(obj, list):
         out = []
         for v in obj:
-            k = _pure_font_key(v)
+            k = _pure_font_key(v, doc, depth, seen)
             if k is None and v is not None:
                 return None
             out.append(k)
@@ -701,12 +721,26 @@ def _pure_font_key(obj):
     if isinstance(obj, dict):
         out = []
         for kk in sorted(obj):
-            k = _pure_font_key(obj[kk])
+            k = _pure_font_key(obj[kk], doc, depth, seen)
             if k is None and obj[kk] is not None:
                 return None
             out.append((kk, k))
         return tuple(out)
-    return None  # IndirectRef or anything exotic
+    if doc is not None and is_indirect(obj) and depth < 8:
+        ident = (obj.num, obj.gen)
+        if ident in seen:
+            return None  # reference cycle: load per document
+        try:
+            if doc.is_stream(obj):
+                import hashlib
+
+                data = doc.load_stream(obj.num)
+                return ("stm", hashlib.blake2b(data, digest_size=16).digest())
+            target = doc.resolve(obj)
+        except Exception:
+            return None
+        return _pure_font_key(target, doc, depth + 1, seen | {ident})
+    return None  # unresolvable ref or anything exotic
 
 
 # process-level memo: identical self-contained font dicts (the standard-14
@@ -736,7 +770,7 @@ def load_font(doc, rdb, ref_or_dict, cache: dict) -> FontDesc:
         subtype not in ("Type0", "Type1", "MMType1", "TrueType")
         and doc.get(dict_, "CharProcs") is not None
     )
-    pure_key = None if is_type3 else _pure_font_key(dict_)
+    pure_key = None if is_type3 else _pure_font_key(dict_, doc)
     if pure_key is not None:
         hit = _FONT_MEMO.get(pure_key)
         if hit is not None:

@@ -575,3 +575,24 @@ def test_a38_width_source_divergence_is_measurable():
         _bt("72 720 Td (AB) Tj 15 0 Td (CD) Tj"), font_body=font, builder=b
     )
     assert extract_text(b2.build_classic(cat)).text == "ABCD\r\n"
+
+
+def test_embedded_font_cross_document_memo():
+    """The process-level font memo must now cover EMBEDDED fonts
+    (indirect FontFile/ToUnicode chains resolve into content digests):
+    re-extracting a document with an embedded TrueType reuses the same
+    parsed FontDesc instead of re-parsing the program, and output stays
+    byte-identical."""
+    from delphi_pdf_parser_spark.fixtures import generate_fixtures
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+    from delphi_pdf_parser_spark.pdfcore import fonts as fonts_mod
+
+    pdf = bytes(generate_fixtures()["ttf_widths_vs_hmtx"]["pdf"])
+    fonts_mod._FONT_MEMO.clear()
+    assert extract_text(pdf).text == "AB CD\r\n"
+    n1 = len(fonts_mod._FONT_MEMO)
+    assert n1 >= 1, "embedded font was not memoized"
+    objs = {id(v[0]) for v in fonts_mod._FONT_MEMO.values()}
+    assert extract_text(pdf).text == "AB CD\r\n"
+    assert len(fonts_mod._FONT_MEMO) == n1
+    assert {id(v[0]) for v in fonts_mod._FONT_MEMO.values()} == objs

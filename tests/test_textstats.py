@@ -212,3 +212,32 @@ def test_pii_scrub_counts_and_masking(spark):
     assert "example.com" not in m and "10.0.0.1" not in m
     r2 = out[2]
     assert r2["n_pii"] == 0 and r2["masked_text"] == clean
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR: documents sharing the target domain's hashed n-grams score
+    higher than out-of-domain ones, and the top-k form is cut via
+    TakeOrderedAndProject with a deterministic rank."""
+    from delphi_pdf_parser_spark.operators.dsir import dsir_importance
+    from delphi_pdf_parser_spark.plans import explain_str
+
+    target = spark.createDataFrame(
+        [(100, "medical trial patient dosage clinical outcome results")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "clinical trial patient outcome dosage measured"),
+            (2, "football score goal match referee stadium crowd"),
+            (3, "patient dosage clinical numbers trial"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["logw"] for r in dsir_importance(docs, target).collect()}
+    assert out[1] > out[2] and out[3] > out[2]
+
+    top = dsir_importance(docs, target, k=2)
+    assert "TakeOrderedAndProject" in explain_str(top, "simple")
+    rows = top.collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    assert {r["doc_id"] for r in rows} == {1, 3}
