@@ -497,6 +497,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = synth_media(_docs(spark, sf_dir))
         return extract_media_features(media).orderBy("doc_id")
 
+    def q_bpe_tokenize(spark, sf_dir):
+        """Distributed BPE: train 16 merges on the corpus word-frequency
+        table (one corpus-scale shuffle; merges iterate over the capped
+        vocab), then encode every document with the learned merges.
+        Rows-only by design (iterative training is not SQL-expressible);
+        the trainer is pinned against an independent reference
+        implementation in tests/test_textstats.py."""
+        from delphi_pdf_parser_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        docs = _docs(spark, sf_dir)
+        merges = bpe_train(docs, num_merges=16, vocab_words=20_000)
+        return bpe_encode(docs, merges).orderBy("doc_id")
+
     def q_video_frame_sample(spark, sf_dir):
         """Video frame sampling: deterministic animated-GIF payloads,
         REAL animation decode (mediadec.decode_gif_frames), every-2nd
@@ -608,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pdf_golden_verify duplicates entry() (VERDICT r3 note) — its
         # golden gate runs as the driver's entry() smoke anyway
         "pdf_golden_verify": _q_pdf_golden_verify,
+        "bpe_tokenize": q_bpe_tokenize,
         "video_frame_sample": q_video_frame_sample,
         "image_resize": q_image_resize,
         "pdf_metrics_rollup": _q_pdf_metrics_rollup,

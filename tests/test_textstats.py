@@ -241,3 +241,63 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     rows = top.collect()
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
     assert {r["doc_id"] for r in rows} == {1, 3}
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE trainer == Sennrich et al. algorithm 1 run
+    independently over the same word-frequency table (deterministic
+    (count desc, pair asc) selection), and the encoder's greedy
+    lowest-rank merge produces the expected token counts."""
+    from collections import Counter
+
+    from delphi_pdf_parser_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=8)
+
+    wf = Counter(w for t in texts for w in t.lower().split())
+    segs = {w: [*w[:-1], w[-1] + EOW] for w in wf}
+    ref = []
+    for _ in range(8):
+        pc = Counter()
+        for w, s in segs.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (left, right), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if cnt < 2:
+            break
+        ref.append((left, right, cnt))
+        for w, s in segs.items():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            segs[w] = res
+    assert merges == ref
+    assert merges[0] == ("l", "o", 6)  # most frequent pair first
+
+    enc = {
+        r["doc_id"]: r for r in bpe_encode(docs, merges).collect()
+    }
+    # doc 0: low</w> x3 (1 tok each) + lower</w> (1) + low+e+s+t</w>... 
+    # exact counts pinned from the learned merge table
+    assert enc[0]["n_bpe_tokens"] == 7 and enc[0]["n_words"] == 5
+    assert enc[1]["n_bpe_tokens"] == 8 and enc[1]["n_words"] == 5
