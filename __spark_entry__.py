@@ -263,6 +263,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "kind", "level", "page", "title"
         )
 
+    def q_pdf_render(spark, sf_dir):
+        """Raster sink (A43): every fixture page rendered at thumbnail
+        scale -> pixel digest + ink coverage per page. Rows-only (DuckDB
+        cannot rasterize PDFs); pixel truth is pinned in
+        tests/test_raster.py."""
+        from delphi_pdf_parser_spark.operators.render import (
+            render_documents,
+        )
+        from delphi_pdf_parser_spark.sources.documents import (
+            fixture_documents,
+        )
+
+        return render_documents(fixture_documents(spark)).orderBy(
+            "url", "page"
+        )
+
     def q_pdf_op_census(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.census import (
             document_op_census,
@@ -633,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_stat_pass": _q_pdf_stat_pass,
         "pdf_navigation": q_pdf_navigation,
         "pdf_op_census": q_pdf_op_census,
+        "pdf_render": q_pdf_render,
     }
 
 

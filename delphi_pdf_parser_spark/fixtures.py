@@ -827,15 +827,59 @@ def build_ttf(
     post_names: list[str] | None = None,
     advances: tuple[int, ...] = (500,),
     upem: int = 1000,
+    glyphs: dict[int, list] | None = None,
 ) -> bytes:
-    """Deterministic minimal sfnt: cmap/post/head/hhea/hmtx/maxp only
-    (what a text extractor consults); checksums left zero."""
+    """Deterministic minimal sfnt: cmap/post/head/hhea/hmtx/maxp (what a
+    text extractor consults) plus, with `glyphs`, real glyf/loca
+    outlines for the raster sink — glyphs[gid] is a list of contours,
+    each a list of on-curve (x, y) font-unit points; checksums left
+    zero."""
     tables: dict[bytes, bytes] = {}
     head = bytearray(54)
     struct.pack_into(">I", head, 0, 0x00010000)
     struct.pack_into(">I", head, 12, 0x5F0F3CF5)  # magic
     struct.pack_into(">H", head, 18, upem)
+    # indexToLocFormat (offset 50) stays 0 = short loca offsets
     tables[b"head"] = bytes(head)
+    if glyphs is not None:
+        nglyphs_g = max(glyphs) + 1 if glyphs else 1
+        blobs = []
+        for gid in range(nglyphs_g):
+            conts = glyphs.get(gid)
+            if not conts:
+                blobs.append(b"")
+                continue
+            allpts = [p for c in conts for p in c]
+            xs = [p[0] for p in allpts]
+            ys = [p[1] for p in allpts]
+            g = bytearray()
+            g += struct.pack(
+                ">hhhhh", len(conts), min(xs), min(ys), max(xs), max(ys)
+            )
+            end = -1
+            for c in conts:
+                end += len(c)
+                g += struct.pack(">H", end)
+            g += struct.pack(">H", 0)  # no instructions
+            g += bytes([0x01] * len(allpts))  # on-curve, 2-byte deltas
+            px = 0
+            for x, _y in allpts:
+                g += struct.pack(">h", x - px)
+                px = x
+            py = 0
+            for _x, y in allpts:
+                g += struct.pack(">h", y - py)
+                py = y
+            if len(g) % 2:
+                g += b"\x00"
+            blobs.append(bytes(g))
+        loca = [0]
+        for blob in blobs:
+            loca.append(loca[-1] + len(blob))
+        tables[b"glyf"] = b"".join(blobs)
+        tables[b"loca"] = b"".join(
+            struct.pack(">H", o // 2) for o in loca
+        )
     hhea = bytearray(36)
     struct.pack_into(">I", hhea, 0, 0x00010000)
     struct.pack_into(">H", hhea, 34, len(advances))
@@ -1025,11 +1069,35 @@ def _cff_index(items: list[bytes]) -> bytes:
     return out + b"".join(items)
 
 
+def t2_num(v: int) -> bytes:
+    """Type2 charstring number encoding (28 + int16 form: unambiguous)."""
+    import struct as _struct
+
+    return b"\x1c" + _struct.pack(">h", v)
+
+
+def t2_path(contours: list) -> bytes:
+    """Encode closed polygonal contours as a Type2 charstring:
+    rmoveto + rlinetos per contour, endchar."""
+    out = bytearray()
+    x = y = 0
+    for cont in contours:
+        (x0, y0) = cont[0]
+        out += t2_num(x0 - x) + t2_num(y0 - y) + bytes([21])  # rmoveto
+        x, y = x0, y0
+        for px, py in cont[1:]:
+            out += t2_num(px - x) + t2_num(py - y) + bytes([5])  # rlineto
+            x, y = px, py
+    out += bytes([14])  # endchar
+    return bytes(out)
+
+
 def build_cff(
     encoding_codes: dict[int, int],
     charset_sids: list[int],
     custom_strings: list[bytes],
     n_glyphs: int,
+    charstrings: list[bytes] | None = None,
 ) -> bytes:
     """Minimal CFF: header, Name/TopDICT/String/GSubr INDEXes, format-0
     encoding (code->gid in gid order), format-0 charset, dummy
@@ -1047,7 +1115,11 @@ def build_cff(
     charset = b"\x00" + b"".join(
         struct.pack(">H", sid) for sid in charset_sids[1:]
     )
-    charstrings = _cff_index([b"\x0e"] * n_glyphs)  # endchar ops (unused)
+    charstrings = _cff_index(
+        charstrings
+        if charstrings is not None
+        else [b"\x0e"] * n_glyphs  # endchar stubs (text path never looks)
+    )
     # top dict: 3 entries of (29 <int32> op) = 18 bytes
     top_dict_size = 18
     top_idx_prefix = struct.pack(">HB", 1, 2) + struct.pack(
@@ -1723,6 +1795,71 @@ def _case_shading_ops():
     return b.build_classic(cat), golden, 1
 
 
+def _case_render_ops():
+    """Raster-sink fixture (A43): one page exercising every draw-device
+    hook with hand-computable pixels — rect fill, clipped fill, stroke,
+    embedded-TTF glyph text (solid block + triangle glyphs so coverage
+    is analytic), a 2x2 Flate RGB image, and an axial shading inside a
+    clip. The golden TEXT is what the text device sees ('AB'); the
+    pixel assertions live in tests/test_raster.py."""
+    ttf = build_ttf(
+        cmaps=[(3, 1, {0x41: 1, 0x42: 2})],
+        advances=(500, 600, 600),
+        glyphs={
+            0: [],
+            1: [[(100, 0), (500, 0), (500, 700), (100, 700)]],
+            2: [[(0, 0), (600, 0), (300, 700)]],
+        },
+    )
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> "
+        "/XObject << /Im1 8 0 R >> /Shading << /Sh1 9 0 R >> >> "
+        "/Contents 4 0 R >>"
+    )
+    content = (
+        b"1 0 0 rg 100 100 200 150 re f "
+        b"q 0 0 1 rg 50 400 100 100 re W n "
+        b"0 1 0 rg 0 300 612 300 re f Q "
+        b"0 0 0 RG 4 w 300 500 m 500 700 l S "
+        b"q 100 0 0 100 50 600 cm /Im1 Do Q "
+        b"q 400 100 100 100 re W n 1 0 0 1 400 100 cm /Sh1 sh Q "
+        b"BT 0 0 1 rg /F1 48 Tf 100 200 Td (AB) Tj ET"
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add(
+        "<< /Type /Font /Subtype /TrueType /BaseFont /RasterTTF "
+        "/FontDescriptor 6 0 R /FirstChar 65 /LastChar 66 "
+        "/Widths [600 600] >>"
+    )
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /RasterTTF /Flags 32"
+        " /FontFile2 7 0 R >>",
+    )
+    b.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    comp = zlib.compress(px)
+    b.set(
+        8,
+        "<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+        f"/Length {len(comp)} >>",
+        comp,
+    )
+    fn2 = "<< /FunctionType 2 /Domain [0 1] /C0 [1 0 0] /C1 [0 0 1] /N 1 >>"
+    b.set(
+        9,
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 100 0] "
+        f"/Function {fn2} >>",
+    )
+    golden = "AB" + CRLF
+    return b.build_classic(cat), golden, 1
+
+
 def _case_image_xobjects():
     """Embedded images: a Flate gray raster (-> engine re-encodes PNG) and
     a DCT payload (-> raw JPEG passthrough). Text alongside proves the
@@ -1835,6 +1972,7 @@ CASES = {
     "annot_appearance": _case_annot_appearance,
     "ocg_layers": _case_ocg_layers,
     "shading_ops": _case_shading_ops,
+    "render_ops": _case_render_ops,
     "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,
     "aesv2_empty_password": _case_aesv2_empty_password,

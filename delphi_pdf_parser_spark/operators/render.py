@@ -1,0 +1,100 @@
+"""Page-render sink as a Spark operator (A43): rasterize every page of
+every PDF in the documents table into thumbnail-scale pixel rows — the
+analytics-engine form of the reference's openfile4 render path
+(src/digPdfViewer.pas:740-826): per-page PNG + deterministic pixel
+digest + coverage stats, where the reference paints one page into a
+TImage. Same shape as extraction: JVM %PDF prefilter, column pruning,
+one mapInPandas, map-only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RENDER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_inked", LongType()),  # non-background pixels
+        StructField("ink_frac", DoubleType()),
+        StructField("pixels_md5", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _render_batches(scale: float, max_pages: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from delphi_pdf_parser_spark.pdfcore.pages import count_pages
+        from delphi_pdf_parser_spark.pdfcore.rasterdev import render_page
+
+        cols = [f.name for f in RENDER_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for url, html in zip(b["url"], b["html"]):
+                data = bytes(html) if html is not None else b""
+                try:
+                    from delphi_pdf_parser_spark.pdfcore.document import (
+                        PdfDocument,
+                    )
+                    from delphi_pdf_parser_spark.pdfcore.pages import (
+                        load_page_tree,
+                    )
+
+                    doc = PdfDocument(data)
+                    load_page_tree(doc)
+                    npages = count_pages(doc)
+                except Exception:
+                    rows.append((url, -1, 0, 0, 0, 0.0, None, "failed"))
+                    continue
+                for p in range(min(npages, max_pages)):
+                    try:
+                        w, h, pix, _fails = render_page(data, p, scale)
+                        inked = int((pix != 255).any(axis=2).sum())
+                        rows.append(
+                            (
+                                url,
+                                p,
+                                w,
+                                h,
+                                inked,
+                                round(inked / float(w * h), 6),
+                                hashlib.md5(pix.tobytes()).hexdigest(),
+                                "ok",
+                            )
+                        )
+                    except Exception:
+                        rows.append(
+                            (url, p, 0, 0, 0, 0.0, None, "failed")
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def render_documents(
+    documents: DataFrame, scale: float = 0.25, max_pages: int = 4
+) -> DataFrame:
+    """-> one row per rendered page with pixel digest + ink coverage."""
+    df = documents.select("url", "html").filter(
+        F.col("html").isNotNull()
+        & (F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-"))
+    )
+    return df.mapInPandas(_render_batches(scale, max_pages), RENDER_SCHEMA)

@@ -73,6 +73,9 @@ class FontDesc:
         "_adv_array",
         "_cid_mode",
         "_cid_cache",
+        "embedded",
+        "_outline_src",
+        "_outline_cache",
     )
 
     _next_ident = 0
@@ -107,6 +110,12 @@ class FontDesc:
         self._adv_array = None
         self._cid_mode = None
         self._cid_cache: dict = {}
+        # raster sink: ("ttf", SfntFont, etable|None) or
+        # ("cff", raw_bytes, etable|None); etable maps code -> gid for
+        # simple fonts, None means gid == cid (Identity CID layout)
+        self.embedded = None
+        self._outline_src = None
+        self._outline_cache: dict = {}
 
     # --- metrics -------------------------------------------------------------
     def add_hmtx(self, lo: int, hi: int, w: int):
@@ -182,6 +191,40 @@ class FontDesc:
         return self._adv_array
 
     # --- fast path for 1-byte identity-encoded fonts --------------------------
+    def outline_1000(self, code_or_cid: int):
+        """Flattened glyph contours scaled to a 1000-unit em for the
+        raster sink, or None when the font carries no embedded outline
+        program (base-14 references — the device records
+        `raster_no_outline` instead of inventing shapes)."""
+        if self.embedded is None:
+            return None
+        kind, prog, etable = self.embedded
+        if etable is not None and 0 <= code_or_cid < len(etable):
+            gid = etable[code_or_cid]
+        else:
+            gid = code_or_cid
+        hit = self._outline_cache.get(gid)
+        if hit is not None:
+            return hit
+        from .glyphs import CffOutlines, OutlineError, ttf_outline
+
+        try:
+            if kind == "ttf":
+                conts = ttf_outline(prog, gid)
+                upem = prog.units_per_em or 1000
+                if upem != 1000:
+                    s = 1000.0 / upem
+                    conts = [[(x * s, y * s) for x, y in c] for c in conts]
+            else:
+                if self._outline_src is None:
+                    self._outline_src = CffOutlines(prog)
+                conts = self._outline_src.outline(gid)
+        except Exception:
+            # any malformed outline program: draw nothing for this glyph
+            return None
+        self._outline_cache[gid] = conts
+        return conts
+
     def fast_table(self):
         """For simple/Type3 fonts (1-byte identity encoding, wmode 0):
         code -> (ucs_tuple, hmtx_w). Semantics identical to show_char's
@@ -518,6 +561,11 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
             if etable[i] and estrings[i] is None:
                 estrings[i] = cf.glyph_name(etable[i])
 
+    if sf is not None and etable is not None:
+        font.embedded = ("ttf", sf, etable)
+    elif cf is not None and etable is not None:
+        font.embedded = ("cff", data3, etable)
+
     font.encoding = identity_cmap(0, 1)
     _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))
 
@@ -589,6 +637,26 @@ def load_cid_font(doc, dict_: dict, encoding, to_unicode, ident) -> FontDesc:
     else:
         raise FontError("font_missing_encoding")
     font.wmode = font.encoding.wmode
+
+    # embedded program for the raster sink: CID fonts address glyphs by
+    # CID directly (identity CIDToGIDMap — the stream form is not
+    # consulted, recorded as a failure code when present)
+    descriptor = doc.get(dict_, "FontDescriptor")
+    if isinstance(descriptor, dict):
+        ff2 = descriptor.get("FontFile2")
+        if is_indirect(ff2) and doc.is_stream(ff2):
+            try:
+                font.embedded = ("ttf", SfntFont(doc.load_stream(ff2.num)), None)
+            except (SfntError, IndexError):
+                doc.note_failure("fontfile2_parse")
+        ff3 = descriptor.get("FontFile3")
+        if font.embedded is None and is_indirect(ff3) and doc.is_stream(ff3):
+            d3 = doc.load_stream(ff3.num)
+            if d3[:4] not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+                font.embedded = ("cff", d3, None)
+        if font.embedded is not None and is_indirect(dict_.get("CIDToGIDMap")):
+            doc.note_failure("raster_cid_to_gid_stream")
+            font.embedded = None
 
     _load_to_unicode(doc, font, None, collection, to_unicode)
 

@@ -55,6 +55,11 @@ class GState:
         "size",
         "render",
         "rise",
+        # raster-sink state (unused on the text path)
+        "fill_rgb",
+        "stroke_rgb",
+        "line_width",
+        "clip_depth",
     )
 
     def __init__(self, ctm):
@@ -67,6 +72,10 @@ class GState:
         self.size = -1.0
         self.render = 0
         self.rise = 0.0
+        self.fill_rgb = (0, 0, 0)
+        self.stroke_rgb = (0, 0, 0)
+        self.line_width = 1.0
+        self.clip_depth = 0
 
     def copy(self):
         g = GState(self.ctm)
@@ -78,6 +87,10 @@ class GState:
         g.size = self.size
         g.render = self.render
         g.rise = self.rise
+        g.fill_rgb = self.fill_rgb
+        g.stroke_rgb = self.stroke_rgb
+        g.line_width = self.line_width
+        g.clip_depth = self.clip_depth
         return g
 
 
@@ -87,6 +100,10 @@ class CSI:
     def __init__(self, doc, dev, ctm):
         self.doc = doc
         self.dev = dev
+        # graphics-aware devices (the raster sink) receive path / image /
+        # shading callbacks; the text device never pays for them beyond a
+        # None check on operators that were no-ops anyway
+        self.draw = dev if getattr(dev, "wants_graphics", False) else None
         self.gstack = [GState(ctm)]
         self.stack: list[float] = []
         self.name = ""
@@ -101,6 +118,11 @@ class CSI:
         self.top_ctm = ctm
         self.font_cache: dict = {}
         self.xobject_depth = 0
+        # current path (user-space subpaths) + pending W/W* clip rule
+        self.path: list = []
+        self.cur = None
+        self.start = None
+        self.pending_clip = None
 
     @property
     def gs(self) -> GState:
@@ -121,6 +143,11 @@ class CSI:
         doclip = mode in (4, 5, 6, 7)
         dofill = mode in (0, 2, 4, 6)
         dostroke = mode in (1, 2, 5, 6)
+        if getattr(dev, "wants_text_mode", False):
+            # mode-aware device (raster sink): one call, mode attached —
+            # it must NOT paint invisible (mode 3) text
+            dev.text(text, ctm, mode, self.gs)
+            return
         if doinvisible:
             dev.text(text, ctm)
         if doclip:
@@ -395,13 +422,19 @@ class CSI:
         if len(self.gstack) >= 64:
             self.doc.note_failure("gstate_overflow")
             return
-        self.gstack.append(self.gs.copy())
+        g = self.gs.copy()
+        if self.draw is not None:
+            # remember the device clip depth at q time; Q unwinds to it
+            g.clip_depth = self.draw.clip_depth()
+        self.gstack.append(g)
 
     def grestore(self):
         if len(self.gstack) <= 1:
             self.doc.note_failure("gstate_underflow")
             return
-        self.gstack.pop()
+        popped = self.gstack.pop()
+        if self.draw is not None:
+            self.draw.restore_clip(popped.clip_depth)
 
 
 def run_buffer(csi: CSI, rdb, contents: bytes):
@@ -601,23 +634,154 @@ def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
         csi.xbalance -= 1
     elif kw == b"w":
         csi.flush_text()  # linewidth affects stroked-text render (run_w1)
+        if csi.draw is not None:
+            gs.line_width = _st(csi, 0)
     elif kw in (
         # color / colorspace setters flush buffered text (pdf_set_color &c)
         b"G", b"g", b"RG", b"rg", b"K", b"k",
         b"CS", b"cs", b"SC", b"SCN", b"sc", b"scn",
     ):
         csi.flush_text()
+        if csi.draw is not None:
+            _run_color(csi, kw)
     elif kw in (
-        # path/painting/clip/other operators that don't affect text
         b"m", b"l", b"c", b"v", b"y", b"h", b"re",
         b"S", b"s", b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*", b"n",
-        b"W", b"W*", b"J", b"j", b"M", b"d", b"ri", b"i",
-        b"MP", b"DP", b"BMC", b"BDC", b"EMC", b"d0", b"d1", b"sh",
+        b"W", b"W*", b"sh",
+    ):
+        # path construction / painting / clip: no-ops for the text device,
+        # real geometry when a raster device is attached
+        if csi.draw is not None:
+            _run_path_op(csi, rdb, kw)
+    elif kw in (
+        b"J", b"j", b"M", b"d", b"ri", b"i",
+        b"MP", b"DP", b"BMC", b"BDC", b"EMC", b"d0", b"d1",
     ):
         pass
     else:
         if csi.xbalance == 0:
             doc.note_failure("unknown_keyword")
+
+
+def _rgb8(vals) -> tuple:
+    return tuple(
+        int(round(max(0.0, min(1.0, float(v))) * 255.0)) for v in vals
+    )
+
+
+def _run_color(csi: CSI, kw: bytes):
+    """Color operators for the raster sink. Device colorspaces are
+    exact; sc/scn map by operand count (1 gray / 3 rgb / 4 cmyk), and a
+    pattern-name operand paints mid-gray with a failure code (pattern
+    FILLS are out of the render sink's scope; shading patterns via `sh`
+    are real)."""
+    gs = csi.gs
+    st = csi.stack
+    stroke = kw in (b"G", b"RG", b"K", b"CS", b"SC", b"SCN")
+    rgb = None
+    if kw in (b"g", b"G") and len(st) >= 1:
+        v = st[0]
+        rgb = _rgb8((v, v, v))
+    elif kw in (b"rg", b"RG") and len(st) >= 3:
+        rgb = _rgb8(st[:3])
+    elif kw in (b"k", b"K") and len(st) >= 4:
+        c, m, y, k2 = (max(0.0, min(1.0, float(v))) for v in st[:4])
+        rgb = _rgb8(
+            ((1 - c) * (1 - k2), (1 - m) * (1 - k2), (1 - y) * (1 - k2))
+        )
+    elif kw in (b"sc", b"scn", b"SC", b"SCN"):
+        if csi.name:  # pattern operand
+            csi.doc.note_failure("raster_pattern_color")
+            rgb = (128, 128, 128)
+        elif len(st) == 1:
+            rgb = _rgb8((st[0], st[0], st[0]))
+        elif len(st) == 3:
+            rgb = _rgb8(st[:3])
+        elif len(st) >= 4:
+            c, m, y, k2 = (max(0.0, min(1.0, float(v))) for v in st[:4])
+            rgb = _rgb8(
+                ((1 - c) * (1 - k2), (1 - m) * (1 - k2), (1 - y) * (1 - k2))
+            )
+    elif kw in (b"cs", b"CS"):
+        # colorspace select resets the color to black (PDF 32000 8.6.8)
+        rgb = (0, 0, 0)
+    if rgb is not None:
+        if stroke:
+            gs.stroke_rgb = rgb
+        else:
+            gs.fill_rgb = rgb
+
+
+def _run_path_op(csi: CSI, rdb, kw: bytes):
+    """Path construction + painting + clipping for the raster sink."""
+    draw = csi.draw
+    gs = csi.gs
+    if kw == b"m":
+        csi.cur = (_st(csi, 0), _st(csi, 1))
+        csi.start = csi.cur
+        csi.path.append([csi.cur])
+    elif kw == b"l":
+        csi.cur = (_st(csi, 0), _st(csi, 1))
+        if csi.path:
+            csi.path[-1].append(csi.cur)
+    elif kw in (b"c", b"v", b"y"):
+        from .raster import flatten_cubic
+
+        p0 = csi.cur or (0.0, 0.0)
+        if kw == b"c":
+            p1 = (_st(csi, 0), _st(csi, 1))
+            p2 = (_st(csi, 2), _st(csi, 3))
+            p3 = (_st(csi, 4), _st(csi, 5))
+        elif kw == b"v":
+            p1 = p0
+            p2 = (_st(csi, 0), _st(csi, 1))
+            p3 = (_st(csi, 2), _st(csi, 3))
+        else:  # y
+            p1 = (_st(csi, 0), _st(csi, 1))
+            p3 = (_st(csi, 2), _st(csi, 3))
+            p2 = p3
+        if csi.path:
+            csi.path[-1].extend(flatten_cubic(p0, p1, p2, p3))
+        csi.cur = p3
+    elif kw == b"h":
+        if csi.path and csi.start is not None:
+            csi.path[-1].append(csi.start)
+            csi.cur = csi.start
+    elif kw == b"re":
+        x, y, w, h = (_st(csi, i) for i in range(4))
+        csi.path.append([(x, y), (x + w, y), (x + w, y + h), (x, y + h)])
+        csi.cur = (x, y)
+        csi.start = (x, y)
+    elif kw in (b"W", b"W*"):
+        csi.pending_clip = "eo" if kw == b"W*" else "nz"
+    elif kw == b"sh":
+        shd = None
+        shres = csi.doc.resolve(rdb.get("Shading")) if isinstance(rdb, dict) else None
+        if isinstance(shres, dict) and csi.name:
+            shd = csi.doc.resolve(shres.get(csi.name))
+        draw.fill_shade(csi.doc, shd, gs.ctm)
+    else:
+        # painting operators
+        fill = kw in (b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*")
+        stroke = kw in (b"S", b"s", b"B", b"B*", b"b", b"b*")
+        close_first = kw in (b"s", b"b", b"b*")
+        evenodd = kw in (b"f*", b"B*")
+        if close_first and csi.path and csi.start is not None:
+            csi.path[-1].append(csi.start)
+        if fill and csi.path:
+            draw.fill_path(csi.path, evenodd, gs.ctm, gs.fill_rgb)
+        if stroke and csi.path:
+            draw.stroke_path(
+                csi.path, gs.ctm, gs.stroke_rgb, gs.line_width
+            )
+        if csi.pending_clip is not None and csi.path:
+            draw.clip_path(
+                csi.path, csi.pending_clip == "eo", gs.ctm
+            )
+            csi.pending_clip = None
+        csi.path = []
+        csi.cur = None
+        csi.start = None
 
 
 def run_extgstate(csi: CSI, rdb):
@@ -688,7 +852,9 @@ def run_do(csi: CSI, rdb):
         finally:
             csi.xobject_depth -= 1
     elif subtype == "Image":
-        pass  # FZ_IGNORE_IMAGE: never decoded on the text path
+        if csi.draw is not None and is_indirect(obj_ref):
+            csi.draw.fill_image(doc, obj_ref.num, obj, csi.gs.ctm)
+        # else FZ_IGNORE_IMAGE: never decoded on the text path
     elif subtype == "PS":
         pass
     else:

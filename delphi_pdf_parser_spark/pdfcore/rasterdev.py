@@ -1,0 +1,273 @@
+"""The raster (draw) device + page-render entry (A43).
+
+The reference's openfile4 path (src/digPdfViewer.pas:740-826) runs each
+page through fz draw device (src/vcl/draw_devicess.pas) into a pixmap.
+This is the from-scratch PySpark-era equivalent: the SAME content-stream
+interpreter that powers text extraction drives this device through the
+graphics hooks (fill_path / stroke_path / clip_path / fill_image /
+fill_shade and the mode-aware text hook), and the device rasterizes into
+a NumPy RGB canvas via pdfcore/raster.py.
+
+Fidelity envelope (documented, test-pinned):
+- fills/strokes/clips: hard-edge scanline coverage (no anti-aliasing);
+  strokes are per-segment quads (butt caps, no joins);
+- text: real glyph outlines from embedded TrueType (glyf) and CFF
+  (Type2) programs via pdfcore/glyphs.py; fonts without an embedded
+  program (base-14 references) draw nothing and record
+  `raster_no_outline`;
+- images: Flate/LZW-class rasters through extract_image(transcode=True)
+  + the from-scratch mediadec decoders, nearest-neighbor sampling;
+- shadings: axial (type 2) and radial (type 3) through functions.py
+  with a 256-sample LUT; other types record `raster_shading_type`;
+- inline images are consumed but not painted (`raster_inline_image`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .raster import (
+    EVENODD,
+    NONZERO,
+    Canvas,
+    coverage_mask,
+    stroke_polys,
+    transform_poly,
+)
+
+
+def _concat(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+class RasterDevice:
+    wants_graphics = True
+    wants_text_mode = True
+
+    def __init__(self, doc, width: int, height: int):
+        self.doc = doc
+        self.canvas = Canvas(width, height)
+
+    # --- clip bookkeeping (driven by CSI.gsave/grestore) ---------------------
+    def clip_depth(self) -> int:
+        return len(self.canvas.clip_stack)
+
+    def restore_clip(self, depth: int):
+        while len(self.canvas.clip_stack) > max(depth, 1):
+            self.canvas.pop_clip()
+
+    # --- path hooks ----------------------------------------------------------
+    def _device_polys(self, polys, ctm):
+        return [transform_poly(p, ctm) for p in polys if len(p) >= 2]
+
+    def fill_path(self, polys, evenodd: bool, ctm, rgb):
+        dp = self._device_polys(polys, ctm)
+        mask = coverage_mask(
+            dp,
+            self.canvas.width,
+            self.canvas.height,
+            EVENODD if evenodd else NONZERO,
+        )
+        self.canvas.paint_mask(mask, rgb)
+
+    def stroke_path(self, polys, ctm, rgb, line_width: float):
+        dp = self._device_polys(polys, ctm)
+        a, b, c, d, _e, _f = ctm
+        scale = abs(a * d - b * c) ** 0.5 or 1.0
+        quads = stroke_polys(dp, max(line_width, 0.0) * scale)
+        mask = np.zeros((self.canvas.height, self.canvas.width), dtype=bool)
+        for q in quads:
+            mask |= coverage_mask(
+                [q], self.canvas.width, self.canvas.height, NONZERO
+            )
+        self.canvas.paint_mask(mask, rgb)
+
+    def clip_path(self, polys, evenodd: bool, ctm):
+        dp = self._device_polys(polys, ctm)
+        self.canvas.push_clip(
+            coverage_mask(
+                dp,
+                self.canvas.width,
+                self.canvas.height,
+                EVENODD if evenodd else NONZERO,
+            )
+        )
+
+    # --- text hook (mode-aware, called once per flushed run) ----------------
+    def text(self, run, ctm, mode: int, gs):
+        if mode == 3:
+            return  # invisible
+        rgb = gs.stroke_rgb if mode == 1 else gs.fill_rgb
+        font = run.font
+        ta, tb, tc, td = run.trm[:4]
+        missing = False
+        polys = []
+        glyphs = []
+        for part in run.parts:
+            if part[0] == "B":  # vectorized block: NumPy columns
+                _tag, gids, _ucs, xs, ys = part
+                glyphs.extend(zip(gids.tolist(), xs.tolist(), ys.tolist()))
+            else:
+                glyphs.append((part[0], part[2], part[3]))
+        for cid, ex, ey in glyphs:
+            if cid < 0:
+                continue  # ligature-extra filler entries carry no glyph
+            conts = font.outline_1000(int(cid))
+            if conts is None:
+                missing = True
+                continue
+            m = _concat(
+                (ta * 0.001, tb * 0.001, tc * 0.001, td * 0.001, ex, ey),
+                ctm,
+            )
+            for cont in conts:
+                if len(cont) >= 3:
+                    polys.append(transform_poly(cont, m))
+        if polys:
+            mask = coverage_mask(
+                polys, self.canvas.width, self.canvas.height, NONZERO
+            )
+            self.canvas.paint_mask(mask, rgb)
+        if missing:
+            self.doc.note_failure("raster_no_outline")
+
+    # --- images --------------------------------------------------------------
+    def fill_image(self, doc, num: int, obj: dict, ctm):
+        from .images import extract_image
+        from ..operators.mediadec import MediaDecodeError, decode_image
+
+        try:
+            img = extract_image(doc, num, obj, transcode=True)
+        except Exception:
+            doc.note_failure("raster_image_decode")
+            return
+        arr = None
+        if img.format == "png":
+            try:
+                w, h, ncomp, pixels = decode_image(img.data)
+                a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ncomp)
+                if ncomp == 1:
+                    arr = np.repeat(a, 3, axis=2)
+                elif ncomp >= 3:
+                    arr = a[:, :, :3]
+            except MediaDecodeError:
+                pass
+        elif img.format == "jpeg":
+            try:
+                w, h, ncomp, pixels = decode_image(img.data)
+                a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ncomp)
+                arr = np.repeat(a, 3, axis=2) if ncomp == 1 else a[:, :, :3]
+            except MediaDecodeError:
+                pass
+        if arr is None:
+            doc.note_failure("raster_image_decode")
+            return
+        # paint region = the CTM-mapped unit square
+        unit = transform_poly([(0, 0), (1, 0), (1, 1), (0, 1)], ctm)
+        mask = coverage_mask(
+            [unit], self.canvas.width, self.canvas.height, NONZERO
+        )
+        self.canvas.paint_image(mask, ctm, arr)
+
+    # --- shadings ------------------------------------------------------------
+    def fill_shade(self, doc, shd, ctm):
+        from .cos import to_int, to_name
+        from .functions import eval_function, load_function
+
+        if not isinstance(shd, dict):
+            doc.note_failure("raster_shading_missing")
+            return
+        stype = to_int(doc.resolve(shd.get("ShadingType")))
+        if stype not in (2, 3):
+            doc.note_failure(f"raster_shading_type:{stype}")
+            return
+        csname = to_name(doc.resolve(shd.get("ColorSpace")))
+        if csname not in ("DeviceRGB", "DeviceGray"):
+            doc.note_failure(f"raster_shading_cs:{csname}")
+            return
+        coords = [
+            float(doc.resolve(v)) for v in doc.resolve(shd.get("Coords")) or []
+        ]
+        try:
+            fn = load_function(doc, shd.get("Function"))
+        except Exception:
+            doc.note_failure("raster_shading_fn")
+            return
+        dom = doc.resolve(shd.get("Domain"))
+        t0, t1 = (
+            (float(doc.resolve(dom[0])), float(doc.resolve(dom[1])))
+            if isinstance(dom, list) and len(dom) >= 2
+            else (0.0, 1.0)
+        )
+        ts = np.linspace(t0, t1, 256)
+        lut = eval_function(fn, ts[:, None])
+        if lut.shape[1] == 1:
+            lut = np.repeat(lut, 3, axis=1)
+        lut8 = np.clip(np.round(lut[:, :3] * 255.0), 0, 255).astype(np.uint8)
+        # per-pixel t over the current clip region, in SHADING space
+        a, b, c, d, e, f = ctm
+        det = a * d - b * c
+        if det == 0:
+            return
+        ia, ib = d / det, -b / det
+        ic, id_ = -c / det, a / det
+        ie = -(e * ia + f * ic)
+        if_ = -(e * ib + f * id_)
+        m = self.canvas.clip
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            return
+        ux = (xs + 0.5) * ia + (ys + 0.5) * ic + ie
+        uy = (xs + 0.5) * ib + (ys + 0.5) * id_ + if_
+        if stype == 2:
+            x0, y0, x1, y1 = coords[:4]
+            dx, dy = x1 - x0, y1 - y0
+            denom = dx * dx + dy * dy or 1.0
+            s = ((ux - x0) * dx + (uy - y0) * dy) / denom
+        else:
+            x0, y0, r0, x1, y1, r1 = coords[:6]
+            # simplified radial: normalized distance from the start
+            # circle's center between r0 and r1 (concentric assumption)
+            dist = np.hypot(ux - x0, uy - y0)
+            s = (dist - r0) / ((r1 - r0) or 1.0)
+        s = np.clip(s, 0.0, 1.0)
+        idx = np.clip((s * 255).astype(np.int64), 0, 255)
+        self.canvas.pix[ys, xs] = lut8[idx]
+
+
+def render_page(
+    data: bytes, pageno: int = 0, scale: float = 1.0
+) -> tuple[int, int, np.ndarray, dict]:
+    """Render one page -> (width, height, RGB uint8 array, failure
+    counts). The device CTM maps PDF user space (y up, origin at
+    mediabox lower-left) to pixels (y down) at `scale`."""
+    from .document import PdfDocument
+    from .interp import CSI, run_buffer
+    from .pages import load_page, load_page_tree
+
+    doc = PdfDocument(data)
+    load_page_tree(doc)
+    page = load_page(doc, pageno)
+    mb_raw = doc.resolve(doc.page_objs[pageno].get("MediaBox"))
+    if isinstance(mb_raw, list) and len(mb_raw) >= 4:
+        x0, y0, x1, y1 = (float(doc.resolve(v)) for v in mb_raw[:4])
+    else:
+        x0, y0, x1, y1 = 0.0, 0.0, 612.0, 792.0
+    width = max(1, int(round((x1 - x0) * scale)))
+    height = max(1, int(round((y1 - y0) * scale)))
+    # user -> device: translate mediabox origin, flip y
+    ctm = (scale, 0.0, 0.0, -scale, -x0 * scale, y1 * scale)
+    dev = RasterDevice(doc, width, height)
+    csi = CSI(doc, dev, ctm)
+    run_buffer(csi, page.resources, page.contents)
+    csi.flush_text()
+    return width, height, dev.canvas.pix, dict(doc.failures)

@@ -1,0 +1,158 @@
+"""Raster sink (A43): scanline geometry semantics + whole-page pixel
+truth on the render_ops fixture. Every assertion is hand-computed from
+the fixture's content stream (hard-edge coverage, pixel centers at
+(x+0.5, y+0.5), device row = 792 - user_y at scale 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from delphi_pdf_parser_spark.pdfcore.raster import (
+    EVENODD,
+    NONZERO,
+    coverage_mask,
+)
+from delphi_pdf_parser_spark.pdfcore.rasterdev import render_page
+
+
+def test_coverage_mask_semantics():
+    # pixel centers in (2,8)x(2,8): exactly 6x6
+    m = coverage_mask([[(2, 2), (8, 2), (8, 8), (2, 8)]], 10, 10)
+    assert m.sum() == 36 and m[5, 5] and not m[1, 1]
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    inner = [(3, 3), (7, 3), (7, 7), (3, 7)]
+    # even-odd: hole regardless of direction
+    d = coverage_mask([outer, inner], 10, 10, EVENODD)
+    assert d[1, 1] and not d[5, 5]
+    # nonzero: same-direction inner fills, reversed inner is a hole
+    assert coverage_mask([outer, inner], 10, 10, NONZERO)[5, 5]
+    rev = coverage_mask([outer, inner[::-1]], 10, 10, NONZERO)
+    assert rev[1, 1] and not rev[5, 5]
+
+
+def test_render_ops_fixture_pixels():
+    from delphi_pdf_parser_spark.fixtures import generate_fixtures
+
+    pdf = bytes(generate_fixtures()["render_ops"]["pdf"])
+    w, h, pix, fails = render_page(pdf, 0, scale=1.0)
+    assert (w, h) == (612, 792)
+    assert fails == {}, fails
+
+    # 1. red rect 100,100 200x150: center user (200,175) -> dev (617,200)
+    assert tuple(pix[617, 200]) == (255, 0, 0)
+    assert tuple(pix[792 - 99, 200]) == (255, 255, 255)  # below it
+
+    # 2. green fill clipped to 50..150 x 400..500
+    assert tuple(pix[792 - 450, 100]) == (0, 255, 0)
+    assert tuple(pix[792 - 450, 200]) == (255, 255, 255)  # outside clip
+    # clip POPPED by Q: the later shading (different clip) still painted
+
+    # 3. black diagonal stroke (300,500)->(500,700), width 4
+    assert tuple(pix[792 - 600, 400]) == (0, 0, 0)
+    assert tuple(pix[792 - 600, 420]) == (255, 255, 255)  # 20pt off the line
+
+    # 4. image: 2x2 RGB in user (50..150, 600..700); row 0 (R,G) on top
+    assert tuple(pix[792 - 675, 75]) == (255, 0, 0)
+    assert tuple(pix[792 - 675, 125]) == (0, 255, 0)
+    assert tuple(pix[792 - 625, 75]) == (0, 0, 255)
+    assert tuple(pix[792 - 625, 125]) == (255, 255, 0)
+
+    # 5. axial shading red->blue across user x 400..500 at y ~150
+    l, r = pix[792 - 150, 405], pix[792 - 150, 495]
+    assert l[0] > 200 and l[2] < 60
+    assert r[2] > 200 and r[0] < 60
+    assert tuple(pix[792 - 150, 520]) == (255, 255, 255)  # clipped
+
+    # 6. glyph text at 48pt from (100,200): A = solid block
+    #    x in 100+48*[0.1,0.5], y in 200+48*[0,0.7] -> center (114,216)
+    assert tuple(pix[792 - 216, 114]) == (0, 0, 1) or tuple(
+        pix[792 - 216, 114]
+    ) == (0, 0, 255)
+    # B triangle base center: starts at 100+28.8=128.8; (143,203)
+    assert tuple(pix[792 - 203, 143]) == (0, 0, 255)
+    # glyph coverage ~ analytic area (A 645 + B 504), hard edges —
+    # counted over the text region only (the image also has blue pixels)
+    blue = (pix[:, :, 2] == 255) & (pix[:, :, 0] == 0) & (pix[:, :, 1] == 0)
+    assert 1000 < blue[540:600, 95:165].sum() < 1300, blue.sum()
+
+
+def test_render_mode_3_not_painted():
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder,
+        _bt,
+        build_ttf,
+        simple_doc,
+    )
+
+    ttf = build_ttf(
+        cmaps=[(3, 1, {0x41: 1})],
+        advances=(500, 600),
+        glyphs={0: [], 1: [[(0, 0), (600, 0), (600, 700), (0, 700)]]},
+    )
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /T /Flags 32"
+        " /FontFile2 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /TrueType /BaseFont /T"
+        " /FontDescriptor 6 0 R /FirstChar 65 /LastChar 65"
+        " /Widths [600] >>"
+    )
+    b2, cat = simple_doc(
+        _bt("3 Tr 100 100 Td (A) Tj"), font_body=font, builder=b
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert (pix == 255).all()  # invisible text paints nothing
+    # ... but the TEXT path still extracts it (render_mode_3 doctrine)
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    assert extract_text(b2.build_classic(cat)).text == "A\r\n"
+
+
+def test_render_cff_glyphs():
+    """CFF Type2 charstring outlines render through the same hook."""
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder,
+        _bt,
+        build_cff,
+        simple_doc,
+        t2_path,
+    )
+
+    cs = [b"\x0e", t2_path([[(0, 0), (600, 0), (600, 700), (0, 700)]])]
+    cff = build_cff({65: 1}, [0, 34], [], 2, charstrings=cs)
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(cff)} /Subtype /Type1C >>", cff)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TC /Flags 4"
+        " /FontFile3 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TC"
+        " /FontDescriptor 6 0 R /FirstChar 65 /LastChar 65"
+        " /Widths [600] >>"
+    )
+    b2, cat = simple_doc(
+        _bt("/F1 50 Tf 100 100 Td (A) Tj"), font_body=font, builder=b
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    black = (pix == 0).all(axis=2)
+    # 0.6em x 0.7em at 50pt = 30 x 35 = 1050 px, hard edges
+    assert 980 < black.sum() < 1120, black.sum()
+    assert black[792 - 115, 115]  # inside the block
+
+
+def test_render_no_outline_font_records_failure():
+    """Base-14 text draws nothing (no embedded program) but records the
+    documented raster_no_outline code; the page still renders paths."""
+    from delphi_pdf_parser_spark.fixtures import _bt, simple_doc
+
+    b2, cat = simple_doc(_bt("100 100 Td (Hi) Tj") + b" 1 0 0 rg 10 10 50 50 re f")
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert fails.get("raster_no_outline") == 1
+    assert tuple(pix[792 - 35, 35]) == (255, 0, 0)
