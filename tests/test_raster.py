@@ -156,3 +156,66 @@ def test_render_no_outline_font_records_failure():
     w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
     assert fails.get("raster_no_outline") == 1
     assert tuple(pix[792 - 35, 35]) == (255, 0, 0)
+
+
+def test_render_bezier_and_closepaint_ops():
+    """c/v/y bezier construction, b (close+fill+stroke) and f* even-odd
+    through the interpreter's path hooks: a bezier 'circle' approximated
+    by 4 cubics fills convexly; an even-odd self-overlapping square ring
+    leaves its hole empty."""
+    from delphi_pdf_parser_spark.fixtures import simple_doc
+
+    k = 55.2  # 100 * kappa for a radius-100 circle
+    content = (
+        # circle centered (150, 600) r=100 via c ops, filled red with b
+        b"1 0 0 rg 0 0 0 RG 2 w "
+        b"250 600 m "
+        + f"250 {600 + k:.1f} {150 + k:.1f} 700 150 700 c ".encode()
+        + f"{150 - k:.1f} 700 50 {600 + k:.1f} 50 600 c ".encode()
+        + f"50 {600 - k:.1f} {150 - k:.1f} 500 150 500 c ".encode()
+        + f"{150 + k:.1f} 500 250 {600 - k:.1f} 250 600 c ".encode()
+        + b"b "
+        # even-odd ring: two same-direction squares -> f* leaves a hole
+        b"0 0 1 rg 400 100 150 150 re 440 140 70 70 re f* "
+        # v and y operators: a filled wedge
+        b"0 1 0 rg 300 300 m 350 300 400 350 v 400 300 400 300 y h f"
+    )
+    b2, cat = simple_doc(
+        content,
+        font_body="<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    # circle: center red, 95%-radius along x red, outside corner white
+    assert tuple(pix[792 - 600, 150]) == (255, 0, 0)
+    assert tuple(pix[792 - 600, 245]) == (255, 0, 0)
+    assert tuple(pix[792 - 672, 78]) == (255, 255, 255)  # r~120 diagonal
+    # even-odd ring: band filled, hole empty
+    assert tuple(pix[792 - 110, 410]) == (0, 0, 255)
+    assert tuple(pix[792 - 175, 475]) == (255, 255, 255)
+    # wedge interior
+    assert tuple(pix[792 - 310, 360]) == (0, 255, 0)
+
+
+def test_render_q_restores_clip_across_nesting():
+    """Nested q/W n/Q: each Q unwinds exactly the clips pushed since its
+    q — a fill after double-pop paints unclipped."""
+    from delphi_pdf_parser_spark.fixtures import simple_doc
+
+    content = (
+        b"q 100 100 100 100 re W n "
+        b"q 120 120 20 20 re W n "
+        b"1 0 0 rg 0 0 612 792 re f "    # doubly clipped: only 20x20 red
+        # after ONE Q: outer clip only — a full-page green fill would
+        # repaint the red, so fill a bottom strip of the outer region
+        b"Q 0 1 0 rg 0 0 612 115 re f "
+        b"Q 0 0 1 rg 300 300 10 10 re f"  # unclipped blue probe
+    )
+    b2, cat = simple_doc(
+        content,
+        font_body="<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert tuple(pix[792 - 130, 130]) == (255, 0, 0)  # inner clip
+    assert tuple(pix[792 - 110, 110]) == (0, 255, 0)  # outer-clip region
+    assert tuple(pix[792 - 250, 250]) == (255, 255, 255)  # outside both
+    assert tuple(pix[792 - 305, 305]) == (0, 0, 255)  # unclipped
