@@ -233,15 +233,36 @@ class RasterDevice:
             dx, dy = x1 - x0, y1 - y0
             denom = dx * dx + dy * dy or 1.0
             s = ((ux - x0) * dx + (uy - y0) * dy) / denom
+            painted = np.ones_like(s, dtype=bool)
         else:
+            # PDF 32000 8.7.4.5.4: circles center lerp(c0,c1,s), radius
+            # lerp(r0,r1,s); a pixel takes the LARGEST s with
+            # |p - center(s)| = r(s) and r(s) >= 0:
+            #   s^2 (|dc|^2 - dr^2) - 2 s (f.dc + r0 dr) + |f|^2 - r0^2 = 0
             x0, y0, r0, x1, y1, r1 = coords[:6]
-            # simplified radial: normalized distance from the start
-            # circle's center between r0 and r1 (concentric assumption)
-            dist = np.hypot(ux - x0, uy - y0)
-            s = (dist - r0) / ((r1 - r0) or 1.0)
+            dcx, dcy, dr = x1 - x0, y1 - y0, r1 - r0
+            fx2, fy2 = ux - x0, uy - y0
+            a_q = dcx * dcx + dcy * dcy - dr * dr
+            b_q = -2.0 * (fx2 * dcx + fy2 * dcy + r0 * dr)
+            c_q = fx2 * fx2 + fy2 * fy2 - r0 * r0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if abs(a_q) < 1e-12:
+                    s = np.where(b_q != 0, -c_q / np.where(b_q == 0, 1.0, b_q), np.nan)
+                else:
+                    disc = b_q * b_q - 4.0 * a_q * c_q
+                    sq = np.sqrt(np.maximum(disc, 0.0))
+                    s1 = (-b_q + sq) / (2.0 * a_q)
+                    s2 = (-b_q - sq) / (2.0 * a_q)
+                    hi = np.maximum(s1, s2)
+                    lo = np.minimum(s1, s2)
+                    # prefer the larger root with nonnegative radius
+                    s = np.where(r0 + hi * dr >= 0, hi, lo)
+                    s = np.where(disc < 0, np.nan, s)
+                painted = ~np.isnan(s) & (r0 + np.nan_to_num(s) * dr >= 0)
+            s = np.nan_to_num(s)
         s = np.clip(s, 0.0, 1.0)
         idx = np.clip((s * 255).astype(np.int64), 0, 255)
-        self.canvas.pix[ys, xs] = lut8[idx]
+        self.canvas.pix[ys[painted], xs[painted]] = lut8[idx[painted]]
 
 
 def render_page(
@@ -262,10 +283,24 @@ def render_page(
         x0, y0, x1, y1 = (float(doc.resolve(v)) for v in mb_raw[:4])
     else:
         x0, y0, x1, y1 = 0.0, 0.0, 612.0, 792.0
-    width = max(1, int(round((x1 - x0) * scale)))
-    height = max(1, int(round((y1 - y0) * scale)))
-    # user -> device: translate mediabox origin, flip y
-    ctm = (scale, 0.0, 0.0, -scale, -x0 * scale, y1 * scale)
+    pw, ph = (x1 - x0) * scale, (y1 - y0) * scale
+    rot = page.rotate % 360
+    if rot in (90, 270):
+        width = max(1, int(round(ph)))
+        height = max(1, int(round(pw)))
+    else:
+        width = max(1, int(round(pw)))
+        height = max(1, int(round(ph)))
+    # user -> device: translate mediabox origin, flip y, then /Rotate
+    base = (scale, 0.0, 0.0, -scale, -x0 * scale, y1 * scale)
+    if rot == 90:
+        ctm = _concat(base, (0.0, 1.0, -1.0, 0.0, ph, 0.0))
+    elif rot == 180:
+        ctm = _concat(base, (-1.0, 0.0, 0.0, -1.0, pw, ph))
+    elif rot == 270:
+        ctm = _concat(base, (0.0, -1.0, 1.0, 0.0, 0.0, pw))
+    else:
+        ctm = base
     dev = RasterDevice(doc, width, height)
     csi = CSI(doc, dev, ctm)
     run_buffer(csi, page.resources, page.contents)

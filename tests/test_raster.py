@@ -219,3 +219,70 @@ def test_render_q_restores_clip_across_nesting():
     assert tuple(pix[792 - 110, 110]) == (0, 255, 0)  # outer-clip region
     assert tuple(pix[792 - 250, 250]) == (255, 255, 255)  # outside both
     assert tuple(pix[792 - 305, 305]) == (0, 0, 255)  # unclipped
+
+
+def test_render_radial_shading_offcenter():
+    """Radial shading with NON-concentric circles: the spec quadratic
+    (largest s with |p - center(s)| = r(s)) places the color front
+    correctly — a point near the small start circle takes t~0 color, a
+    point near the big end circle's far side takes t~1."""
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Shading << /Sh1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"q 100 500 200 200 re W n /Sh1 sh Q"
+    b.add(f"<< /Length {len(content)} >>", content)
+    fn2 = "<< /FunctionType 2 /Domain [0 1] /C0 [1 0 0] /C1 [0 0 1] /N 1 >>"
+    # start circle r=10 at (150,600); end circle r=120 at (220,600)
+    b.add(
+        "<< /ShadingType 3 /ColorSpace /DeviceRGB "
+        f"/Coords [150 600 10 220 600 120] /Function {fn2} >>",
+        num=5,
+    )
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    # on the center axis right of both circles, |p-c(s)| = r(s) gives
+    # x-150-70s = 10+110s -> s = (x-160)/180: x=200 -> s=0.22,
+    # x=295 -> s=0.75 — pin both against the lerp color
+    near = pix[792 - 600, 152]  # inside/at the r=10 start circle: s~0
+    mid = pix[792 - 600, 200]
+    far = pix[792 - 600, 295]
+    assert near[0] > 240 and near[2] < 20, near
+    assert abs(int(mid[2]) - int(0.22 * 255)) < 12, mid
+    assert abs(int(far[2]) - int(0.75 * 255)) < 12, far
+    # non-concentric check: on the LEFT of the start circle the front
+    # moves much faster (x-gap shrinks as center recedes): x=120 ->
+    # |120-150-70s| = 10+110s -> s = 20/40 = 0.5
+    left = pix[792 - 600, 120]
+    assert abs(int(left[2]) - int(0.5 * 255)) < 14, left
+
+
+def test_render_page_rotate():
+    """/Rotate 90: the canvas swaps dimensions and a rect lands where
+    the rotation maps it."""
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Rotate 90 /Resources << >> /Contents 4 0 R >>"
+    )
+    content = b"1 0 0 rg 50 100 80 60 re f"
+    b.add(f"<< /Length {len(content)} >>", content)
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    assert (w, h) == (792, 612)
+    # user rect center (90,130); rot-90 CW view: device x = 792-y_dev0?
+    # verify by search instead of hand-mapping: exactly one red blob with
+    # the rect's area, and its aspect flipped (60 wide x 80 tall)
+    red = (pix[:, :, 0] == 255) & (pix[:, :, 1] == 0)
+    assert red.sum() == 80 * 60
+    ys, xs = red.nonzero()
+    assert xs.max() - xs.min() + 1 == 60
+    assert ys.max() - ys.min() + 1 == 80
