@@ -1069,6 +1069,71 @@ def _cff_index(items: list[bytes]) -> bytes:
     return out + b"".join(items)
 
 
+def _t1_encrypt(data: bytes, r: int) -> bytes:
+    """Adobe Type1 eexec/charstring ENcryption (fixture-side inverse of
+    the decoder in pdfcore/glyphs.py)."""
+    c1, c2 = 52845, 22719
+    out = bytearray()
+    for b in data:
+        c = b ^ (r >> 8)
+        out.append(c)
+        r = ((c + r) * c1 + c2) & 0xFFFF
+    return bytes(out)
+
+
+def t1_charstring(contours: list, wx: int = 600) -> bytes:
+    """Encode closed polygonal contours as a Type1 charstring:
+    hsbw, rmoveto/rlinetos + closepath per contour, endchar."""
+
+    def num(v: int) -> bytes:
+        v = int(v)
+        if -107 <= v <= 107:
+            return bytes([v + 139])
+        return b"\xff" + struct.pack(">i", v)
+
+    out = bytearray(num(0) + num(wx) + bytes([13]))  # 0 wx hsbw
+    x = y = 0
+    for cont in contours:
+        x0, y0 = cont[0]
+        out += num(x0 - x) + num(y0 - y) + bytes([21])  # rmoveto
+        x, y = x0, y0
+        for px, py in cont[1:]:
+            out += num(px - x) + num(py - y) + bytes([5])  # rlineto
+            x, y = px, py
+        out += bytes([9])  # closepath
+    out += bytes([14])  # endchar
+    return bytes(out)
+
+
+def build_type1(
+    glyphs: dict[str, list], encoding: dict[int, str]
+) -> bytes:
+    """Author a PFA-style Type1 program: cleartext /Encoding (dup-put
+    entries), eexec-encrypted private section with lenIV-4 encrypted
+    CharStrings."""
+    clear = (
+        b"%!PS-AdobeFont-1.0: FixT1 001.001\n"
+        b"/FontName /FixT1 def\n"
+        b"/PaintType 0 def\n"
+        b"/Encoding 256 array\n"
+        b"0 1 255 {1 index exch /.notdef put} for\n"
+    )
+    for code, name in sorted(encoding.items()):
+        clear += f"dup {code} /{name} put\n".encode()
+    clear += b"readonly def\ncurrentdict end\ncurrentfile eexec\n"
+    cs = bytearray()
+    for name, conts in glyphs.items():
+        enc_cs = _t1_encrypt(b"\x00\x00\x00\x00" + t1_charstring(conts), 4330)
+        cs += f"/{name} {len(enc_cs)} RD ".encode() + enc_cs + b" ND\n"
+    priv = (
+        b"dup /Private 8 dict dup begin\n/lenIV 4 def\n"
+        + f"/CharStrings {len(glyphs)} dict dup begin\n".encode()
+        + bytes(cs)
+        + b"end end\nmark currentfile closefile\n"
+    )
+    return clear + _t1_encrypt(b"\x49\x58\x33\x27" + priv, 55665)
+
+
 def t2_num(v: int) -> bytes:
     """Type2 charstring number encoding (28 + int16 form: unambiguous)."""
     import struct as _struct

@@ -199,14 +199,23 @@ class FontDesc:
         if self.embedded is None:
             return None
         kind, prog, etable = self.embedded
-        if etable is not None and 0 <= code_or_cid < len(etable):
+        if kind == "t1":
+            # Type1 glyphs address by NAME: etable is the estrings table
+            gid = (
+                etable[code_or_cid]
+                if etable is not None and 0 <= code_or_cid < len(etable)
+                else None
+            )
+            if not gid:
+                return None
+        elif etable is not None and 0 <= code_or_cid < len(etable):
             gid = etable[code_or_cid]
         else:
             gid = code_or_cid
         hit = self._outline_cache.get(gid)
         if hit is not None:
             return hit
-        from .glyphs import CffOutlines, OutlineError, ttf_outline
+        from .glyphs import CffOutlines, OutlineError, Type1Outlines, ttf_outline
 
         try:
             if kind == "ttf":
@@ -215,6 +224,10 @@ class FontDesc:
                 if upem != 1000:
                     s = 1000.0 / upem
                     conts = [[(x * s, y * s) for x, y in c] for c in conts]
+            elif kind == "t1":
+                if self._outline_src is None:
+                    self._outline_src = Type1Outlines(prog)
+                conts = self._outline_src.outline(gid)
             else:
                 if self._outline_src is None:
                     self._outline_src = CffOutlines(prog)
@@ -465,7 +478,8 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
                 # platform-7 charmap + glyph names; the encoding itself is
                 # cleartext in the Type1 program, no FreeType needed
                 try:
-                    t1_base = parse_type1_encoding(doc.load_stream(ff.num))
+                    t1_data = doc.load_stream(ff.num)
+                    t1_base = parse_type1_encoding(t1_data)
                 except Exception:
                     doc.note_failure("fontfile_parse")
         if sf is None and t1_base is None:
@@ -565,6 +579,10 @@ def load_simple_font(doc, dict_: dict, ident) -> FontDesc:
         font.embedded = ("ttf", sf, etable)
     elif cf is not None and etable is not None:
         font.embedded = ("cff", data3, etable)
+    elif t1_base is not None:
+        # Type1: outlines address by glyph NAME through the final
+        # estrings table (builtin encoding + /Encoding overrides)
+        font.embedded = ("t1", t1_data, list(estrings))
 
     font.encoding = identity_cmap(0, 1)
     _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))

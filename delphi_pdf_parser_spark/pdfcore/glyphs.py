@@ -1,7 +1,9 @@
 """Glyph outline extraction for the raster sink (A43): TrueType `glyf`
-(simple + composite, quadratic beziers) and CFF Type2 charstrings
-(cubic beziers, subr calls with bias, hint skipping) — the two embedded
-outline formats PDF fonts carry. The reference gets outlines from
+(simple + composite, quadratic beziers), CFF Type2 charstrings
+(cubic beziers, subr calls with bias, hint skipping) and Type1
+charstrings (eexec + lenIV decryption, name-addressed glyphs,
+unbiased subrs, flex via othersubrs) — the three embedded outline
+formats PDF fonts carry. The reference gets outlines from
 FreeType (FT_Outline_Decompose under its draw device); this is the
 from-scratch equivalent, emitting FLATTENED contours (point lists) in
 font units so the rasterizer consumes them directly.
@@ -503,6 +505,272 @@ class CffOutlines:
                     st = []
 
         run(self.charstrings[gid], 0)
+        if len(cur) >= 3:
+            contours.append(cur)
+        return contours
+
+
+# --- Type1 (FontFile) charstrings -------------------------------------------
+
+
+def _t1_decrypt(data: bytes, r: int, skip: int) -> bytes:
+    """Adobe Type1 eexec/charstring decryption (r=55665 program,
+    r=4330 per-charstring), first `skip` plaintext bytes dropped."""
+    c1, c2 = 52845, 22719
+    out = bytearray()
+    for b in data:
+        out.append(b ^ (r >> 8))
+        r = ((b + r) * c1 + c2) & 0xFFFF
+    return bytes(out[skip:])
+
+
+class Type1Outlines:
+    """Type1 font program -> glyph outlines by NAME. Parses the eexec-
+    encrypted private section (lenIV, /Subrs, /CharStrings, RD/-| ND/|-
+    token forms) and interprets Type1 charstrings (hsbw, h/v/r moveto/
+    lineto/curveto, closepath, callsubr without bias, div, flex via
+    othersubrs 0/1/2, seac composition deliberately unsupported ->
+    OutlineError)."""
+
+    def __init__(self, data: bytes):
+        ee = data.find(b"eexec")
+        if ee < 0:
+            raise OutlineError("t1_no_eexec")
+        p = ee + 5
+        while p < len(data) and data[p] in b"\r\n \t":
+            p += 1
+        enc = data[p:]
+        # PFA hex form: first 4 bytes all hex digits and mostly ASCII
+        head = enc[:4]
+        if all(chr(c) in "0123456789abcdefABCDEF" for c in head):
+            import re as _re
+
+            hexbody = _re.sub(rb"[^0-9a-fA-F]", b"", enc)
+            enc = bytes.fromhex(
+                hexbody[: len(hexbody) // 2 * 2].decode("ascii")
+            )
+        priv = _t1_decrypt(enc, 55665, 4)
+        m = None
+        import re
+
+        mlen = re.search(rb"/lenIV\s+(\d+)", priv)
+        self.len_iv = int(mlen.group(1)) if mlen else 4
+        self.subrs: list[bytes] = []
+        ms = re.search(rb"/Subrs\s+(\d+)", priv)
+        if ms:
+            pos = ms.end()
+            for _ in range(int(ms.group(1))):
+                md = re.compile(
+                    rb"dup\s+(\d+)\s+(\d+)\s+(RD|-\|)[ ]"
+                ).search(priv, pos)
+                if not md:
+                    break
+                idx, ln = int(md.group(1)), int(md.group(2))
+                start = md.end()
+                while len(self.subrs) <= idx:
+                    self.subrs.append(b"")
+                self.subrs[idx] = _t1_decrypt(
+                    priv[start : start + ln], 4330, self.len_iv
+                )
+                pos = start + ln
+        self.charstrings: dict[str, bytes] = {}
+        mc = re.search(rb"/CharStrings\s+(\d+)", priv)
+        if not mc:
+            raise OutlineError("t1_no_charstrings")
+        pos = mc.end()
+        pat = re.compile(rb"/([^\s/{}()\[\]]+)\s+(\d+)\s+(RD|-\|)[ ]")
+        while True:
+            md = pat.search(priv, pos)
+            if not md:
+                break
+            name = md.group(1).decode("latin-1")
+            ln = int(md.group(2))
+            start = md.end()
+            self.charstrings[name] = _t1_decrypt(
+                priv[start : start + ln], 4330, self.len_iv
+            )
+            pos = start + ln
+
+    def outline(self, name: str):
+        code = self.charstrings.get(name)
+        if code is None:
+            raise OutlineError("t1_glyph_missing")
+        contours: list = []
+        cur: list = []
+        st: list[float] = []
+        ps_stack: list[float] = []
+        x = y = 0.0
+        flex_pts: list | None = None
+
+        def moveto(nx, ny):
+            nonlocal cur
+            if len(cur) >= 3:
+                contours.append(cur)
+            cur = [(nx, ny)]
+
+        def closep():
+            nonlocal cur
+            if len(cur) >= 3:
+                contours.append(cur)
+            cur = []
+
+        def curveto(x1, y1, x2, y2, x3, y3):
+            nonlocal cur
+            if not cur:
+                cur = [(x, y)]
+            cur.extend(flatten_cubic(cur[-1], (x1, y1), (x2, y2), (x3, y3)))
+
+        def run(cs: bytes, depth: int):
+            nonlocal st, x, y, flex_pts, cur
+            if depth > 10:
+                raise OutlineError("t1_subr_too_deep")
+            i = 0
+            n = len(cs)
+            while i < n:
+                b0 = cs[i]
+                if b0 >= 32:
+                    if b0 <= 246:
+                        st.append(b0 - 139)
+                        i += 1
+                    elif b0 <= 250:
+                        st.append((b0 - 247) * 256 + cs[i + 1] + 108)
+                        i += 2
+                    elif b0 <= 254:
+                        st.append(-(b0 - 251) * 256 - cs[i + 1] - 108)
+                        i += 2
+                    else:
+                        st.append(struct.unpack_from(">i", cs, i + 1)[0])
+                        i += 5
+                    continue
+                i += 1
+                if b0 == 13:  # hsbw: sbx wx
+                    if st:
+                        x = st[0]
+                        y = 0.0
+                    st = []
+                elif b0 == 9:  # closepath
+                    closep()
+                    st = []
+                elif b0 in (1, 3):  # h/vstem
+                    st = []
+                elif b0 == 21:  # rmoveto
+                    if len(st) >= 2:
+                        x += st[-2]
+                        y += st[-1]
+                        if flex_pts is not None:
+                            flex_pts.append((x, y))
+                        else:
+                            moveto(x, y)
+                    st = []
+                elif b0 == 22:  # hmoveto
+                    if st:
+                        x += st[-1]
+                        if flex_pts is not None:
+                            flex_pts.append((x, y))
+                        else:
+                            moveto(x, y)
+                    st = []
+                elif b0 == 4:  # vmoveto
+                    if st:
+                        y += st[-1]
+                        if flex_pts is not None:
+                            flex_pts.append((x, y))
+                        else:
+                            moveto(x, y)
+                    st = []
+                elif b0 == 5:  # rlineto
+                    if len(st) >= 2:
+                        x += st[-2]
+                        y += st[-1]
+                        cur.append((x, y))
+                    st = []
+                elif b0 == 6:  # hlineto
+                    if st:
+                        x += st[-1]
+                        cur.append((x, y))
+                    st = []
+                elif b0 == 7:  # vlineto
+                    if st:
+                        y += st[-1]
+                        cur.append((x, y))
+                    st = []
+                elif b0 == 8:  # rrcurveto
+                    if len(st) >= 6:
+                        x1, y1 = x + st[-6], y + st[-5]
+                        x2, y2 = x1 + st[-4], y1 + st[-3]
+                        x, y = x2 + st[-2], y2 + st[-1]
+                        curveto(x1, y1, x2, y2, x, y)
+                    st = []
+                elif b0 == 30:  # vhcurveto
+                    if len(st) >= 4:
+                        x1, y1 = x, y + st[-4]
+                        x2, y2 = x1 + st[-3], y1 + st[-2]
+                        x, y = x2 + st[-1], y2
+                        curveto(x1, y1, x2, y2, x, y)
+                    st = []
+                elif b0 == 31:  # hvcurveto
+                    if len(st) >= 4:
+                        x1, y1 = x + st[-4], y
+                        x2, y2 = x1 + st[-3], y1 + st[-2]
+                        x, y = x2, y2 + st[-1]
+                        curveto(x1, y1, x2, y2, x, y)
+                    st = []
+                elif b0 == 10:  # callsubr (no bias)
+                    if st:
+                        idx = int(st.pop())
+                        if 0 <= idx < len(self.subrs):
+                            run(self.subrs[idx], depth + 1)
+                elif b0 == 11:
+                    return
+                elif b0 == 14:  # endchar
+                    closep()
+                    return
+                elif b0 == 12:
+                    b1 = cs[i]
+                    i += 1
+                    if b1 == 12:  # div
+                        if len(st) >= 2:
+                            bdiv = st.pop()
+                            adiv = st.pop()
+                            st.append(adiv / bdiv if bdiv else 0.0)
+                    elif b1 == 16:  # callothersubr
+                        if len(st) >= 2:
+                            oidx = int(st.pop())
+                            cnt = int(st.pop())
+                            args = st[-cnt:] if cnt else []
+                            del st[len(st) - cnt :]
+                            if oidx == 1:  # flex start
+                                flex_pts = []
+                            elif oidx == 0:  # flex end: 7 pts collected
+                                pts = flex_pts or []
+                                flex_pts = None
+                                if len(pts) >= 7:
+                                    curveto(*pts[1], *pts[2], *pts[3])
+                                    x, y = pts[6]
+                                    curveto(*pts[4], *pts[5], *pts[6])
+                                ps_stack.extend(args[-2:])
+                            elif oidx == 3:
+                                ps_stack.append(3.0)
+                            else:
+                                ps_stack.extend(args)
+                    elif b1 == 17:  # pop
+                        st.append(ps_stack.pop() if ps_stack else 0.0)
+                    elif b1 == 6:  # seac: accent composition unsupported
+                        raise OutlineError("t1_seac")
+                    elif b1 == 7:  # sbw
+                        if len(st) >= 4:
+                            x, y = st[0], st[1]
+                        st = []
+                    elif b1 == 33:  # setcurrentpoint
+                        if len(st) >= 2:
+                            x, y = st[-2], st[-1]
+                        st = []
+                    else:
+                        st = []
+                else:
+                    st = []
+
+        run(code, 0)
         if len(cur) >= 3:
             contours.append(cur)
         return contours

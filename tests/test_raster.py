@@ -286,3 +286,44 @@ def test_render_page_rotate():
     ys, xs = red.nonzero()
     assert xs.max() - xs.min() + 1 == 60
     assert ys.max() - ys.min() + 1 == 80
+
+
+def test_render_type1_glyphs():
+    """Type1 (FontFile) charstring outlines — the third embedded outline
+    format: eexec + lenIV-4 charstring decryption, name-addressed glyphs
+    through the builtin /Encoding."""
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder,
+        _bt,
+        build_type1,
+        simple_doc,
+    )
+
+    prog = build_type1(
+        {
+            ".notdef": [],
+            "square": [[(0, 0), (600, 0), (600, 700), (0, 700)]],
+        },
+        {65: "square"},
+    )
+    b = PdfBuilder()
+    b.set(7, f"<< /Length {len(prog)} /Length1 64 /Length2 64 /Length3 0 >>", prog)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /FixT1 /Flags 4"
+        " /FontFile 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /FixT1"
+        " /FontDescriptor 6 0 R /FirstChar 65 /LastChar 65"
+        " /Widths [600] >>"
+    )
+    b2, cat = simple_doc(
+        _bt("/F1 50 Tf 100 100 Td (A) Tj"), font_body=font, builder=b
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    black = (pix == 0).all(axis=2)
+    # 0.6em x 0.7em at 50pt = 30x35 = 1050 px
+    assert 980 < black.sum() < 1120, black.sum()
+    assert black[792 - 115, 115]
