@@ -68,6 +68,7 @@ class FontDesc:
         "t3widths",
         "t3matrix_a",
         "is_type3",
+        "t3_render",
         "_fast_table",
         "_fast_arrays",
         "_adv_array",
@@ -105,6 +106,10 @@ class FontDesc:
         self.t3widths: dict[int, float] = {}
         self.t3matrix_a = 0.001
         self.is_type3 = False
+        # raster sink: (charprocs dict, resources, FontMatrix, estrings)
+        # — doc-bound, safe only because Type3 is excluded from the
+        # cross-document memo
+        self.t3_render = None
         self._fast_table = None
         self._fast_arrays = None
         self._adv_array = None
@@ -741,8 +746,10 @@ def load_type3_font(doc, rdb, dict_: dict, ident) -> FontDesc:
 
     matrix = doc.get(dict_, "FontMatrix")
     a = 0.001
+    fm = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
     if isinstance(matrix, list) and len(matrix) >= 6:
         a = to_real(doc.resolve(matrix[0]))
+        fm = tuple(to_real(doc.resolve(v)) for v in matrix[:6])
     font.t3matrix_a = a
 
     estrings: list = [None] * 256
@@ -759,6 +766,15 @@ def load_type3_font(doc, rdb, dict_: dict, ident) -> FontDesc:
 
     font.encoding = identity_cmap(0, 1)
     _load_to_unicode(doc, font, estrings, None, dict_.get("ToUnicode"))
+
+    charprocs = doc.get(dict_, "CharProcs")
+    t3res = doc.get(dict_, "Resources")
+    font.t3_render = (
+        charprocs if isinstance(charprocs, dict) else {},
+        t3res if isinstance(t3res, dict) else rdb,
+        fm,
+        list(estrings),
+    )
 
     font.dhmtx = 0
     first = to_int(doc.get(dict_, "FirstChar"))

@@ -56,6 +56,7 @@ class RasterDevice:
     def __init__(self, doc, width: int, height: int):
         self.doc = doc
         self.canvas = Canvas(width, height)
+        self._t3_depth = 0
 
     # --- clip bookkeeping (driven by CSI.gsave/grestore) ---------------------
     def clip_depth(self) -> int:
@@ -118,6 +119,9 @@ class RasterDevice:
                 glyphs.extend(zip(gids.tolist(), xs.tolist(), ys.tolist()))
             else:
                 glyphs.append((part[0], part[2], part[3]))
+        if getattr(font, "is_type3", False):
+            self._text_type3(font, glyphs, (ta, tb, tc, td), ctm, rgb)
+            return
         for cid, ex, ey in glyphs:
             if cid < 0:
                 continue  # ligature-extra filler entries carry no glyph
@@ -137,6 +141,49 @@ class RasterDevice:
                 polys, self.canvas.width, self.canvas.height, NONZERO
             )
             self.canvas.paint_mask(mask, rgb)
+        if missing:
+            self.doc.note_failure("raster_no_outline")
+
+    def _text_type3(self, font, glyphs, trm_abcd, ctm, rgb):
+        """Type3 glyphs ARE content streams: run each charproc through a
+        NESTED interpreter onto this same device with
+        CTM = FontMatrix · (trm a-d, glyph e f) · page ctm. d0 glyphs
+        may set their own colors; the nested run starts from the caller's
+        current color (covers the common d1-mask shape too)."""
+        from .cos import is_indirect
+        from .interp import CSI, run_buffer
+
+        if self._t3_depth >= 4:
+            self.doc.note_failure("raster_t3_depth")
+            return
+        procs, resources, fm, estrings = font.t3_render or ({}, None, None, [])
+        ta, tb, tc, td = trm_abcd
+        missing = False
+        for cid, ex, ey in glyphs:
+            if cid < 0:
+                continue
+            name = estrings[cid] if 0 <= cid < len(estrings) else None
+            ref = procs.get(name) if name else None
+            if not (is_indirect(ref) and self.doc.is_stream(ref)):
+                missing = True
+                continue
+            try:
+                contents = self.doc.load_stream(ref.num)
+            except Exception:
+                missing = True
+                continue
+            glyph_ctm = _concat(fm, _concat((ta, tb, tc, td, ex, ey), ctm))
+            self._t3_depth += 1
+            try:
+                csi = CSI(self.doc, self, glyph_ctm)
+                csi.gs.fill_rgb = rgb
+                csi.gs.stroke_rgb = rgb
+                run_buffer(csi, resources, contents)
+                csi.flush_text()
+            except Exception:
+                self.doc.note_failure("raster_t3_proc_error")
+            finally:
+                self._t3_depth -= 1
         if missing:
             self.doc.note_failure("raster_no_outline")
 

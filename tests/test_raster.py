@@ -327,3 +327,39 @@ def test_render_type1_glyphs():
     # 0.6em x 0.7em at 50pt = 30x35 = 1050 px
     assert 980 < black.sum() < 1120, black.sum()
     assert black[792 - 115, 115]
+
+
+def test_render_type3_glyphs():
+    """Type3 glyphs render by running their charproc content streams
+    through a nested interpreter onto the same device, with
+    CTM = FontMatrix · text matrix · page CTM."""
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder
+
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"BT 1 0 0 rg /F1 50 Tf 100 100 Td (a) Tj ET"
+    b.add(f"<< /Length {len(content)} >>", content)
+    # glyph: d1 metrics then a filled 60x70 square in 0.01 glyph units
+    glyph = b"60 0 0 0 60 70 d1 0 0 60 70 re f"
+    b.add(f"<< /Length {len(glyph)} >>", glyph, num=6)
+    b.add(
+        "<< /Type /Font /Subtype /Type3 /Name /T3 "
+        "/FontMatrix [0.01 0 0 0.01 0 0] /FontBBox [0 0 100 100] "
+        "/FirstChar 97 /LastChar 98 /Widths [60 60] "
+        "/Encoding << /Differences [97 /sq] >> "
+        "/CharProcs << /sq 6 0 R >> >>",
+        num=5,
+    )
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    red = (pix[:, :, 0] == 255) & (pix[:, :, 1] == 0)
+    # FontMatrix 0.01 at 50pt: glyph unit = 0.5pt -> 30 x 35pt square
+    # at (100,100): exact hard-edge pixel count
+    assert red.sum() == 30 * 35, red.sum()
+    assert red[792 - 115, 115]
+    assert not red[792 - 140, 135]  # above the square
