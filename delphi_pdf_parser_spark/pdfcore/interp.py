@@ -949,7 +949,8 @@ def _consume_inline_data(doc, lex: Lexer, d: dict):
 
 def run_inline_image(csi: CSI, rdb, lex: Lexer):
     """pdf_run_BI (:1311-1361): parse dict, skip EOL after ID, consume
-    payload, scan to EI."""
+    payload, scan to EI. With a raster device attached the captured
+    payload is also decoded and painted."""
     from .parser import parse_dict
 
     doc = csi.doc
@@ -957,7 +958,16 @@ def run_inline_image(csi: CSI, rdb, lex: Lexer):
     ch = lex.read_byte()
     if ch == 13 and lex.peek_byte() == 10:
         lex.read_byte()
+    start = lex.tell()
     _consume_inline_data(doc, lex, d)
+    if csi.draw is not None:
+        payload = lex.data[start : lex.tell()]
+        try:
+            csi.draw.fill_inline_image(
+                doc, d, payload, csi.gs.ctm, csi.gs.fill_rgb
+            )
+        except Exception:
+            doc.note_failure("raster_inline_image")
     ch = lex.read_byte()
     while ch != 0x45 and ch != -1:  # 'E'
         ch = lex.read_byte()

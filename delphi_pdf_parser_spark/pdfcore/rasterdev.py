@@ -19,7 +19,9 @@ Fidelity envelope (documented, test-pinned):
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
 - shadings: axial (type 2) and radial (type 3) through functions.py
   with a 256-sample LUT; other types record `raster_shading_type`;
-- inline images are consumed but not painted (`raster_inline_image`).
+- inline images (BI..ID..EI): AHx/A85/Fl/RL or raw payloads painted
+  (8-bpc G/RGB/CMYK, 1-bpc gray, ImageMask stencils in the fill
+  color); DCT/JPX inline payloads record `raster_inline_image`.
 """
 
 from __future__ import annotations
@@ -224,6 +226,116 @@ class RasterDevice:
             [unit], self.canvas.width, self.canvas.height, NONZERO
         )
         self.canvas.paint_image(mask, ctm, arr)
+
+    def fill_inline_image(self, doc, d: dict, payload: bytes, ctm, fill_rgb=(0, 0, 0)):
+        """BI..ID..EI images: decode the captured payload (abbreviated
+        dict keys, AHx/A85/Fl/RL or raw) and paint like an XObject.
+        1-bpc ImageMasks stencil the CURRENT fill color (sample 0 paints
+        under the default Decode); unsupported codecs (DCT inline) record
+        `raster_inline_image`."""
+        from .cos import Name, to_int, to_name
+        from .filters import apply_filter
+
+        w = to_int(doc.resolve(d.get("W") or d.get("Width")))
+        h = to_int(doc.resolve(d.get("H") or d.get("Height")))
+        if not w or not h:
+            return
+        bpc = (
+            to_int(doc.resolve(d.get("BPC") or d.get("BitsPerComponent")))
+            or 8
+        )
+        filters = d.get("F") or d.get("Filter")
+        if isinstance(filters, Name):
+            filters = [filters]
+        data = payload
+        for f in filters or []:
+            fname = to_name(f)
+            if fname in ("DCT", "DCTDecode", "JPXDecode"):
+                doc.note_failure("raster_inline_image")
+                return
+            data = apply_filter(data, fname, None)
+        cs = to_name(doc.resolve(d.get("CS") or d.get("ColorSpace")))
+        is_mask = bool(
+            to_int(doc.resolve(d.get("IM") or d.get("ImageMask")))
+        )
+        unit = transform_poly([(0, 0), (1, 0), (1, 1), (0, 1)], ctm)
+        mask = coverage_mask(
+            [unit], self.canvas.width, self.canvas.height, NONZERO
+        )
+        if is_mask or bpc == 1:
+            rowbytes = (w + 7) // 8
+            if len(data) < rowbytes * h:
+                doc.note_failure("raster_inline_image")
+                return
+            bits = np.unpackbits(
+                np.frombuffer(data[: rowbytes * h], dtype=np.uint8).reshape(
+                    h, rowbytes
+                ),
+                axis=1,
+            )[:, :w]
+            dec = doc.resolve(d.get("D") or d.get("Decode"))
+            inverted = (
+                isinstance(dec, list)
+                and len(dec) >= 2
+                and to_int(doc.resolve(dec[0])) == 1
+            )
+            paint = bits == (1 if inverted else 0)
+            if is_mask:
+                # stencil: sample-selected pixels take the fill color
+                self._paint_stencil(mask, ctm, paint, fill_rgb)
+                return
+            gray = np.where(paint, 0, 255).astype(np.uint8)
+            arr = np.repeat(gray[:, :, None], 3, axis=2)
+        else:
+            ncomp = {
+                "G": 1, "DeviceGray": 1, "RGB": 3, "DeviceRGB": 3,
+                "CMYK": 4, "DeviceCMYK": 4,
+            }.get(cs)
+            if ncomp is None or bpc != 8:
+                doc.note_failure("raster_inline_image")
+                return
+            need = w * h * ncomp
+            if len(data) < need:
+                doc.note_failure("raster_inline_image")
+                return
+            a = np.frombuffer(data[:need], dtype=np.uint8).reshape(
+                h, w, ncomp
+            )
+            if ncomp == 1:
+                arr = np.repeat(a, 3, axis=2)
+            elif ncomp == 3:
+                arr = a
+            else:  # CMYK
+                c = a.astype(np.float64) / 255.0
+                rgbf = (1 - c[:, :, :3]) * (1 - c[:, :, 3:4])
+                arr = np.round(rgbf * 255).astype(np.uint8)
+        self.canvas.paint_image(mask, ctm, arr)
+
+    def _paint_stencil(self, mask, ctm, paint: np.ndarray, fill_rgb):
+        """ImageMask stenciling: inverse-map covered pixels and color
+        the selected samples with the gstate fill color at BI time."""
+        a, b, c, d_, e, f = ctm
+        det = a * d_ - b * c
+        if det == 0:
+            return
+        ia, ib = d_ / det, -b / det
+        ic, id2 = -c / det, a / det
+        ie = -(e * ia + f * ic)
+        if2 = -(e * ib + f * id2)
+        m = mask & self.canvas.clip
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            return
+        u = (xs + 0.5) * ia + (ys + 0.5) * ic + ie
+        v = (xs + 0.5) * ib + (ys + 0.5) * id2 + if2
+        ih, iw = paint.shape
+        inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+        sy = np.clip(((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
+        sel = inside & paint[sy, sx]
+        self.canvas.pix[ys[sel], xs[sel]] = np.asarray(
+            fill_rgb, dtype=np.uint8
+        )
 
     # --- shadings ------------------------------------------------------------
     def fill_shade(self, doc, shd, ctm):

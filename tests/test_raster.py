@@ -363,3 +363,33 @@ def test_render_type3_glyphs():
     assert red.sum() == 30 * 35, red.sum()
     assert red[792 - 115, 115]
     assert not red[792 - 140, 135]  # above the square
+
+
+def test_render_inline_images_and_stencil():
+    """BI..ID..EI painting: raw 8-bpc RGB quadrants land oriented like
+    XObject images, and a 1-bpc ImageMask stencils the CURRENT fill
+    color exactly where samples are 0."""
+    from delphi_pdf_parser_spark.fixtures import simple_doc
+
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    content = (
+        b"q 100 0 0 100 50 600 cm BI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+        + px
+        + b" EI Q "
+        b"0 0 1 rg q 80 0 0 10 200 300 cm "
+        b"BI /W 8 /H 1 /IM true /BPC 1 ID "
+        + bytes([0b10101010])
+        + b" EI Q"
+    )
+    b2, cat = simple_doc(
+        content,
+        font_body="<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    assert tuple(pix[792 - 675, 75]) == (255, 0, 0)
+    assert tuple(pix[792 - 675, 125]) == (0, 255, 0)
+    assert tuple(pix[792 - 625, 125]) == (255, 255, 0)
+    # stencil: 0xAA -> odd samples (bit 0) paint blue, even stay white
+    assert tuple(pix[792 - 305, 215]) == (0, 0, 255)
+    assert tuple(pix[792 - 305, 205]) == (255, 255, 255)
