@@ -853,7 +853,9 @@ def run_do(csi: CSI, rdb):
             csi.xobject_depth -= 1
     elif subtype == "Image":
         if csi.draw is not None and is_indirect(obj_ref):
-            csi.draw.fill_image(doc, obj_ref.num, obj, csi.gs.ctm)
+            csi.draw.fill_image(
+                doc, obj_ref.num, obj, csi.gs.ctm, csi.gs.fill_rgb
+            )
         # else FZ_IGNORE_IMAGE: never decoded on the text path
     elif subtype == "PS":
         pass

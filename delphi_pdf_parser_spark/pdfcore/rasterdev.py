@@ -190,9 +190,41 @@ class RasterDevice:
             self.doc.note_failure("raster_no_outline")
 
     # --- images --------------------------------------------------------------
-    def fill_image(self, doc, num: int, obj: dict, ctm):
+    def fill_image(self, doc, num: int, obj: dict, ctm, fill_rgb=(0, 0, 0)):
+        from .cos import to_int
         from .images import extract_image
         from ..operators.mediadec import MediaDecodeError, decode_image
+
+        if to_int(doc.resolve(obj.get("ImageMask"))):
+            # stencil mask XObject: decoded 1-bpc samples select pixels
+            # painted with the gstate fill color (Decode [1 0] inverts)
+            try:
+                data = doc.load_stream(num)
+                w = to_int(doc.resolve(obj.get("Width")))
+                h = to_int(doc.resolve(obj.get("Height")))
+                rowbytes = (w + 7) // 8
+                bits = np.unpackbits(
+                    np.frombuffer(
+                        data[: rowbytes * h], dtype=np.uint8
+                    ).reshape(h, rowbytes),
+                    axis=1,
+                )[:, :w]
+            except Exception:
+                doc.note_failure("raster_image_decode")
+                return
+            dec = doc.resolve(obj.get("Decode"))
+            inverted = (
+                isinstance(dec, list)
+                and len(dec) >= 2
+                and to_int(doc.resolve(dec[0])) == 1
+            )
+            paint = bits == (1 if inverted else 0)
+            unit = transform_poly([(0, 0), (1, 0), (1, 1), (0, 1)], ctm)
+            mask = coverage_mask(
+                [unit], self.canvas.width, self.canvas.height, NONZERO
+            )
+            self._paint_stencil(mask, ctm, paint, fill_rgb)
+            return
 
         try:
             img = extract_image(doc, num, obj, transcode=True)

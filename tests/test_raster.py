@@ -393,3 +393,42 @@ def test_render_inline_images_and_stencil():
     # stencil: 0xAA -> odd samples (bit 0) paint blue, even stay white
     assert tuple(pix[792 - 305, 215]) == (0, 0, 255)
     assert tuple(pix[792 - 305, 205]) == (255, 255, 255)
+
+
+def test_render_imagemask_xobject_stencil():
+    """/ImageMask true XObject stencils the fill color: a checkerboard
+    mask paints exactly the sample-0 squares green."""
+    import zlib
+
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder
+
+    bits = np.zeros((8, 8), dtype=np.uint8)
+    bits[::2, ::2] = 1
+    bits[1::2, 1::2] = 1  # 1 = NOT painted under default Decode
+    comp = zlib.compress(np.packbits(bits, axis=1).tobytes())
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = b"0 1 0 rg q 80 0 0 80 100 600 cm /Im1 Do Q"
+    b.add(f"<< /Length {len(content)} >>", content)
+    b.add(
+        "<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+        "/ImageMask true /BitsPerComponent 1 /Filter /FlateDecode "
+        f"/Length {len(comp)} >>",
+        comp,
+        num=5,
+    )
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    # mask row 0 (top of unit square = user y near 680) has bit 1 at
+    # even columns -> NOT painted; odd columns painted green.
+    # cell size 10pt: cell (row0, col0) center user (105, 675)
+    assert tuple(pix[792 - 675, 105]) == (255, 255, 255)
+    assert tuple(pix[792 - 675, 115]) == (0, 255, 0)
+    # painted pixel count: 32 of 64 cells x 100 px
+    green = (pix[:, :, 1] == 255) & (pix[:, :, 0] == 0)
+    assert green.sum() == 32 * 100, green.sum()
