@@ -457,11 +457,26 @@ class RasterDevice:
 
 
 def render_page(
-    data: bytes, pageno: int = 0, scale: float = 1.0
+    data: bytes, pageno: int = 0, scale: float = 1.0, supersample: int = 1
 ) -> tuple[int, int, np.ndarray, dict]:
     """Render one page -> (width, height, RGB uint8 array, failure
     counts). The device CTM maps PDF user space (y up, origin at
-    mediabox lower-left) to pixels (y down) at `scale`."""
+    mediabox lower-left) to pixels (y down) at `scale`.
+
+    supersample > 1 renders at scale*supersample and box-downsamples —
+    the coverage-averaging form of anti-aliasing (the reference's draw
+    device AA blends span coverage; this gets the same visual effect
+    from the hard-edge rasterizer at supersample^2 cost). Default 1
+    keeps every pixel test exact."""
+    if supersample > 1:
+        w0, h0, big, fails = render_page(
+            data, pageno, scale * supersample, 1
+        )
+        ss = supersample
+        w, h = w0 // ss, h0 // ss
+        clipped = big[: h * ss, : w * ss].astype(np.uint16)
+        small = clipped.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
+        return w, h, np.round(small).astype(np.uint8), fails
     from .document import PdfDocument
     from .interp import CSI, run_buffer
     from .pages import load_page, load_page_tree

@@ -432,3 +432,18 @@ def test_render_imagemask_xobject_stencil():
     # painted pixel count: 32 of 64 cells x 100 px
     green = (pix[:, :, 1] == 255) & (pix[:, :, 0] == 0)
     assert green.sum() == 32 * 100, green.sum()
+
+
+def test_render_supersampled_antialiasing():
+    """supersample=2: edges blend (intermediate coverage values appear),
+    interiors and dimensions stay exact."""
+    from delphi_pdf_parser_spark.fixtures import generate_fixtures
+
+    pdf = bytes(generate_fixtures()["render_ops"]["pdf"])
+    w, h, pix, fails = render_page(pdf, 0, scale=1.0, supersample=2)
+    assert (w, h) == (612, 792)
+    # interior of the red rect unchanged
+    assert tuple(pix[617, 200]) == (255, 0, 0)
+    # the diagonal stroke's edges now carry intermediate gray values
+    mids = ((pix > 10) & (pix < 245)).any(axis=2)
+    assert mids.sum() > 50, mids.sum()
