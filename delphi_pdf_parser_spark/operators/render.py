@@ -43,7 +43,9 @@ def _render_batches(scale: float, max_pages: int):
         import hashlib
 
         from delphi_pdf_parser_spark.pdfcore.pages import count_pages
-        from delphi_pdf_parser_spark.pdfcore.rasterdev import render_page
+        from delphi_pdf_parser_spark.pdfcore.rasterdev import (
+            render_loaded_page,
+        )
 
         cols = [f.name for f in RENDER_SCHEMA.fields]
         for b in batches:
@@ -66,7 +68,9 @@ def _render_batches(scale: float, max_pages: int):
                     continue
                 for p in range(min(npages, max_pages)):
                     try:
-                        w, h, pix, _fails = render_page(data, p, scale)
+                        # reuse the parsed doc: xref/page-tree work happens
+                        # once per document, not once per page
+                        w, h, pix, _fails = render_loaded_page(doc, p, scale)
                         inked = int((pix != 255).any(axis=2).sum())
                         rows.append(
                             (

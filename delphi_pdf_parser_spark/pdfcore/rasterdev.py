@@ -107,9 +107,12 @@ class RasterDevice:
 
     # --- text hook (mode-aware, called once per flushed run) ----------------
     def text(self, run, ctm, mode: int, gs):
-        if mode == 3:
-            return  # invisible
-        rgb = gs.stroke_rgb if mode == 1 else gs.fill_rgb
+        # paint iff the mode fills or strokes; 3 (invisible) and 7
+        # (add-to-clip only) paint nothing; stroke-only modes (1, 5)
+        # take the stroke color, everything else the fill color
+        if mode in (3, 7):
+            return
+        rgb = gs.stroke_rgb if mode in (1, 5) else gs.fill_rgb
         font = run.font
         ta, tb, tc, td = run.trm[:4]
         missing = False
@@ -176,6 +179,7 @@ class RasterDevice:
                 continue
             glyph_ctm = _concat(fm, _concat((ta, tb, tc, td, ex, ey), ctm))
             self._t3_depth += 1
+            clip_before = self.clip_depth()  # charprocs may W n un-bracketed
             try:
                 csi = CSI(self.doc, self, glyph_ctm)
                 csi.gs.fill_rgb = rgb
@@ -186,6 +190,7 @@ class RasterDevice:
                 self.doc.note_failure("raster_t3_proc_error")
             finally:
                 self._t3_depth -= 1
+                self.restore_clip(clip_before)
         if missing:
             self.doc.note_failure("raster_no_outline")
 
@@ -279,13 +284,23 @@ class RasterDevice:
         filters = d.get("F") or d.get("Filter")
         if isinstance(filters, Name):
             filters = [filters]
+        parms = doc.resolve(d.get("DP") or d.get("DecodeParms"))
+        if isinstance(parms, dict):
+            parms = [parms]
         data = payload
-        for f in filters or []:
+        for i, f in enumerate(filters or []):
             fname = to_name(f)
             if fname in ("DCT", "DCTDecode", "JPXDecode"):
                 doc.note_failure("raster_inline_image")
                 return
-            data = apply_filter(data, fname, None)
+            parm = (
+                doc.resolve(parms[i])
+                if isinstance(parms, list) and i < len(parms)
+                else None
+            )
+            data = apply_filter(
+                data, fname, parm if isinstance(parm, dict) else None
+            )
         cs = to_name(doc.resolve(d.get("CS") or d.get("ColorSpace")))
         is_mask = bool(
             to_int(doc.resolve(d.get("IM") or d.get("ImageMask")))
@@ -419,6 +434,13 @@ class RasterDevice:
             return
         ux = (xs + 0.5) * ia + (ys + 0.5) * ic + ie
         uy = (xs + 0.5) * ib + (ys + 0.5) * id_ + if_
+        ext = doc.resolve(shd.get("Extend"))
+        e0 = bool(
+            isinstance(ext, list) and len(ext) >= 1 and doc.resolve(ext[0])
+        )
+        e1 = bool(
+            isinstance(ext, list) and len(ext) >= 2 and doc.resolve(ext[1])
+        )
         if stype == 2:
             x0, y0, x1, y1 = coords[:4]
             dx, dy = x1 - x0, y1 - y0
@@ -451,6 +473,13 @@ class RasterDevice:
                     s = np.where(disc < 0, np.nan, s)
                 painted = ~np.isnan(s) & (r0 + np.nan_to_num(s) * dr >= 0)
             s = np.nan_to_num(s)
+        # /Extend (default [false false], PDF 32000 8.7.4.5.3): pixels
+        # beyond the shading's geometric extent paint only when the
+        # corresponding end is extended
+        if not e0:
+            painted &= s >= 0.0
+        if not e1:
+            painted &= s <= 1.0
         s = np.clip(s, 0.0, 1.0)
         idx = np.clip((s * 255).astype(np.int64), 0, 255)
         self.canvas.pix[ys[painted], xs[painted]] = lut8[idx[painted]]
@@ -468,21 +497,32 @@ def render_page(
     device AA blends span coverage; this gets the same visual effect
     from the hard-edge rasterizer at supersample^2 cost). Default 1
     keeps every pixel test exact."""
+    from .document import PdfDocument
+    from .pages import load_page_tree
+
+    doc = PdfDocument(data)
+    load_page_tree(doc)
+    return render_loaded_page(doc, pageno, scale, supersample)
+
+
+def render_loaded_page(
+    doc, pageno: int = 0, scale: float = 1.0, supersample: int = 1
+) -> tuple[int, int, np.ndarray, dict]:
+    """render_page over an already-parsed document (page tree loaded) —
+    what per-page loops use so the xref/page tree parse happens once per
+    document, not once per page."""
     if supersample > 1:
-        w0, h0, big, fails = render_page(
-            data, pageno, scale * supersample, 1
+        w0, h0, big, fails = render_loaded_page(
+            doc, pageno, scale * supersample, 1
         )
         ss = supersample
         w, h = w0 // ss, h0 // ss
         clipped = big[: h * ss, : w * ss].astype(np.uint16)
         small = clipped.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
         return w, h, np.round(small).astype(np.uint8), fails
-    from .document import PdfDocument
     from .interp import CSI, run_buffer
-    from .pages import load_page, load_page_tree
+    from .pages import load_page
 
-    doc = PdfDocument(data)
-    load_page_tree(doc)
     page = load_page(doc, pageno)
     mb_raw = doc.resolve(doc.page_objs[pageno].get("MediaBox"))
     if isinstance(mb_raw, list) and len(mb_raw) >= 4:

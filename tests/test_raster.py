@@ -241,6 +241,7 @@ def test_render_radial_shading_offcenter():
     # start circle r=10 at (150,600); end circle r=120 at (220,600)
     b.add(
         "<< /ShadingType 3 /ColorSpace /DeviceRGB "
+        "/Extend [true true] "
         f"/Coords [150 600 10 220 600 120] /Function {fn2} >>",
         num=5,
     )
@@ -447,3 +448,74 @@ def test_render_supersampled_antialiasing():
     # the diagonal stroke's edges now carry intermediate gray values
     mids = ((pix > 10) & (pix < 245)).any(axis=2)
     assert mids.sum() > 50, mids.sum()
+
+
+def test_render_review_fixes():
+    """Review findings pinned: (a) a Type3 charproc's un-bracketed W n
+    clip must NOT leak onto the page; (b) sh without /Extend leaves
+    pixels beyond the shading extent unpainted; (c) render mode 7
+    (clip-only) paints nothing."""
+    from delphi_pdf_parser_spark.fixtures import PdfBuilder, _bt, build_ttf, simple_doc
+
+    # (a) Type3 clip leak
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    content = (
+        b"BT /F1 50 Tf 100 100 Td (a) Tj ET "
+        b"1 0 0 rg 0 0 612 792 re f"  # page fill AFTER the glyph
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    glyph = b"60 0 0 0 60 70 d1 0 0 10 10 re W n 0 0 60 70 re f"
+    b.add(f"<< /Length {len(glyph)} >>", glyph, num=6)
+    b.add(
+        "<< /Type /Font /Subtype /Type3 /Name /T3 "
+        "/FontMatrix [0.01 0 0 0.01 0 0] /FontBBox [0 0 100 100] "
+        "/FirstChar 97 /LastChar 98 /Widths [60 60] "
+        "/Encoding << /Differences [97 /sq] >> "
+        "/CharProcs << /sq 6 0 R >> >>",
+        num=5,
+    )
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    red = (pix[:, :, 0] == 255) & (pix[:, :, 1] == 0)
+    assert red.sum() == 612 * 792, red.sum()  # page fill unclipped
+
+    # (b) /Extend default false: axial band only
+    b2 = PdfBuilder()
+    cat2 = b2.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b2.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b2.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Shading << /Sh1 5 0 R >> >> /Contents 4 0 R >>"
+    )
+    c2 = b"/Sh1 sh"
+    b2.add(f"<< /Length {len(c2)} >>", c2)
+    fn2 = "<< /FunctionType 2 /Domain [0 1] /C0 [1 0 0] /C1 [0 0 1] /N 1 >>"
+    b2.add(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB "
+        f"/Coords [100 0 200 0] /Function {fn2} >>",
+        num=5,
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat2), 0, 1.0)
+    assert tuple(pix[400, 150]) != (255, 255, 255)  # inside the band
+    assert tuple(pix[400, 50]) == (255, 255, 255)   # before start: unpainted
+    assert tuple(pix[400, 500]) == (255, 255, 255)  # past end: unpainted
+
+    # (c) mode 7 clip-only text paints nothing
+    ttf = build_ttf(
+        cmaps=[(3, 1, {0x41: 1})],
+        advances=(500, 600),
+        glyphs={0: [], 1: [[(0, 0), (600, 0), (600, 700), (0, 700)]]},
+    )
+    b3 = PdfBuilder()
+    b3.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    b3.set(6, "<< /Type /FontDescriptor /FontName /T /Flags 32 /FontFile2 7 0 R >>")
+    font = ("<< /Type /Font /Subtype /TrueType /BaseFont /T"
+            " /FontDescriptor 6 0 R /FirstChar 65 /LastChar 65 /Widths [600] >>")
+    b4, cat4 = simple_doc(_bt("7 Tr 100 100 Td (A) Tj"), font_body=font, builder=b3)
+    w, h, pix, fails = render_page(b4.build_classic(cat4), 0, 1.0)
+    assert (pix == 255).all()
