@@ -414,6 +414,7 @@ def pq_train_codebooks(
     kcodes: int = 16,
     max_iter: int = 5,
     train_limit: int | None = None,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Product-quantization codebooks -> (m, kcodes, dim/m): split the
     (L2-normalized) vector into m subvectors and run Euclidean Lloyd
@@ -446,9 +447,10 @@ def pq_train_codebooks(
     seeds = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
     )
-    norms = np.linalg.norm(seeds, axis=1)
-    norms[norms == 0] = 1.0
-    seeds = seeds / norms[:, None]
+    if normalize:
+        norms = np.linalg.norm(seeds, axis=1)
+        norms[norms == 0] = 1.0
+        seeds = seeds / norms[:, None]
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -465,9 +467,10 @@ def pq_train_codebooks(
         def assign(emb: pd.Series) -> pd.Series:
             b = bc.value
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-            n = np.linalg.norm(mat, axis=1)
-            n[n == 0] = 1.0
-            mat = mat / n[:, None]
+            if normalize:
+                n = np.linalg.norm(mat, axis=1)
+                n[n == 0] = 1.0
+                mat = mat / n[:, None]
             out = np.empty((len(mat), m), dtype=np.int32)
             for s in range(m):
                 sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -509,7 +512,7 @@ def pq_train_codebooks(
     return books
 
 
-def _pq_encoder_udf(spark, books: np.ndarray):
+def _pq_encoder_udf(spark, books: np.ndarray, normalize: bool = True):
     """Arrow pandas_udf mapping an embedding column to its m subspace
     code indices against broadcast `books` — shared by pq_encode and
     the IVF-PQ corpus pass (which computes codes and cell in ONE scan)."""
@@ -522,9 +525,10 @@ def _pq_encoder_udf(spark, books: np.ndarray):
     def enc(emb: pd.Series) -> pd.Series:
         b = bc.value
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        mat = mat / n[:, None]
+        if normalize:
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            mat = mat / n[:, None]
         out = np.empty((len(mat), m), dtype=np.int32)
         for s in range(m):
             sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -560,14 +564,19 @@ def _adc_score_batches(bc, keep: int):
     provably contains the global top-`keep` and the shuffle into the
     shortlist window is O(n_batches * nq * keep), independent of corpus
     size. `bc` is a broadcast (or any .value holder) of (qids, lut) or,
-    for IVF-PQ, (qids, lut, probe_masks) where probe_masks is an
+    for IVF-PQ, (qids, lut, probe_masks[, bias]) where probe_masks is an
     (nq, n_cells) bool array and the batch carries a `cell` column —
-    each query then scores only rows in its probed cells."""
+    each query then scores only rows in its probed cells. The optional
+    bias is an (nq, n_cells) float array added to every row's score by
+    its cell: the residual-IVFADC decomposition
+    <q, c_cell + r_hat> = <q, c_cell> + LUT-sum, which is what lets ONE
+    shared codebook set serve every cell."""
 
     def score_batches(batches):
         payload = bc.value
         qids_, lut_ = payload[0], payload[1]
         probes_ = payload[2] if len(payload) > 2 else None
+        bias_ = payload[3] if len(payload) > 3 else None
         nq = len(qids_)
         mm = lut_.shape[1]
         ar = np.arange(mm)
@@ -576,14 +585,18 @@ def _adc_score_batches(bc, keep: int):
                 [np.asarray(c, dtype=np.int64) for c in b["codes"]]
             )
             vids = b["vec_id"].to_numpy()
-            cells = b["cell"].to_numpy() if probes_ is not None else None
-            # (nq, B): sum of per-subspace LUT entries along each code row
-            scores = np.round(
-                np.stack(
-                    [lut_[qi][ar, codes].sum(axis=1) for qi in range(nq)]
-                ),
-                4,
+            cells = (
+                b["cell"].to_numpy()
+                if (probes_ is not None or bias_ is not None)
+                else None
             )
+            # (nq, B): sum of per-subspace LUT entries along each code row
+            raw = np.stack(
+                [lut_[qi][ar, codes].sum(axis=1) for qi in range(nq)]
+            )
+            if bias_ is not None and cells is not None:
+                raw = raw + bias_[:, cells]
+            scores = np.round(raw, 4)
             out_q, out_v, out_s = [], [], []
             for qi in range(nq):
                 s, v = scores[qi], vids
@@ -767,6 +780,7 @@ def ivfpq_topk(
     max_iter: int = 5,
     train_limit: int | None = None,
     refine_factor: int = 10,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF x PQ — the production web-scale ANN layout (both halves of
     Jégou et al.'s IVFADC, composed): a spherical-k-means coarse
@@ -782,10 +796,14 @@ def ivfpq_topk(
     bounded-exchange cut as pq_topk), and (4) exact-cosine re-ranks the
     k*rf shortlist.
 
-    Codes quantize the raw (normalized) vectors, not per-cell residuals
-    — residual encoding buys recall at equal m but breaks the
-    cell-independence that lets one LUT serve all cells; the re-rank
-    stage recovers the exactness either way. With n_probe == n_cells
+    `residual=False` quantizes the raw (normalized) vectors;
+    `residual=True` is the canonical IVFADC form — codes quantize
+    v_norm - centroid(cell), trained on the residual distribution
+    (tighter spread -> better recall at equal m), and scoring uses the
+    decomposition <q, c_cell + r_hat> = <q, c_cell> + LUT-sum: the
+    per-(query, cell) bias matrix broadcasts with the LUT, so ONE
+    shared codebook set still serves every cell. The exact re-rank
+    stage recovers exactness either way. With n_probe == n_cells
     every vector is scanned regardless of centroid placement, which is
     how the driver oracle pins this end-to-end ≡ brute force (training-
     independent, same trick as ann_pq_rerank_topk)."""
@@ -802,10 +820,6 @@ def ivfpq_topk(
         embeddings, n_cells=n_cells, max_iter=max_iter,
         train_limit=train_limit,
     )
-    books = pq_train_codebooks(
-        embeddings, m=m, kcodes=kcodes, max_iter=max_iter,
-        train_limit=train_limit,
-    )
     keep = k * refine_factor if refine_factor else k
 
     bc_cent = spark.sparkContext.broadcast(cmat)
@@ -818,14 +832,45 @@ def ivfpq_topk(
         n[n == 0] = 1.0
         return pd.Series(np.argmax((mat / n[:, None]) @ c.T, axis=1))
 
-    enc = _pq_encoder_udf(spark, books)
     emb_d = F.col("embedding").cast("array<double>")
-    # one scan: vec_id + cell + m-byte codes (the stored IVF-PQ layout)
-    codes = embeddings.select(
-        "vec_id",
-        cell_of(emb_d).alias("cell"),
-        enc(emb_d).alias("codes"),
-    )
+    if residual:
+
+        @pandas_udf("array<double>")
+        def residual_of(emb: pd.Series) -> pd.Series:
+            c = bc_cent.value
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            mat = mat / n[:, None]
+            cells_ = np.argmax(mat @ c.T, axis=1)
+            return pd.Series(list(mat - c[cells_]))
+
+        res_df = embeddings.select(
+            "vec_id", residual_of(emb_d).alias("embedding")
+        )
+        # codebooks trained on the RESIDUAL distribution, unnormalized
+        books = pq_train_codebooks(
+            res_df, m=m, kcodes=kcodes, max_iter=max_iter,
+            train_limit=train_limit, normalize=False,
+        )
+        enc = _pq_encoder_udf(spark, books, normalize=False)
+        codes = embeddings.select(
+            "vec_id",
+            cell_of(emb_d).alias("cell"),
+            enc(residual_of(emb_d)).alias("codes"),
+        )
+    else:
+        books = pq_train_codebooks(
+            embeddings, m=m, kcodes=kcodes, max_iter=max_iter,
+            train_limit=train_limit,
+        )
+        enc = _pq_encoder_udf(spark, books)
+        # one scan: vec_id + cell + m-byte codes (the stored layout)
+        codes = embeddings.select(
+            "vec_id",
+            cell_of(emb_d).alias("cell"),
+            enc(emb_d).alias("codes"),
+        )
 
     # query side is driver-resident anyway (it feeds the broadcast LUT):
     # probe cells + LUT in one pass over the collected queries
@@ -857,7 +902,14 @@ def ivfpq_topk(
         probe_masks[qi, order[qi, :n_probe]] = True
     probed_union = sorted(int(c) for c in np.where(probe_masks.any(axis=0))[0])
 
-    bc = spark.sparkContext.broadcast((qids, lut, probe_masks))
+    # residual mode: score = <q, c_cell> + LUT-sum — ship the per-
+    # (query, cell) bias (== sims, already computed for probing)
+    payload = (
+        (qids, lut, probe_masks, sims)
+        if residual
+        else (qids, lut, probe_masks)
+    )
+    bc = spark.sparkContext.broadcast(payload)
     out_schema = StructType(
         [
             StructField("query_id", LongType()),

@@ -339,3 +339,53 @@ def test_ivfpq_partial_probe_recall_and_pruning(spark):
 
     per_q = Counter(r["query_id"] for r in out)
     assert all(v == 5 for v in per_q.values()), per_q
+
+
+def test_ivfpq_residual_exactness_and_recall_gain(spark):
+    """Residual IVFADC: (a) full probe + rf=10 still reproduces brute
+    force exactly; (b) on a moderately-spread clustered corpus the raw
+    ADC shortlist built on residual codes recalls FAR better than
+    raw-vector codes at equal m (the published IVFADC result: residuals
+    have much tighter spread than the vectors, so the same code budget
+    resolves finer)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from delphi_pdf_parser_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4
+    rows = []
+    vid = 0
+    for c in range(8):
+        for p in centers[c] + rng.normal(size=(40, 16)) * 1.0:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(e, qs, k=5).collect()
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf}
+
+    out = ivfpq_topk(
+        e, qs, k=5, n_cells=8, n_probe=8, m=8, kcodes=16,
+        refine_factor=10, residual=True,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, bf))
+
+    def recall(residual):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivfpq_topk(
+                e, qs, k=5, n_cells=8, n_probe=8, m=8, kcodes=16,
+                refine_factor=0, residual=residual,
+            ).collect()
+        }
+        return len(bf_set & got) / len(bf_set)
+
+    r_res, r_raw = recall(True), recall(False)
+    # measured: ~0.44 residual vs ~0.08 raw at m=8 on this corpus
+    assert r_res > r_raw, (r_res, r_raw)
+    assert r_res >= 0.3, r_res
