@@ -533,3 +533,141 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataF
     return e.groupBy("label").applyInPandas(
         gram, "vec_a long, vec_b long, cosine double"
     )
+
+
+def minhash_band_stats(documents: DataFrame) -> DataFrame:
+    """Oracle-checkable MinHash banding census: 8 md5 minhashes over
+    distinct 3-token shingles, 4 bands of 2 rows, per-band bucket
+    statistics -> (band, n_buckets, max_bucket, pairs_x2).
+
+    The production candidate path (minhash_lsh_candidates) signs with
+    xxhash64 (JVM-side, faster) which DuckDB cannot reproduce; this
+    variant uses md5 — identical hex in Spark and DuckDB — so the ENTIRE
+    minhash -> band -> bucket pipeline is driver-oracled bit-for-bit
+    (VERDICT r5 #10). pairs_x2 = sum over buckets of sz*(sz-1), i.e.
+    2x the candidate-pair count, kept division-free so both engines
+    agree on integer types.
+
+    Scale shape: one shingle explode + one minhash aggregate + one
+    compact (band, key) aggregate — the same shuffle count as the
+    production path, map-side combined throughout."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = documents.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - F.lit(2))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at("t", i),
+        F.element_at("t", i + 1),
+        F.element_at("t", i + 2),
+    )
+    sh = (
+        base.select(
+            "doc_id", F.explode(F.transform(idx, shingle)).alias("s")
+        )
+        .distinct()
+    )
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(
+                f"h{j}"
+            )
+            for j in range(8)
+        ]
+    )
+    banded = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("bk.band", "bk.key")
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - F.lit(1)))
+            .cast("long")
+            .alias("pairs_x2"),
+        )
+        .orderBy("band")
+    )
+
+
+def simhash_band_stats(documents: DataFrame) -> DataFrame:
+    """Oracle-checkable SimHash banding census: a 16-bit simhash from
+    md5-derived token hashes (majority vote per bit over each doc's
+    distinct tokens), 4 nibble bands -> per-band bucket statistics
+    (band, n_buckets, max_bucket, pairs_x2).
+
+    Companion to the production simhash_near_dups (64-bit xxhash
+    lanes): md5 is reproducible in DuckDB, so every vote, every bit and
+    every bucket is driver-oracled. Tie votes (sum == 0) resolve to bit
+    0 in both engines (strict > 0 test).
+
+    Scale shape: token explode -> one 16-column vote aggregate ->
+    compact (band, nibble) aggregate; all map-side combined."""
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    )
+    t = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    tv = t.select("doc_id", v.alias("v"))
+    votes = tv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sims = votes.select("doc_id", sim.alias("sim"))
+    banded = sims.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("sim"), 4 * k)
+                        .bitwiseAND(F.lit(15))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk")
+    ).select("bk.band", "bk.key")
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - F.lit(1)))
+            .cast("long")
+            .alias("pairs_x2"),
+        )
+        .orderBy("band")
+    )

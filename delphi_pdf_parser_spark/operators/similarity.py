@@ -748,8 +748,11 @@ def _cut_or_rerank(
             F.col("embedding").cast("array<double>").alias("qvec"),
         )
     )
+    # the shortlist is nq*k*rf rows — broadcast it so the (100-TB)
+    # embeddings table is NEVER shuffled by vec_id for the re-rank;
+    # without the hint this leans on AQE to discover the small side
     exact = (
-        shortlist.join(e, "vec_id")
+        F.broadcast(shortlist).join(e, "vec_id")
         .join(q, "query_id")
         .select(
             "query_id",

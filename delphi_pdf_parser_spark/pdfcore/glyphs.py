@@ -498,8 +498,55 @@ class CffOutlines:
                     width_parsed = True
                     st = []
                     return
-                elif b0 == 12:  # escape ops: flex &c — treat as lines
+                elif b0 == 12:  # escape ops: the four flex variants
+                    # draw their two cubics (Type2 spec 4.2); other
+                    # escapes (arith/logic) just clear the stack
+                    b1 = code[i] if i < n else 255
                     i += 1
+                    if b1 == 35 and len(st) >= 13:  # flex
+                        x1, y1 = x + st[0], y + st[1]
+                        x2, y2 = x1 + st[2], y1 + st[3]
+                        x3, y3 = x2 + st[4], y2 + st[5]
+                        curveto(x1, y1, x2, y2, x3, y3)
+                        x4, y4 = x3 + st[6], y3 + st[7]
+                        x5, y5 = x4 + st[8], y4 + st[9]
+                        x, y = x5 + st[10], y5 + st[11]
+                        curveto(x4, y4, x5, y5, x, y)
+                    elif b1 == 34 and len(st) >= 7:  # hflex
+                        y0f = y
+                        x1, y1 = x + st[0], y
+                        x2, y2 = x1 + st[1], y1 + st[2]
+                        x3, y3 = x2 + st[3], y2
+                        curveto(x1, y1, x2, y2, x3, y3)
+                        x4, y4 = x3 + st[4], y2
+                        x5, y5 = x4 + st[5], y0f
+                        x, y = x5 + st[6], y0f
+                        curveto(x4, y4, x5, y5, x, y)
+                    elif b1 == 36 and len(st) >= 9:  # hflex1
+                        y0f = y
+                        x1, y1 = x + st[0], y + st[1]
+                        x2, y2 = x1 + st[2], y1 + st[3]
+                        x3, y3 = x2 + st[4], y2
+                        curveto(x1, y1, x2, y2, x3, y3)
+                        x4, y4 = x3 + st[5], y2
+                        x5, y5 = x4 + st[6], y4 + st[7]
+                        x, y = x5 + st[8], y0f
+                        curveto(x4, y4, x5, y5, x, y)
+                    elif b1 == 37 and len(st) >= 11:  # flex1
+                        x0f, y0f = x, y
+                        dx = st[0] + st[2] + st[4] + st[6] + st[8]
+                        dy = st[1] + st[3] + st[5] + st[7] + st[9]
+                        x1, y1 = x + st[0], y + st[1]
+                        x2, y2 = x1 + st[2], y1 + st[3]
+                        x3, y3 = x2 + st[4], y2 + st[5]
+                        curveto(x1, y1, x2, y2, x3, y3)
+                        x4, y4 = x3 + st[6], y3 + st[7]
+                        x5, y5 = x4 + st[8], y4 + st[9]
+                        if abs(dx) > abs(dy):
+                            x, y = x5 + st[10], y0f
+                        else:
+                            x, y = x0f, y5 + st[10]
+                        curveto(x4, y4, x5, y5, x, y)
                     st = []
                 else:
                     st = []

@@ -60,6 +60,15 @@ class GState:
         "stroke_rgb",
         "line_width",
         "clip_depth",
+        "line_cap",
+        "line_join",
+        "miter_limit",
+        "dash",
+        "fill_alpha",
+        "stroke_alpha",
+        "smask",
+        "fill_pattern",
+        "stroke_pattern",
     )
 
     def __init__(self, ctm):
@@ -76,6 +85,15 @@ class GState:
         self.stroke_rgb = (0, 0, 0)
         self.line_width = 1.0
         self.clip_depth = 0
+        self.line_cap = 0
+        self.line_join = 0
+        self.miter_limit = 10.0
+        self.dash = ((), 0.0)
+        self.fill_alpha = 1.0
+        self.stroke_alpha = 1.0
+        self.smask = None  # (h, w) float soft-mask alpha, or None
+        self.fill_pattern = None  # (pattern ref, resolved dict) or None
+        self.stroke_pattern = None
 
     def copy(self):
         g = GState(self.ctm)
@@ -91,6 +109,15 @@ class GState:
         g.stroke_rgb = self.stroke_rgb
         g.line_width = self.line_width
         g.clip_depth = self.clip_depth
+        g.line_cap = self.line_cap
+        g.line_join = self.line_join
+        g.miter_limit = self.miter_limit
+        g.dash = self.dash
+        g.fill_alpha = self.fill_alpha
+        g.stroke_alpha = self.stroke_alpha
+        g.smask = self.smask
+        g.fill_pattern = self.fill_pattern
+        g.stroke_pattern = self.stroke_pattern
         return g
 
 
@@ -118,8 +145,12 @@ class CSI:
         self.top_ctm = ctm
         self.font_cache: dict = {}
         self.xobject_depth = 0
-        # current path (user-space subpaths) + pending W/W* clip rule
+        # current path (user-space subpaths) + pending W/W* clip rule;
+        # path_closed[i] marks subpath i closed (set by `re` and `h`,
+        # PDF 32000 8.5.2.1: `re` defines a COMPLETE closed subpath) so
+        # strokes paint the closing edge independent of s/b/b*
         self.path: list = []
+        self.path_closed: list = []
         self.cur = None
         self.start = None
         self.pending_clip = None
@@ -643,7 +674,7 @@ def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
     ):
         csi.flush_text()
         if csi.draw is not None:
-            _run_color(csi, kw)
+            _run_color(csi, rdb, kw)
     elif kw in (
         b"m", b"l", b"c", b"v", b"y", b"h", b"re",
         b"S", b"s", b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*", b"n",
@@ -653,8 +684,26 @@ def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
         # real geometry when a raster device is attached
         if csi.draw is not None:
             _run_path_op(csi, rdb, kw)
+    elif kw == b"J":
+        if csi.draw is not None:
+            gs.line_cap = int(_st(csi, 0))
+    elif kw == b"j":
+        if csi.draw is not None:
+            gs.line_join = int(_st(csi, 0))
+    elif kw == b"M":
+        if csi.draw is not None:
+            gs.miter_limit = _st(csi, 0)
+    elif kw == b"d":
+        if csi.draw is not None and isinstance(csi.obj, list):
+            try:
+                arr = tuple(
+                    float(doc.resolve(v)) for v in csi.obj
+                )
+                gs.dash = (arr, _st(csi, 0))
+            except (TypeError, ValueError):
+                pass
     elif kw in (
-        b"J", b"j", b"M", b"d", b"ri", b"i",
+        b"ri", b"i",
         b"MP", b"DP", b"BMC", b"BDC", b"EMC", b"d0", b"d1",
     ):
         pass
@@ -669,12 +718,13 @@ def _rgb8(vals) -> tuple:
     )
 
 
-def _run_color(csi: CSI, kw: bytes):
+def _run_color(csi: CSI, rdb, kw: bytes):
     """Color operators for the raster sink. Device colorspaces are
-    exact; sc/scn map by operand count (1 gray / 3 rgb / 4 cmyk), and a
-    pattern-name operand paints mid-gray with a failure code (pattern
-    FILLS are out of the render sink's scope; shading patterns via `sh`
-    are real)."""
+    exact; sc/scn map by operand count (1 gray / 3 rgb / 4 cmyk); a
+    pattern-name operand resolves through the resource /Pattern dict
+    and arms the gstate pattern slot (tiling patterns replayed on the
+    tile grid, shading patterns routed to fill_shade — the reference's
+    pdf_show_pattern / fz_draw_begin_tile path)."""
     gs = csi.gs
     st = csi.stack
     stroke = kw in (b"G", b"RG", b"K", b"CS", b"SC", b"SCN")
@@ -691,7 +741,36 @@ def _run_color(csi: CSI, kw: bytes):
         )
     elif kw in (b"sc", b"scn", b"SC", b"SCN"):
         if csi.name:  # pattern operand
-            csi.doc.note_failure("raster_pattern_color")
+            doc = csi.doc
+            pdict = doc.get(rdb, "Pattern") if isinstance(rdb, dict) else None
+            pref = pdict.get(csi.name) if isinstance(pdict, dict) else None
+            pat = doc.resolve(pref)
+            if isinstance(pat, dict):
+                # PaintType-2 (uncolored) cells take the scn component
+                # operands as their base color
+                scn_rgb = None
+                if len(st) == 1:
+                    scn_rgb = _rgb8((st[0], st[0], st[0]))
+                elif len(st) == 3:
+                    scn_rgb = _rgb8(st[:3])
+                elif len(st) >= 4:
+                    c, m, y, k2 = (
+                        max(0.0, min(1.0, float(v))) for v in st[:4]
+                    )
+                    scn_rgb = _rgb8(
+                        ((1 - c) * (1 - k2), (1 - m) * (1 - k2), (1 - y) * (1 - k2))
+                    )
+                # the pattern matrix is relative to the default space of
+                # the stream referencing the pattern (PDF 32000 8.7.3.1)
+                entry = (pref, pat, csi.top_ctm, scn_rgb)
+                if stroke:
+                    gs.stroke_pattern = entry
+                    gs.stroke_rgb = (128, 128, 128)
+                else:
+                    gs.fill_pattern = entry
+                    gs.fill_rgb = (128, 128, 128)
+                return  # pattern armed; don't fall through to rgb set
+            doc.note_failure("raster_pattern_missing")
             rgb = (128, 128, 128)
         elif len(st) == 1:
             rgb = _rgb8((st[0], st[0], st[0]))
@@ -708,8 +787,10 @@ def _run_color(csi: CSI, kw: bytes):
     if rgb is not None:
         if stroke:
             gs.stroke_rgb = rgb
+            gs.stroke_pattern = None
         else:
             gs.fill_rgb = rgb
+            gs.fill_pattern = None
 
 
 def _run_path_op(csi: CSI, rdb, kw: bytes):
@@ -720,6 +801,7 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
         csi.cur = (_st(csi, 0), _st(csi, 1))
         csi.start = csi.cur
         csi.path.append([csi.cur])
+        csi.path_closed.append(False)
     elif kw == b"l":
         csi.cur = (_st(csi, 0), _st(csi, 1))
         if csi.path:
@@ -746,10 +828,12 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
     elif kw == b"h":
         if csi.path and csi.start is not None:
             csi.path[-1].append(csi.start)
+            csi.path_closed[-1] = True
             csi.cur = csi.start
     elif kw == b"re":
         x, y, w, h = (_st(csi, i) for i in range(4))
         csi.path.append([(x, y), (x + w, y), (x + w, y + h), (x, y + h)])
+        csi.path_closed.append(True)
         csi.cur = (x, y)
         csi.start = (x, y)
     elif kw in (b"W", b"W*"):
@@ -758,8 +842,8 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
         shd = None
         shres = csi.doc.resolve(rdb.get("Shading")) if isinstance(rdb, dict) else None
         if isinstance(shres, dict) and csi.name:
-            shd = csi.doc.resolve(shres.get(csi.name))
-        draw.fill_shade(csi.doc, shd, gs.ctm)
+            shd = shres.get(csi.name)  # keep the ref: mesh types load the stream
+        draw.fill_shade(csi.doc, shd, gs.ctm, gs=gs)
     else:
         # painting operators
         fill = kw in (b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*")
@@ -768,11 +852,20 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
         evenodd = kw in (b"f*", b"B*")
         if close_first and csi.path and csi.start is not None:
             csi.path[-1].append(csi.start)
+            csi.path_closed[-1] = True
         if fill and csi.path:
-            draw.fill_path(csi.path, evenodd, gs.ctm, gs.fill_rgb)
+            draw.fill_path(csi.path, evenodd, gs.ctm, gs.fill_rgb, gs)
         if stroke and csi.path:
+            # closed subpaths (re, h, s/b/b*) stroke their closing edge:
+            # append the start point where it isn't already the tail
+            spolys = [
+                sp + [sp[0]]
+                if closed and len(sp) >= 2 and tuple(sp[-1]) != tuple(sp[0])
+                else sp
+                for sp, closed in zip(csi.path, csi.path_closed)
+            ]
             draw.stroke_path(
-                csi.path, gs.ctm, gs.stroke_rgb, gs.line_width
+                spolys, gs.ctm, gs.stroke_rgb, gs.line_width, gs
             )
         if csi.pending_clip is not None and csi.path:
             draw.clip_path(
@@ -780,12 +873,17 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
             )
             csi.pending_clip = None
         csi.path = []
+        csi.path_closed = []
         csi.cur = None
         csi.start = None
 
 
 def run_extgstate(csi: CSI, rdb):
-    """Only the /Font branch matters for text (pdf_run_extgstate)."""
+    """/Font matters for text (pdf_run_extgstate); the raster sink also
+    consumes the stroke state (/LW /LC /LJ /ML /D), constant alphas
+    (/CA /ca), /SMask soft masks (built by the device from the mask
+    group's luminosity/alpha) and records non-Normal /BM blend modes as
+    a failure code."""
     doc = csi.doc
     csi.flush_text()
     egs_dict = doc.get(rdb, "ExtGState") if isinstance(rdb, dict) else None
@@ -793,6 +891,52 @@ def run_extgstate(csi: CSI, rdb):
     if not isinstance(egs, dict):
         doc.note_failure("extgstate_missing")
         return
+    if csi.draw is not None:
+        gs = csi.gs
+        v = doc.resolve(egs.get("LW"))
+        if v is not None:
+            gs.line_width = to_real(v)
+        v = doc.resolve(egs.get("LC"))
+        if v is not None:
+            gs.line_cap = int(to_real(v))
+        v = doc.resolve(egs.get("LJ"))
+        if v is not None:
+            gs.line_join = int(to_real(v))
+        v = doc.resolve(egs.get("ML"))
+        if v is not None:
+            gs.miter_limit = to_real(v)
+        v = doc.resolve(egs.get("D"))
+        if isinstance(v, list) and len(v) == 2:
+            arr = doc.resolve(v[0])
+            if isinstance(arr, list):
+                try:
+                    gs.dash = (
+                        tuple(float(doc.resolve(x)) for x in arr),
+                        to_real(doc.resolve(v[1])),
+                    )
+                except (TypeError, ValueError):
+                    pass
+        v = doc.resolve(egs.get("CA"))
+        if v is not None:
+            gs.stroke_alpha = max(0.0, min(1.0, to_real(v)))
+        v = doc.resolve(egs.get("ca"))
+        if v is not None:
+            gs.fill_alpha = max(0.0, min(1.0, to_real(v)))
+        v = doc.resolve(egs.get("BM"))
+        bm = to_name(v) if v is not None else None
+        if isinstance(v, list) and v:
+            bm = to_name(doc.resolve(v[0]))
+        if bm not in (None, "Normal", "Compatible"):
+            doc.note_failure(f"raster_blend_mode:{bm}")
+        if "SMask" in egs:
+            sm = doc.resolve(egs.get("SMask"))
+            if isinstance(sm, dict) and hasattr(csi.draw, "build_smask"):
+                try:
+                    gs.smask = csi.draw.build_smask(doc, sm, gs.ctm, rdb)
+                except Exception:
+                    doc.note_failure("raster_smask_error")
+            else:
+                gs.smask = None  # /SMask /None clears
     val = doc.get(egs, "Font")
     if isinstance(val, list) and len(val) == 2:
         gs = csi.gs
@@ -854,7 +998,8 @@ def run_do(csi: CSI, rdb):
     elif subtype == "Image":
         if csi.draw is not None and is_indirect(obj_ref):
             csi.draw.fill_image(
-                doc, obj_ref.num, obj, csi.gs.ctm, csi.gs.fill_rgb
+                doc, obj_ref.num, obj, csi.gs.ctm, csi.gs.fill_rgb,
+                gs=csi.gs,
             )
         # else FZ_IGNORE_IMAGE: never decoded on the text path
     elif subtype == "PS":
@@ -864,11 +1009,36 @@ def run_do(csi: CSI, rdb):
 
 
 def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
-    """pdf_run_xobject (:1037-1129), transparency-group bookkeeping elided
-    (it never reaches the text device)."""
+    """pdf_run_xobject (:1037-1129). Transparency groups (/Group
+    /S /Transparency) under a non-unit alpha or an active /SMask render
+    into an offscreen coverage-tracking canvas and composite once with
+    that alpha x mask (isolated-group model; the reference's
+    begin_group/end_group vtable, src/vcl/digtypes.pas:772-800). Groups
+    at alpha 1 with no mask paint directly — identical pixels, no
+    offscreen cost."""
     doc = csi.doc
+    # group gating decided on the CALLER's gstate (the Do-time alpha)
+    group_token = None
+    group_alpha = 1.0
+    group_smask = None
+    if csi.draw is not None and hasattr(csi.draw, "begin_group"):
+        grp = doc.resolve(xobj.get("Group"))
+        if (
+            isinstance(grp, dict)
+            and to_name(doc.get(grp, "S")) == "Transparency"
+            and (csi.gs.fill_alpha < 1.0 or csi.gs.smask is not None)
+        ):
+            group_alpha = csi.gs.fill_alpha
+            group_smask = csi.gs.smask
+            group_token = csi.draw.begin_group()
     csi.gsave()
     gs = csi.gs
+    if group_token is not None:
+        # inside the group, content paints at full alpha; the group's
+        # alpha/mask apply once at composite time (PDF 32000 11.6.6)
+        gs.fill_alpha = 1.0
+        gs.stroke_alpha = 1.0
+        gs.smask = None
     matrix = doc.get(xobj, "Matrix")
     if isinstance(matrix, list) and len(matrix) >= 6:
         m = tuple(to_real(doc.resolve(v)) for v in matrix[:6])
@@ -896,6 +1066,8 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
         while len(csi.gstack) > old_top:
             csi.grestore()
         csi.grestore()
+        if group_token is not None:
+            csi.draw.end_group(group_token, group_alpha, group_smask)
 
 
 def _consume_inline_data(doc, lex: Lexer, d: dict):
@@ -966,7 +1138,7 @@ def run_inline_image(csi: CSI, rdb, lex: Lexer):
         payload = lex.data[start : lex.tell()]
         try:
             csi.draw.fill_inline_image(
-                doc, d, payload, csi.gs.ctm, csi.gs.fill_rgb
+                doc, d, payload, csi.gs.ctm, csi.gs.fill_rgb, gs=csi.gs
             )
         except Exception:
             doc.note_failure("raster_inline_image")

@@ -124,43 +124,203 @@ def coverage_mask(
     return mask
 
 
-def stroke_polys(polys, line_width: float):
-    """Approximate a stroke as one quad per segment (butt caps, no
-    joins — the render sink's documented stroke fidelity level; MuPDF
-    builds true stroke outlines in fz_stroke_path)."""
+def _ccw(poly: np.ndarray) -> np.ndarray:
+    """Normalize winding to positive signed area so a NONZERO pass over
+    the whole outline set behaves as a pure union (windings add, never
+    cancel)."""
+    x, y = poly[:, 0], poly[:, 1]
+    area = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return poly if area >= 0 else poly[::-1]
+
+
+def _disc(cx: float, cy: float, r: float, n: int = 16) -> np.ndarray:
+    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def dash_polyline(pts: np.ndarray, pattern, phase: float):
+    """Split a polyline into its ON pieces under a PDF dash pattern
+    (PDF 32000 8.4.3.6: the array cycles starting 'on', `phase` is the
+    distance into the cycle at the path start). Returns a list of
+    Nx2 arrays; zero-length patterns or all-zero entries yield the
+    whole line."""
+    pat = [float(v) for v in pattern if float(v) >= 0]
+    if not pat or not any(v > 0 for v in pat):
+        return [pts]
+    cycle = sum(pat)
+    pos = float(phase) % cycle if cycle > 0 else 0.0
+    # locate position within the pattern cycle
+    idx = 0
+    while pos >= pat[idx]:
+        pos -= pat[idx]
+        idx = (idx + 1) % len(pat)
+    on = idx % 2 == 0
+    remain = pat[idx] - pos
+    pieces = []
+    cur = [pts[0]] if on else None
+    for i in range(len(pts) - 1):
+        a = pts[i]
+        b = pts[i + 1]
+        seg = b - a
+        seglen = float(np.hypot(seg[0], seg[1]))
+        if seglen == 0:
+            continue
+        t = 0.0
+        while seglen - t > 1e-9:
+            step = min(remain, seglen - t)
+            t += step
+            remain -= step
+            p = a + seg * (t / seglen)
+            if remain <= 1e-9:  # dash element boundary inside the segment
+                if on:
+                    cur.append(p)
+                    if len(cur) >= 2:
+                        pieces.append(np.asarray(cur))
+                    cur = None
+                else:
+                    cur = [p]
+                on = not on
+                idx = (idx + 1) % len(pat)
+                remain = pat[idx]
+                # skip zero-length elements (degenerate dots elided)
+                while remain == 0:
+                    on = not on
+                    idx = (idx + 1) % len(pat)
+                    remain = pat[idx]
+            elif on and t >= seglen - 1e-9:
+                cur.append(b)
+        if on and cur is not None and (len(cur) == 0 or not np.array_equal(cur[-1], b)):
+            cur.append(b)
+    if on and cur is not None and len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+BUTT_CAP, ROUND_CAP, SQUARE_CAP = 0, 1, 2
+MITER_JOIN, ROUND_JOIN, BEVEL_JOIN = 0, 1, 2
+
+
+def stroke_outline(
+    polys,
+    line_width: float,
+    cap: int = BUTT_CAP,
+    join: int = MITER_JOIN,
+    miter_limit: float = 10.0,
+    dash=None,
+):
+    """Build the stroke outline of device-space polylines as a list of
+    consistently-wound polygons (one NONZERO coverage pass = their
+    union): per-segment quads + join wedges (miter with limit fallback
+    to bevel / round discs / bevel triangles) + caps (butt / round /
+    projecting-square). `dash` is (pattern, phase) in DEVICE units;
+    closed subpaths (tail == head) take a wrap join and no caps —
+    the reference strokes through fz_stroke_path's full stroke state
+    (src/vcl/digtypes.pas stroke record)."""
     hw = max(line_width, 0.1) / 2.0
-    quads = []
+    out = []
+
+    def add_join(b, d1, d2):
+        cz = d1[0] * d2[1] - d1[1] * d2[0]
+        dot = d1[0] * d2[0] + d1[1] * d2[1]
+        if abs(cz) < 1e-9 and dot >= 0:
+            return  # straight-through: segment quads already abut
+        if join == ROUND_JOIN:
+            out.append(_disc(b[0], b[1], hw))
+            return
+        side = -1.0 if cz > 0 else 1.0
+        o1 = np.array([-d1[1], d1[0]]) * hw * side
+        o2 = np.array([-d2[1], d2[0]]) * hw * side
+        use_miter = False
+        m = None
+        if join == MITER_JOIN and not (abs(cz) < 1e-9):
+            # intersection of the two outer edge lines:
+            # b + o1 + t*d1 == b + o2 + u*d2
+            rhs = o2 - o1
+            det = d1[0] * (-d2[1]) - (-d2[0]) * d1[1]
+            if abs(det) > 1e-12:
+                t = (rhs[0] * (-d2[1]) - (-d2[0]) * rhs[1]) / det
+                m = b + o1 + t * d1
+                if np.hypot(*(m - b)) <= miter_limit * hw:
+                    use_miter = True
+        if use_miter:
+            out.append(_ccw(np.array([b, b + o1, m, b + o2])))
+        else:
+            out.append(_ccw(np.array([b, b + o1, b + o2])))
+
+    def add_cap(p, d):
+        """Cap at endpoint p, unit direction d pointing AWAY from the
+        stroked piece."""
+        if cap == ROUND_CAP:
+            out.append(_disc(p[0], p[1], hw))
+        elif cap == SQUARE_CAP:
+            n = np.array([-d[1], d[0]]) * hw
+            e = d * hw
+            out.append(
+                _ccw(np.array([p + n, p + n + e, p - n + e, p - n]))
+            )
+
     for poly in polys:
         pts = np.asarray(poly, dtype=np.float64)
-        for i in range(len(pts) - 1):
-            (xa, ya), (xb, yb) = pts[i], pts[i + 1]
-            dx, dy = xb - xa, yb - ya
-            n = (dx * dx + dy * dy) ** 0.5
-            if n == 0:
+        if len(pts) < 2:
+            continue
+        closed = len(pts) >= 3 and bool(np.all(pts[0] == pts[-1]))
+        pieces = (
+            dash_polyline(pts, dash[0], dash[1]) if dash else [pts]
+        )
+        whole = len(pieces) == 1 and pieces[0] is pts
+        for piece in pieces:
+            p = np.asarray(piece, dtype=np.float64)
+            # drop zero-length segments, keep direction list aligned
+            d = np.diff(p, axis=0)
+            ln = np.hypot(d[:, 0], d[:, 1])
+            keep = ln > 0
+            if not keep.any():
                 continue
-            nx, ny = -dy / n * hw, dx / n * hw
-            quads.append(
-                np.array(
-                    [
-                        [xa + nx, ya + ny],
-                        [xb + nx, yb + ny],
-                        [xb - nx, yb - ny],
-                        [xa - nx, ya - ny],
-                    ]
-                )
-            )
-    return quads
+            segs = []
+            for i in np.nonzero(keep)[0]:
+                a, b = p[i], p[i + 1]
+                u = d[i] / ln[i]
+                n = np.array([-u[1], u[0]]) * hw
+                out.append(_ccw(np.array([a + n, b + n, b - n, a - n])))
+                segs.append((a, b, u))
+            for i in range(len(segs) - 1):
+                add_join(segs[i][1], segs[i][2], segs[i + 1][2])
+            piece_closed = closed and whole
+            if piece_closed:
+                add_join(segs[-1][1], segs[-1][2], segs[0][2])
+            else:
+                add_cap(segs[0][0], -segs[0][2])
+                add_cap(segs[-1][1], segs[-1][2])
+    return out
 
 
 class Canvas:
-    """RGB8 canvas with a clip-mask stack."""
+    """RGB8 canvas with a clip-mask stack.
 
-    def __init__(self, width: int, height: int, bg=(255, 255, 255)):
+    `track_coverage=True` (transparency-group offscreens) adds a float
+    per-pixel coverage/alpha plane updated by every paint under the
+    Porter-Duff over rule, so the group can later be composited onto
+    its backdrop with one multiply (the reference's draw device keeps
+    the same group pixmap + alpha in fz_draw_begin_group,
+    src/vcl/digtypes.pas:772-800)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        bg=(255, 255, 255),
+        track_coverage: bool = False,
+    ):
         self.width = width
         self.height = height
         self.pix = np.empty((height, width, 3), dtype=np.uint8)
         self.pix[:] = np.asarray(bg, dtype=np.uint8)
         self.clip_stack = [np.ones((height, width), dtype=bool)]
+        self.cov = (
+            np.zeros((height, width), dtype=np.float64)
+            if track_coverage
+            else None
+        )
 
     @property
     def clip(self) -> np.ndarray:
@@ -173,11 +333,49 @@ class Canvas:
         if len(self.clip_stack) > 1:
             self.clip_stack.pop()
 
-    def paint_mask(self, mask: np.ndarray, rgb):
-        m = mask & self.clip
-        self.pix[m] = np.asarray(rgb, dtype=np.uint8)
+    def _blend_at(self, ys, xs, colors, alpha):
+        """Porter-Duff OVER at the given pixel indices. `colors` is
+        (n,3) float or a single rgb; `alpha` is scalar or (n,) float."""
+        a = np.asarray(alpha, dtype=np.float64)
+        if a.ndim == 0 and float(a) >= 1.0:
+            self.pix[ys, xs] = np.asarray(
+                np.round(colors), dtype=np.uint8
+            )
+            if self.cov is not None:
+                self.cov[ys, xs] = 1.0
+            return
+        af = a if a.ndim else float(a)
+        old = self.pix[ys, xs].astype(np.float64)
+        c = np.asarray(colors, dtype=np.float64)
+        if c.ndim == 1:
+            c = c[None, :]
+        aa = af[:, None] if np.ndim(af) else af
+        self.pix[ys, xs] = np.clip(
+            np.round(c * aa + old * (1.0 - aa)), 0, 255
+        ).astype(np.uint8)
+        if self.cov is not None:
+            self.cov[ys, xs] = af + self.cov[ys, xs] * (1.0 - af)
 
-    def paint_image(self, mask: np.ndarray, ctm, img: np.ndarray):
+    def paint_mask(self, mask: np.ndarray, rgb, alpha=None):
+        """alpha: None/1.0 (opaque fast path), scalar in [0,1], or a
+        full (h, w) float map (constant alpha x soft mask)."""
+        m = mask & self.clip
+        if alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0):
+            self.pix[m] = np.asarray(rgb, dtype=np.uint8)
+            if self.cov is not None:
+                self.cov[m] = 1.0
+            return
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            return
+        a = (
+            np.asarray(alpha, dtype=np.float64)[ys, xs]
+            if np.ndim(alpha) == 2
+            else float(alpha)
+        )
+        self._blend_at(ys, xs, np.asarray(rgb, dtype=np.float64), a)
+
+    def paint_image(self, mask: np.ndarray, ctm, img: np.ndarray, alpha=None):
         """Paint a decoded (h, w, 3) image mapped through `ctm` (the PDF
         image convention: unit square -> device, image row 0 at TOP of
         the unit square's y=1 edge). Nearest-neighbor inverse sampling
@@ -202,4 +400,16 @@ class Canvas:
         sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
         sy = np.clip(((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
         inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
-        self.pix[ys[inside], xs[inside]] = img[sy[inside], sx[inside]]
+        ys, xs = ys[inside], xs[inside]
+        cols = img[sy[inside], sx[inside]]
+        if alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0):
+            self.pix[ys, xs] = cols
+            if self.cov is not None:
+                self.cov[ys, xs] = 1.0
+            return
+        av = (
+            np.asarray(alpha, dtype=np.float64)[ys, xs]
+            if np.ndim(alpha) == 2
+            else float(alpha)
+        )
+        self._blend_at(ys, xs, cols.astype(np.float64), av)

@@ -9,8 +9,10 @@ fill_shade and the mode-aware text hook), and the device rasterizes into
 a NumPy RGB canvas via pdfcore/raster.py.
 
 Fidelity envelope (documented, test-pinned):
-- fills/strokes/clips: hard-edge scanline coverage (no anti-aliasing);
-  strokes are per-segment quads (butt caps, no joins);
+- fills/strokes/clips: hard-edge scanline coverage (no anti-aliasing
+  unless supersample > 1); strokes honor the full stroke state: line
+  width, butt/round/projecting caps, miter (with limit) / round /
+  bevel joins, dash arrays with phase;
 - text: real glyph outlines from embedded TrueType (glyf) and CFF
   (Type2) programs via pdfcore/glyphs.py; fonts without an embedded
   program (base-14 references) draw nothing and record
@@ -18,7 +20,18 @@ Fidelity envelope (documented, test-pinned):
 - images: Flate/LZW-class rasters through extract_image(transcode=True)
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
 - shadings: axial (type 2) and radial (type 3) through functions.py
-  with a 256-sample LUT; other types record `raster_shading_type`;
+  with a 256-sample LUT; triangle meshes (types 4/5) by barycentric
+  Gouraud interpolation; Coons/tensor patches (6/7) record
+  `raster_shading_type`;
+- patterns: tiling patterns (PatternType 1) replayed per tile clipped
+  to the fill region (fz_draw_begin_tile,
+  src/vcl/draw_devicess.pas:1349), shading patterns (PatternType 2)
+  routed to fill_shade under the fill's coverage mask;
+- transparency: /CA /ca constant alphas blend per paint op; /SMask
+  luminosity+alpha soft masks build a page-size alpha map from a
+  nested render of the mask group; transparency-group form XObjects
+  composite through an offscreen coverage-tracking canvas (treated as
+  isolated; non-Normal blend modes record `raster_blend_mode:*`);
 - inline images (BI..ID..EI): AHx/A85/Fl/RL or raw payloads painted
   (8-bpc G/RGB/CMYK, 1-bpc gray, ImageMask stencils in the fill
   color); DCT/JPX inline payloads record `raster_inline_image`.
@@ -33,7 +46,7 @@ from .raster import (
     NONZERO,
     Canvas,
     coverage_mask,
-    stroke_polys,
+    stroke_outline,
     transform_poly,
 )
 
@@ -68,11 +81,22 @@ class RasterDevice:
         while len(self.canvas.clip_stack) > max(depth, 1):
             self.canvas.pop_clip()
 
+    # --- alpha resolution ----------------------------------------------------
+    def _alpha(self, gs, stroke: bool = False):
+        """None (opaque fast path), a scalar, or a (h, w) float map
+        (constant alpha x /SMask luminosity)."""
+        if gs is None:
+            return None
+        a = gs.stroke_alpha if stroke else gs.fill_alpha
+        if gs.smask is not None:
+            return gs.smask * a
+        return None if a >= 1.0 else a
+
     # --- path hooks ----------------------------------------------------------
     def _device_polys(self, polys, ctm):
         return [transform_poly(p, ctm) for p in polys if len(p) >= 2]
 
-    def fill_path(self, polys, evenodd: bool, ctm, rgb):
+    def fill_path(self, polys, evenodd: bool, ctm, rgb, gs=None):
         dp = self._device_polys(polys, ctm)
         mask = coverage_mask(
             dp,
@@ -80,19 +104,37 @@ class RasterDevice:
             self.canvas.height,
             EVENODD if evenodd else NONZERO,
         )
-        self.canvas.paint_mask(mask, rgb)
+        if gs is not None and gs.fill_pattern is not None:
+            self._paint_pattern(mask, gs, stroke=False)
+            return
+        self.canvas.paint_mask(mask, rgb, self._alpha(gs))
 
-    def stroke_path(self, polys, ctm, rgb, line_width: float):
+    def _stroke_mask(self, polys, ctm, line_width: float, gs=None):
         dp = self._device_polys(polys, ctm)
         a, b, c, d, _e, _f = ctm
         scale = abs(a * d - b * c) ** 0.5 or 1.0
-        quads = stroke_polys(dp, max(line_width, 0.0) * scale)
-        mask = np.zeros((self.canvas.height, self.canvas.width), dtype=bool)
-        for q in quads:
-            mask |= coverage_mask(
-                [q], self.canvas.width, self.canvas.height, NONZERO
-            )
-        self.canvas.paint_mask(mask, rgb)
+        cap, join, ml, dash = 0, 0, 10.0, None
+        if gs is not None:
+            cap, join, ml = gs.line_cap, gs.line_join, gs.miter_limit
+            arr, phase = gs.dash
+            if arr and any(float(v) > 0 for v in arr):
+                dash = (
+                    [float(v) * scale for v in arr],
+                    float(phase) * scale,
+                )
+        outline = stroke_outline(
+            dp, max(line_width, 0.0) * scale, cap, join, ml, dash
+        )
+        return coverage_mask(
+            outline, self.canvas.width, self.canvas.height, NONZERO
+        )
+
+    def stroke_path(self, polys, ctm, rgb, line_width: float, gs=None):
+        mask = self._stroke_mask(polys, ctm, line_width, gs)
+        if gs is not None and gs.stroke_pattern is not None:
+            self._paint_pattern(mask, gs, stroke=True)
+            return
+        self.canvas.paint_mask(mask, rgb, self._alpha(gs, stroke=True))
 
     def clip_path(self, polys, evenodd: bool, ctm):
         dp = self._device_polys(polys, ctm)
@@ -104,6 +146,216 @@ class RasterDevice:
                 EVENODD if evenodd else NONZERO,
             )
         )
+
+    # --- patterns (fz_draw_begin_tile, src/vcl/draw_devicess.pas:1349) ------
+    def _paint_pattern(self, mask, gs, stroke: bool = False):
+        from .cos import to_int
+
+        doc = self.doc
+        pref, pat, base_ctm, scn_rgb = (
+            gs.stroke_pattern if stroke else gs.fill_pattern
+        )
+        ptype = to_int(doc.resolve(pat.get("PatternType")))
+        mat = doc.resolve(pat.get("Matrix"))
+        pm = (
+            tuple(float(doc.resolve(v)) for v in mat[:6])
+            if isinstance(mat, list) and len(mat) >= 6
+            else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        )
+        pctm = _concat(pm, base_ctm)
+        if ptype == 2:
+            self.canvas.push_clip(mask)
+            try:
+                self.fill_shade(
+                    doc, pat.get("Shading"), pctm,
+                    alpha=self._alpha(gs, stroke),
+                )
+            finally:
+                self.canvas.pop_clip()
+        elif ptype == 1:
+            self._replay_tiling(pref, pat, mask, pctm, gs, stroke, scn_rgb)
+        else:
+            doc.note_failure(f"raster_pattern_type:{ptype}")
+
+    _MAX_TILES = 4096
+
+    def _replay_tiling(self, pref, pat, mask, pctm, gs, stroke, scn_rgb):
+        """PatternType 1: replay the cell content stream once per tile
+        of the XStep/YStep grid covering the fill region, each replay
+        clipped to the cell /BBox — the tile-replay shape of
+        fz_draw_begin_tile (the reference caches one rendered cell and
+        stamps it; direct replay keeps pixel pins resample-exact).
+        PaintType 2 (uncolored) cells start from the scn color."""
+        from .cos import is_indirect
+        from .interp import CSI, run_buffer
+
+        doc = self.doc
+        if not (is_indirect(pref) and doc.is_stream(pref)):
+            doc.note_failure("raster_pattern_stream")
+            return
+        raw_bbox = doc.resolve(pat.get("BBox"))
+        if not (isinstance(raw_bbox, list) and len(raw_bbox) >= 4):
+            doc.note_failure("raster_pattern_bbox")
+            return
+        bx0, by0, bx1, by1 = (float(doc.resolve(v)) for v in raw_bbox[:4])
+        xstep = float(doc.resolve(pat.get("XStep")) or 0.0) or (bx1 - bx0)
+        ystep = float(doc.resolve(pat.get("YStep")) or 0.0) or (by1 - by0)
+        if xstep == 0 or ystep == 0:
+            doc.note_failure("raster_pattern_step")
+            return
+        ys, xs = np.nonzero(mask & self.canvas.clip)
+        if len(ys) == 0:
+            return
+        # device bbox of the fill region -> pattern-space AABB
+        a, b, c, d, e, f = pctm
+        det = a * d - b * c
+        if det == 0:
+            return
+        ia, ib = d / det, -b / det
+        ic, id_ = -c / det, a / det
+        ie = -(e * ia + f * ic)
+        if_ = -(e * ib + f * id_)
+        dx0, dx1 = xs.min(), xs.max() + 1.0
+        dy0, dy1 = ys.min(), ys.max() + 1.0
+        corners = np.array(
+            [[dx0, dy0], [dx1, dy0], [dx0, dy1], [dx1, dy1]], dtype=float
+        )
+        pu = corners[:, 0] * ia + corners[:, 1] * ic + ie
+        pv = corners[:, 0] * ib + corners[:, 1] * id_ + if_
+        import math
+
+        i0 = math.ceil((pu.min() - bx1) / xstep)
+        i1 = math.floor((pu.max() - bx0) / xstep)
+        j0 = math.ceil((pv.min() - by1) / ystep)
+        j1 = math.floor((pv.max() - by0) / ystep)
+        ntiles = max(0, i1 - i0 + 1) * max(0, j1 - j0 + 1)
+        if ntiles > self._MAX_TILES:
+            doc.note_failure("raster_pattern_tiles")
+            # paint the centermost tiles only, bounded
+            span = int(self._MAX_TILES**0.5)
+            i1 = min(i1, i0 + span - 1)
+            j1 = min(j1, j0 + span - 1)
+        try:
+            contents = doc.load_stream(pref.num)
+        except Exception:
+            doc.note_failure("raster_pattern_stream")
+            return
+        resources = doc.resolve(pat.get("Resources"))
+        if not isinstance(resources, dict):
+            resources = None
+        cell = [(bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1)]
+        self.canvas.push_clip(mask)
+        try:
+            for j in range(j0, j1 + 1):
+                for i in range(i0, i1 + 1):
+                    tctm = _concat(
+                        (1.0, 0.0, 0.0, 1.0, i * xstep, j * ystep), pctm
+                    )
+                    self.canvas.push_clip(
+                        coverage_mask(
+                            [transform_poly(cell, tctm)],
+                            self.canvas.width,
+                            self.canvas.height,
+                            NONZERO,
+                        )
+                    )
+                    try:
+                        csi = CSI(doc, self, tctm)
+                        # outer alpha/soft-mask state carries into the cell
+                        csi.gs.fill_alpha = gs.fill_alpha
+                        csi.gs.stroke_alpha = gs.stroke_alpha
+                        csi.gs.smask = gs.smask
+                        if scn_rgb is not None:  # PaintType 2 base color
+                            csi.gs.fill_rgb = scn_rgb
+                            csi.gs.stroke_rgb = scn_rgb
+                        run_buffer(csi, resources, contents)
+                        csi.flush_text()
+                    except Exception:
+                        doc.note_failure("raster_pattern_error")
+                    finally:
+                        self.canvas.pop_clip()
+        finally:
+            self.canvas.pop_clip()
+
+    # --- soft masks + transparency groups (digtypes.pas:772-800) ------------
+    def build_smask(self, doc, sm, ctm, rdb):
+        """/SMask in ExtGState: render the mask group /G through a
+        nested pass and reduce to a (h, w) float alpha map — luminosity
+        (Rec.601 luma over the /BC backdrop, default black) or alpha
+        (the group's coverage plane). Returns None when the mask can't
+        be built (failure code recorded)."""
+        from .cos import is_indirect, to_name
+        from .interp import CSI, run_form_xobject
+
+        styp = to_name(doc.resolve(sm.get("S"))) or "Alpha"
+        gref = sm.get("G")
+        g = doc.resolve(gref)
+        if not (isinstance(g, dict) and is_indirect(gref)):
+            doc.note_failure("raster_smask_missing")
+            return None
+        tr = doc.resolve(sm.get("TR"))
+        if tr is not None and to_name(tr) != "Identity":
+            doc.note_failure("raster_smask_tr")
+        bg = (0, 0, 0)
+        bc = doc.resolve(sm.get("BC"))
+        if isinstance(bc, list) and bc:
+            vals = [
+                max(0.0, min(1.0, float(doc.resolve(v)))) for v in bc
+            ]
+            if len(vals) == 1:
+                bg = tuple(int(round(vals[0] * 255)) for _ in range(3))
+            elif len(vals) >= 4:
+                cmy = [(1 - v) * (1 - vals[3]) for v in vals[:3]]
+                bg = tuple(int(round(v * 255)) for v in cmy)
+            else:
+                bg = tuple(int(round(v * 255)) for v in vals[:3])
+        off = Canvas(
+            self.canvas.width,
+            self.canvas.height,
+            bg=bg,
+            track_coverage=(styp != "Luminosity"),
+        )
+        old = self.canvas
+        self.canvas = off
+        try:
+            csi = CSI(doc, self, ctm)
+            run_form_xobject(csi, rdb, gref, g, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+        except Exception:
+            doc.note_failure("raster_smask_error")
+            return None
+        finally:
+            self.canvas = old
+        if styp == "Luminosity":
+            p = off.pix.astype(np.float64)
+            return (
+                0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+            ) / 255.0
+        return off.cov.copy()
+
+    def begin_group(self):
+        """Swap in an offscreen coverage-tracking canvas for a
+        transparency group's content; returns the parent canvas."""
+        old = self.canvas
+        off = Canvas(
+            old.width, old.height, bg=(0, 0, 0), track_coverage=True
+        )
+        off.clip_stack = list(old.clip_stack)
+        self.canvas = off
+        return old
+
+    def end_group(self, parent, alpha: float = 1.0, smask=None):
+        """Composite the offscreen group onto `parent` with the group's
+        constant alpha x optional soft mask (isolated-group model)."""
+        off = self.canvas
+        self.canvas = parent
+        a = off.cov * float(alpha)
+        if smask is not None:
+            a = a * smask
+        ys, xs = np.nonzero(a > 1e-6)
+        if len(ys):
+            parent._blend_at(
+                ys, xs, off.pix[ys, xs].astype(np.float64), a[ys, xs]
+            )
 
     # --- text hook (mode-aware, called once per flushed run) ----------------
     def text(self, run, ctm, mode: int, gs):
@@ -145,7 +397,9 @@ class RasterDevice:
             mask = coverage_mask(
                 polys, self.canvas.width, self.canvas.height, NONZERO
             )
-            self.canvas.paint_mask(mask, rgb)
+            self.canvas.paint_mask(
+                mask, rgb, self._alpha(gs, stroke=mode in (1, 5))
+            )
         if missing:
             self.doc.note_failure("raster_no_outline")
 
@@ -195,7 +449,7 @@ class RasterDevice:
             self.doc.note_failure("raster_no_outline")
 
     # --- images --------------------------------------------------------------
-    def fill_image(self, doc, num: int, obj: dict, ctm, fill_rgb=(0, 0, 0)):
+    def fill_image(self, doc, num: int, obj: dict, ctm, fill_rgb=(0, 0, 0), gs=None):
         from .cos import to_int
         from .images import extract_image
         from ..operators.mediadec import MediaDecodeError, decode_image
@@ -228,7 +482,7 @@ class RasterDevice:
             mask = coverage_mask(
                 [unit], self.canvas.width, self.canvas.height, NONZERO
             )
-            self._paint_stencil(mask, ctm, paint, fill_rgb)
+            self._paint_stencil(mask, ctm, paint, fill_rgb, self._alpha(gs))
             return
 
         try:
@@ -262,9 +516,9 @@ class RasterDevice:
         mask = coverage_mask(
             [unit], self.canvas.width, self.canvas.height, NONZERO
         )
-        self.canvas.paint_image(mask, ctm, arr)
+        self.canvas.paint_image(mask, ctm, arr, self._alpha(gs))
 
-    def fill_inline_image(self, doc, d: dict, payload: bytes, ctm, fill_rgb=(0, 0, 0)):
+    def fill_inline_image(self, doc, d: dict, payload: bytes, ctm, fill_rgb=(0, 0, 0), gs=None):
         """BI..ID..EI images: decode the captured payload (abbreviated
         dict keys, AHx/A85/Fl/RL or raw) and paint like an XObject.
         1-bpc ImageMasks stencil the CURRENT fill color (sample 0 paints
@@ -329,7 +583,7 @@ class RasterDevice:
             paint = bits == (1 if inverted else 0)
             if is_mask:
                 # stencil: sample-selected pixels take the fill color
-                self._paint_stencil(mask, ctm, paint, fill_rgb)
+                self._paint_stencil(mask, ctm, paint, fill_rgb, self._alpha(gs))
                 return
             gray = np.where(paint, 0, 255).astype(np.uint8)
             arr = np.repeat(gray[:, :, None], 3, axis=2)
@@ -356,9 +610,9 @@ class RasterDevice:
                 c = a.astype(np.float64) / 255.0
                 rgbf = (1 - c[:, :, :3]) * (1 - c[:, :, 3:4])
                 arr = np.round(rgbf * 255).astype(np.uint8)
-        self.canvas.paint_image(mask, ctm, arr)
+        self.canvas.paint_image(mask, ctm, arr, self._alpha(gs))
 
-    def _paint_stencil(self, mask, ctm, paint: np.ndarray, fill_rgb):
+    def _paint_stencil(self, mask, ctm, paint: np.ndarray, fill_rgb, alpha=None):
         """ImageMask stenciling: inverse-map covered pixels and color
         the selected samples with the gstate fill color at BI time."""
         a, b, c, d_, e, f = ctm
@@ -380,19 +634,36 @@ class RasterDevice:
         sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
         sy = np.clip(((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
         sel = inside & paint[sy, sx]
-        self.canvas.pix[ys[sel], xs[sel]] = np.asarray(
-            fill_rgb, dtype=np.uint8
+        pys, pxs = ys[sel], xs[sel]
+        if len(pys) == 0:
+            return
+        av = (
+            np.asarray(alpha, dtype=np.float64)[pys, pxs]
+            if np.ndim(alpha) == 2
+            else (1.0 if alpha is None else float(alpha))
+        )
+        self.canvas._blend_at(
+            pys, pxs, np.asarray(fill_rgb, dtype=np.float64), av
         )
 
     # --- shadings ------------------------------------------------------------
-    def fill_shade(self, doc, shd, ctm):
-        from .cos import to_int, to_name
+    def fill_shade(self, doc, shd, ctm, gs=None, alpha=None):
+        """`shd` may be the indirect ref (kept so mesh types 4/5 can
+        load the vertex stream) or the resolved dict."""
+        from .cos import is_indirect, to_int, to_name
         from .functions import eval_function, load_function
 
+        shd_ref = shd if is_indirect(shd) else None
+        shd = doc.resolve(shd)
+        if alpha is None:
+            alpha = self._alpha(gs)
         if not isinstance(shd, dict):
             doc.note_failure("raster_shading_missing")
             return
         stype = to_int(doc.resolve(shd.get("ShadingType")))
+        if stype in (4, 5):
+            self._fill_mesh_shade(doc, shd_ref, shd, stype, ctm, alpha)
+            return
         if stype not in (2, 3):
             doc.note_failure(f"raster_shading_type:{stype}")
             return
@@ -482,7 +753,208 @@ class RasterDevice:
             painted &= s <= 1.0
         s = np.clip(s, 0.0, 1.0)
         idx = np.clip((s * 255).astype(np.int64), 0, 255)
-        self.canvas.pix[ys[painted], xs[painted]] = lut8[idx[painted]]
+        pys, pxs = ys[painted], xs[painted]
+        if len(pys) == 0:
+            return
+        av = (
+            np.asarray(alpha, dtype=np.float64)[pys, pxs]
+            if np.ndim(alpha) == 2
+            else (1.0 if alpha is None else float(alpha))
+        )
+        self.canvas._blend_at(
+            pys, pxs, lut8[idx[painted]].astype(np.float64), av
+        )
+
+    def _fill_mesh_shade(self, doc, shd_ref, shd, stype, ctm, alpha):
+        """Types 4/5: decode the packed vertex stream and Gouraud-fill
+        each triangle by barycentric interpolation at covered pixel
+        centers (the reference evaluates meshes in
+        src/vcl/pdf_shadess.pas and paints through the draw device's
+        triangle path)."""
+        from .cos import to_int, to_name
+        from .functions import eval_function, load_function
+
+        if shd_ref is None or not doc.is_stream(shd_ref):
+            doc.note_failure("raster_shading_stream")
+            return
+        try:
+            data = doc.load_stream(shd_ref.num)
+        except Exception:
+            doc.note_failure("raster_shading_stream")
+            return
+        csname = to_name(doc.resolve(shd.get("ColorSpace")))
+        if csname not in ("DeviceRGB", "DeviceGray"):
+            doc.note_failure(f"raster_shading_cs:{csname}")
+            return
+        bpc = to_int(doc.resolve(shd.get("BitsPerCoordinate"))) or 0
+        bpcomp = to_int(doc.resolve(shd.get("BitsPerComponent"))) or 0
+        bpf = to_int(doc.resolve(shd.get("BitsPerFlag"))) or 8
+        dec = doc.resolve(shd.get("Decode"))
+        if not (isinstance(dec, list) and len(dec) >= 6 and bpc and bpcomp):
+            doc.note_failure("raster_shading_mesh")
+            return
+        dec = [float(doc.resolve(v)) for v in dec]
+        fn_obj = shd.get("Function")
+        fn = None
+        if doc.resolve(fn_obj) is not None:
+            try:
+                fn = load_function(doc, fn_obj)
+            except Exception:
+                doc.note_failure("raster_shading_fn")
+                return
+        ncomp = 1 if fn is not None else (1 if csname == "DeviceGray" else 3)
+        if len(dec) < 4 + 2 * ncomp:
+            doc.note_failure("raster_shading_mesh")
+            return
+
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        pos = 0
+
+        def read(nbits: int) -> int:
+            nonlocal pos
+            if pos + nbits > len(bits):
+                raise EOFError
+            v = 0
+            for b in bits[pos : pos + nbits]:
+                v = (v << 1) | int(b)
+            pos += nbits
+            return v
+
+        def dval(raw: int, nbits: int, lo: float, hi: float) -> float:
+            return lo + raw * (hi - lo) / ((1 << nbits) - 1)
+
+        def read_vertex():
+            x = dval(read(bpc), bpc, dec[0], dec[1])
+            y = dval(read(bpc), bpc, dec[2], dec[3])
+            comps = [
+                dval(read(bpcomp), bpcomp, dec[4 + 2 * k], dec[5 + 2 * k])
+                for k in range(ncomp)
+            ]
+            return x, y, comps
+
+        verts = []  # (x, y, comps)
+        tris = []  # (i, j, k) indices into verts
+        try:
+            if stype == 5:
+                vpr = to_int(doc.resolve(shd.get("VerticesPerRow"))) or 0
+                if vpr < 2:
+                    doc.note_failure("raster_shading_mesh")
+                    return
+                rows = []
+                while pos + (2 * bpc + ncomp * bpcomp) <= len(bits):
+                    row = [read_vertex() for _ in range(vpr)]
+                    rows.append(row)
+                for r in range(len(rows) - 1):
+                    base_a = r * vpr
+                    base_b = (r + 1) * vpr
+                    for jj in range(vpr - 1):
+                        tris.append((base_a + jj, base_a + jj + 1, base_b + jj))
+                        tris.append(
+                            (base_a + jj + 1, base_b + jj + 1, base_b + jj)
+                        )
+                verts = [v for row in rows for v in row]
+            else:  # type 4: free-form with edge flags, byte-aligned rows
+                va = vb = vc = None
+                while True:
+                    pos = (pos + 7) & ~7  # each vertex starts on a byte
+                    if pos + bpf + 2 * bpc + ncomp * bpcomp > len(bits):
+                        break
+                    flag = read(bpf)
+                    v = read_vertex()
+                    verts.append(v)
+                    i = len(verts) - 1
+                    if flag == 0:
+                        if va is None:
+                            va = i
+                        elif vb is None:
+                            vb = i
+                        else:
+                            vc = i
+                            tris.append((va, vb, vc))
+                            va = vb = vc = None
+                    else:
+                        if not tris:
+                            continue  # malformed: 1/2 before any triangle
+                        if flag == 1:
+                            tris.append((tris[-1][1], tris[-1][2], i))
+                        else:
+                            tris.append((tris[-1][0], tris[-1][2], i))
+        except EOFError:
+            pass
+        if not tris:
+            doc.note_failure("raster_shading_mesh")
+            return
+        a, b, c, d, e, f = ctm
+        W, Hh = self.canvas.width, self.canvas.height
+        clip = self.canvas.clip
+        for (i1, i2, i3) in tris:
+            P = np.array(
+                [
+                    [
+                        verts[i][0] * a + verts[i][1] * c + e,
+                        verts[i][0] * b + verts[i][1] * d + f,
+                    ]
+                    for i in (i1, i2, i3)
+                ]
+            )
+            if fn is not None:
+                ts = np.array([[verts[i][2][0]] for i in (i1, i2, i3)])
+                cols = eval_function(fn, ts)
+                if cols.shape[1] == 1:
+                    cols = np.repeat(cols, 3, axis=1)
+                C = np.clip(cols[:, :3] * 255.0, 0, 255)
+            else:
+                C = np.array(
+                    [
+                        (
+                            [verts[i][2][0]] * 3
+                            if ncomp == 1
+                            else verts[i][2][:3]
+                        )
+                        for i in (i1, i2, i3)
+                    ]
+                )
+                C = np.clip(C * 255.0, 0, 255)
+            x0 = max(0, int(np.floor(P[:, 0].min())))
+            x1 = min(W - 1, int(np.ceil(P[:, 0].max())))
+            y0 = max(0, int(np.floor(P[:, 1].min())))
+            y1 = min(Hh - 1, int(np.ceil(P[:, 1].max())))
+            if x1 < x0 or y1 < y0:
+                continue
+            gx, gy = np.meshgrid(
+                np.arange(x0, x1 + 1) + 0.5, np.arange(y0, y1 + 1) + 0.5
+            )
+            d0 = (P[1, 0] - P[0, 0]) * (P[2, 1] - P[0, 1]) - (
+                P[2, 0] - P[0, 0]
+            ) * (P[1, 1] - P[0, 1])
+            if abs(d0) < 1e-12:
+                continue
+            l1 = (
+                (gx - P[0, 0]) * (P[2, 1] - P[0, 1])
+                - (P[2, 0] - P[0, 0]) * (gy - P[0, 1])
+            ) / d0
+            l2 = (
+                (P[1, 0] - P[0, 0]) * (gy - P[0, 1])
+                - (gx - P[0, 0]) * (P[1, 1] - P[0, 1])
+            ) / d0
+            l0 = 1.0 - l1 - l2
+            inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            inside &= clip[y0 : y1 + 1, x0 : x1 + 1]
+            if not inside.any():
+                continue
+            iy, ix = np.nonzero(inside)
+            cols_px = (
+                l0[iy, ix, None] * C[0]
+                + l1[iy, ix, None] * C[1]
+                + l2[iy, ix, None] * C[2]
+            )
+            pys, pxs = iy + y0, ix + x0
+            av = (
+                np.asarray(alpha, dtype=np.float64)[pys, pxs]
+                if np.ndim(alpha) == 2
+                else (1.0 if alpha is None else float(alpha))
+            )
+            self.canvas._blend_at(pys, pxs, cols_px, av)
 
 
 def render_page(

@@ -177,3 +177,22 @@ def test_topk_orders_take_ordered_not_global_window(spark):
     # scan reads only the two needed orders columns
     rep = plan_report(df)
     assert rep["read_schema"] and "o_custkey" not in rep["read_schema"][0], rep
+
+
+def test_pq_rerank_shortlist_join_broadcasts(spark):
+    """VERDICT r5 'what's wrong' #2: the exact-rerank stage joins a
+    tiny nq*k*rf shortlist back to the (at scale, 100-TB) embeddings
+    table — that join must be a BroadcastHashJoin with the shortlist
+    as build side, never a shuffle of the corpus by vec_id."""
+    from pyspark.sql import functions as F
+
+    from delphi_pdf_parser_spark.operators.similarity import pq_topk
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qs = e.filter(F.col("vec_id") < 3)
+    df = pq_topk(e, qs, k=3, refine_factor=4)
+    rep = plan_report(df)
+    # two broadcast joins on the rerank tail (shortlist->embeddings,
+    # queries->candidates); no sort-merge join anywhere in the plan
+    assert rep["broadcast_joins"] >= 2, rep
+    assert rep["sortmerge_joins"] == 0, rep

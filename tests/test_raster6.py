@@ -1,0 +1,447 @@
+"""Round-6 raster fidelity: closed-subpath strokes (`re`/`h`), stroke
+state (dash / caps / joins), tiling + shading patterns, /SMask soft
+masks, transparency groups with constant alpha, mesh shadings 4/5, and
+CFF flex operators. All pixel pins hand-computed (device row = 792 -
+user_y for the unrotated 612x792 page)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from delphi_pdf_parser_spark.fixtures import PdfBuilder
+from delphi_pdf_parser_spark.pdfcore.rasterdev import render_page
+
+
+def page_doc(content: bytes, resources: str):
+    """catalog(1) pages(2) page(3) content(4); objects 5+ free."""
+    b = PdfBuilder()
+    cat = b.add("<< /Type /Catalog /Pages 2 0 R >>")
+    b.add("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        f"/Resources {resources} /Contents 4 0 R >>"
+    )
+    b.add(f"<< /Length {len(content)} >>", content)
+    return b, cat
+
+
+def render(content: bytes, resources: str = "<< >>", extra=None):
+    b, cat = page_doc(content, resources)
+    if extra:
+        extra(b)
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    return pix, fails
+
+
+BLACK, WHITE = (0, 0, 0), (255, 255, 255)
+
+
+def px(pix, ux, uy):
+    """Pixel at user-space point (PDF y-up) -> tuple rgb."""
+    return tuple(pix[792 - uy, ux])
+
+
+# --- closed-subpath strokes (ADVICE r5 #1) ---------------------------------
+
+def test_re_stroke_paints_all_four_edges():
+    """PDF 32000 8.5.2.1: `re` is a COMPLETE closed subpath, so
+    `re S` strokes 4 edges — including the left (closing) edge."""
+    pix, fails = render(b"0 0 0 RG 4 w 100 100 200 150 re S")
+    assert fails == {}
+    assert px(pix, 100, 175) == BLACK  # left edge (the one that was lost)
+    assert px(pix, 300, 175) == BLACK  # right edge
+    assert px(pix, 200, 100) == BLACK  # bottom edge
+    assert px(pix, 200, 250) == BLACK  # top edge
+    assert px(pix, 200, 175) == WHITE  # interior
+    assert px(pix, 90, 175) == WHITE  # outside
+
+
+def test_h_closed_subpath_strokes_closing_edge():
+    """m/l/l + h + S: the h-closed triangle strokes its closing edge."""
+    pix, fails = render(
+        b"0 0 0 RG 4 w 100 400 m 200 400 l 100 500 l h S"
+    )
+    assert fails == {}
+    # closing edge runs from (100,500) back to (100,400): x=100 vertical
+    assert px(pix, 100, 450) == BLACK
+    assert px(pix, 130, 430) == WHITE  # interior stays empty
+
+
+# --- dash / caps / joins ----------------------------------------------------
+
+def test_dash_pattern_with_phase():
+    pix, fails = render(b"[10 10] 0 d 8 w 100 400 m 300 400 l S")
+    assert fails == {}
+    assert px(pix, 104, 400) == BLACK  # first ON run [100,110)
+    assert px(pix, 115, 400) == WHITE  # OFF run [110,120)
+    assert px(pix, 125, 400) == BLACK  # second ON run [120,130)
+    # phase 10 starts mid-cycle: first run is OFF
+    pix2, _ = render(b"[10 10] 10 d 8 w 100 380 m 300 380 l S")
+    assert px(pix2, 104, 380) == WHITE
+    assert px(pix2, 115, 380) == BLACK
+
+
+def test_line_caps():
+    # butt (default): nothing past the endpoint
+    pix, _ = render(b"10 w 100 500 m 200 500 l S")
+    assert px(pix, 202, 500) == WHITE
+    # round (J 1): semicircle radius 5 past x=200
+    pix, _ = render(b"1 J 10 w 100 500 m 200 500 l S")
+    assert px(pix, 202, 500) == BLACK
+    assert px(pix, 207, 500) == WHITE  # past the radius
+    # projecting square (J 2): extends half-width past the endpoint
+    pix, _ = render(b"2 J 10 w 100 500 m 200 500 l S")
+    assert px(pix, 204, 500) == BLACK
+    assert px(pix, 207, 500) == WHITE
+
+
+def test_line_joins():
+    L = b"10 w 100 600 m 150 600 l 150 650 l S"
+    # miter (default): the outer corner square [150..155]x[595..600] fills
+    pix, _ = render(L)
+    assert px(pix, 153, 597) == BLACK
+    # bevel (j 2): corner cut - (153.5,596.5) outside, (151.5,597.5) inside
+    pix, _ = render(b"2 j " + L)
+    assert px(pix, 153, 596) == WHITE
+    assert px(pix, 151, 598) == BLACK
+    # round (j 1): disc r=5 at the vertex
+    pix, _ = render(b"1 j " + L)
+    assert px(pix, 152, 598) == BLACK  # dist ~3.5 < inradius
+    assert px(pix, 154, 596) == WHITE  # dist ~6.4 > 5
+
+
+def test_extgstate_stroke_params():
+    """/LW /LC /D flow from ExtGState into the stroke."""
+    res = "<< /ExtGState << /G1 5 0 R >> >>"
+
+    def extra(b):
+        b.add("<< /Type /ExtGState /LW 8 /LC 2 /D [[10 10] 0] >>", num=5)
+
+    pix, fails = render(
+        b"/G1 gs 100 300 m 300 300 l S", res, extra
+    )
+    assert fails == {}
+    assert px(pix, 104, 300) == BLACK  # dashed ON
+    assert px(pix, 115, 300) == WHITE  # dashed OFF
+    assert px(pix, 98, 300) == BLACK  # projecting square start cap
+
+
+# --- tiling + shading patterns ---------------------------------------------
+
+def test_tiling_pattern_fill():
+    """PatternType 1: a 20x20 cell with a red 10x10 square in its
+    lower-left quarter, tiled over a 100x100 fill region."""
+    cell = b"1 0 0 rg 0 0 10 10 re f"
+    res = "<< /Pattern << /P1 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /PatternType 1 /PaintType 1 /TilingType 1"
+            " /BBox [0 0 20 20] /XStep 20 /YStep 20"
+            f" /Resources << >> /Length {len(cell)} >>",
+            cell,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/Pattern cs /P1 scn 100 100 100 100 re f", res, extra
+    )
+    assert fails == {}
+    assert px(pix, 105, 105) == (255, 0, 0)  # inside a cell's red square
+    assert px(pix, 115, 105) == WHITE  # cell area outside the square
+    assert px(pix, 125, 125) == (255, 0, 0)  # next tile over
+    assert px(pix, 185, 185) == (255, 0, 0)  # mod 20 = (5,5): red
+    assert px(pix, 195, 195) == WHITE  # mod 20 = (15,15): unpainted
+    assert px(pix, 99, 105) == WHITE  # outside the fill region
+    assert px(pix, 201, 105) == WHITE
+
+
+def test_tiling_pattern_uncolored_takes_scn_color():
+    """PaintType 2 cells have no color: the scn operands supply it."""
+    cell = b"0 0 10 10 re f"
+    res = "<< /Pattern << /P1 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /PatternType 1 /PaintType 2 /TilingType 1"
+            " /BBox [0 0 20 20] /XStep 20 /YStep 20"
+            f" /Resources << >> /Length {len(cell)} >>",
+            cell,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/Pattern cs 0 0 1 /P1 scn 100 100 40 40 re f", res, extra
+    )
+    assert fails == {}
+    assert px(pix, 105, 105) == (0, 0, 255)
+    assert px(pix, 115, 105) == WHITE
+
+
+def test_shading_pattern_fill():
+    """PatternType 2 routes through fill_shade clipped to the fill."""
+    res = "<< /Pattern << /P2 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /PatternType 2 /Shading << /ShadingType 2"
+            " /ColorSpace /DeviceRGB /Coords [100 0 200 0]"
+            " /Function << /FunctionType 2 /Domain [0 1]"
+            " /C0 [1 0 0] /C1 [0 0 1] /N 1 >> /Extend [true true] >> >>",
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/Pattern cs /P2 scn 100 300 100 50 re f", res, extra
+    )
+    assert fails == {}
+    l, r = px(pix, 103, 325), px(pix, 197, 325)
+    assert l[0] > 220 and l[2] < 40  # red end
+    assert r[2] > 220 and r[0] < 40  # blue end
+    assert px(pix, 250, 325) == WHITE  # shading clipped to the fill re
+
+
+# --- constant alpha + soft masks + groups ----------------------------------
+
+def test_constant_fill_alpha_blends():
+    res = "<< /ExtGState << /GA << /ca 0.5 >> >> >>"
+    pix, fails = render(
+        b"/GA gs 1 0 0 rg 100 100 100 100 re f", res
+    )
+    assert fails == {}
+    assert px(pix, 150, 150) == (255, 128, 128)  # 50% red over white
+
+
+def test_smask_luminosity_gates_paint():
+    """/SMask /Luminosity: white mask area passes paint, black blocks."""
+    form = b"1 g 100 100 100 200 re f"
+    res = "<< /ExtGState << /GM << /SMask << /S /Luminosity /G 5 0 R >> >> >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency >> /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/GM gs 1 0 0 rg 50 100 300 200 re f", res, extra
+    )
+    assert fails == {}
+    assert px(pix, 150, 200) == (255, 0, 0)  # mask luma 1: full paint
+    assert px(pix, 250, 200) == WHITE  # mask luma 0: no paint
+    assert px(pix, 60, 150) == WHITE  # also outside the mask rect
+
+
+def test_smask_none_clears():
+    res = (
+        "<< /ExtGState << /GM << /SMask << /S /Luminosity /G 5 0 R >> >>"
+        " /GN << /SMask /None >> >> >>"
+    )
+    form = b"1 g 100 100 50 50 re f"
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            f" /Resources << >> /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/GM gs /GN gs 1 0 0 rg 300 300 50 50 re f", res, extra
+    )
+    assert px(pix, 325, 325) == (255, 0, 0)  # /None removed the mask
+
+
+def test_transparency_group_composites_once():
+    """Two overlapping opaque rects inside a /Group form painted at
+    ca 0.5: the overlap blends ONCE (group model), not twice."""
+    form = b"1 0 0 rg 100 100 100 100 re f 0 0 1 rg 150 100 100 100 re f"
+    res = (
+        "<< /ExtGState << /GA << /ca 0.5 >> >>"
+        " /XObject << /Fx 5 0 R >> >>"
+    )
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency >> /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(b"/GA gs /Fx Do", res, extra)
+    assert fails == {}
+    assert px(pix, 120, 150) == (255, 128, 128)  # red-only area at 50%
+    assert px(pix, 230, 150) == (128, 128, 255)  # blue-only area at 50%
+    # overlap: blue is on top INSIDE the group; composite once -> same
+    # as blue-only (NOT red-then-blue double blended)
+    assert px(pix, 180, 150) == (128, 128, 255)
+
+
+# --- mesh shadings 4/5 ------------------------------------------------------
+
+def _mesh_vertex(x, y, rgb, flag=None):
+    out = b"" if flag is None else bytes([flag])
+    out += struct.pack(">I", round(x / 612 * (2**32 - 1)))
+    out += struct.pack(">I", round(y / 792 * (2**32 - 1)))
+    return out + bytes(rgb)
+
+
+def test_mesh_shading_type4_gouraud():
+    data = (
+        _mesh_vertex(100, 100, (255, 0, 0), flag=0)
+        + _mesh_vertex(300, 100, (0, 255, 0), flag=0)
+        + _mesh_vertex(200, 300, (0, 0, 255), flag=0)
+    )
+    res = "<< /Shading << /SH 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /ShadingType 4 /ColorSpace /DeviceRGB"
+            " /BitsPerCoordinate 32 /BitsPerComponent 8 /BitsPerFlag 8"
+            " /Decode [0 612 0 792 0 1 0 1 0 1]"
+            f" /Length {len(data)} >>",
+            data,
+            num=5,
+        )
+
+    pix, fails = render(b"/SH sh", res, extra)
+    assert fails == {}
+    # centroid (200, 166.67): equal barycentric -> (85, 85, 85)
+    c = px(pix, 200, 167)
+    assert all(abs(int(v) - 85) <= 4 for v in c), c
+    # near the red vertex
+    r = px(pix, 110, 110)
+    assert r[0] > 200 and r[1] < 60 and r[2] < 60, r
+    # outside the triangle
+    assert px(pix, 110, 250) == WHITE
+
+
+def test_mesh_shading_type5_lattice():
+    data = (
+        _mesh_vertex(100, 400, (255, 0, 0))
+        + _mesh_vertex(200, 400, (0, 255, 0))
+        + _mesh_vertex(100, 500, (0, 0, 255))
+        + _mesh_vertex(200, 500, (255, 255, 0))
+    )
+    res = "<< /Shading << /SH 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /ShadingType 5 /ColorSpace /DeviceRGB /VerticesPerRow 2"
+            " /BitsPerCoordinate 32 /BitsPerComponent 8"
+            " /Decode [0 612 0 792 0 1 0 1 0 1]"
+            f" /Length {len(data)} >>",
+            data,
+            num=5,
+        )
+
+    pix, fails = render(b"/SH sh", res, extra)
+    assert fails == {}
+    # (110, 470) in triangle (v00,v01,v10): l=(0.2, 0.1, 0.7) over
+    # colors R,G,B -> (51, 25.5, 178.5)
+    c = px(pix, 110, 470)
+    assert abs(c[0] - 51) <= 4 and abs(c[1] - 26) <= 4 and abs(c[2] - 178) <= 4, c
+    # the other triangle's corner: near (200,500) mostly yellow
+    c = px(pix, 195, 495)
+    assert c[0] > 200 and c[1] > 200 and c[2] < 60, c
+
+
+def test_mesh_type4_with_function_colors():
+    """Single-t vertices mapped through a /Function."""
+    def tv(x, y, t, flag):
+        out = bytes([flag])
+        out += struct.pack(">I", round(x / 612 * (2**32 - 1)))
+        out += struct.pack(">I", round(y / 792 * (2**32 - 1)))
+        return out + bytes([t])
+
+    data = tv(100, 600, 0, 0) + tv(300, 600, 0, 0) + tv(200, 700, 255, 0)
+    res = "<< /Shading << /SH 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /ShadingType 4 /ColorSpace /DeviceRGB"
+            " /BitsPerCoordinate 32 /BitsPerComponent 8 /BitsPerFlag 8"
+            " /Decode [0 612 0 792 0 1]"
+            " /Function << /FunctionType 2 /Domain [0 1]"
+            " /C0 [1 0 0] /C1 [0 0 1] /N 1 >>"
+            f" /Length {len(data)} >>",
+            data,
+            num=5,
+        )
+
+    pix, fails = render(b"/SH sh", res, extra)
+    assert fails == {}
+    r = px(pix, 200, 610)  # near the t=0 edge: red
+    assert r[0] > 180 and r[2] < 80, r
+    bl = px(pix, 200, 690)  # near the t=1 vertex: blue
+    assert bl[2] > 180 and bl[0] < 80, bl
+
+
+# --- CFF flex (ADVICE r5 #2) ------------------------------------------------
+
+def test_cff_flex1_keeps_outline_anchored():
+    """A glyph whose top edge is drawn by flex1 (net displacement
+    (-600, 0)): the outline must close into the full 600x700 block,
+    not collapse into a triangle (the pre-fix behavior swallowed the
+    deltas)."""
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder as PB,
+        _bt,
+        build_cff,
+        simple_doc,
+        t2_num,
+    )
+
+    cs = bytearray()
+    cs += t2_num(0) + t2_num(0) + bytes([21])  # rmoveto 0 0
+    cs += t2_num(600) + t2_num(0) + bytes([5])  # rlineto -> (600,0)
+    cs += t2_num(0) + t2_num(700) + bytes([5])  # -> (600,700)
+    for v in (-100, 0, -100, 0, -100, 0, -100, 0, -100, 0, -100):
+        cs += t2_num(v)
+    cs += bytes([12, 37])  # flex1: two flat cubics ending at (0,700)
+    cs += bytes([14])  # endchar
+    cff = build_cff({65: 1}, [0, 34], [], 2, charstrings=[b"\x0e", bytes(cs)])
+    b = PB()
+    b.set(7, f"<< /Length {len(cff)} /Subtype /Type1C >>", cff)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /TF /Flags 4"
+        " /FontFile3 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /TF"
+        " /FontDescriptor 6 0 R /FirstChar 65 /LastChar 65"
+        " /Widths [600] >>"
+    )
+    b2, cat = simple_doc(
+        _bt("/F1 50 Tf 100 100 Td (A) Tj"), font_body=font, builder=b
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    black = (pix == 0).all(axis=2)
+    # full 0.6em x 0.7em block at 50pt = 30 x 35 = 1050 px
+    assert 980 < black.sum() < 1120, black.sum()
+    # upper-left region of the block only exists if flex moved the pen
+    assert black[792 - 130, 105]
+
+
+def test_dash_polyline_unit():
+    from delphi_pdf_parser_spark.pdfcore.raster import dash_polyline
+
+    pts = np.array([[0.0, 0.0], [100.0, 0.0]])
+    pieces = dash_polyline(pts, [10, 10], 0)
+    assert len(pieces) == 5
+    assert pieces[0][0][0] == 0 and abs(pieces[0][-1][0] - 10) < 1e-9
+    assert abs(pieces[1][0][0] - 20) < 1e-9
+    # phase shifts the cycle
+    pieces = dash_polyline(pts, [10, 10], 5)
+    assert abs(pieces[0][-1][0] - 5.0) < 1e-9  # first ON run truncated
+    # empty / all-zero pattern -> whole line
+    assert len(dash_polyline(pts, [], 0)) == 1

