@@ -281,10 +281,13 @@ class FontDesc:
 
     def fast_arrays(self):
         """NumPy companion of fast_table for whole-string vectorization:
-        (ok bool[256], cid i64[256], ucs i64[256], w f64[256]); ok marks
-        codes with a single-codepoint mapping (multi-ucs/unencodable codes
-        force the scalar loop for the whole string). None when the font
-        has no 1-byte fast table."""
+        (ok bool[256], cid i64[256], ucs i64[256], w f64[256], cu
+        i64[2,256]); ok marks codes with a single-codepoint mapping
+        (multi-ucs/unencodable codes force the scalar loop for the whole
+        string). `w` carries NaN at not-ok codes — the show path detects
+        an invalid string from NaN in the cumulative advance (one scalar
+        compare) instead of an ok[codes].all() pre-pass. None when the
+        font has no 1-byte fast table."""
         fa = self._fast_arrays
         if fa is not None:
             return fa if fa is not False else None
@@ -297,7 +300,7 @@ class FontDesc:
         ok = np.zeros(256, dtype=bool)
         cid = np.zeros(256, dtype=np.int64)
         ucs = np.zeros(256, dtype=np.int64)
-        w = np.zeros(256, dtype=np.float64)
+        w = np.full(256, np.nan, dtype=np.float64)
         for code, ent in enumerate(table):
             if ent is not None and len(ent[1]) == 1:
                 ok[code] = True

@@ -321,32 +321,60 @@ class CSI:
         if len(buf) >= 16:
             fa = font.fast_arrays()
             if fa is not None:
-                ok, cid_a, ucs_a, w_a, cu_a = fa
+                _ok, cid_a, ucs_a, w_a, cu_a = fa
                 codes = np.frombuffer(buf, dtype=np.uint8)
-                if ok[codes].all():
-                    # per-char tx = (w*k + char_space)*scale, word_space
-                    # added after code 32 — identical to the scalar fold
-                    tx = w_a[codes] * (k * scale) + (char_space * scale)
-                    if word_space != 0.0:
-                        tx = tx + (codes == 32) * (word_space * scale)
-                    # bit-exact accumulation: seed the cumsum with te/tf so
-                    # every partial sum matches the scalar loop's fold order
-                    # (one 2-row cumsum call; rows are C-contiguous)
-                    c = np.empty((2, len(buf) + 1))
+                # per-char tx = (w*k + char_space)*scale, word_space
+                # added after code 32 — identical to the scalar fold.
+                # w_a is NaN at unmapped codes, so one NaN test on the
+                # final cumulative advance replaces an ok[codes].all()
+                # pre-pass; +0.0 / *1.0 skips are bit-exact identities.
+                tx = w_a[codes] * (k * scale)
+                cs_s = char_space * scale
+                if cs_s != 0.0:
+                    tx += cs_s
+                if word_space != 0.0:
+                    tx += (codes == 32) * (word_space * scale)
+                n = len(buf)
+                if tb == 0.0:
+                    # horizontal text (the overwhelmingly common case):
+                    # tf never moves, one cumsum row instead of two
+                    c = np.empty(n + 1)
+                    c[0] = te
+                    c[1:] = tx if ta == 1.0 else tx * ta
+                    np.cumsum(c, out=c)
+                    end_e = float(c[-1])
+                    if end_e == end_e:  # NaN-free: every code mapped
+                        cu = cu_a[:, codes]
+                        t.add_block(
+                            cu[0],
+                            cu[1],
+                            c[:-1] if base_e == 0.0 else base_e + c[:-1],
+                            np.full(n, base_f + tf),
+                        )
+                        self.tm = (ta, tb, tc, td, end_e, tf)
+                        return
+                else:
+                    # bit-exact accumulation: seed the cumsum with te/tf
+                    # so every partial sum matches the scalar fold order
+                    c = np.empty((2, n + 1))
                     c[0, 0] = te
                     c[1, 0] = tf
                     c[0, 1:] = tx * ta
                     c[1, 1:] = tx * tb
                     np.cumsum(c, axis=1, out=c)
-                    cu = cu_a[:, codes]
-                    t.add_block(
-                        cu[0],
-                        cu[1],
-                        base_e + c[0, :-1],
-                        base_f + c[1, :-1],
-                    )
-                    self.tm = (ta, tb, tc, td, float(c[0, -1]), float(c[1, -1]))
-                    return
+                    end_e = float(c[0, -1])
+                    if end_e == end_e:
+                        cu = cu_a[:, codes]
+                        t.add_block(
+                            cu[0],
+                            cu[1],
+                            base_e + c[0, :-1],
+                            base_f + c[1, :-1],
+                        )
+                        self.tm = (ta, tb, tc, td, end_e, float(c[1, -1]))
+                        return
+                # NaN advance -> unmapped code: the scalar loop below
+                # handles it (and records cannot_encode_cpt)
 
         parts = t.parts
         n0 = len(parts)
@@ -488,50 +516,73 @@ def run_stream(csi: CSI, rdb, lexer: Lexer):
     # bulk-lex the stream; lex.handoff() rewinds the raw Lexer for the
     # position-dependent consumers (object parsing, inline-image payloads)
     lex = ContentTokens(lexer)
+    lexfn = lex.lex
+    # hot-loop locals: token-kind constants and the branch order follow
+    # measured frequency (numbers > keywords > strings > names); the
+    # stack-overflow trim moved into the number branch (the only one
+    # that grows the stack) — observable state per token is unchanged
+    T_INT, T_REAL = lx.TOK_INT, lx.TOK_REAL
+    T_STRING, T_NAME, T_KW = lx.TOK_STRING, lx.TOK_NAME, lx.TOK_KEYWORD
+    T_OPEN_ARR, T_CLOSE_ARR = lx.TOK_OPEN_ARRAY, lx.TOK_CLOSE_ARRAY
+    T_OPEN_DICT, T_EOF = lx.TOK_OPEN_DICT, lx.TOK_EOF
+    T_ENDSTREAM = lx.TOK_ENDSTREAM
     while True:
-        if len(csi.stack) > 32:
-            doc.note_failure("stack_overflow")
-            csi.stack = csi.stack[:32]
-        tok, val = lex.lex()
+        tok, val = lexfn()
         if in_array:
-            if tok == lx.TOK_CLOSE_ARRAY:
+            if tok == T_CLOSE_ARR:
                 in_array = 0
-            elif tok in (lx.TOK_INT, lx.TOK_REAL):
+            elif tok == T_INT or tok == T_REAL:
                 gs = csi.gs
                 csi.show_space(-float(val) * gs.size * 0.001)
-            elif tok == lx.TOK_STRING:
+            elif tok == T_STRING:
                 csi.show_string(val)
-            elif tok == lx.TOK_KEYWORD:
+            elif tok == T_KW:
                 if val in (b"Tw", b"Tc"):
                     doc.note_failure("keyword_in_array")
                 else:
                     raise SyntaxError("syntax error in array")
-            elif tok == lx.TOK_EOF:
+            elif tok == T_EOF:
                 return
             else:
                 raise SyntaxError("syntax error in array")
             continue
-        if tok in (lx.TOK_ENDSTREAM, lx.TOK_EOF):
-            return
-        if tok == lx.TOK_OPEN_ARRAY:
+        if tok == T_INT or tok == T_REAL:
+            stack = csi.stack
+            stack.append(float(val))
+            if len(stack) > 32:
+                doc.note_failure("stack_overflow")
+                csi.stack = stack[:32]
+        elif tok == T_KW:
+            try:
+                run_keyword(csi, rdb, lex, val)
+            except SyntaxError:
+                raise
+            except Exception:
+                doc.note_failure(
+                    "keyword_error:" + val.decode("latin-1", "replace")
+                )
+            csi.stack = []
+            csi.name = ""
+            csi.string = None
+            csi.obj = None
+        elif tok == T_STRING:
+            csi.string = val
+        elif tok == T_NAME:
+            csi.name = val
+        elif tok == T_OPEN_ARR:
             if not csi.in_text:
                 from .parser import parse_array
 
                 csi.obj = parse_array(lex.handoff())
             else:
                 in_array = 1
-        elif tok == lx.TOK_OPEN_DICT:
+        elif tok == T_OPEN_DICT:
             from .parser import parse_dict
 
             csi.obj = parse_dict(lex.handoff())
-        elif tok == lx.TOK_NAME:
-            csi.name = val
-        elif tok == lx.TOK_INT or tok == lx.TOK_REAL:
-            csi.stack.append(float(val))
-        elif tok == lx.TOK_STRING:
-            csi.string = val
+        elif tok == T_ENDSTREAM or tok == T_EOF:
+            return
         elif tok in (
-            lx.TOK_KEYWORD,
             lx.TOK_R,
             lx.TOK_TRUE,
             lx.TOK_FALSE,
@@ -564,6 +615,29 @@ def _st(csi: CSI, i: int) -> float:
 def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
     doc = csi.doc
     gs = csi.gs
+    # frequency-ordered fast heads (text-showing + positioning dominate
+    # real content streams); the remaining chain is unchanged
+    if kw in (b"Tj", b"TJ"):
+        if csi.string:
+            csi.show_string(csi.string)
+        else:
+            csi.show_text(csi.obj)
+        return
+    if kw == b"Tm":
+        csi.tm = (
+            _st(csi, 0),
+            _st(csi, 1),
+            _st(csi, 2),
+            _st(csi, 3),
+            _st(csi, 4),
+            _st(csi, 5),
+        )
+        csi.tlm = csi.tm
+        return
+    if kw == b"Td":
+        csi.tlm = _concat(_translate(_st(csi, 0), _st(csi, 1)), csi.tlm)
+        csi.tm = csi.tlm
+        return
     if kw == b"BT":
         csi.in_text = 1
         csi.tm = IDENTITY

@@ -372,44 +372,43 @@ def _bulk_fill(lexer: "Lexer") -> list:
     pos = lexer.pos
     buf: list = []
     append = buf.append
+    # hot-loop locals (one m.span() C call instead of start()+end())
+    t_real, t_int, t_str, t_name = TOK_REAL, TOK_INT, TOK_STRING, TOK_NAME
+    t_kw, t_oarr, t_carr = TOK_KEYWORD, TOK_OPEN_ARRAY, TOK_CLOSE_ARRAY
+    kwmap_get = _KEYWORD_TOKENS.get
     # integer dispatch on lastindex (groupindex: num=1 str=2 sbody=3
     # name=4 kw=5 arr=6; a 'str' match reports lastindex 2, not 3)
     for m in _BULK_TOKEN_RE.finditer(data, pos, lexer.end):
-        if m.start() != pos:
+        s, e = m.span()
+        if s != pos:
             break  # unhandled byte at pos -> classic scanner's turn
-        pos = m.end()
+        pos = e
         g = m.lastindex
         if g is None:
             continue  # whitespace / comment run
         if g == 1:  # num
-            raw = m.group()
+            raw = data[s:e]
             if b"." in raw:
                 try:
-                    append((TOK_REAL, float(raw), pos))
+                    append((t_real, float(raw), pos))
                 except ValueError:  # pragma: no cover - regex precludes
-                    append((TOK_REAL, 0.0, pos))
+                    append((t_real, 0.0, pos))
             else:
-                append((TOK_INT, int(raw), pos))
+                append((t_int, int(raw), pos))
         elif g == 5:  # kw
-            raw = m.group()
-            append((_KEYWORD_TOKENS.get(raw, TOK_KEYWORD), raw, pos))
+            raw = data[s:e]
+            append((kwmap_get(raw, t_kw), raw, pos))
         elif g == 2:  # str
-            append((TOK_STRING, m.group(3), pos))
+            append((t_str, m.group(3), pos))
         elif g == 4:  # name
-            raw = m.group()[1:]
+            raw = data[s + 1 : e]
             if b"#" in raw:
                 raw = _hexesc_re.sub(
                     lambda mm: bytes([int(mm.group(1), 16)]), raw
                 )
-            append((TOK_NAME, raw.decode("latin-1"), pos))
+            append((t_name, raw.decode("latin-1"), pos))
         else:  # arr
-            append(
-                (
-                    TOK_OPEN_ARRAY if data[pos - 1] == 0x5B else TOK_CLOSE_ARRAY,
-                    None,
-                    pos,
-                )
-            )
+            append((t_oarr if data[s] == 0x5B else t_carr, None, pos))
         if len(buf) >= _BULK_CAP:
             break
     lexer.pos = pos
