@@ -21,8 +21,9 @@ Fidelity envelope (documented, test-pinned):
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
 - shadings: axial (type 2) and radial (type 3) through functions.py
   with a 256-sample LUT; triangle meshes (types 4/5) by barycentric
-  Gouraud interpolation; Coons/tensor patches (6/7) record
-  `raster_shading_type`;
+  Gouraud interpolation; Coons/tensor patches (6/7) evaluated on a
+  parameter grid (Coons construction / bicubic Bernstein tensor) and
+  Gouraud-filled with bilinear corner colors, edge flags 1-3 shared;
 - patterns: tiling patterns (PatternType 1) replayed per tile clipped
   to the fill region (fz_draw_begin_tile,
   src/vcl/draw_devicess.pas:1349), shading patterns (PatternType 2)
@@ -664,6 +665,9 @@ class RasterDevice:
         if stype in (4, 5):
             self._fill_mesh_shade(doc, shd_ref, shd, stype, ctm, alpha)
             return
+        if stype in (6, 7):
+            self._fill_patch_shade(doc, shd_ref, shd, stype, ctm, alpha)
+            return
         if stype not in (2, 3):
             doc.note_failure(f"raster_shading_type:{stype}")
             return
@@ -884,9 +888,19 @@ class RasterDevice:
         if not tris:
             doc.note_failure("raster_shading_mesh")
             return
+
+        def tri_color(i):
+            if fn is not None:
+                cols = eval_function(fn, np.array([[verts[i][2][0]]]))
+                if cols.shape[1] == 1:
+                    cols = np.repeat(cols, 3, axis=1)
+                return np.clip(cols[0, :3] * 255.0, 0, 255)
+            comps = verts[i][2]
+            rgb = [comps[0]] * 3 if ncomp == 1 else comps[:3]
+            return np.clip(np.asarray(rgb) * 255.0, 0, 255)
+
         a, b, c, d, e, f = ctm
-        W, Hh = self.canvas.width, self.canvas.height
-        clip = self.canvas.clip
+        out = []
         for (i1, i2, i3) in tris:
             P = np.array(
                 [
@@ -897,24 +911,16 @@ class RasterDevice:
                     for i in (i1, i2, i3)
                 ]
             )
-            if fn is not None:
-                ts = np.array([[verts[i][2][0]] for i in (i1, i2, i3)])
-                cols = eval_function(fn, ts)
-                if cols.shape[1] == 1:
-                    cols = np.repeat(cols, 3, axis=1)
-                C = np.clip(cols[:, :3] * 255.0, 0, 255)
-            else:
-                C = np.array(
-                    [
-                        (
-                            [verts[i][2][0]] * 3
-                            if ncomp == 1
-                            else verts[i][2][:3]
-                        )
-                        for i in (i1, i2, i3)
-                    ]
-                )
-                C = np.clip(C * 255.0, 0, 255)
+            C = np.stack([tri_color(i1), tri_color(i2), tri_color(i3)])
+            out.append((P, C))
+        self._paint_gouraud_tris(out, alpha)
+
+    def _paint_gouraud_tris(self, tris, alpha):
+        """Barycentric Gouraud fill of device-space triangles.
+        `tris` = [(P 3x2 device coords, C 3x3 vertex colors 0..255)]."""
+        W, Hh = self.canvas.width, self.canvas.height
+        clip = self.canvas.clip
+        for P, C in tris:
             x0 = max(0, int(np.floor(P[:, 0].min())))
             x1 = min(W - 1, int(np.ceil(P[:, 0].max())))
             y0 = max(0, int(np.floor(P[:, 1].min())))
@@ -955,6 +961,224 @@ class RasterDevice:
                 else (1.0 if alpha is None else float(alpha))
             )
             self.canvas._blend_at(pys, pxs, cols_px, av)
+
+    _PATCH_GRID = 8  # sub-quads per patch edge (128 triangles/patch)
+
+    def _fill_patch_shade(self, doc, shd_ref, shd, stype, ctm, alpha):
+        """Types 6/7: Coons / tensor-product patch meshes
+        (src/vcl/pdf_shadess.pas). Each patch's surface is evaluated on
+        a _PATCH_GRID x _PATCH_GRID parameter grid — type 6 by the
+        bilinearly-blended Coons construction from its four boundary
+        Béziers (no interior-point derivation needed), type 7 by the
+        full bicubic Bernstein tensor over its 16 control points — and
+        the grid cells Gouraud-fill with bilinear corner colors.
+        Edge flags 1-3 share the previous patch's D2/C2... edges per
+        PDF 32000 Table 85/86."""
+        from .cos import to_int, to_name
+        from .functions import eval_function, load_function
+
+        if shd_ref is None or not doc.is_stream(shd_ref):
+            doc.note_failure("raster_shading_stream")
+            return
+        try:
+            data = doc.load_stream(shd_ref.num)
+        except Exception:
+            doc.note_failure("raster_shading_stream")
+            return
+        csname = to_name(doc.resolve(shd.get("ColorSpace")))
+        if csname not in ("DeviceRGB", "DeviceGray"):
+            doc.note_failure(f"raster_shading_cs:{csname}")
+            return
+        bpc = to_int(doc.resolve(shd.get("BitsPerCoordinate"))) or 0
+        bpcomp = to_int(doc.resolve(shd.get("BitsPerComponent"))) or 0
+        bpf = to_int(doc.resolve(shd.get("BitsPerFlag"))) or 8
+        dec = doc.resolve(shd.get("Decode"))
+        if not (isinstance(dec, list) and len(dec) >= 6 and bpc and bpcomp):
+            doc.note_failure("raster_shading_mesh")
+            return
+        dec = [float(doc.resolve(v)) for v in dec]
+        fn_obj = shd.get("Function")
+        fn = None
+        if doc.resolve(fn_obj) is not None:
+            try:
+                fn = load_function(doc, fn_obj)
+            except Exception:
+                doc.note_failure("raster_shading_fn")
+                return
+        ncomp = 1 if fn is not None else (1 if csname == "DeviceGray" else 3)
+        if len(dec) < 4 + 2 * ncomp:
+            doc.note_failure("raster_shading_mesh")
+            return
+        npts_full = 12 if stype == 6 else 16
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        pos = 0
+
+        def read(nbits: int) -> int:
+            nonlocal pos
+            if pos + nbits > len(bits):
+                raise EOFError
+            v = 0
+            for bb in bits[pos : pos + nbits]:
+                v = (v << 1) | int(bb)
+            pos += nbits
+            return v
+
+        def dval(raw, nbits, lo, hi):
+            return lo + raw * (hi - lo) / ((1 << nbits) - 1)
+
+        def read_pt():
+            x = dval(read(bpc), bpc, dec[0], dec[1])
+            y = dval(read(bpc), bpc, dec[2], dec[3])
+            return (x, y)
+
+        def read_col():
+            comps = [
+                dval(read(bpcomp), bpcomp, dec[4 + 2 * k], dec[5 + 2 * k])
+                for k in range(ncomp)
+            ]
+            if fn is not None:
+                cols = eval_function(fn, np.array([[comps[0]]]))
+                if cols.shape[1] == 1:
+                    cols = np.repeat(cols, 3, axis=1)
+                return np.clip(cols[0, :3] * 255.0, 0, 255)
+            rgb = [comps[0]] * 3 if ncomp == 1 else comps[:3]
+            return np.clip(np.asarray(rgb, dtype=np.float64) * 255.0, 0, 255)
+
+        def to_dev(pt):
+            a, b, c, d, e, f = ctm
+            return (pt[0] * a + pt[1] * c + e, pt[0] * b + pt[1] * d + f)
+
+        G = self._PATCH_GRID
+        u = np.linspace(0.0, 1.0, G + 1)
+        # cubic Bernstein basis rows for the grid params
+        B = np.stack(
+            [
+                (1 - u) ** 3,
+                3 * u * (1 - u) ** 2,
+                3 * u**2 * (1 - u),
+                u**3,
+            ],
+            axis=1,
+        )  # (G+1, 4)
+
+        def patch_grid(pts, stype):
+            """pts: 12 (type 6) or 16 (type 7) (x, y) in PATCH ORDER
+            (p1..p12 around the boundary; type 7 appends the 4 interior
+            points d22 d23 d33 d32). Returns (G+1, G+1, 2) surface."""
+            P = np.asarray(pts, dtype=np.float64)
+            if stype == 7:
+                # spiral order -> d[i][j] control grid (PDF 32000 Fig 46)
+                d_ = np.empty((4, 4, 2))
+                order = [
+                    (0, 0), (0, 1), (0, 2), (0, 3),
+                    (1, 3), (2, 3), (3, 3), (3, 2),
+                    (3, 1), (3, 0), (2, 0), (1, 0),
+                    (1, 1), (1, 2), (2, 2), (2, 1),
+                ]
+                for k, (i, j) in enumerate(order):
+                    d_[i, j] = P[k]
+                # S[v,u] = sum_ij B_i(v) B_j(u) d[i][j]: d_'s row index
+                # runs along v (row 0 = the bottom edge), column along u
+                return np.einsum("vi,uj,ijk->vuk", B, B, d_)
+            # Coons: boundary curves from the 12 points
+            # C1 (v=0): p1 p2 p3 p4 ; C2 (u=1): p4 p5 p6 p7 ;
+            # C3 (v=1, u 1->0): p7 p8 p9 p10 ; C4 (u=0, v 1->0): p10 p11 p12 p1
+            cb = B @ P[[0, 1, 2, 3]]  # bottom, param u
+            cr = B @ P[[3, 4, 5, 6]]  # right, param v
+            ct = B @ P[[9, 8, 7, 6]]  # top reparametrized to u 0->1
+            cl = B @ P[[0, 11, 10, 9]]  # left reparametrized to v 0->1
+            uu = u[None, :, None]
+            vv = u[:, None, None]
+            S = (
+                (1 - vv) * cb[None, :, :]
+                + vv * ct[None, :, :]
+                + (1 - uu) * cl[:, None, :]
+                + uu * cr[:, None, :]
+                - (
+                    (1 - uu) * (1 - vv) * P[0]
+                    + uu * (1 - vv) * P[3]
+                    + uu * vv * P[6]
+                    + (1 - uu) * vv * P[9]
+                )
+            )
+            return S  # (v, u, 2)
+
+        prev_pts = None
+        prev_cols = None
+        tris = []
+        try:
+            while True:
+                pos = (pos + 7) & ~7  # each patch starts on a byte
+                if pos + bpf > len(bits):
+                    break
+                flag = read(bpf)
+                if flag == 0:
+                    pts = [read_pt() for _ in range(npts_full)]
+                    cols = [read_col() for _ in range(4)]
+                else:
+                    if prev_pts is None:
+                        break  # malformed continuation
+                    # shared edge: first four points + two colors come
+                    # from the previous patch (PDF 32000 Table 85)
+                    if flag == 1:
+                        shared = [prev_pts[3], prev_pts[4], prev_pts[5], prev_pts[6]]
+                        c12 = [prev_cols[1], prev_cols[2]]
+                    elif flag == 2:
+                        shared = [prev_pts[6], prev_pts[7], prev_pts[8], prev_pts[9]]
+                        c12 = [prev_cols[2], prev_cols[3]]
+                    else:
+                        shared = [prev_pts[9], prev_pts[10], prev_pts[11], prev_pts[0]]
+                        c12 = [prev_cols[3], prev_cols[0]]
+                    rest = [read_pt() for _ in range(npts_full - 4)]
+                    pts = shared + rest
+                    cols = c12 + [read_col() for _ in range(2)]
+                prev_pts, prev_cols = pts, cols
+                S = patch_grid(pts, stype)
+                # device-transform the whole grid at once
+                a, b, c, d, e, f = ctm
+                DX = S[:, :, 0] * a + S[:, :, 1] * c + e
+                DY = S[:, :, 0] * b + S[:, :, 1] * d + f
+                # bilinear corner colors: c1@(0,0) c2@(1,0) c3@(1,1) c4@(0,1)
+                c1, c2, c3, c4 = cols
+                for vi in range(G):
+                    for ui in range(G):
+                        quadP = [
+                            (DX[vi, ui], DY[vi, ui]),
+                            (DX[vi, ui + 1], DY[vi, ui + 1]),
+                            (DX[vi + 1, ui + 1], DY[vi + 1, ui + 1]),
+                            (DX[vi + 1, ui], DY[vi + 1, ui]),
+                        ]
+                        uvs = [
+                            (u[ui], u[vi]),
+                            (u[ui + 1], u[vi]),
+                            (u[ui + 1], u[vi + 1]),
+                            (u[ui], u[vi + 1]),
+                        ]
+                        quadC = [
+                            (1 - uu_) * (1 - vv_) * c1
+                            + uu_ * (1 - vv_) * c2
+                            + uu_ * vv_ * c3
+                            + (1 - uu_) * vv_ * c4
+                            for (uu_, vv_) in uvs
+                        ]
+                        tris.append(
+                            (
+                                np.array([quadP[0], quadP[1], quadP[2]]),
+                                np.stack([quadC[0], quadC[1], quadC[2]]),
+                            )
+                        )
+                        tris.append(
+                            (
+                                np.array([quadP[0], quadP[2], quadP[3]]),
+                                np.stack([quadC[0], quadC[2], quadC[3]]),
+                            )
+                        )
+        except EOFError:
+            pass
+        if not tris:
+            doc.note_failure("raster_shading_mesh")
+            return
+        self._paint_gouraud_tris(tris, alpha)
 
 
 def render_page(

@@ -445,3 +445,124 @@ def test_dash_polyline_unit():
     assert abs(pieces[0][-1][0] - 5.0) < 1e-9  # first ON run truncated
     # empty / all-zero pattern -> whole line
     assert len(dash_polyline(pts, [], 0)) == 1
+
+
+def _patch_pt(x, y):
+    return struct.pack(">I", round(x / 612 * (2**32 - 1))) + struct.pack(
+        ">I", round(y / 792 * (2**32 - 1))
+    )
+
+
+def test_coons_patch_shading_type6():
+    """A flat Coons patch (collinear edge controls -> exact bilinear
+    square [100,200]^2) with corners R,G,Y,B: the surface degenerates
+    to bilinear color interpolation."""
+    t = 100 / 3.0
+    pts = [
+        (100, 100), (100 + t, 100), (100 + 2 * t, 100), (200, 100),  # bottom
+        (200, 100 + t), (200, 100 + 2 * t), (200, 200),  # right
+        (200 - t, 200), (200 - 2 * t, 200), (100, 200),  # top
+        (100, 200 - t), (100, 200 - 2 * t),  # left
+    ]
+    cols = [(255, 0, 0), (0, 255, 0), (255, 255, 0), (0, 0, 255)]
+    data = bytes([0]) + b"".join(_patch_pt(*p) for p in pts) + b"".join(
+        bytes(c) for c in cols
+    )
+    res = "<< /Shading << /SH 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /ShadingType 6 /ColorSpace /DeviceRGB"
+            " /BitsPerCoordinate 32 /BitsPerComponent 8 /BitsPerFlag 8"
+            " /Decode [0 612 0 792 0 1 0 1 0 1]"
+            f" /Length {len(data)} >>",
+            data,
+            num=5,
+        )
+
+    pix, fails = render(b"/SH sh", res, extra)
+    assert fails == {}, fails
+    # center = average of the four corners: (127.5, 127.5, 63.75)
+    c = px(pix, 150, 150)
+    assert all(
+        abs(int(v) - e) <= 6 for v, e in zip(c, (128, 128, 64))
+    ), c
+    # near corner c1 (100,100): red-dominant
+    c = px(pix, 104, 104)
+    assert c[0] > 220 and c[2] < 40, c
+    # near corner c4 (100,200): blue-dominant
+    c = px(pix, 104, 196)
+    assert c[2] > 220 and c[0] < 40, c
+    # outside the patch
+    assert px(pix, 95, 150) == WHITE
+
+
+def test_tensor_patch_shading_type7_with_continuation():
+    """Type 7 (16-point tensor) flat patch + a flag-1 continuation
+    sharing the right edge: the second patch reuses prev p4..p7 as its
+    bottom edge and prev colors c2,c3 as its c1,c2."""
+    t = 100 / 3.0
+    boundary = [
+        (100, 100), (100 + t, 100), (100 + 2 * t, 100), (200, 100),
+        (200, 100 + t), (200, 100 + 2 * t), (200, 200),
+        (200 - t, 200), (200 - 2 * t, 200), (100, 200),
+        (100, 200 - t), (100, 200 - 2 * t),
+    ]
+    interior = [  # d22 d23 d33 d32 at exact bilinear positions
+        (100 + t, 100 + t), (100 + 2 * t, 100 + t),
+        (100 + 2 * t, 100 + 2 * t), (100 + t, 100 + 2 * t),
+    ]
+    cols = [(255, 0, 0), (0, 255, 0), (255, 255, 0), (0, 0, 255)]
+    patch0 = (
+        bytes([0])
+        + b"".join(_patch_pt(*p) for p in boundary + interior)
+        + b"".join(bytes(c) for c in cols)
+    )
+    # continuation to the right: square [200,300]x[100,200].
+    # Roles for the new patch: p1=(200,100) p4=(200,200) shared;
+    # p5,p6 = controls of edge p4->p7 = (200,200)->(300,200);
+    # p7=(300,200); p8,p9 = controls of (300,200)->(300,100);
+    # p10=(300,100); p11,p12 = controls of (300,100)->(200,100)
+    cont_pts = [
+        (200 + t, 200), (200 + 2 * t, 200), (300, 200),
+        (300, 200 - t), (300, 200 - 2 * t), (300, 100),
+        (300 - t, 100), (300 - 2 * t, 100),
+    ]
+    cont_interior = [
+        (200 + t, 100 + t * 2), (200 + 2 * t, 100 + 2 * t),
+        (200 + 2 * t, 100 + t), (200 + t, 100 + t),
+    ]
+    cont_cols = [(255, 0, 255), (0, 0, 0)]  # new c3 (at p7), c4 (at p10)
+    patch1 = (
+        bytes([1])
+        + b"".join(_patch_pt(*p) for p in cont_pts + cont_interior)
+        + b"".join(bytes(c) for c in cont_cols)
+    )
+    data = patch0 + patch1
+    res = "<< /Shading << /SH 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /ShadingType 7 /ColorSpace /DeviceRGB"
+            " /BitsPerCoordinate 32 /BitsPerComponent 8 /BitsPerFlag 8"
+            " /Decode [0 612 0 792 0 1 0 1 0 1]"
+            f" /Length {len(data)} >>",
+            data,
+            num=5,
+        )
+
+    pix, fails = render(b"/SH sh", res, extra)
+    assert fails == {}, fails
+    # first patch center: bilinear average as in the Coons test
+    c = px(pix, 150, 150)
+    assert all(abs(int(v) - e) <= 6 for v, e in zip(c, (128, 128, 64))), c
+    # continuation patch: its c4 corner sits at p10=(300,100) (black)
+    c = px(pix, 296, 104)
+    assert all(v < 40 for v in c), c
+    # its c3 corner at p7=(300,200) (magenta)
+    c = px(pix, 296, 196)
+    assert c[0] > 220 and c[1] < 40 and c[2] > 220, c
+    # shared edge continuity: just right of (200,150) blends prev
+    # c2 (G at v=0 of the shared edge) and c3 (Y): mid ~ (127.5,255,0)
+    c = px(pix, 204, 150)
+    assert c[1] > 220 and abs(int(c[0]) - 128) <= 16 and c[2] < 30, c
