@@ -260,6 +260,7 @@ class RasterDevice:
                             NONZERO,
                         )
                     )
+                    clip_before = self.clip_depth()  # cells may W n un-bracketed
                     try:
                         csi = CSI(doc, self, tctm)
                         # outer alpha/soft-mask state carries into the cell
@@ -274,6 +275,7 @@ class RasterDevice:
                     except Exception:
                         doc.note_failure("raster_pattern_error")
                     finally:
+                        self.restore_clip(clip_before)
                         self.canvas.pop_clip()
         finally:
             self.canvas.pop_clip()

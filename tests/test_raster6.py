@@ -566,3 +566,31 @@ def test_tensor_patch_shading_type7_with_continuation():
     # c2 (G at v=0 of the shared edge) and c3 (Y): mid ~ (127.5,255,0)
     c = px(pix, 204, 150)
     assert c[1] > 220 and abs(int(c[0]) - 128) <= 16 and c[2] < 30, c
+
+
+def test_tiling_cell_clip_does_not_leak():
+    """A pattern cell that clips WITHOUT q/Q bracketing must not leave
+    its clip on the canvas stack after the pattern fill."""
+    cell = b"0 0 5 5 re W n 1 0 0 rg 0 0 20 20 re f"
+    res = "<< /Pattern << /P1 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /PatternType 1 /PaintType 1 /TilingType 1"
+            " /BBox [0 0 20 20] /XStep 20 /YStep 20"
+            f" /Resources << >> /Length {len(cell)} >>",
+            cell,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/Pattern cs /P1 scn 100 100 40 40 re f"
+        b" 0 0 1 rg 300 300 20 20 re f",  # painted AFTER the pattern
+        res,
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 102, 102) == (255, 0, 0)  # clipped cell painted
+    assert px(pix, 110, 110) == WHITE  # outside the cell's own clip
+    # the later fill is unaffected by the cell's un-bracketed clip
+    assert px(pix, 310, 310) == (0, 0, 255)
