@@ -69,6 +69,9 @@ class GState:
         "smask",
         "fill_pattern",
         "stroke_pattern",
+        "fill_cs",
+        "stroke_cs",
+        "blend",
     )
 
     def __init__(self, ctm):
@@ -94,6 +97,11 @@ class GState:
         self.smask = None  # (h, w) float soft-mask alpha, or None
         self.fill_pattern = None  # (pattern ref, resolved dict) or None
         self.stroke_pattern = None
+        # non-device colorspace state: None (device operand-count
+        # heuristic), ("indexed", rgb8_palette) or ("conv", ncomp, f)
+        self.fill_cs = None
+        self.stroke_cs = None
+        self.blend = None  # BLEND_MODES callable, None = Normal
 
     def copy(self):
         g = GState(self.ctm)
@@ -118,6 +126,9 @@ class GState:
         g.smask = self.smask
         g.fill_pattern = self.fill_pattern
         g.stroke_pattern = self.stroke_pattern
+        g.fill_cs = self.fill_cs
+        g.stroke_cs = self.stroke_cs
+        g.blend = self.blend
         return g
 
 
@@ -814,6 +825,7 @@ def _run_color(csi: CSI, rdb, kw: bytes):
             ((1 - c) * (1 - k2), (1 - m) * (1 - k2), (1 - y) * (1 - k2))
         )
     elif kw in (b"sc", b"scn", b"SC", b"SCN"):
+        space = gs.stroke_cs if stroke else gs.fill_cs
         if csi.name:  # pattern operand
             doc = csi.doc
             pdict = doc.get(rdb, "Pattern") if isinstance(rdb, dict) else None
@@ -846,6 +858,10 @@ def _run_color(csi: CSI, rdb, kw: bytes):
                 return  # pattern armed; don't fall through to rgb set
             doc.note_failure("raster_pattern_missing")
             rgb = (128, 128, 128)
+        elif space is not None:
+            # resource-defined space (Indexed / Separation / DeviceN /
+            # ICCBased / Lab / Cal*): exact conversion via colorspace.py
+            rgb = _convert_space_color(csi, space, st)
         elif len(st) == 1:
             rgb = _rgb8((st[0], st[0], st[0]))
         elif len(st) == 3:
@@ -857,6 +873,12 @@ def _run_color(csi: CSI, rdb, kw: bytes):
             )
     elif kw in (b"cs", b"CS"):
         # colorspace select resets the color to black (PDF 32000 8.6.8)
+        # and arms the resolved space for subsequent sc/scn
+        space = _resolve_colorspace(csi, rdb, csi.name)
+        if stroke:
+            gs.stroke_cs = space
+        else:
+            gs.fill_cs = space
         rgb = (0, 0, 0)
     if rgb is not None:
         if stroke:
@@ -865,6 +887,86 @@ def _run_color(csi: CSI, rdb, kw: bytes):
         else:
             gs.fill_rgb = rgb
             gs.fill_pattern = None
+        if kw not in (b"cs", b"CS", b"sc", b"scn", b"SC", b"SCN"):
+            # device color operators (g/rg/k) implicitly select the
+            # device space, dropping any armed resource space
+            if stroke:
+                gs.stroke_cs = None
+            else:
+                gs.fill_cs = None
+
+
+def _resolve_colorspace(csi: CSI, rdb, name: str):
+    """cs/CS operand -> gstate colorspace entry: None for device names
+    and /Pattern (the operand-count / pattern paths handle those),
+    ("indexed", rgb8 palette) for Indexed, ("conv", ncomp, f) for
+    spaces colorspace.to_rgb_converter understands (ICCBased, Lab,
+    Cal*, Separation, DeviceN) — mirroring pdf_set_colorspace through
+    res_colorspace.pas."""
+    if not name or name in (
+        "DeviceGray", "DeviceRGB", "DeviceCMYK", "G", "RGB", "CMYK",
+        "Pattern", "CalGray", "CalRGB",
+    ):
+        return None
+    doc = csi.doc
+    from .colorspace import to_rgb_converter
+
+    csd = doc.get(rdb, "ColorSpace") if isinstance(rdb, dict) else None
+    cs = doc.resolve(csd.get(name)) if isinstance(csd, dict) else None
+    if cs is None:
+        doc.note_failure("raster_colorspace_missing")
+        return None
+    head = to_name(doc.resolve(cs[0])) if isinstance(cs, list) and cs else None
+    if head in ("Indexed", "I") and isinstance(cs, list) and len(cs) >= 4:
+        base = to_rgb_converter(doc, cs[1])
+        hival = to_int(doc.resolve(cs[2])) or 0
+        lut = doc.resolve(cs[3])
+        if is_indirect(cs[3]) and doc.is_stream(cs[3]):
+            try:
+                lut = doc.load_stream(cs[3].num)
+            except Exception:
+                lut = None
+        if base is None or not isinstance(lut, bytes):
+            doc.note_failure("raster_colorspace")
+            return None
+        nb, fb = base
+        need = (hival + 1) * nb
+        if len(lut) < need:
+            lut = lut + b"\x00" * (need - len(lut))
+        vals = (
+            np.frombuffer(lut[:need], dtype=np.uint8)
+            .reshape(hival + 1, nb)
+            .astype(np.float64)
+            / 255.0
+        )
+        pal = np.clip(
+            np.round(fb(vals) * 255.0), 0, 255
+        ).astype(np.int64)
+        return ("indexed", pal)
+    conv = to_rgb_converter(doc, cs)
+    if conv is None:
+        doc.note_failure("raster_colorspace")
+        return None
+    return ("conv", conv[0], conv[1])
+
+
+def _convert_space_color(csi: CSI, space, st):
+    """sc/scn operands through an armed resource colorspace -> rgb8."""
+    try:
+        if space[0] == "indexed":
+            pal = space[1]
+            idx = int(st[0]) if st else 0
+            idx = max(0, min(len(pal) - 1, idx))
+            return tuple(int(v) for v in pal[idx])
+        _tag, ncomp, f = space
+        vals = [float(st[i]) if i < len(st) else 0.0 for i in range(ncomp)]
+        out = f(np.clip(np.array([vals]), 0.0, 1.0))
+        return tuple(
+            int(v) for v in np.clip(np.round(out[0, :3] * 255.0), 0, 255)
+        )
+    except Exception:
+        csi.doc.note_failure("raster_colorspace")
+        return (128, 128, 128)
 
 
 def _run_path_op(csi: CSI, rdb, kw: bytes):
@@ -1000,8 +1102,17 @@ def run_extgstate(csi: CSI, rdb):
         bm = to_name(v) if v is not None else None
         if isinstance(v, list) and v:
             bm = to_name(doc.resolve(v[0]))
-        if bm not in (None, "Normal", "Compatible"):
-            doc.note_failure(f"raster_blend_mode:{bm}")
+        if bm is not None:
+            from .raster import BLEND_MODES
+
+            if bm in ("Normal", "Compatible"):
+                gs.blend = None
+            elif bm in BLEND_MODES:
+                gs.blend = BLEND_MODES[bm]
+            else:
+                # non-separable (Hue/Saturation/Color/Luminosity)
+                gs.blend = None
+                doc.note_failure(f"raster_blend_mode:{bm}")
         if "SMask" in egs:
             sm = doc.resolve(egs.get("SMask"))
             if isinstance(sm, dict) and hasattr(csi.draw, "build_smask"):

@@ -333,20 +333,27 @@ class Canvas:
         if len(self.clip_stack) > 1:
             self.clip_stack.pop()
 
-    def _blend_at(self, ys, xs, colors, alpha):
+    def _blend_at(self, ys, xs, colors, alpha, blend=None):
         """Porter-Duff OVER at the given pixel indices. `colors` is
-        (n,3) float or a single rgb; `alpha` is scalar or (n,) float."""
+        (n,3) float or a single rgb; `alpha` is scalar or (n,) float.
+        `blend` (a BLEND_MODES callable) mixes source with the backdrop
+        BEFORE compositing: C = (1-a)*Cb + a*B(Cb, Cs), PDF 32000
+        11.3.5 over an opaque backdrop."""
         a = np.asarray(alpha, dtype=np.float64)
+        c = np.asarray(colors, dtype=np.float64)
+        if blend is not None:
+            old = self.pix[ys, xs].astype(np.float64) / 255.0
+            src = (c[None, :] if c.ndim == 1 else c) / 255.0
+            c = np.clip(blend(old, src), 0.0, 1.0) * 255.0
         if a.ndim == 0 and float(a) >= 1.0:
             self.pix[ys, xs] = np.asarray(
-                np.round(colors), dtype=np.uint8
+                np.round(c), dtype=np.uint8
             )
             if self.cov is not None:
                 self.cov[ys, xs] = 1.0
             return
         af = a if a.ndim else float(a)
         old = self.pix[ys, xs].astype(np.float64)
-        c = np.asarray(colors, dtype=np.float64)
         if c.ndim == 1:
             c = c[None, :]
         aa = af[:, None] if np.ndim(af) else af
@@ -356,11 +363,14 @@ class Canvas:
         if self.cov is not None:
             self.cov[ys, xs] = af + self.cov[ys, xs] * (1.0 - af)
 
-    def paint_mask(self, mask: np.ndarray, rgb, alpha=None):
+    def paint_mask(self, mask: np.ndarray, rgb, alpha=None, blend=None):
         """alpha: None/1.0 (opaque fast path), scalar in [0,1], or a
-        full (h, w) float map (constant alpha x soft mask)."""
+        full (h, w) float map (constant alpha x soft mask); `blend` is
+        a BLEND_MODES callable or None (Normal)."""
         m = mask & self.clip
-        if alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0):
+        if blend is None and (
+            alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0)
+        ):
             self.pix[m] = np.asarray(rgb, dtype=np.uint8)
             if self.cov is not None:
                 self.cov[m] = 1.0
@@ -371,11 +381,11 @@ class Canvas:
         a = (
             np.asarray(alpha, dtype=np.float64)[ys, xs]
             if np.ndim(alpha) == 2
-            else float(alpha)
+            else (1.0 if alpha is None else float(alpha))
         )
-        self._blend_at(ys, xs, np.asarray(rgb, dtype=np.float64), a)
+        self._blend_at(ys, xs, np.asarray(rgb, dtype=np.float64), a, blend)
 
-    def paint_image(self, mask: np.ndarray, ctm, img: np.ndarray, alpha=None):
+    def paint_image(self, mask: np.ndarray, ctm, img: np.ndarray, alpha=None, blend=None):
         """Paint a decoded (h, w, 3) image mapped through `ctm` (the PDF
         image convention: unit square -> device, image row 0 at TOP of
         the unit square's y=1 edge). Nearest-neighbor inverse sampling
@@ -402,7 +412,9 @@ class Canvas:
         inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
         ys, xs = ys[inside], xs[inside]
         cols = img[sy[inside], sx[inside]]
-        if alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0):
+        if blend is None and (
+            alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0)
+        ):
             self.pix[ys, xs] = cols
             if self.cov is not None:
                 self.cov[ys, xs] = 1.0
@@ -410,6 +422,83 @@ class Canvas:
         av = (
             np.asarray(alpha, dtype=np.float64)[ys, xs]
             if np.ndim(alpha) == 2
-            else float(alpha)
+            else (1.0 if alpha is None else float(alpha))
         )
-        self._blend_at(ys, xs, cols.astype(np.float64), av)
+        self._blend_at(ys, xs, cols.astype(np.float64), av, blend)
+
+
+# --- separable blend modes (PDF 32000 11.3.5) --------------------------------
+# B(backdrop, source) on float arrays in [0,1]; the non-separable modes
+# (Hue/Saturation/Color/Luminosity) are not here — callers record a
+# failure code for those.
+
+def _bl_multiply(b, s):
+    return b * s
+
+
+def _bl_screen(b, s):
+    return b + s - b * s
+
+
+def _bl_darken(b, s):
+    return np.minimum(b, s)
+
+
+def _bl_lighten(b, s):
+    return np.maximum(b, s)
+
+
+def _bl_hardlight(b, s):
+    return np.where(
+        s <= 0.5, _bl_multiply(b, 2.0 * s), _bl_screen(b, 2.0 * s - 1.0)
+    )
+
+
+def _bl_overlay(b, s):
+    return _bl_hardlight(s, b)
+
+
+def _bl_colordodge(b, s):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.where(s >= 1.0, 1.0, np.minimum(1.0, b / (1.0 - s)))
+    return np.where(b <= 0.0, 0.0, q)
+
+
+def _bl_colorburn(b, s):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.where(s <= 0.0, 0.0, 1.0 - np.minimum(1.0, (1.0 - b) / s))
+    return np.where(b >= 1.0, 1.0, q)
+
+
+def _bl_softlight(b, s):
+    d = np.where(
+        b <= 0.25, ((16.0 * b - 12.0) * b + 4.0) * b, np.sqrt(b)
+    )
+    return np.where(
+        s <= 0.5,
+        b - (1.0 - 2.0 * s) * b * (1.0 - b),
+        b + (2.0 * s - 1.0) * (d - b),
+    )
+
+
+def _bl_difference(b, s):
+    return np.abs(b - s)
+
+
+def _bl_exclusion(b, s):
+    return b + s - 2.0 * b * s
+
+
+BLEND_MODES = {
+    "Multiply": _bl_multiply,
+    "Screen": _bl_screen,
+    "Overlay": _bl_overlay,
+    "Darken": _bl_darken,
+    "Lighten": _bl_lighten,
+    "ColorDodge": _bl_colordodge,
+    "ColorBurn": _bl_colorburn,
+    "HardLight": _bl_hardlight,
+    "SoftLight": _bl_softlight,
+    "Difference": _bl_difference,
+    "Exclusion": _bl_exclusion,
+}

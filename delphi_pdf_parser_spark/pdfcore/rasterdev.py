@@ -32,7 +32,10 @@ Fidelity envelope (documented, test-pinned):
   luminosity+alpha soft masks build a page-size alpha map from a
   nested render of the mask group; transparency-group form XObjects
   composite through an offscreen coverage-tracking canvas (treated as
-  isolated; non-Normal blend modes record `raster_blend_mode:*`);
+  isolated); the 11 separable blend modes (Multiply..Exclusion) mix
+  per paint op against the opaque backdrop (PDF 32000 11.3.5);
+  non-separable modes (Hue/Saturation/Color/Luminosity) record
+  `raster_blend_mode:*`;
 - inline images (BI..ID..EI): AHx/A85/Fl/RL or raw payloads painted
   (8-bpc G/RGB/CMYK, 1-bpc gray, ImageMask stencils in the fill
   color); DCT/JPX inline payloads record `raster_inline_image`.
@@ -93,6 +96,9 @@ class RasterDevice:
             return gs.smask * a
         return None if a >= 1.0 else a
 
+    def _bl(self, gs):
+        return None if gs is None else gs.blend
+
     # --- path hooks ----------------------------------------------------------
     def _device_polys(self, polys, ctm):
         return [transform_poly(p, ctm) for p in polys if len(p) >= 2]
@@ -108,7 +114,7 @@ class RasterDevice:
         if gs is not None and gs.fill_pattern is not None:
             self._paint_pattern(mask, gs, stroke=False)
             return
-        self.canvas.paint_mask(mask, rgb, self._alpha(gs))
+        self.canvas.paint_mask(mask, rgb, self._alpha(gs), self._bl(gs))
 
     def _stroke_mask(self, polys, ctm, line_width: float, gs=None):
         dp = self._device_polys(polys, ctm)
@@ -135,7 +141,9 @@ class RasterDevice:
         if gs is not None and gs.stroke_pattern is not None:
             self._paint_pattern(mask, gs, stroke=True)
             return
-        self.canvas.paint_mask(mask, rgb, self._alpha(gs, stroke=True))
+        self.canvas.paint_mask(
+            mask, rgb, self._alpha(gs, stroke=True), self._bl(gs)
+        )
 
     def clip_path(self, polys, evenodd: bool, ctm):
         dp = self._device_polys(polys, ctm)
@@ -169,7 +177,7 @@ class RasterDevice:
             try:
                 self.fill_shade(
                     doc, pat.get("Shading"), pctm,
-                    alpha=self._alpha(gs, stroke),
+                    alpha=self._alpha(gs, stroke), blend=self._bl(gs),
                 )
             finally:
                 self.canvas.pop_clip()
@@ -267,6 +275,7 @@ class RasterDevice:
                         csi.gs.fill_alpha = gs.fill_alpha
                         csi.gs.stroke_alpha = gs.stroke_alpha
                         csi.gs.smask = gs.smask
+                        csi.gs.blend = gs.blend
                         if scn_rgb is not None:  # PaintType 2 base color
                             csi.gs.fill_rgb = scn_rgb
                             csi.gs.stroke_rgb = scn_rgb
@@ -401,7 +410,8 @@ class RasterDevice:
                 polys, self.canvas.width, self.canvas.height, NONZERO
             )
             self.canvas.paint_mask(
-                mask, rgb, self._alpha(gs, stroke=mode in (1, 5))
+                mask, rgb, self._alpha(gs, stroke=mode in (1, 5)),
+                self._bl(gs),
             )
         if missing:
             self.doc.note_failure("raster_no_outline")
@@ -485,7 +495,9 @@ class RasterDevice:
             mask = coverage_mask(
                 [unit], self.canvas.width, self.canvas.height, NONZERO
             )
-            self._paint_stencil(mask, ctm, paint, fill_rgb, self._alpha(gs))
+            self._paint_stencil(
+                mask, ctm, paint, fill_rgb, self._alpha(gs), self._bl(gs)
+            )
             return
 
         try:
@@ -519,7 +531,9 @@ class RasterDevice:
         mask = coverage_mask(
             [unit], self.canvas.width, self.canvas.height, NONZERO
         )
-        self.canvas.paint_image(mask, ctm, arr, self._alpha(gs))
+        self.canvas.paint_image(
+            mask, ctm, arr, self._alpha(gs), self._bl(gs)
+        )
 
     def fill_inline_image(self, doc, d: dict, payload: bytes, ctm, fill_rgb=(0, 0, 0), gs=None):
         """BI..ID..EI images: decode the captured payload (abbreviated
@@ -586,7 +600,9 @@ class RasterDevice:
             paint = bits == (1 if inverted else 0)
             if is_mask:
                 # stencil: sample-selected pixels take the fill color
-                self._paint_stencil(mask, ctm, paint, fill_rgb, self._alpha(gs))
+                self._paint_stencil(
+                    mask, ctm, paint, fill_rgb, self._alpha(gs), self._bl(gs)
+                )
                 return
             gray = np.where(paint, 0, 255).astype(np.uint8)
             arr = np.repeat(gray[:, :, None], 3, axis=2)
@@ -613,9 +629,13 @@ class RasterDevice:
                 c = a.astype(np.float64) / 255.0
                 rgbf = (1 - c[:, :, :3]) * (1 - c[:, :, 3:4])
                 arr = np.round(rgbf * 255).astype(np.uint8)
-        self.canvas.paint_image(mask, ctm, arr, self._alpha(gs))
+        self.canvas.paint_image(
+            mask, ctm, arr, self._alpha(gs), self._bl(gs)
+        )
 
-    def _paint_stencil(self, mask, ctm, paint: np.ndarray, fill_rgb, alpha=None):
+    def _paint_stencil(
+        self, mask, ctm, paint: np.ndarray, fill_rgb, alpha=None, blend=None
+    ):
         """ImageMask stenciling: inverse-map covered pixels and color
         the selected samples with the gstate fill color at BI time."""
         a, b, c, d_, e, f = ctm
@@ -646,11 +666,11 @@ class RasterDevice:
             else (1.0 if alpha is None else float(alpha))
         )
         self.canvas._blend_at(
-            pys, pxs, np.asarray(fill_rgb, dtype=np.float64), av
+            pys, pxs, np.asarray(fill_rgb, dtype=np.float64), av, blend
         )
 
     # --- shadings ------------------------------------------------------------
-    def fill_shade(self, doc, shd, ctm, gs=None, alpha=None):
+    def fill_shade(self, doc, shd, ctm, gs=None, alpha=None, blend=None):
         """`shd` may be the indirect ref (kept so mesh types 4/5 can
         load the vertex stream) or the resolved dict."""
         from .cos import is_indirect, to_int, to_name
@@ -660,15 +680,17 @@ class RasterDevice:
         shd = doc.resolve(shd)
         if alpha is None:
             alpha = self._alpha(gs)
+        if blend is None:
+            blend = self._bl(gs)
         if not isinstance(shd, dict):
             doc.note_failure("raster_shading_missing")
             return
         stype = to_int(doc.resolve(shd.get("ShadingType")))
         if stype in (4, 5):
-            self._fill_mesh_shade(doc, shd_ref, shd, stype, ctm, alpha)
+            self._fill_mesh_shade(doc, shd_ref, shd, stype, ctm, alpha, blend)
             return
         if stype in (6, 7):
-            self._fill_patch_shade(doc, shd_ref, shd, stype, ctm, alpha)
+            self._fill_patch_shade(doc, shd_ref, shd, stype, ctm, alpha, blend)
             return
         if stype not in (2, 3):
             doc.note_failure(f"raster_shading_type:{stype}")
@@ -768,10 +790,10 @@ class RasterDevice:
             else (1.0 if alpha is None else float(alpha))
         )
         self.canvas._blend_at(
-            pys, pxs, lut8[idx[painted]].astype(np.float64), av
+            pys, pxs, lut8[idx[painted]].astype(np.float64), av, blend
         )
 
-    def _fill_mesh_shade(self, doc, shd_ref, shd, stype, ctm, alpha):
+    def _fill_mesh_shade(self, doc, shd_ref, shd, stype, ctm, alpha, blend=None):
         """Types 4/5: decode the packed vertex stream and Gouraud-fill
         each triangle by barycentric interpolation at covered pixel
         centers (the reference evaluates meshes in
@@ -915,9 +937,9 @@ class RasterDevice:
             )
             C = np.stack([tri_color(i1), tri_color(i2), tri_color(i3)])
             out.append((P, C))
-        self._paint_gouraud_tris(out, alpha)
+        self._paint_gouraud_tris(out, alpha, blend)
 
-    def _paint_gouraud_tris(self, tris, alpha):
+    def _paint_gouraud_tris(self, tris, alpha, blend=None):
         """Barycentric Gouraud fill of device-space triangles.
         `tris` = [(P 3x2 device coords, C 3x3 vertex colors 0..255)]."""
         W, Hh = self.canvas.width, self.canvas.height
@@ -962,11 +984,11 @@ class RasterDevice:
                 if np.ndim(alpha) == 2
                 else (1.0 if alpha is None else float(alpha))
             )
-            self.canvas._blend_at(pys, pxs, cols_px, av)
+            self.canvas._blend_at(pys, pxs, cols_px, av, blend)
 
     _PATCH_GRID = 8  # sub-quads per patch edge (128 triangles/patch)
 
-    def _fill_patch_shade(self, doc, shd_ref, shd, stype, ctm, alpha):
+    def _fill_patch_shade(self, doc, shd_ref, shd, stype, ctm, alpha, blend=None):
         """Types 6/7: Coons / tensor-product patch meshes
         (src/vcl/pdf_shadess.pas). Each patch's surface is evaluated on
         a _PATCH_GRID x _PATCH_GRID parameter grid — type 6 by the
@@ -1180,7 +1202,7 @@ class RasterDevice:
         if not tris:
             doc.note_failure("raster_shading_mesh")
             return
-        self._paint_gouraud_tris(tris, alpha)
+        self._paint_gouraud_tris(tris, alpha, blend)
 
 
 def render_page(

@@ -594,3 +594,107 @@ def test_tiling_cell_clip_does_not_leak():
     assert px(pix, 110, 110) == WHITE  # outside the cell's own clip
     # the later fill is unaffected by the cell's un-bracketed clip
     assert px(pix, 310, 310) == (0, 0, 255)
+
+
+# --- resource colorspaces in color operators --------------------------------
+
+def test_indexed_colorspace_fill():
+    """[/Indexed /DeviceRGB hival lut] + `i sc`: palette lookup."""
+    res = "<< /ColorSpace << /CSI 5 0 R >> >>"
+    lut = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+
+    def extra(b):
+        b.add(f"<< /Length {len(lut)} >>", lut, num=6)
+        b.add("[/Indexed /DeviceRGB 2 6 0 R]", num=5)
+
+    pix, fails = render(
+        b"/CSI cs 1 sc 100 100 50 50 re f"
+        b" /CSI cs 2 sc 200 100 50 50 re f",
+        res,
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 125, 125) == (0, 255, 0)  # palette entry 1
+    assert px(pix, 225, 125) == (0, 0, 255)  # palette entry 2
+
+
+def test_separation_colorspace_fill():
+    """[/Separation /Spot /DeviceRGB tint] + `t scn`: the tint
+    transform maps t=1 to pure red via a type-2 function."""
+    res = "<< /ColorSpace << /SP 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "[/Separation /Spot /DeviceRGB"
+            " << /FunctionType 2 /Domain [0 1]"
+            " /C0 [1 1 1] /C1 [1 0 0] /N 1 >>]",
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/SP cs 1 scn 100 200 50 50 re f"
+        b" /SP cs 0.5 scn 200 200 50 50 re f",
+        res,
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 125, 225) == (255, 0, 0)  # full tint
+    # half tint: lerp (1,1,1)->(1,0,0) at 0.5 = (255,128,128)
+    assert px(pix, 225, 225) == (255, 128, 128)
+
+
+def test_device_color_op_clears_resource_space():
+    """g/rg after an Indexed cs: operands are device components again."""
+    res = "<< /ColorSpace << /CSI 5 0 R >> >>"
+    lut = bytes([255, 0, 0, 0, 255, 0])
+
+    def extra(b):
+        b.add(f"<< /Length {len(lut)} >>", lut, num=6)
+        b.add("[/Indexed /DeviceRGB 1 6 0 R]", num=5)
+
+    pix, fails = render(
+        b"/CSI cs 1 sc 0 0 1 rg 100 300 50 50 re f", res, extra
+    )
+    assert fails == {}
+    assert px(pix, 125, 325) == (0, 0, 255)  # rg wins, not palette
+
+
+# --- separable blend modes --------------------------------------------------
+
+def test_blend_mode_multiply_and_screen():
+    res = (
+        "<< /ExtGState << /GM << /BM /Multiply >>"
+        " /GS << /BM /Screen >> /GN << /BM /Normal >> >> >>"
+    )
+    pix, fails = render(
+        b"0 0 1 rg 100 100 150 100 re f"          # blue backdrop
+        b" /GM gs 1 0 0 rg 150 100 150 100 re f"  # multiply red over it
+        b" /GN gs 0 0 1 rg 100 300 150 100 re f"  # second blue backdrop
+        b" /GS gs 1 0 0 rg 150 300 150 100 re f", # screen red over it
+        res,
+    )
+    assert fails == {}
+    # multiply: over blue -> (0,0,0); over white -> red
+    assert px(pix, 200, 150) == (0, 0, 0)
+    assert px(pix, 270, 150) == (255, 0, 0)
+    # screen: over blue -> magenta; over white -> white
+    assert px(pix, 200, 350) == (255, 0, 255)
+    assert px(pix, 270, 350) == (255, 255, 255)
+
+
+def test_blend_mode_difference_and_alpha():
+    res = "<< /ExtGState << /GD << /BM /Difference /ca 0.5 >> >> >>"
+    pix, fails = render(
+        b"/GD gs 1 0 0 rg 100 500 100 100 re f", res
+    )
+    assert fails == {}
+    # difference(white, red) = (0,255,255) cyan, composited at 0.5:
+    # 0.5*cyan + 0.5*white = (128, 255, 255)
+    assert px(pix, 150, 550) == (128, 255, 255)
+
+
+def test_blend_mode_nonseparable_records_failure():
+    res = "<< /ExtGState << /GH << /BM /Hue >> >> >>"
+    pix, fails = render(b"/GH gs 1 0 0 rg 100 100 50 50 re f", res)
+    assert fails.get("raster_blend_mode:Hue") == 1
+    assert px(pix, 125, 125) == (255, 0, 0)  # painted Normal instead
