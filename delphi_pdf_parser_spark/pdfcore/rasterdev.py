@@ -14,9 +14,10 @@ Fidelity envelope (documented, test-pinned):
   width, butt/round/projecting caps, miter (with limit) / round /
   bevel joins, dash arrays with phase;
 - text: real glyph outlines from embedded TrueType (glyf) and CFF
-  (Type2) programs via pdfcore/glyphs.py; fonts without an embedded
-  program (base-14 references) draw nothing and record
-  `raster_no_outline`;
+  (Type2) programs via pdfcore/glyphs.py; Tr fill modes fill them,
+  stroke modes (1/2/5/6) STROKE them with the full stroke state;
+  fonts without an embedded program (base-14 references) draw nothing
+  and record `raster_no_outline`;
 - images: Flate/LZW-class rasters through extract_image(transcode=True)
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
 - shadings: axial (type 2) and radial (type 3) through functions.py
@@ -371,12 +372,14 @@ class RasterDevice:
 
     # --- text hook (mode-aware, called once per flushed run) ----------------
     def text(self, run, ctm, mode: int, gs):
-        # paint iff the mode fills or strokes; 3 (invisible) and 7
-        # (add-to-clip only) paint nothing; stroke-only modes (1, 5)
-        # take the stroke color, everything else the fill color
+        # Tr mode semantics (PDF 32000 9.3.6): 3 (invisible) and 7
+        # (add-to-clip only) paint nothing; 0/4 fill the outlines,
+        # 1/5 STROKE them (gs.line_width, stroke color, full stroke
+        # state), 2/6 fill then stroke
         if mode in (3, 7):
             return
-        rgb = gs.stroke_rgb if mode in (1, 5) else gs.fill_rgb
+        dofill = mode in (0, 2, 4, 6)
+        dostroke = mode in (1, 2, 5, 6)
         font = run.font
         ta, tb, tc, td = run.trm[:4]
         missing = False
@@ -389,6 +392,7 @@ class RasterDevice:
             else:
                 glyphs.append((part[0], part[2], part[3]))
         if getattr(font, "is_type3", False):
+            rgb = gs.stroke_rgb if mode in (1, 5) else gs.fill_rgb
             self._text_type3(font, glyphs, (ta, tb, tc, td), ctm, rgb)
             return
         for cid, ex, ey in glyphs:
@@ -406,13 +410,40 @@ class RasterDevice:
                 if len(cont) >= 3:
                     polys.append(transform_poly(cont, m))
         if polys:
-            mask = coverage_mask(
-                polys, self.canvas.width, self.canvas.height, NONZERO
-            )
-            self.canvas.paint_mask(
-                mask, rgb, self._alpha(gs, stroke=mode in (1, 5)),
-                self._bl(gs),
-            )
+            if dofill:
+                mask = coverage_mask(
+                    polys, self.canvas.width, self.canvas.height, NONZERO
+                )
+                self.canvas.paint_mask(
+                    mask, gs.fill_rgb, self._alpha(gs), self._bl(gs)
+                )
+            if dostroke:
+                # glyph contours are closed loops: close each explicitly
+                # so the stroke outline takes wrap joins, not end caps
+                closed = [
+                    np.vstack([p, p[:1]])
+                    if not np.array_equal(p[0], p[-1])
+                    else p
+                    for p in polys
+                ]
+                a, b, c, d, _e, _f = ctm
+                scale = abs(a * d - b * c) ** 0.5 or 1.0
+                outline = stroke_outline(
+                    closed,
+                    max(gs.line_width, 0.0) * scale,
+                    gs.line_cap,
+                    gs.line_join,
+                    gs.miter_limit,
+                )
+                smask = coverage_mask(
+                    outline, self.canvas.width, self.canvas.height, NONZERO
+                )
+                self.canvas.paint_mask(
+                    smask,
+                    gs.stroke_rgb,
+                    self._alpha(gs, stroke=True),
+                    self._bl(gs),
+                )
         if missing:
             self.doc.note_failure("raster_no_outline")
 

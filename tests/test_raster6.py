@@ -698,3 +698,59 @@ def test_blend_mode_nonseparable_records_failure():
     pix, fails = render(b"/GH gs 1 0 0 rg 100 100 50 50 re f", res)
     assert fails.get("raster_blend_mode:Hue") == 1
     assert px(pix, 125, 125) == (255, 0, 0)  # painted Normal instead
+
+
+# --- text render modes: stroke the outlines ---------------------------------
+
+def _block_glyph_doc(ops: str):
+    from delphi_pdf_parser_spark.fixtures import (
+        PdfBuilder as PB,
+        build_ttf,
+        simple_doc,
+    )
+
+    ttf = build_ttf(
+        cmaps=[(3, 1, {0x41: 1})],
+        advances=(500, 600),
+        glyphs={0: [], 1: [[(0, 0), (600, 0), (600, 700), (0, 700)]]},
+    )
+    b = PB()
+    b.set(7, f"<< /Length {len(ttf)} >>", ttf)
+    b.set(
+        6,
+        "<< /Type /FontDescriptor /FontName /T /Flags 32"
+        " /FontFile2 7 0 R >>",
+    )
+    font = (
+        "<< /Type /Font /Subtype /TrueType /BaseFont /T"
+        " /FontDescriptor 6 0 R /FirstChar 65 /LastChar 65"
+        " /Widths [600] >>"
+    )
+    return simple_doc(
+        f"BT /F1 100 Tf {ops} ET".encode(), font_body=font, builder=b
+    )
+
+
+def test_text_mode_stroke_only_leaves_interior_empty():
+    """Tr 1: the glyph OUTLINE strokes (width 6 band), interior white.
+    100pt block glyph at (100,100): box [100,160]x[100,170]."""
+    b, cat = _block_glyph_doc("1 Tr 6 w 1 0 0 RG 100 100 Td (A) Tj")
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    assert tuple(pix[792 - 135, 130]) == (255, 255, 255)  # interior
+    assert tuple(pix[792 - 135, 100]) == (255, 0, 0)  # left edge band
+    assert tuple(pix[792 - 100, 130]) == (255, 0, 0)  # bottom edge band
+    assert tuple(pix[792 - 135, 90]) == (255, 255, 255)  # outside
+
+
+def test_text_mode_fill_then_stroke_uses_both_colors():
+    """Tr 2: interior takes the fill color, the boundary band the
+    stroke color."""
+    b, cat = _block_glyph_doc(
+        "2 Tr 6 w 0 0 1 rg 1 0 0 RG 100 300 Td (A) Tj"
+    )
+    w, h, pix, fails = render_page(b.build_classic(cat), 0, 1.0)
+    assert fails == {}, fails
+    assert tuple(pix[792 - 335, 130]) == (0, 0, 255)  # filled interior
+    assert tuple(pix[792 - 335, 100]) == (255, 0, 0)  # stroked boundary
+    assert tuple(pix[792 - 335, 90]) == (255, 255, 255)
