@@ -1110,7 +1110,7 @@ def run_extgstate(csi: CSI, rdb):
             elif bm in BLEND_MODES:
                 gs.blend = BLEND_MODES[bm]
             else:
-                # non-separable (Hue/Saturation/Color/Luminosity)
+                # unknown name: PDF 32000 11.3.5 says treat as Normal
                 gs.blend = None
                 doc.note_failure(f"raster_blend_mode:{bm}")
         if "SMask" in egs:

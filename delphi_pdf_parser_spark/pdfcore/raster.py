@@ -344,6 +344,8 @@ class Canvas:
         if blend is not None:
             old = self.pix[ys, xs].astype(np.float64) / 255.0
             src = (c[None, :] if c.ndim == 1 else c) / 255.0
+            # non-separable modes index rows; give src the backdrop's shape
+            src = np.broadcast_to(src, old.shape)
             c = np.clip(blend(old, src), 0.0, 1.0) * 255.0
         if a.ndim == 0 and float(a) >= 1.0:
             self.pix[ys, xs] = np.asarray(
@@ -489,7 +491,63 @@ def _bl_exclusion(b, s):
     return b + s - 2.0 * b * s
 
 
+# --- non-separable blend modes (PDF 32000 11.3.5.3) --------------------------
+# operate on whole (n, 3) RGB rows via the spec's Lum/Sat helpers
+
+def _lum(c):
+    return 0.3 * c[:, 0] + 0.59 * c[:, 1] + 0.11 * c[:, 2]
+
+
+def _clip_color(c):
+    l = _lum(c)[:, None]
+    n = c.min(axis=1, keepdims=True)
+    x = c.max(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lo = np.where(n < 0.0, l + (c - l) * l / (l - n), c)
+        c = np.where(np.isfinite(lo), lo, l)
+        hi = np.where(x > 1.0, l + (c - l) * (1.0 - l) / (x - l), c)
+        c = np.where(np.isfinite(hi), hi, l)
+    return c
+
+
+def _set_lum(c, l):
+    return _clip_color(c + (l - _lum(c))[:, None])
+
+
+def _sat(c):
+    return c.max(axis=1) - c.min(axis=1)
+
+
+def _set_sat(c, s):
+    mn = c.min(axis=1, keepdims=True)
+    rng = c.max(axis=1, keepdims=True) - mn
+    out = np.zeros_like(c)
+    nz = rng[:, 0] > 0
+    out[nz] = (c[nz] - mn[nz]) / rng[nz] * s[nz, None]
+    return out
+
+
+def _bl_hue(b, s):
+    return _set_lum(_set_sat(s, _sat(b)), _lum(b))
+
+
+def _bl_saturation(b, s):
+    return _set_lum(_set_sat(b, _sat(s)), _lum(b))
+
+
+def _bl_color(b, s):
+    return _set_lum(s, _lum(b))
+
+
+def _bl_luminosity(b, s):
+    return _set_lum(b, _lum(s))
+
+
 BLEND_MODES = {
+    "Hue": _bl_hue,
+    "Saturation": _bl_saturation,
+    "Color": _bl_color,
+    "Luminosity": _bl_luminosity,
     "Multiply": _bl_multiply,
     "Screen": _bl_screen,
     "Overlay": _bl_overlay,

@@ -33,9 +33,10 @@ Fidelity envelope (documented, test-pinned):
   luminosity+alpha soft masks build a page-size alpha map from a
   nested render of the mask group; transparency-group form XObjects
   composite through an offscreen coverage-tracking canvas (treated as
-  isolated); the 11 separable blend modes (Multiply..Exclusion) mix
-  per paint op against the opaque backdrop (PDF 32000 11.3.5);
-  non-separable modes (Hue/Saturation/Color/Luminosity) record
+  isolated); all 15 blend modes mix per paint op against the opaque
+  backdrop: the 11 separable (Multiply..Exclusion, PDF 32000 11.3.5)
+  plus the 4 non-separable (Hue/Saturation/Color/Luminosity, 11.3.5.3
+  Lum/Sat construction); unknown /BM names fall back to Normal with
   `raster_blend_mode:*`;
 - inline images (BI..ID..EI): AHx/A85/Fl/RL or raw payloads painted
   (8-bpc G/RGB/CMYK, 1-bpc gray, ImageMask stencils in the fill

@@ -693,10 +693,42 @@ def test_blend_mode_difference_and_alpha():
     assert px(pix, 150, 550) == (128, 255, 255)
 
 
-def test_blend_mode_nonseparable_records_failure():
-    res = "<< /ExtGState << /GH << /BM /Hue >> >> >>"
-    pix, fails = render(b"/GH gs 1 0 0 rg 100 100 50 50 re f", res)
-    assert fails.get("raster_blend_mode:Hue") == 1
+def test_blend_mode_nonseparable_pixel_truth():
+    """PDF 32000 11.3.5.3 Lum/Sat construction, hand-derived:
+    blue source over red backdrop (Lum(red)=0.3, Lum(blue)=0.11) —
+    Luminosity -> SetLum(red, 0.11) = (0.3667, 0, 0);
+    Color and Hue -> SetLum(blue, 0.3) = (0.2135, 0.2135, 1) after
+    ClipColor's x>1 branch; Saturation -> red unchanged (Sat(blue)=1,
+    SetSat(red,1)=red). Over the WHITE page, Hue must vanish entirely
+    (Sat(white)=0 -> gray at Lum(white)=1 -> white)."""
+    res = (
+        "<< /ExtGState << /GL << /BM /Luminosity >>"
+        " /GC << /BM /Color >> /GH << /BM /Hue >>"
+        " /GS << /BM /Saturation >> /GN << /BM /Normal >> >> >>"
+    )
+    bd = b" 1 0 0 rg %d 100 100 100 re f"  # red backdrop column
+    ov = b" 0 0 1 rg %d 150 100 100 re f"  # blue, overlaps lower half
+    content = b""
+    for i, g in enumerate((b"/GL", b"/GC", b"/GH", b"/GS")):
+        x = 100 + 130 * i
+        content += b"/GN gs" + (bd % x) + b" " + g + b" gs" + (ov % x)
+    pix, fails = render(content, res)
+    assert fails == {}
+    # in-overlap (backdrop red):
+    assert px(pix, 150, 175) == (94, 0, 0)      # Luminosity
+    assert px(pix, 280, 175) == (54, 54, 255)   # Color
+    assert px(pix, 410, 175) == (54, 54, 255)   # Hue
+    assert px(pix, 540, 175) == (255, 0, 0)     # Saturation: unchanged
+    # above the backdrop (white page): Hue of blue over white = white
+    assert px(pix, 410, 225) == (255, 255, 255)
+    # Luminosity of blue over white = gray at Lum(blue)=0.11
+    assert px(pix, 150, 225) == (28, 28, 28)
+
+
+def test_blend_mode_unknown_name_records_failure():
+    res = "<< /ExtGState << /GX << /BM /Bogus >> >> >>"
+    pix, fails = render(b"/GX gs 1 0 0 rg 100 100 50 50 re f", res)
+    assert fails.get("raster_blend_mode:Bogus") == 1
     assert px(pix, 125, 125) == (255, 0, 0)  # painted Normal instead
 
 
