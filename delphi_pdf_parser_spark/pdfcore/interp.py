@@ -1292,6 +1292,12 @@ def _consume_inline_data(doc, lex: Lexer, d: dict):
             i += (run + 1) if run < 128 else 1
         lex.seek(i)
         return
+    if first in ("DCT", "DCTDecode", "JPX", "JPXDecode"):
+        # JPEG EOI and JPEG-2000 EOC are both 0xFFD9, and entropy data
+        # byte-stuffs 0xFF, so the first FFD9 ends the codestream
+        end = data.find(b"\xff\xd9", pos)
+        lex.seek(end + 2 if end >= 0 else len(data))
+        return
     if first is None:
         w = to_int(doc.resolve(d.get("W") or d.get("Width")))
         h = to_int(doc.resolve(d.get("H") or d.get("Height")))

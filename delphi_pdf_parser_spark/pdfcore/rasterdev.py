@@ -31,7 +31,8 @@ Fidelity envelope (documented, test-pinned):
   routed to fill_shade under the fill's coverage mask;
 - transparency: /CA /ca constant alphas blend per paint op; /SMask
   luminosity+alpha soft masks build a page-size alpha map from a
-  nested render of the mask group; transparency-group form XObjects
+  nested render of the mask group (/TR transfer functions applied
+  through functions.py); transparency-group form XObjects
   composite through an offscreen coverage-tracking canvas (treated as
   isolated); all 15 blend modes mix per paint op against the opaque
   backdrop: the 11 separable (Multiply..Exclusion, PDF 32000 11.3.5)
@@ -40,7 +41,8 @@ Fidelity envelope (documented, test-pinned):
   `raster_blend_mode:*`;
 - inline images (BI..ID..EI): AHx/A85/Fl/RL or raw payloads painted
   (8-bpc G/RGB/CMYK, 1-bpc gray, ImageMask stencils in the fill
-  color); DCT/JPX inline payloads record `raster_inline_image`.
+  color); DCT/JPX payloads decode through the from-scratch
+  jpeg.py/jpx.py decoders (undecodable -> `raster_inline_image`).
 """
 
 from __future__ import annotations
@@ -307,9 +309,16 @@ class RasterDevice:
         if not (isinstance(g, dict) and is_indirect(gref)):
             doc.note_failure("raster_smask_missing")
             return None
-        tr = doc.resolve(sm.get("TR"))
+        tr_ref = sm.get("TR")  # keep the ref: stream fns need load_stream
+        tr = doc.resolve(tr_ref)
+        tr_fn = None
         if tr is not None and to_name(tr) != "Identity":
-            doc.note_failure("raster_smask_tr")
+            from .functions import load_function
+
+            try:
+                tr_fn = load_function(doc, tr_ref)
+            except Exception:
+                doc.note_failure("raster_smask_tr")
         bg = (0, 0, 0)
         bc = doc.resolve(sm.get("BC"))
         if isinstance(bc, list) and bc:
@@ -341,10 +350,23 @@ class RasterDevice:
             self.canvas = old
         if styp == "Luminosity":
             p = off.pix.astype(np.float64)
-            return (
+            amap = (
                 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
             ) / 255.0
-        return off.cov.copy()
+        else:
+            amap = off.cov.copy()
+        if tr_fn is not None:
+            from .functions import eval_function
+
+            try:
+                amap = np.clip(
+                    eval_function(tr_fn, amap.reshape(-1, 1))[:, 0],
+                    0.0,
+                    1.0,
+                ).reshape(amap.shape)
+            except Exception:
+                doc.note_failure("raster_smask_tr")
+        return amap
 
     def begin_group(self):
         """Swap in an offscreen coverage-tracking canvas for a
@@ -569,10 +591,11 @@ class RasterDevice:
 
     def fill_inline_image(self, doc, d: dict, payload: bytes, ctm, fill_rgb=(0, 0, 0), gs=None):
         """BI..ID..EI images: decode the captured payload (abbreviated
-        dict keys, AHx/A85/Fl/RL or raw) and paint like an XObject.
-        1-bpc ImageMasks stencil the CURRENT fill color (sample 0 paints
-        under the default Decode); unsupported codecs (DCT inline) record
-        `raster_inline_image`."""
+        dict keys, AHx/A85/Fl/RL or raw; DCT/JPX terminal filters route
+        through the from-scratch jpeg.py/jpx.py decoders) and paint like
+        an XObject. 1-bpc ImageMasks stencil the CURRENT fill color
+        (sample 0 paints under the default Decode); undecodable payloads
+        record `raster_inline_image`."""
         from .cos import Name, to_int, to_name
         from .filters import apply_filter
 
@@ -593,8 +616,37 @@ class RasterDevice:
         data = payload
         for i, f in enumerate(filters or []):
             fname = to_name(f)
-            if fname in ("DCT", "DCTDecode", "JPXDecode"):
-                doc.note_failure("raster_inline_image")
+            if fname in ("DCT", "DCTDecode", "JPX", "JPXDecode"):
+                # terminal image codec: whatever precedes it (AHx/A85)
+                # has already run, so `data` is the raw codestream
+                from ..operators.mediadec import decode_image
+
+                try:
+                    iw2, ih2, ncomp, pixels = decode_image(data)
+                    a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+                        ih2, iw2, ncomp
+                    )
+                except Exception:
+                    doc.note_failure("raster_inline_image")
+                    return
+                if ncomp == 1:
+                    arr = np.repeat(a, 3, axis=2)
+                elif ncomp >= 4:  # Adobe CMYK
+                    cf = a.astype(np.float64) / 255.0
+                    arr = np.round(
+                        (1 - cf[:, :, :3]) * (1 - cf[:, :, 3:4]) * 255
+                    ).astype(np.uint8)
+                else:
+                    arr = a[:, :, :3]
+                unit = transform_poly(
+                    [(0, 0), (1, 0), (1, 1), (0, 1)], ctm
+                )
+                mask = coverage_mask(
+                    [unit], self.canvas.width, self.canvas.height, NONZERO
+                )
+                self.canvas.paint_image(
+                    mask, ctm, arr, self._alpha(gs), self._bl(gs)
+                )
                 return
             parm = (
                 doc.resolve(parms[i])

@@ -725,6 +725,52 @@ def test_blend_mode_nonseparable_pixel_truth():
     assert px(pix, 150, 225) == (28, 28, 28)
 
 
+def test_smask_transfer_function_inverts():
+    """/TR (PDF 32000 11.6.5.2): a type-2 inverting function flips the
+    luminosity map — the white mask area now BLOCKS paint and the black
+    backdrop area passes it."""
+    form = b"1 g 100 100 100 200 re f"
+    res = (
+        "<< /ExtGState << /GM << /SMask << /S /Luminosity /G 5 0 R"
+        " /TR << /FunctionType 2 /Domain [0 1] /C0 [1] /C1 [0] /N 1 >>"
+        " >> >> >> >>"
+    )
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency >> /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/GM gs 1 0 0 rg 50 100 300 200 re f", res, extra
+    )
+    assert fails == {}
+    assert px(pix, 150, 200) == WHITE  # luma 1 -> TR -> 0: blocked
+    assert px(pix, 250, 200) == (255, 0, 0)  # luma 0 -> TR -> 1: full
+
+
+def test_inline_image_dct_decodes():
+    """BI with /F /DCT routes through the from-scratch baseline JPEG
+    decoder; a uniform block is a DC-only decode, exact at quant=1."""
+    from delphi_pdf_parser_spark.fixtures import jpeg_encode
+
+    jp = jpeg_encode(16, 16, 1, bytes([77]) * 256)
+    content = (
+        b"q 100 0 0 100 100 100 cm BI /W 16 /H 16 /BPC 8 /CS /G"
+        b" /F /DCT ID " + jp + b" EI Q"
+        b" 1 0 0 rg 400 100 50 50 re f"  # post-image op still runs
+    )
+    pix, fails = render(content)
+    assert fails == {}
+    assert px(pix, 150, 150) == (77, 77, 77)
+    assert px(pix, 99, 150) == WHITE  # outside the placed unit square
+    assert px(pix, 425, 125) == (255, 0, 0)  # lexer resynced after EI
+
+
 def test_blend_mode_unknown_name_records_failure():
     res = "<< /ExtGState << /GX << /BM /Bogus >> >> >>"
     pix, fails = render(b"/GX gs 1 0 0 rg 100 100 50 50 re f", res)
