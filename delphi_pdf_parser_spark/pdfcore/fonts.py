@@ -199,8 +199,8 @@ class FontDesc:
     def outline_1000(self, code_or_cid: int):
         """Flattened glyph contours scaled to a 1000-unit em for the
         raster sink, or None when the font carries no embedded outline
-        program (base-14 references — the device records
-        `raster_no_outline` instead of inventing shapes)."""
+        program (base-14 references — the device then consults
+        fallback_outline_1000's synthetic face)."""
         if self.embedded is None:
             return None
         kind, prog, etable = self.embedded
@@ -242,6 +242,37 @@ class FontDesc:
             return None
         self._outline_cache[gid] = conts
         return conts
+
+    def fallback_outline_1000(self, code_or_cid: int):
+        """Synthetic-sans contours (pdfcore/fallbackfont.py) for fonts
+        without an embedded program. The reference substitutes a bundled
+        base-14 FreeType face (src/vcl/pdf_fontfiless.pas); we render a
+        from-scratch skeleton-stroke face instead so unembedded text
+        rasters visibly — the device records `raster_fallback_font` so
+        synthetic pages stay distinguishable. Keyed by the glyph's
+        Unicode mapping (same chain the text sink uses); returns None
+        when the code maps outside printable ASCII."""
+        if self.embedded is not None:
+            return None
+        from .fallbackfont import fallback_outline
+
+        ucs = None
+        ft = self.fast_table()
+        if ft and 0 <= code_or_cid < 256:
+            ent = ft[code_or_cid]
+            if ent and ent[1]:
+                ucs = ent[1][0]
+        elif self.to_unicode is not None:
+            full = self.to_unicode.lookup_full(code_or_cid)
+            if full:
+                ucs = full[0]
+        elif self.cid_to_ucs is not None and 0 <= code_or_cid < len(
+            self.cid_to_ucs
+        ):
+            ucs = int(self.cid_to_ucs[code_or_cid])
+        if ucs is None:
+            return None
+        return fallback_outline(int(ucs))
 
     def fast_table(self):
         """For simple/Type3 fonts (1-byte identity encoding, wmode 0):

@@ -9,9 +9,10 @@ from-scratch equivalent, emitting FLATTENED contours (point lists) in
 font units so the rasterizer consumes them directly.
 
 Fonts without an embedded outline program (base-14 references) have no
-outlines here by construction — the render device records a
-`raster_no_outline` decode-failure code for them instead of inventing
-shapes.
+outlines here by construction — the render device falls back to the
+synthetic-sans face in fallbackfont.py (recording
+`raster_fallback_font`), and records `raster_no_outline` only for
+glyphs outside that face's coverage.
 """
 
 from __future__ import annotations

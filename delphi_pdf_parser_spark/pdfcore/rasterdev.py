@@ -16,8 +16,11 @@ Fidelity envelope (documented, test-pinned):
 - text: real glyph outlines from embedded TrueType (glyf) and CFF
   (Type2) programs via pdfcore/glyphs.py; Tr fill modes fill them,
   stroke modes (1/2/5/6) STROKE them with the full stroke state;
-  fonts without an embedded program (base-14 references) draw nothing
-  and record `raster_no_outline`;
+  fonts without an embedded program (base-14 references) render through
+  the from-scratch synthetic-sans fallback face (fallbackfont.py,
+  printable ASCII; the reference substitutes bundled FreeType faces)
+  and record `raster_fallback_font`; glyphs outside the fallback's
+  coverage record `raster_no_outline`;
 - images: Flate/LZW-class rasters through extract_image(transcode=True)
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
 - shadings: axial (type 2) and radial (type 3) through functions.py
@@ -418,13 +421,20 @@ class RasterDevice:
             rgb = gs.stroke_rgb if mode in (1, 5) else gs.fill_rgb
             self._text_type3(font, glyphs, (ta, tb, tc, td), ctm, rgb)
             return
+        fallback = False
         for cid, ex, ey in glyphs:
             if cid < 0:
                 continue  # ligature-extra filler entries carry no glyph
             conts = font.outline_1000(int(cid))
             if conts is None:
-                missing = True
-                continue
+                # no embedded program: synthetic-sans fallback face
+                # (fallbackfont.py) stands in for the reference's
+                # bundled base-14 substitution
+                conts = font.fallback_outline_1000(int(cid))
+                if conts is None:
+                    missing = True
+                    continue
+                fallback = True
             m = _concat(
                 (ta * 0.001, tb * 0.001, tc * 0.001, td * 0.001, ex, ey),
                 ctm,
@@ -467,6 +477,8 @@ class RasterDevice:
                     self._alpha(gs, stroke=True),
                     self._bl(gs),
                 )
+        if fallback:
+            self.doc.note_failure("raster_fallback_font")
         if missing:
             self.doc.note_failure("raster_no_outline")
 

@@ -147,15 +147,57 @@ def test_render_cff_glyphs():
     assert black[792 - 115, 115]  # inside the block
 
 
-def test_render_no_outline_font_records_failure():
-    """Base-14 text draws nothing (no embedded program) but records the
-    documented raster_no_outline code; the page still renders paths."""
+def test_render_unembedded_font_uses_fallback_face():
+    """Base-14 text (no embedded program) renders through the synthetic
+    fallback face and records raster_fallback_font — not the old
+    draws-nothing raster_no_outline behavior; paths still render."""
     from delphi_pdf_parser_spark.fixtures import _bt, simple_doc
 
-    b2, cat = simple_doc(_bt("100 100 Td (Hi) Tj") + b" 1 0 0 rg 10 10 50 50 re f")
+    b2, cat = simple_doc(
+        _bt("/F1 50 Tf 100 100 Td (Hi) Tj") + b" 1 0 0 rg 10 10 50 50 re f"
+    )
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    assert fails.get("raster_fallback_font") == 1
+    assert "raster_no_outline" not in fails, fails
+    black = (pix == 0).all(axis=2)
+    # 'H': two stems at em-x 140/460 + crossbar at em-y 350 (50pt em);
+    # pen origin (100,100) -> device row 792 - (100 + 0.35*50)
+    assert black[792 - 117, 100 + 15]  # left stem of H
+    assert black[792 - 117, 100 + 23]  # right stem of H
+    assert 400 < black.sum() < 2500, black.sum()
+
+
+def test_fallback_face_covers_printable_ascii():
+    """Every printable-ASCII codepoint has fallback contours (space is
+    the legitimate empty glyph); non-ASCII has none; contours are
+    closed polys consumable by coverage_mask."""
+    from delphi_pdf_parser_spark.pdfcore.fallbackfont import fallback_outline
+
+    for cp in range(0x20, 0x7F):
+        conts = fallback_outline(cp)
+        assert conts is not None, chr(cp)
+        if cp == 0x20:
+            assert conts == []
+        else:
+            assert conts and all(len(c) >= 3 for c in conts), chr(cp)
+    assert fallback_outline(0x3B1) is None  # alpha
+    assert fallback_outline(0x4E2D) is None  # CJK
+
+
+def test_render_fallback_gap_glyph_records_no_outline():
+    """A glyph whose Unicode maps outside the fallback face's printable-
+    ASCII coverage still records raster_no_outline (and paints
+    nothing): /Differences names an AGL glyph (alpha -> U+03B1)."""
+    from delphi_pdf_parser_spark.fixtures import _bt, simple_doc
+
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        " /Encoding << /Type /Encoding /Differences [65 /alpha] >> >>"
+    )
+    b2, cat = simple_doc(_bt("/F1 50 Tf 100 100 Td (A) Tj"), font_body=font)
     w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
     assert fails.get("raster_no_outline") == 1
-    assert tuple(pix[792 - 35, 35]) == (255, 0, 0)
+    assert (pix == 255).all()
 
 
 def test_render_bezier_and_closepaint_ops():
