@@ -315,33 +315,43 @@ def _skeletons():
 
 
 _SKELETONS = None
-_OUTLINE_CACHE: dict[int, list] = {}
+_OUTLINE_CACHE: dict[tuple, list] = {}
+_SHEAR = 0.21  # oblique slant dx/dy (~12 deg, the classic synthetic slant)
 
 
-def fallback_outline(cp: int):
+def fallback_outline(cp: int, bold: bool = False, oblique: bool = False):
     """Filled closed contours (1000-em units) for codepoint `cp`, [] for
     glyphs that legitimately paint nothing (space), or None when the
-    face has no coverage (non-ASCII). Cached per process — the shapes
-    are font-independent."""
+    face has no coverage (non-ASCII). Bold thickens the pen, oblique
+    shears the skeleton — the same synthetic-style trick FreeType's
+    embolden/matrix transforms apply for styled base-14 substitutes.
+    Cached per process per (cp, style) — the shapes are
+    font-independent."""
     global _SKELETONS
-    hit = _OUTLINE_CACHE.get(cp)
-    if hit is not None or cp in _OUTLINE_CACHE:
+    key = (cp, bold, oblique)
+    hit = _OUTLINE_CACHE.get(key)
+    if hit is not None or key in _OUTLINE_CACHE:
         return hit
     if _SKELETONS is None:
         _SKELETONS = _skeletons()
     strokes = _SKELETONS.get(cp)
     if strokes is None:
-        _OUTLINE_CACHE[cp] = None
+        _OUTLINE_CACHE[key] = None
         return None
     if not strokes:
-        _OUTLINE_CACHE[cp] = []
+        _OUTLINE_CACHE[key] = []
         return []
     import numpy as np
 
     from .raster import ROUND_CAP, ROUND_JOIN, stroke_outline
 
     polys = [np.asarray(s, dtype=np.float64) for s in strokes]
-    conts = stroke_outline(polys, _PEN, ROUND_CAP, ROUND_JOIN)
+    if oblique:
+        for p in polys:
+            p[:, 0] += _SHEAR * p[:, 1]
+    conts = stroke_outline(
+        polys, _PEN * (1.6 if bold else 1.0), ROUND_CAP, ROUND_JOIN
+    )
     conts = [[(float(x), float(y)) for x, y in c] for c in conts]
-    _OUTLINE_CACHE[cp] = conts
+    _OUTLINE_CACHE[key] = conts
     return conts

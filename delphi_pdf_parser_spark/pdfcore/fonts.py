@@ -272,7 +272,12 @@ class FontDesc:
             ucs = int(self.cid_to_ucs[code_or_cid])
         if ucs is None:
             return None
-        return fallback_outline(int(ucs))
+        nm = (self.name or "").lower()
+        return fallback_outline(
+            int(ucs),
+            bold="bold" in nm,
+            oblique="italic" in nm or "oblique" in nm,
+        )
 
     def fast_table(self):
         """For simple/Type3 fonts (1-byte identity encoding, wmode 0):

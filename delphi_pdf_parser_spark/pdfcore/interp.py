@@ -655,6 +655,9 @@ def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
         csi.tlm = IDENTITY
     elif kw == b"ET":
         csi.flush_text()
+        etc = getattr(csi.dev, "end_text_clip", None)
+        if etc is not None:
+            etc()  # raster sink: apply accumulated Tr>=4 text clip
         csi.in_text = 0
     elif kw == b"Tc":
         gs.char_space = _st(csi, 0)

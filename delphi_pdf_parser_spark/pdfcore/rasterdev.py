@@ -15,7 +15,9 @@ Fidelity envelope (documented, test-pinned):
   bevel joins, dash arrays with phase;
 - text: real glyph outlines from embedded TrueType (glyf) and CFF
   (Type2) programs via pdfcore/glyphs.py; Tr fill modes fill them,
-  stroke modes (1/2/5/6) STROKE them with the full stroke state;
+  stroke modes (1/2/5/6) STROKE them with the full stroke state, and
+  clip modes (4-7) accumulate the outlines into a text clip applied
+  at ET (unwound by the enclosing q/Q);
   fonts without an embedded program (base-14 references) render through
   the from-scratch synthetic-sans fallback face (fallbackfont.py,
   printable ASCII; the reference substitutes bundled FreeType faces)
@@ -83,6 +85,7 @@ class RasterDevice:
         self.doc = doc
         self.canvas = Canvas(width, height)
         self._t3_depth = 0
+        self._text_clip = None  # Tr>=4 glyph outlines pending until ET
 
     # --- clip bookkeeping (driven by CSI.gsave/grestore) ---------------------
     def clip_depth(self) -> int:
@@ -398,14 +401,17 @@ class RasterDevice:
 
     # --- text hook (mode-aware, called once per flushed run) ----------------
     def text(self, run, ctm, mode: int, gs):
-        # Tr mode semantics (PDF 32000 9.3.6): 3 (invisible) and 7
-        # (add-to-clip only) paint nothing; 0/4 fill the outlines,
-        # 1/5 STROKE them (gs.line_width, stroke color, full stroke
-        # state), 2/6 fill then stroke
-        if mode in (3, 7):
+        # Tr mode semantics (PDF 32000 9.3.6): 3 (invisible) paints
+        # nothing; 0/4 fill the outlines, 1/5 STROKE them
+        # (gs.line_width, stroke color, full stroke state), 2/6 fill
+        # then stroke; 4-7 ALSO accumulate the glyph outlines into the
+        # text clip applied at ET (fz_clip_text,
+        # src/vcl/draw_devicess.pas clip-text path), mode 7 clip-only
+        if mode == 3:
             return
         dofill = mode in (0, 2, 4, 6)
         dostroke = mode in (1, 2, 5, 6)
+        doclip = mode >= 4
         font = run.font
         ta, tb, tc, td = run.trm[:4]
         missing = False
@@ -418,6 +424,13 @@ class RasterDevice:
             else:
                 glyphs.append((part[0], part[2], part[3]))
         if getattr(font, "is_type3", False):
+            if doclip:
+                # Type3 clip would need charproc coverage capture; record
+                # the code, leave the clip untouched (tolerant: content
+                # stays visible), and paint (4/6 fill, 7 paints nothing)
+                self.doc.note_failure("raster_t3_clip")
+                if mode == 7:
+                    return
             rgb = gs.stroke_rgb if mode in (1, 5) else gs.fill_rgb
             self._text_type3(font, glyphs, (ta, tb, tc, td), ctm, rgb)
             return
@@ -477,10 +490,32 @@ class RasterDevice:
                     self._alpha(gs, stroke=True),
                     self._bl(gs),
                 )
+        if doclip:
+            # glyph outlines join the text-object clip applied at ET;
+            # starting the accumulator even with zero outlines matches
+            # the spec (an empty text clip excludes everything)
+            if self._text_clip is None:
+                self._text_clip = []
+            self._text_clip.extend(p for p in polys if len(p) >= 3)
         if fallback:
             self.doc.note_failure("raster_fallback_font")
         if missing:
             self.doc.note_failure("raster_no_outline")
+
+    def end_text_clip(self):
+        """ET with Tr>=4 outlines accumulated: intersect the current
+        clip with their union (the reference pops fz_clip_text's mask
+        at the matching grestore — here the push is un-bracketed like
+        W n, so the enclosing q/Q unwinds it via restore_clip)."""
+        if self._text_clip is None:
+            return
+        polys = self._text_clip
+        self._text_clip = None
+        self.canvas.push_clip(
+            coverage_mask(
+                polys, self.canvas.width, self.canvas.height, NONZERO
+            )
+        )
 
     def _text_type3(self, font, glyphs, trm_abcd, ctm, rgb):
         """Type3 glyphs ARE content streams: run each charproc through a

@@ -184,6 +184,50 @@ def test_fallback_face_covers_printable_ascii():
     assert fallback_outline(0x4E2D) is None  # CJK
 
 
+def test_fallback_face_bold_and_oblique_styles():
+    """Bold thickens (more covered area at the same grid), oblique
+    shears (top of 'l' shifts right of its base)."""
+    import numpy as np
+
+    from delphi_pdf_parser_spark.pdfcore.fallbackfont import fallback_outline
+    from delphi_pdf_parser_spark.pdfcore.raster import NONZERO, coverage_mask
+
+    def area(**kw):
+        conts = fallback_outline(ord("H"), **kw)
+        polys = [np.asarray(c) * 0.05 for c in conts]  # 1000em -> 50px
+        return coverage_mask(polys, 50, 50, NONZERO).sum()
+
+    assert area(bold=True) > area() * 1.25
+    lean = fallback_outline(ord("l"), oblique=True)
+    xs = np.concatenate([np.asarray(c)[:, 0] for c in lean])
+    ys = np.concatenate([np.asarray(c)[:, 1] for c in lean])
+    assert xs[ys > 600].mean() > xs[ys < 100].mean() + 80
+
+
+def test_render_text_clip_mode7():
+    """Tr 7 adds glyph outlines to the clip at ET: a subsequent
+    full-page red fill paints only inside the 'l' stem; after Q the
+    clip unwinds and fills cover the page again."""
+    from delphi_pdf_parser_spark.fixtures import simple_doc
+
+    content = (
+        b"q BT 7 Tr /F1 200 Tf 100 100 Td (l) Tj ET"
+        b" 1 0 0 rg 0 0 612 792 re f Q"
+        b" 0 0 1 rg 0 760 612 32 re f"
+    )
+    b2, cat = simple_doc(content)
+    w, h, pix, fails = render_page(b2.build_classic(cat), 0, 1.0)
+    red = (pix == (255, 0, 0)).all(axis=2)
+    # fallback 'l': 80-unit pen on x=300 em stem -> device x 152..168,
+    # y 100..240 (200pt em, Td 100 100)
+    assert red[792 - 170, 160]  # inside the stem
+    assert not red[792 - 170, 300]  # outside: clipped
+    assert not red[792 - 50, 50]
+    assert 1500 < red.sum() < 4200, red.sum()
+    blue = (pix == (0, 0, 255)).all(axis=2)
+    assert blue.sum() == 612 * 32  # post-Q fill is unclipped
+
+
 def test_render_fallback_gap_glyph_records_no_outline():
     """A glyph whose Unicode maps outside the fallback face's printable-
     ASCII coverage still records raster_no_outline (and paints
