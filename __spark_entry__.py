@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_band_stats(spark, sf_dir):
         return dedup.simhash_band_stats(_docs(spark, sf_dir))
 
+    def q_span_dup_stats(spark, sf_dir):
+        return dedup.span_dup_stats(_docs(spark, sf_dir), k=5)
+
     def q_dedup_recall(spark, sf_dir):
         """Dedup QUALITY tracking: precision/recall of the LSH candidate
         generator vs exact shingle-Jaccard truth, per threshold. Rows-only
@@ -640,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- they rotate back into positions 48-50 in later rounds) ---------
         "minhash_band_stats": q_minhash_band_stats,
         "simhash_band_stats": q_simhash_band_stats,
+        "span_dup_stats": q_span_dup_stats,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -759,6 +763,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_band_stats": minhash_band_sql,
         "simhash_band_stats": simhash_band_sql,
+        # span_dup_stats (dedup.span_dup_stats, k=5): md5 window keys are
+        # identical hex in both engines; first occurrence = min
+        # doc_id*2^20+pos composite
+        "span_dup_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+                WHERE len(str_split_regex(trim(lower(text)), '\\s+')) >= 5
+            ),
+            occ AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[i:i+4], ' ')) AS wh,
+                       CAST(doc_id AS BIGINT) * 1048576 + (i - 1) AS wkey
+                FROM base, LATERAL (
+                    SELECT unnest(generate_series(1, len(t) - 4)) AS i
+                )
+            ),
+            firsts AS (
+                SELECT wh, min(wkey) AS first_key FROM occ GROUP BY wh
+            )
+            SELECT o.doc_id,
+                   count(*) AS n_windows,
+                   CAST(sum(CASE WHEN o.wkey <> f.first_key
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   sum(CASE WHEN o.wkey <> f.first_key THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE) AS dup_frac,
+                   (sum(CASE WHEN o.wkey <> f.first_key THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE)) > 0.5 AS drop
+            FROM occ o JOIN firsts f USING (wh)
+            GROUP BY o.doc_id
+            ORDER BY o.doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

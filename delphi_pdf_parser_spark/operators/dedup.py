@@ -535,6 +535,71 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataF
     )
 
 
+def span_dup_stats(
+    documents: DataFrame, k: int = 5, drop_threshold: float = 0.5
+) -> DataFrame:
+    """Exact-substring span duplication census (the window form of Lee
+    et al. 2021 'Deduplicating Training Data Makes Language Models
+    Better': any k-token span occurring elsewhere in the corpus is a
+    duplicated span; docs past `drop_threshold` duplicated-window
+    fraction get drop=true).
+
+    Every sliding k-token window is keyed by md5 of its space-joined
+    tokens (identical hex in Spark and DuckDB, so the whole pipeline is
+    oracle-checkable bit-for-bit). The FIRST occurrence of a window —
+    minimum (doc_id, pos) encoded as doc_id*2^20+pos, positions being
+    bounded by token count — is the canonical copy; every other
+    occurrence counts as duplicated. Emits per doc: n_windows, n_dup,
+    dup_frac, drop.
+
+    Scale shape (100 TB): the window explode is map-only; first-
+    occurrence selection is ONE hash-aggregate on the 16-byte window
+    key (map-side combined); the dup test joins occurrences back to
+    that aggregate on the same key (AQE can skew-split boilerplate
+    windows); per-doc rollup is one groupBy(doc_id). No windows over a
+    global sort, no driver collects. The suffix-array construction of
+    the paper is replaced by hashing because spans are fixed-length
+    here — the census is exact for length-k spans."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = documents.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= k
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))
+    win = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", F.slice("t", i, k))
+    )
+    occ = base.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, win)).alias("pos", "wh"),
+    )
+    wkey = (F.col("doc_id").cast("long") * F.lit(1 << 20) + F.col("pos")).alias(
+        "wkey"
+    )
+    occ = occ.select("doc_id", "wh", wkey)
+    firsts = occ.groupBy("wh").agg(F.min("wkey").alias("first_key"))
+    marked = occ.join(firsts, "wh").select(
+        "doc_id",
+        (F.col("wkey") != F.col("first_key")).cast("int").alias("is_dup"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            (F.col("n_dup") / F.col("n_windows")).alias("dup_frac"),
+            (
+                F.col("n_dup") / F.col("n_windows") > F.lit(drop_threshold)
+            ).alias("drop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def minhash_band_stats(documents: DataFrame) -> DataFrame:
     """Oracle-checkable MinHash banding census: 8 md5 minhashes over
     distinct 3-token shingles, 4 bands of 2 rows, per-band bucket

@@ -144,3 +144,29 @@ def test_approx_variants_close_to_exact(spark):
             # approx returns a nearest data value, exact interpolates:
             # allow a small relative gap
             assert abs(a - e) <= max(0.05, 0.05 * abs(e)), (t, e, a)
+
+
+def test_span_dup_stats_hand_computed(spark):
+    """Exact k-token window duplication census: hand-built corpus where
+    doc 1 repeats doc 0's opening 6 tokens (two duplicated 5-windows),
+    doc 2 is a full copy of doc 0 (every window duplicated -> drop),
+    doc 3 shares nothing."""
+    from delphi_pdf_parser_spark.operators.dedup import span_dup_stats
+
+    t0 = "a b c d e f g h"          # 4 windows of 5, all first
+    t1 = "a b c d e f x y z"        # windows at pos 0,1 dup doc0; 2,3,4 fresh
+    t2 = "a b c d e f g h"          # full copy: all 4 windows dup
+    t3 = "p q r s t u"              # 2 fresh windows
+    docs = spark.createDataFrame(
+        [(0, t0), (1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in span_dup_stats(docs, k=5).collect()}
+    assert (rows[0]["n_windows"], rows[0]["n_dup"]) == (4, 0)
+    assert (rows[1]["n_windows"], rows[1]["n_dup"]) == (5, 2)
+    assert (rows[2]["n_windows"], rows[2]["n_dup"]) == (4, 4)
+    assert (rows[3]["n_windows"], rows[3]["n_dup"]) == (2, 0)
+    assert not rows[0]["drop"] and not rows[1]["drop"] and not rows[3]["drop"]
+    assert rows[2]["drop"] and rows[2]["dup_frac"] == 1.0
+    # short doc below k tokens is excluded entirely
+    short = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    assert span_dup_stats(short, k=5).count() == 0
