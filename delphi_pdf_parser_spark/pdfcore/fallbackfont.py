@@ -7,7 +7,13 @@ an option here, so this module defines a from-scratch synthetic sans:
 every printable-ASCII glyph is a hand-authored stroke SKELETON on a
 1000-unit em (baseline 0, cap height 700, x-height 500, descender
 -200), inflated to filled closed contours by the raster module's
-stroke_outline (round caps/joins, 80-unit pen). The goal is legible,
+stroke_outline (round caps/joins, 80-unit pen). Coverage extends to
+the full Latin-1 letter block plus common webtext punctuation and
+currency: accented letters compose via NFD decomposition (base
+skeleton + combining-mark skeleton seated at cap/x-height), and the
+non-decomposable stragglers (AE/ae, Eth/eth, Thorn/thorn, o-slash,
+sharp-s) plus curly quotes, dashes, ellipsis, guillemets and
+cent/pound/yen/euro are hand-authored. The goal is legible,
 metrically-plausible rendering for unembedded text — NOT a metric or
 shape match of Helvetica/Times; the raster device records
 `raster_fallback_font` whenever these outlines paint so downstream
@@ -311,7 +317,143 @@ def _skeletons():
     g[ord("~")] = [
         [(115, 270), (185, 345), (265, 345), (335, 270), (415, 270), (485, 345)]
     ]
+    # common non-ASCII punctuation (webtext frequency: quotes, dashes,
+    # ellipsis, inverted marks, guillemets, degree/middle dot, multiply)
+    g[0x2018] = [[(310, 700), (255, 555)]]  # ' (lean left)
+    g[0x2019] = [[(255, 700), (310, 555)]]  # '
+    g[0x201C] = [[(250, 700), (195, 555)], [(400, 700), (345, 555)]]  # "
+    g[0x201D] = [[(195, 700), (250, 555)], [(345, 700), (400, 555)]]  # "
+    g[0x2013] = [[(100, 300), (500, 300)]]  # en dash
+    g[0x2014] = [[(40, 300), (560, 300)]]  # em dash
+    g[0x2026] = [_dot(130, 50), _dot(300, 50), _dot(470, 50)]  # ...
+    g[0xA1] = [[(300, 480), (300, 0)], _dot(300, 660)]  # inverted !
+    g[0xBF] = [  # inverted ? (180-degree rotation of the ? construction)
+        _arc(300, 180, 180, 0, 235) + [(300, 410), (300, 510)],
+        _dot(300, 660),
+    ]
+    g[0xAB] = [  # left guillemet
+        [(280, 480), (120, 300), (280, 120)],
+        [(480, 480), (320, 300), (480, 120)],
+    ]
+    g[0xBB] = [
+        [(120, 480), (280, 300), (120, 120)],
+        [(320, 480), (480, 300), (320, 120)],
+    ]
+    g[0xB0] = [_circle(300, 600, 90)]  # degree
+    g[0xB7] = [_dot(300, 300)]  # middle dot
+    g[0xD7] = [[(160, 440), (440, 160)], [(440, 440), (160, 160)]]  # x
+    g[0xF7] = [[(120, 300), (480, 300)], _dot(300, 450), _dot(300, 150)]
+    g[0xA0] = []  # no-break space
+    # manual non-decomposable letters
+    g[0xF8] = g[ord("o")] + [[(150, 30), (450, 470)]]  # o-slash
+    g[0xD8] = g[ord("O")] + [[(130, -30), (470, 730)]]  # O-slash
+    g[0xDF] = [  # sharp s: stem + two right bowls
+        [(150, 0), (150, 560)] + _arc(300, 560, 150, 180, 0),
+        _arc(340, 400, 110, 90, -90),
+        _arc(340, 170, 130, 70, -110),
+    ]
+    g[0xC6] = [  # AE ligature
+        [(60, 0), (280, 700), (340, 700)],
+        [(340, 700), (340, 0), (520, 0)],
+        [(340, 700), (520, 700)],
+        [(340, 380), (490, 380)],
+        [(150, 240), (340, 240)],
+    ]
+    g[0xE6] = [  # ae ligature
+        _circle(180, 250, 130, ry=235, n=16),
+        [(310, 500), (310, 0)],
+        [(310, 255), (540, 255)] + _arc(425, 250, 115, 0, 305, n=12, ry=240),
+    ]
+    g[0xD0] = g[ord("D")] + [[(60, 350), (260, 350)]]  # Eth
+    g[0xF0] = [  # eth: bowl + leaning ascender + cross tick
+        _circle(300, 210, 170, ry=205, n=18),
+        [(440, 345), (330, 545), (190, 690)],
+        [(215, 555), (430, 665)],
+    ]
+    g[0xDE] = [  # Thorn
+        [(140, 0), (140, 700)],
+        [(140, 560), (330, 560)] + _arc(330, 405, 155, 90, -90) + [(140, 250)],
+    ]
+    g[0xFE] = [  # thorn
+        [(140, -200), (140, 700)],
+        _circle(322, 250, 178, ry=240, n=18),
+    ]
+    g[0xA2] = [  # cent
+        _arc(300, 250, 185, 50, 310, n=16, ry=245),
+        [(300, 580), (300, -60)],
+    ]
+    g[0xA3] = [  # pound
+        _arc(340, 540, 150, 30, 180, n=10) + [(190, 0)],
+        [(110, 0), (490, 0)],
+        [(110, 330), (390, 330)],
+    ]
+    g[0xA5] = [  # yen
+        [(120, 700), (300, 380)],
+        [(480, 700), (300, 380)],
+        [(300, 380), (300, 0)],
+        [(170, 320), (430, 320)],
+        [(170, 200), (430, 200)],
+    ]
+    g[0x20AC] = [  # euro
+        _arc(340, 350, 230, 55, 305, n=16, ry=350),
+        [(80, 430), (430, 430)],
+        [(80, 270), (430, 270)],
+    ]
     return g
+
+
+# combining-mark skeletons in a local frame: y=0 is the mark's seat
+# (placed above the base glyph's cap/x-height, or at the baseline for
+# cedilla/ogonek); x centered on 300
+_MARKS = {
+    0x300: lambda: [[(255, 150), (345, 30)]],  # grave
+    0x301: lambda: [[(345, 150), (255, 30)]],  # acute
+    0x302: lambda: [[(210, 30), (300, 140), (390, 30)]],  # circumflex
+    0x303: lambda: [  # tilde
+        [(190, 60), (250, 130), (350, 60), (410, 130)]
+    ],
+    0x304: lambda: [[(190, 80), (410, 80)]],  # macron
+    0x306: lambda: [_arc(300, 140, 110, 200, 340)],  # breve
+    0x307: lambda: [_dot(300, 90)],  # dot above
+    0x308: lambda: [_dot(230, 90), _dot(370, 90)],  # dieresis
+    0x30A: lambda: [_circle(300, 100, 65)],  # ring
+    0x30C: lambda: [[(210, 140), (300, 30), (390, 140)]],  # caron
+    0x327: lambda: [[(300, 0), (330, -80), (250, -160)]],  # cedilla
+    0x328: lambda: [[(300, 0), (240, -90), (310, -170)]],  # ogonek
+}
+
+
+def _composed_skeleton(cp: int):
+    """Build an accented-letter skeleton via NFD decomposition: base
+    ASCII glyph + combining marks seated above the cap (uppercase) or
+    x-height (lowercase); cedilla/ogonek seat at the baseline. Returns
+    None when the base or any mark is unknown."""
+    import unicodedata
+
+    try:
+        parts = unicodedata.normalize("NFD", chr(cp))
+    except ValueError:  # pragma: no cover - chr() bounds
+        return None
+    if len(parts) < 2:
+        return None
+    base = ord(parts[0])
+    strokes = _SKELETONS.get(base)
+    if strokes is None:
+        return None
+    out = [list(s) for s in strokes]
+    seat = 760 if parts[0].isupper() or parts[0].isdigit() else 560
+    for mark in parts[1:]:
+        mk = _MARKS.get(ord(mark))
+        if mk is None:
+            return None
+        dy = 0 if ord(mark) in (0x327, 0x328) else seat
+        # i/j keep their dot out of the mark's way: drop it when a
+        # top mark lands (matches how real fonts use dotless forms)
+        if base in (ord("i"), ord("j")) and dy:
+            out = [s for s in out if len(s) > 2 or abs(s[0][1] - 630) > 20]
+        for s in mk():
+            out.append([(x, y + dy) for x, y in s])
+    return out
 
 
 _SKELETONS = None
@@ -335,6 +477,8 @@ def fallback_outline(cp: int, bold: bool = False, oblique: bool = False):
     if _SKELETONS is None:
         _SKELETONS = _skeletons()
     strokes = _SKELETONS.get(cp)
+    if strokes is None:
+        strokes = _composed_skeleton(cp)
     if strokes is None:
         _OUTLINE_CACHE[key] = None
         return None

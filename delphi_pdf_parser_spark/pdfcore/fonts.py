@@ -251,7 +251,8 @@ class FontDesc:
         rasters visibly — the device records `raster_fallback_font` so
         synthetic pages stay distinguishable. Keyed by the glyph's
         Unicode mapping (same chain the text sink uses); returns None
-        when the code maps outside printable ASCII."""
+        when the code maps outside the face's coverage (ASCII +
+        Latin-1 letters + NFD-composable accents + punctuation)."""
         if self.embedded is not None:
             return None
         from .fallbackfont import fallback_outline

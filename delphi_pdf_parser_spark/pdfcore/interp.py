@@ -1211,14 +1211,16 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
     group_smask = None
     if csi.draw is not None and hasattr(csi.draw, "begin_group"):
         grp = doc.resolve(xobj.get("Group"))
-        if (
-            isinstance(grp, dict)
-            and to_name(doc.get(grp, "S")) == "Transparency"
-            and (csi.gs.fill_alpha < 1.0 or csi.gs.smask is not None)
-        ):
-            group_alpha = csi.gs.fill_alpha
-            group_smask = csi.gs.smask
-            group_token = csi.draw.begin_group()
+        if isinstance(grp, dict) and to_name(doc.get(grp, "S")) == "Transparency":
+            if to_int(doc.resolve(grp.get("K"))):
+                # knockout groups (elements composite against the group
+                # backdrop, not each other) render as non-knockout here;
+                # record the envelope code rather than silently diverge
+                doc.note_failure("raster_knockout_group")
+            if csi.gs.fill_alpha < 1.0 or csi.gs.smask is not None:
+                group_alpha = csi.gs.fill_alpha
+                group_smask = csi.gs.smask
+                group_token = csi.draw.begin_group()
     csi.gsave()
     gs = csi.gs
     if group_token is not None:

@@ -19,8 +19,10 @@ Fidelity envelope (documented, test-pinned):
   clip modes (4-7) accumulate the outlines into a text clip applied
   at ET (unwound by the enclosing q/Q);
   fonts without an embedded program (base-14 references) render through
-  the from-scratch synthetic-sans fallback face (fallbackfont.py,
-  printable ASCII; the reference substitutes bundled FreeType faces)
+  the from-scratch synthetic-sans fallback face (fallbackfont.py:
+  printable ASCII + Latin-1 letters via NFD accent composition +
+  webtext punctuation/currency, with synthetic bold/oblique; the
+  reference substitutes bundled FreeType faces)
   and record `raster_fallback_font`; glyphs outside the fallback's
   coverage record `raster_no_outline`;
 - images: Flate/LZW-class rasters through extract_image(transcode=True)
@@ -39,7 +41,8 @@ Fidelity envelope (documented, test-pinned):
   nested render of the mask group (/TR transfer functions applied
   through functions.py); transparency-group form XObjects
   composite through an offscreen coverage-tracking canvas (treated as
-  isolated); all 15 blend modes mix per paint op against the opaque
+  isolated; /K true knockout renders non-knockout and records
+  `raster_knockout_group`); all 15 blend modes mix per paint op against the opaque
   backdrop: the 11 separable (Multiply..Exclusion, PDF 32000 11.3.5)
   plus the 4 non-separable (Hue/Saturation/Color/Luminosity, 11.3.5.3
   Lum/Sat construction); unknown /BM names fall back to Normal with

@@ -184,6 +184,22 @@ def test_fallback_face_covers_printable_ascii():
     assert fallback_outline(0x4E2D) is None  # CJK
 
 
+def test_fallback_face_covers_latin1_letters():
+    """Every Latin-1 letter (0xC0-0xFF) plus the webtext punctuation
+    and currency set renders: accents via NFD base+mark composition,
+    stragglers hand-authored."""
+    from delphi_pdf_parser_spark.pdfcore.fallbackfont import fallback_outline
+
+    for cp in range(0xC0, 0x100):
+        conts = fallback_outline(cp)
+        assert conts and all(len(c) >= 3 for c in conts), chr(cp)
+    for ch in "‘’“”–—…¡¿" \
+              "«»°·¢£¥€":
+        assert fallback_outline(ord(ch)), ch
+    # composed Latin Extended-A examples (NFD path): c-caron, o-macron
+    assert fallback_outline(0x10D) and fallback_outline(0x14D)
+
+
 def test_fallback_face_bold_and_oblique_styles():
     """Bold thickens (more covered area at the same grid), oblique
     shears (top of 'l' shifts right of its base)."""

@@ -284,6 +284,26 @@ def test_transparency_group_composites_once():
     assert px(pix, 180, 150) == (128, 128, 255)
 
 
+def test_knockout_group_records_envelope_code():
+    """/Group /K true renders (non-knockout semantics) and records the
+    raster_knockout_group envelope code instead of silently diverging."""
+    form = b"1 0 0 rg 100 100 100 100 re f"
+    res = "<< /XObject << /Fx 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency /K true >> /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(b"/Fx Do", res, extra)
+    assert fails.get("raster_knockout_group") == 1
+    assert px(pix, 120, 150) == (255, 0, 0)
+
+
 # --- mesh shadings 4/5 ------------------------------------------------------
 
 def _mesh_vertex(x, y, rgb, flag=None):
