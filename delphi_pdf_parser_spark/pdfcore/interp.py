@@ -1200,10 +1200,10 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
     """pdf_run_xobject (:1037-1129). Transparency groups (/Group
     /S /Transparency) under a non-unit alpha or an active /SMask render
     into an offscreen coverage-tracking canvas and composite once with
-    that alpha x mask (isolated-group model; the reference's
-    begin_group/end_group vtable, src/vcl/digtypes.pas:772-800). Groups
-    at alpha 1 with no mask paint directly — identical pixels, no
-    offscreen cost."""
+    that alpha x mask, honoring /I isolated vs non-isolated backdrop
+    semantics (the reference's begin_group/end_group vtable,
+    src/vcl/digtypes.pas:772-800). Groups at alpha 1 with no mask paint
+    directly — identical pixels, no offscreen cost."""
     doc = csi.doc
     # group gating decided on the CALLER's gstate (the Do-time alpha)
     group_token = None
@@ -1220,7 +1220,9 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
             if csi.gs.fill_alpha < 1.0 or csi.gs.smask is not None:
                 group_alpha = csi.gs.fill_alpha
                 group_smask = csi.gs.smask
-                group_token = csi.draw.begin_group()
+                group_token = csi.draw.begin_group(
+                    isolated=bool(to_int(doc.resolve(grp.get("I"))))
+                )
     csi.gsave()
     gs = csi.gs
     if group_token is not None:

@@ -321,6 +321,12 @@ class Canvas:
             if track_coverage
             else None
         )
+        # blend modes normally see an opaque backdrop; an ISOLATED
+        # transparency group's initial backdrop is transparent, so its
+        # offscreen sets this False and B() is weighted by accumulated
+        # group coverage (PDF 32000 11.4.5: Cs passes through where the
+        # group has painted nothing yet)
+        self.blend_seed_opaque = True
 
     @property
     def clip(self) -> np.ndarray:
@@ -346,7 +352,11 @@ class Canvas:
             src = (c[None, :] if c.ndim == 1 else c) / 255.0
             # non-separable modes index rows; give src the backdrop's shape
             src = np.broadcast_to(src, old.shape)
-            c = np.clip(blend(old, src), 0.0, 1.0) * 255.0
+            mixed = np.clip(blend(old, src), 0.0, 1.0)
+            if self.cov is not None and not self.blend_seed_opaque:
+                ab = self.cov[ys, xs][:, None]
+                mixed = src * (1.0 - ab) + mixed * ab
+            c = mixed * 255.0
         if a.ndim == 0 and float(a) >= 1.0:
             self.pix[ys, xs] = np.asarray(
                 np.round(c), dtype=np.uint8

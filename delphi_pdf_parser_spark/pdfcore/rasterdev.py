@@ -40,9 +40,11 @@ Fidelity envelope (documented, test-pinned):
   luminosity+alpha soft masks build a page-size alpha map from a
   nested render of the mask group (/TR transfer functions applied
   through functions.py); transparency-group form XObjects
-  composite through an offscreen coverage-tracking canvas (treated as
-  isolated; /K true knockout renders non-knockout and records
-  `raster_knockout_group`); all 15 blend modes mix per paint op against the opaque
+  composite through an offscreen coverage-tracking canvas honoring /I
+  (non-isolated groups seed the backdrop for blend modes and remove
+  its contribution at composite per 11.4.5; isolated groups weight
+  blends by accumulated group coverage); /K true knockout renders
+  non-knockout and records `raster_knockout_group`; all 15 blend modes mix per paint op against the opaque
   backdrop: the 11 separable (Multiply..Exclusion, PDF 32000 11.3.5)
   plus the 4 non-separable (Hue/Saturation/Color/Luminosity, 11.3.5.3
   Lum/Sat construction); unknown /BM names fall back to Normal with
@@ -377,30 +379,50 @@ class RasterDevice:
                 doc.note_failure("raster_smask_tr")
         return amap
 
-    def begin_group(self):
+    def begin_group(self, isolated: bool = False):
         """Swap in an offscreen coverage-tracking canvas for a
-        transparency group's content; returns the parent canvas."""
+        transparency group's content. Non-isolated groups (the /I false
+        default) seed the offscreen with the current backdrop so blend
+        modes inside the group see it (PDF 32000 11.4.5); isolated
+        groups start from a transparent backdrop (blend modes weighted
+        by accumulated group coverage). Returns the composite token."""
         old = self.canvas
         off = Canvas(
             old.width, old.height, bg=(0, 0, 0), track_coverage=True
         )
+        if isolated:
+            off.blend_seed_opaque = False
+        else:
+            off.pix[:] = old.pix
         off.clip_stack = list(old.clip_stack)
         self.canvas = off
-        return old
+        return (old, isolated)
 
-    def end_group(self, parent, alpha: float = 1.0, smask=None):
-        """Composite the offscreen group onto `parent` with the group's
-        constant alpha x optional soft mask (isolated-group model)."""
+    def end_group(self, token, alpha: float = 1.0, smask=None):
+        """Composite the offscreen group onto its parent with the
+        group's constant alpha x optional soft mask. The seed's
+        contribution is removed first (11.4.5 group function: the
+        offscreen pixel is C0*(1-cov) + Cg*cov by OVER associativity,
+        so Cg is recovered before compositing — partial-coverage group
+        content no longer darkens toward the seed)."""
+        parent, isolated = token
         off = self.canvas
         self.canvas = parent
-        a = off.cov * float(alpha)
+        cov = off.cov
+        a = cov * float(alpha)
         if smask is not None:
             a = a * smask
         ys, xs = np.nonzero(a > 1e-6)
-        if len(ys):
-            parent._blend_at(
-                ys, xs, off.pix[ys, xs].astype(np.float64), a[ys, xs]
-            )
+        if not len(ys):
+            return
+        cv = np.maximum(cov[ys, xs], 1e-9)[:, None]
+        c = off.pix[ys, xs].astype(np.float64)
+        if not isolated:
+            c0 = parent.pix[ys, xs].astype(np.float64)
+            c = c - c0 * (1.0 - cv)
+        c = c / cv
+        np.clip(c, 0.0, 255.0, out=c)
+        parent._blend_at(ys, xs, c, a[ys, xs])
 
     # --- text hook (mode-aware, called once per flushed run) ----------------
     def text(self, run, ctm, mode: int, gs):

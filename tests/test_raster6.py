@@ -284,6 +284,66 @@ def test_transparency_group_composites_once():
     assert px(pix, 180, 150) == (128, 128, 255)
 
 
+def test_group_partial_alpha_content_no_seed_darkening():
+    """ca 0.5 content INSIDE a ca 0.5 group over white must land at
+    0.25 red + 0.75 white = (255,191,191) — the backdrop-removal step
+    (11.4.5) keeps the offscreen's seed from darkening the result."""
+    form = b"/GB gs 1 0 0 rg 100 100 100 100 re f"
+    res = (
+        "<< /ExtGState << /GA << /ca 0.5 >> /GB << /ca 0.5 >> >>"
+        " /XObject << /Fx 5 0 R >> >>"
+    )
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency >>"
+            " /Resources << /ExtGState << /GB << /ca 0.5 >> >> >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(b"/GA gs /Fx Do", res, extra)
+    assert fails == {}
+    # 192 not 191: the offscreen quantizes to uint8 once mid-pipeline
+    assert px(pix, 150, 150) == (255, 192, 192)
+
+
+def test_group_isolation_flag_changes_blend_backdrop():
+    """Multiply inside a group over a yellow backdrop: non-isolated
+    (/I default false) multiplies against the yellow; /I true sees a
+    transparent backdrop, so the source passes through unmixed."""
+    form = b"/GM gs 0.392 0.784 0.196 rg 100 100 100 100 re f"
+    res = (
+        "<< /ExtGState << /GA << /ca 0.5 >> >>"
+        " /XObject << /Fx 5 0 R >> >>"
+    )
+
+    def extra_for(iso):
+        def extra(b):
+            b.add(
+                "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                f" /Group << /S /Transparency /I {iso} >>"
+                " /Resources << /ExtGState"
+                " << /GM << /BM /Multiply >> >> >>"
+                f" /Length {len(form)} >>",
+                form,
+                num=5,
+            )
+
+        return extra
+
+    bg = b"1 1 0 rg 0 0 612 792 re f "  # yellow page
+    # src = (100, 200, 50); multiply vs yellow = (100, 200, 0)
+    pix, fails = render(bg + b"/GA gs /Fx Do", res, extra_for("false"))
+    assert fails == {}
+    assert px(pix, 150, 150) == (178, 228, 0)  # 0.5*yellow + 0.5*(100,200,0)
+    pix, fails = render(bg + b"/GA gs /Fx Do", res, extra_for("true"))
+    assert fails == {}
+    assert px(pix, 150, 150) == (178, 228, 25)  # 0.5*yellow + 0.5*src
+
+
 def test_knockout_group_records_envelope_code():
     """/Group /K true renders (non-knockout semantics) and records the
     raster_knockout_group envelope code instead of silently diverging."""
