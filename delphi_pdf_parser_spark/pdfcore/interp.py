@@ -1209,6 +1209,7 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
     group_token = None
     group_alpha = 1.0
     group_smask = None
+    group_blend = None
     if csi.draw is not None and hasattr(csi.draw, "begin_group"):
         grp = doc.resolve(xobj.get("Group"))
         if isinstance(grp, dict) and to_name(doc.get(grp, "S")) == "Transparency":
@@ -1217,20 +1218,27 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
                 # backdrop, not each other) render as non-knockout here;
                 # record the envelope code rather than silently diverge
                 doc.note_failure("raster_knockout_group")
-            if csi.gs.fill_alpha < 1.0 or csi.gs.smask is not None:
+            if (
+                csi.gs.fill_alpha < 1.0
+                or csi.gs.smask is not None
+                or csi.gs.blend is not None
+            ):
                 group_alpha = csi.gs.fill_alpha
                 group_smask = csi.gs.smask
+                group_blend = csi.gs.blend
                 group_token = csi.draw.begin_group(
                     isolated=bool(to_int(doc.resolve(grp.get("I"))))
                 )
     csi.gsave()
     gs = csi.gs
     if group_token is not None:
-        # inside the group, content paints at full alpha; the group's
-        # alpha/mask apply once at composite time (PDF 32000 11.6.6)
+        # inside the group, content paints at full alpha with Normal
+        # blending; the group's alpha/mask/blend apply once at
+        # composite time (PDF 32000 11.6.6)
         gs.fill_alpha = 1.0
         gs.stroke_alpha = 1.0
         gs.smask = None
+        gs.blend = None
     matrix = doc.get(xobj, "Matrix")
     if isinstance(matrix, list) and len(matrix) >= 6:
         m = tuple(to_real(doc.resolve(v)) for v in matrix[:6])
@@ -1259,7 +1267,9 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
             csi.grestore()
         csi.grestore()
         if group_token is not None:
-            csi.draw.end_group(group_token, group_alpha, group_smask)
+            csi.draw.end_group(
+                group_token, group_alpha, group_smask, group_blend
+            )
 
 
 def _consume_inline_data(doc, lex: Lexer, d: dict):

@@ -398,13 +398,15 @@ class RasterDevice:
         self.canvas = off
         return (old, isolated)
 
-    def end_group(self, token, alpha: float = 1.0, smask=None):
+    def end_group(self, token, alpha: float = 1.0, smask=None, blend=None):
         """Composite the offscreen group onto its parent with the
-        group's constant alpha x optional soft mask. The seed's
-        contribution is removed first (11.4.5 group function: the
-        offscreen pixel is C0*(1-cov) + Cg*cov by OVER associativity,
-        so Cg is recovered before compositing — partial-coverage group
-        content no longer darkens toward the seed)."""
+        group's constant alpha x optional soft mask x Do-time blend
+        mode (11.6.6: all three apply to the group RESULT, once). The
+        seed's contribution is removed first (11.4.5 group function:
+        the offscreen pixel is C0*(1-cov) + Cg*cov by OVER
+        associativity, so Cg is recovered before compositing —
+        partial-coverage group content no longer darkens toward the
+        seed)."""
         parent, isolated = token
         off = self.canvas
         self.canvas = parent
@@ -422,7 +424,7 @@ class RasterDevice:
             c = c - c0 * (1.0 - cv)
         c = c / cv
         np.clip(c, 0.0, 255.0, out=c)
-        parent._blend_at(ys, xs, c, a[ys, xs])
+        parent._blend_at(ys, xs, c, a[ys, xs], blend)
 
     # --- text hook (mode-aware, called once per flushed run) ----------------
     def text(self, run, ctm, mode: int, gs):

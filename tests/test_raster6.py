@@ -344,6 +344,33 @@ def test_group_isolation_flag_changes_blend_backdrop():
     assert px(pix, 150, 150) == (178, 228, 25)  # 0.5*yellow + 0.5*src
 
 
+def test_group_composites_with_do_time_blend_mode():
+    """BM at Do time applies ONCE to the group result (11.6.6): a blue
+    group over a red page under Difference lands magenta, and the BM
+    resets to Normal inside the group (the content fill does not
+    difference against the seed)."""
+    form = b"0 0 1 rg 100 100 100 100 re f"
+    res = (
+        "<< /ExtGState << /GD << /BM /Difference >> >>"
+        " /XObject << /Fx 5 0 R >> >>"
+    )
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency >> /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    bg = b"1 0 0 rg 0 0 612 792 re f "
+    pix, fails = render(bg + b"/GD gs /Fx Do", res, extra)
+    assert fails == {}
+    assert px(pix, 150, 150) == (255, 0, 255)  # |red - blue|
+    assert px(pix, 400, 400) == (255, 0, 0)  # outside: page red
+
+
 def test_knockout_group_records_envelope_code():
     """/Group /K true renders (non-knockout semantics) and records the
     raster_knockout_group envelope code instead of silently diverging."""
