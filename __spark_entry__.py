@@ -167,6 +167,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_span_dup_stats(spark, sf_dir):
         return dedup.span_dup_stats(_docs(spark, sf_dir), k=5)
 
+    def q_paragraph_dedup(spark, sf_dir):
+        # unit_words=8: the synthetic corpus has no line structure, so
+        # the unit is an 8-token chunk (see paragraph_dedup docstring);
+        # the newline mode is pinned in tests/test_dedup_asof.py
+        return dedup.paragraph_dedup(_docs(spark, sf_dir), unit_words=8)
+
+    def q_semdedup(spark, sf_dir):
+        return dedup.semdedup(
+            _embs(spark, sf_dir), k=8, threshold=0.35
+        ).orderBy("vec_id")
+
+    def q_token_idf(spark, sf_dir):
+        return textstats.token_idf_stats(_docs(spark, sf_dir))
+
     def q_dedup_recall(spark, sf_dir):
         """Dedup QUALITY tracking: precision/recall of the LSH candidate
         generator vs exact shingle-Jaccard truth, per threshold. Rows-only
@@ -644,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_stats": q_minhash_band_stats,
         "simhash_band_stats": q_simhash_band_stats,
         "span_dup_stats": q_span_dup_stats,
+        "paragraph_dedup": q_paragraph_dedup,
+        "semdedup": q_semdedup,
+        "token_idf_stats": q_token_idf,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -795,6 +812,111 @@ def oracle_sql() -> dict[str, str]:
             FROM occ o JOIN firsts f USING (wh)
             GROUP BY o.doc_id
             ORDER BY o.doc_id
+        """,
+        "paragraph_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ),
+            units AS (
+                SELECT doc_id,
+                       i - 1 AS idx,
+                       array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS unit
+                FROM base, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+                )
+            ),
+            occ AS (
+                SELECT doc_id, idx, unit, md5(unit) AS h,
+                       CAST(doc_id AS BIGINT) * 1048576 + idx AS key
+                FROM units
+            ),
+            firsts AS (
+                SELECT h, min(key) AS first_key FROM occ GROUP BY h
+            ),
+            marked AS (
+                SELECT o.doc_id, o.idx, o.unit,
+                       o.key = f.first_key AS kept
+                FROM occ o JOIN firsts f USING (h)
+            )
+            SELECT doc_id,
+                   count(*) AS n_units,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE) AS kept_frac,
+                   md5(coalesce(string_agg(
+                       CASE WHEN kept THEN unit END, ' ' ORDER BY idx),
+                       '')) AS kept_text_md5
+            FROM marked
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "semdedup": """
+            WITH seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding::DOUBLE[] AS cemb
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            scored AS (
+                SELECT e.vec_id, s.cid,
+                       list_cosine_similarity(
+                           e.embedding::DOUBLE[], s.cemb) AS cos
+                FROM embeddings e CROSS JOIN seeds s
+            ),
+            ranked AS (
+                SELECT vec_id, cid, cos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM scored
+            ),
+            asg AS (
+                SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+                       round(cos, 4) AS centroid_cos
+                FROM ranked WHERE rn = 1
+            ),
+            dup AS (
+                SELECT DISTINCT hi.vec_id
+                FROM asg hi
+                JOIN asg lo ON hi.cluster_id = lo.cluster_id
+                           AND lo.vec_id < hi.vec_id
+                JOIN embeddings eh ON eh.vec_id = hi.vec_id
+                JOIN embeddings el ON el.vec_id = lo.vec_id
+                WHERE round(list_cosine_similarity(
+                    eh.embedding::DOUBLE[], el.embedding::DOUBLE[]), 4)
+                    >= 0.35
+            )
+            SELECT a.vec_id, a.cluster_id, a.centroid_cos,
+                   a.vec_id IN (SELECT vec_id FROM dup) AS is_dup
+            FROM asg a
+            ORDER BY a.vec_id
+        """,
+        "token_idf_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_distinct(str_split_regex(
+                           trim(lower(text)), '\\s+')) AS t
+                FROM documents
+            ),
+            pairs AS (
+                SELECT doc_id, unnest(t) AS tok FROM d
+            ),
+            p2 AS (SELECT * FROM pairs WHERE tok <> ''),
+            dfreq AS (
+                SELECT tok, count(*) AS df FROM p2 GROUP BY tok
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id,
+                   count(*) AS n_unique,
+                   round(avg(ln(n_docs / df)), 4) AS mean_idf,
+                   round(max(ln(n_docs / df)), 4) AS max_idf,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS hapax_frac
+            FROM p2 JOIN dfreq USING (tok) CROSS JOIN nd
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

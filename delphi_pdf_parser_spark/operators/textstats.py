@@ -466,3 +466,49 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
         t4.alias("top4gram_char_frac"),
         keep.cast("int").alias("keep"),
     )
+
+
+def token_idf_stats(documents: DataFrame) -> DataFrame:
+    """Inverse-document-frequency rarity profile per document: over the
+    distinct tokens of each document, the mean and max ln(N/df) plus the
+    hapax fraction (share of the document's unique tokens that appear in
+    NO other document). High mean-idf flags vocabulary-outlier documents
+    (gibberish, codes, boilerplate-free rarities) — the classic
+    tf-idf-derived quality signal a curation pipeline thresholds on.
+
+    Everything is JVM expressions: array_distinct + explode (map-only),
+    ONE hash-agg on the token for document frequencies, one join back on
+    the token (AQE skew-splits stopwords), one groupBy(doc_id) rollup.
+    The corpus size N is a broadcast scalar. No vocabulary cap is needed
+    because the df table is never collected — it stays distributed
+    through the join (contrast unigram_logprob's broadcast LM, which IS
+    capped).
+
+    mean/max idf are rounded to 4 decimals like unigram_logprob so the
+    DuckDB oracle pins values despite float summation order; hapax_frac
+    is an exact rational (long/long division, bit-identical).
+    """
+    d = documents.select(
+        "doc_id",
+        F.array_distinct(_tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    pairs = d.select("doc_id", F.explode("t").alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    dfreq = pairs.groupBy("tok").agg(F.count("*").alias("df"))
+    ndocs = documents.agg(F.count("*").alias("n_docs"))
+    idf = F.log(F.col("n_docs") / F.col("df"))
+    return (
+        pairs.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.round(F.avg(idf), 4).alias("mean_idf"),
+            F.round(F.max(idf), 4).alias("max_idf"),
+            (
+                F.sum((F.col("df") == 1).cast("long")) / F.count("*")
+            ).alias("hapax_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -170,3 +170,113 @@ def test_span_dup_stats_hand_computed(spark):
     # short doc below k tokens is excluded entirely
     short = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
     assert span_dup_stats(short, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 6 second half: paragraph_dedup + semdedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_newline_mode(spark):
+    """CCNet paragraph semantics: first occurrence across the corpus
+    keeps, every later identical paragraph drops; documents are
+    reconstructed from surviving paragraphs in original order."""
+    import hashlib
+
+    from delphi_pdf_parser_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Alpha\nBeta\nGamma"),
+            (1, "Beta\nDelta"),
+            (2, "Alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, unit_words=None).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0]["n_units"] == 3 and out[0]["n_kept"] == 3
+    assert out[0]["kept_text_md5"] == md5("alpha beta gamma")
+    # doc1: 'beta' already seen in doc0 -> only 'delta' survives
+    assert out[1]["n_units"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_text_md5"] == md5("delta")
+    assert out[1]["kept_frac"] == 0.5
+    # doc2 is entirely duplicated -> empty reconstruction
+    assert out[2]["n_kept"] == 0
+    assert out[2]["kept_text_md5"] == md5("")
+
+
+def test_paragraph_dedup_chunk_mode(spark):
+    """unit_words mode: non-overlapping w-token chunks; a document that
+    is a permutation of another's chunks dedups to nothing."""
+    import hashlib
+
+    from delphi_pdf_parser_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "c d a b"), (2, "a b x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, unit_words=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0]["n_kept"] == 2
+    assert out[0]["kept_text_md5"] == md5("a b c d")
+    assert out[1]["n_kept"] == 0 and out[1]["kept_text_md5"] == md5("")
+    # doc2: chunk 'a b' is doc0's, trailing chunk 'x' is novel
+    assert out[2]["n_units"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_text_md5"] == md5("x")
+
+
+def test_semdedup_keep_first_within_cluster(spark):
+    """SemDeDup verdicts on a constructed 2-cluster corpus: the lowest
+    vec_id in each cosine-neighborhood keeps, every >=threshold
+    neighbor with a higher id drops; cross-cluster similarity never
+    marks anything."""
+    from delphi_pdf_parser_spark.operators.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # seed/centroid 0
+        (1, [0.0, 1.0, 0.0]),   # seed/centroid 1
+        (2, [0.99, 0.14, 0.0]),  # near 0 -> dup of 0
+        (3, [1.0, 0.0, 0.0]),   # exact dup of 0
+        (4, [0.0, 0.95, 0.31]),  # near 1 -> dup of 1
+        (5, [0.0, -1.0, 0.0]),  # anti-parallel to 1: same cluster? no —
+                                 # cos to both centroids negative; argmax
+                                 # picks cluster 0 (cos 0 > -1), no dup
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(e, k=2, threshold=0.9).collect()}
+    assert not out[0]["is_dup"] and out[0]["cluster_id"] == 0
+    assert not out[1]["is_dup"] and out[1]["cluster_id"] == 1
+    assert out[2]["is_dup"] and out[2]["cluster_id"] == 0
+    assert out[3]["is_dup"] and out[3]["cluster_id"] == 0
+    assert out[4]["is_dup"] and out[4]["cluster_id"] == 1
+    assert not out[5]["is_dup"]
+    assert out[3]["centroid_cos"] == 1.0
+
+
+def test_semdedup_trained_mode_invariants(spark):
+    """train=True (spherical-Lloyd centroids): same schema, every vector
+    assigned, keep-first invariant holds — the lowest vec_id of any
+    mutually-duplicate set is never marked dup."""
+    from delphi_pdf_parser_spark.operators.dedup import semdedup
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semdedup(e, k=4, threshold=0.35, train=True)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert {r["cluster_id"] for r in rows} <= set(range(4))
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        lowest = min(m["vec_id"] for m in members)
+        for m in members:
+            if m["vec_id"] == lowest:
+                assert not m["is_dup"]

@@ -325,3 +325,38 @@ def test_bpe_train_many_merges_is_driver_fast(spark):
     assert merges == merges2
     # one word-count job + driver loop: far under a per-merge-job regime
     assert elapsed < 60, elapsed
+
+
+def test_token_idf_stats_hand_computed(spark):
+    """idf profile on a 3-doc corpus: df(a)=3, df(b)=df(c)=1, N=3."""
+    import math
+
+    from delphi_pdf_parser_spark.operators.textstats import token_idf_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_idf_stats(docs).collect()}
+    ln3 = math.log(3.0)
+    assert out[0]["n_unique"] == 2
+    assert out[0]["mean_idf"] == round((0.0 + ln3) / 2, 4)
+    assert out[0]["max_idf"] == round(ln3, 4)
+    assert out[0]["hapax_frac"] == 0.5
+    assert out[2]["n_unique"] == 1
+    assert out[2]["mean_idf"] == 0.0
+    assert out[2]["hapax_frac"] == 0.0
+
+
+def test_token_idf_stats_repeated_tokens_count_once(spark):
+    """df is documents-containing, not occurrences: 'a a a' contributes
+    one to df(a); per-doc stats are over DISTINCT tokens."""
+    from delphi_pdf_parser_spark.operators.textstats import token_idf_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_idf_stats(docs).collect()}
+    assert out[0]["n_unique"] == 2  # a, b — not 4
+    assert out[1]["mean_idf"] == 0.0  # df(a)=2=N -> ln(1)=0
