@@ -1213,21 +1213,22 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
     if csi.draw is not None and hasattr(csi.draw, "begin_group"):
         grp = doc.resolve(xobj.get("Group"))
         if isinstance(grp, dict) and to_name(doc.get(grp, "S")) == "Transparency":
-            if to_int(doc.resolve(grp.get("K"))):
-                # knockout groups (elements composite against the group
-                # backdrop, not each other) render as non-knockout here;
-                # record the envelope code rather than silently diverge
-                doc.note_failure("raster_knockout_group")
-            if (
+            knockout = bool(to_int(doc.resolve(grp.get("K"))))
+            if knockout or (
                 csi.gs.fill_alpha < 1.0
                 or csi.gs.smask is not None
                 or csi.gs.blend is not None
             ):
+                # knockout groups ALWAYS go through the offscreen, even
+                # at Do-time alpha 1: each element must composite with
+                # the group's initial backdrop (11.6.6), which the
+                # direct-paint fast path cannot express
                 group_alpha = csi.gs.fill_alpha
                 group_smask = csi.gs.smask
                 group_blend = csi.gs.blend
                 group_token = csi.draw.begin_group(
-                    isolated=bool(to_int(doc.resolve(grp.get("I"))))
+                    isolated=bool(to_int(doc.resolve(grp.get("I")))),
+                    knockout=knockout,
                 )
     csi.gsave()
     gs = csi.gs

@@ -327,6 +327,14 @@ class Canvas:
         # group coverage (PDF 32000 11.4.5: Cs passes through where the
         # group has painted nothing yet)
         self.blend_seed_opaque = True
+        # knockout groups (PDF 32000 11.6.6): every ELEMENT composites
+        # with the group's INITIAL backdrop, not the accumulated stack,
+        # and the group alpha at a pixel is the topmost element's alpha
+        # (replaced, not unioned). begin_group(knockout=True) snapshots
+        # the seed planes here; _blend_at then reads its backdrop from
+        # the snapshot and REPLACES coverage.
+        self.ko_pix = None
+        self.ko_cov = None
 
     @property
     def clip(self) -> np.ndarray:
@@ -347,14 +355,17 @@ class Canvas:
         11.3.5 over an opaque backdrop."""
         a = np.asarray(alpha, dtype=np.float64)
         c = np.asarray(colors, dtype=np.float64)
+        ko = self.ko_pix is not None
         if blend is not None:
-            old = self.pix[ys, xs].astype(np.float64) / 255.0
+            base = self.ko_pix if ko else self.pix
+            old = base[ys, xs].astype(np.float64) / 255.0
             src = (c[None, :] if c.ndim == 1 else c) / 255.0
             # non-separable modes index rows; give src the backdrop's shape
             src = np.broadcast_to(src, old.shape)
             mixed = np.clip(blend(old, src), 0.0, 1.0)
             if self.cov is not None and not self.blend_seed_opaque:
-                ab = self.cov[ys, xs][:, None]
+                cb = self.ko_cov if ko else self.cov
+                ab = cb[ys, xs][:, None]
                 mixed = src * (1.0 - ab) + mixed * ab
             c = mixed * 255.0
         if a.ndim == 0 and float(a) >= 1.0:
@@ -365,7 +376,7 @@ class Canvas:
                 self.cov[ys, xs] = 1.0
             return
         af = a if a.ndim else float(a)
-        old = self.pix[ys, xs].astype(np.float64)
+        old = (self.ko_pix if ko else self.pix)[ys, xs].astype(np.float64)
         if c.ndim == 1:
             c = c[None, :]
         aa = af[:, None] if np.ndim(af) else af
@@ -373,7 +384,8 @@ class Canvas:
             np.round(c * aa + old * (1.0 - aa)), 0, 255
         ).astype(np.uint8)
         if self.cov is not None:
-            self.cov[ys, xs] = af + self.cov[ys, xs] * (1.0 - af)
+            cov0 = self.ko_cov[ys, xs] if ko else self.cov[ys, xs]
+            self.cov[ys, xs] = af + cov0 * (1.0 - af)
 
     def paint_mask(self, mask: np.ndarray, rgb, alpha=None, blend=None):
         """alpha: None/1.0 (opaque fast path), scalar in [0,1], or a

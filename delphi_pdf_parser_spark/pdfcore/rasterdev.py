@@ -43,8 +43,11 @@ Fidelity envelope (documented, test-pinned):
   composite through an offscreen coverage-tracking canvas honoring /I
   (non-isolated groups seed the backdrop for blend modes and remove
   its contribution at composite per 11.4.5; isolated groups weight
-  blends by accumulated group coverage); /K true knockout renders
-  non-knockout and records `raster_knockout_group`; all 15 blend modes mix per paint op against the opaque
+  blends by accumulated group coverage); /K true knockout groups are
+  REAL (11.6.6): every element composites with the group's initial
+  backdrop snapshot and replaces — rather than unions — the group
+  coverage, so overlapping elements knock each other out;
+  all 15 blend modes mix per paint op against the opaque
   backdrop: the 11 separable (Multiply..Exclusion, PDF 32000 11.3.5)
   plus the 4 non-separable (Hue/Saturation/Color/Luminosity, 11.3.5.3
   Lum/Sat construction); unknown /BM names fall back to Normal with
@@ -379,13 +382,18 @@ class RasterDevice:
                 doc.note_failure("raster_smask_tr")
         return amap
 
-    def begin_group(self, isolated: bool = False):
+    def begin_group(self, isolated: bool = False, knockout: bool = False):
         """Swap in an offscreen coverage-tracking canvas for a
         transparency group's content. Non-isolated groups (the /I false
         default) seed the offscreen with the current backdrop so blend
         modes inside the group see it (PDF 32000 11.4.5); isolated
         groups start from a transparent backdrop (blend modes weighted
-        by accumulated group coverage). Returns the composite token."""
+        by accumulated group coverage). Knockout groups (/K true,
+        11.6.6) snapshot the seed planes so every element composites
+        with the group's INITIAL backdrop — later elements overwrite
+        earlier ones where they overlap instead of stacking — and the
+        group coverage is the topmost element's alpha. Returns the
+        composite token."""
         old = self.canvas
         off = Canvas(
             old.width, old.height, bg=(0, 0, 0), track_coverage=True
@@ -394,6 +402,9 @@ class RasterDevice:
             off.blend_seed_opaque = False
         else:
             off.pix[:] = old.pix
+        if knockout:
+            off.ko_pix = off.pix.copy()
+            off.ko_cov = off.cov.copy()
         off.clip_stack = list(old.clip_stack)
         self.canvas = off
         return (old, isolated)

@@ -371,24 +371,96 @@ def test_group_composites_with_do_time_blend_mode():
     assert px(pix, 400, 400) == (255, 0, 0)  # outside: page red
 
 
-def test_knockout_group_records_envelope_code():
-    """/Group /K true renders (non-knockout semantics) and records the
-    raster_knockout_group envelope code instead of silently diverging."""
-    form = b"1 0 0 rg 100 100 100 100 re f"
+def test_knockout_group_elements_composite_with_initial_backdrop():
+    """/K true knockout (11.6.6): each element composites with the
+    group's INITIAL backdrop, so where two 50%-alpha rects overlap the
+    TOP one alone shows (50% red over white), not red-over-blue-over-
+    white. No envelope code — knockout is real now."""
+    form = (
+        b"/GB gs 0 0 1 rg 100 100 100 100 re f"
+        b" 1 0 0 rg 150 100 100 100 re f"
+    )
     res = "<< /XObject << /Fx 5 0 R >> >>"
 
     def extra(b):
         b.add(
             "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
-            " /Group << /S /Transparency /K true >> /Resources << >>"
+            " /Group << /S /Transparency /K true >>"
+            " /Resources << /ExtGState << /GB << /ca 0.5 >> >> >>"
             f" /Length {len(form)} >>",
             form,
             num=5,
         )
 
     pix, fails = render(b"/Fx Do", res, extra)
-    assert fails.get("raster_knockout_group") == 1
-    assert px(pix, 120, 150) == (255, 0, 0)
+    assert fails == {}
+    assert px(pix, 120, 150) == (128, 128, 255)  # blue-only at 50%
+    assert px(pix, 230, 150) == (255, 128, 128)  # red-only at 50%
+    # overlap: knockout -> 50% red over WHITE, the blue is knocked out
+    assert px(pix, 180, 150) == (255, 128, 128)
+
+
+def test_non_knockout_group_still_stacks():
+    """Control for the knockout pin: the identical content WITHOUT /K
+    stacks normally — the overlap is 50% red over (50% blue over
+    white)."""
+    form = (
+        b"/GB gs 0 0 1 rg 100 100 100 100 re f"
+        b" 1 0 0 rg 150 100 100 100 re f"
+    )
+    res = (
+        "<< /ExtGState << /GA << /ca 0.5 >> >>"
+        " /XObject << /Fx 5 0 R >> >>"
+    )
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency >>"
+            " /Resources << /ExtGState << /GB << /ca 0.5 >> >> >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    # GA forces the offscreen path at a group alpha; use 1.0-equivalent
+    # content alpha stack: Do at default alpha, group content at 0.5
+    pix, fails = render(b"/Fx Do", res, extra)
+    assert fails == {}
+    # overlap: 0.5*red + 0.5*(0.5*blue + 0.5*white) = (192, 64, 128)
+    assert px(pix, 180, 150) == (192, 64, 128)
+
+
+def test_knockout_group_isolated_and_with_do_alpha():
+    """Isolated knockout under a Do-time ca 0.5: the group result (50%
+    red over transparent at the overlap) composites ONCE at 0.5 —
+    overlap = 0.25 red + 0.75 white; the knocked-out blue contributes
+    nothing."""
+    form = (
+        b"/GB gs 0 0 1 rg 100 100 100 100 re f"
+        b" 1 0 0 rg 150 100 100 100 re f"
+    )
+    res = (
+        "<< /ExtGState << /GA << /ca 0.5 >> >>"
+        " /XObject << /Fx 5 0 R >> >>"
+    )
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency /K true /I true >>"
+            " /Resources << /ExtGState << /GB << /ca 0.5 >> >> >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(b"/GA gs /Fx Do", res, extra)
+    assert fails == {}
+    # group alpha at overlap is the TOP element's 0.5 (replaced, not
+    # unioned to 0.75); x Do alpha 0.5 -> 0.25 red + 0.75 white
+    assert px(pix, 180, 150) == (255, 191, 191)
+    assert px(pix, 120, 150) == (191, 191, 255)  # blue-only at 0.25
 
 
 # --- mesh shadings 4/5 ------------------------------------------------------
