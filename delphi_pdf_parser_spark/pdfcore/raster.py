@@ -409,11 +409,16 @@ class Canvas:
         )
         self._blend_at(ys, xs, np.asarray(rgb, dtype=np.float64), a, blend)
 
-    def paint_image(self, mask: np.ndarray, ctm, img: np.ndarray, alpha=None, blend=None):
+    def paint_image(self, mask: np.ndarray, ctm, img: np.ndarray, alpha=None, blend=None, src_alpha=None):
         """Paint a decoded (h, w, 3) image mapped through `ctm` (the PDF
         image convention: unit square -> device, image row 0 at TOP of
         the unit square's y=1 edge). Nearest-neighbor inverse sampling
-        at covered pixel centers."""
+        at covered pixel centers. `src_alpha` is an optional per-SOURCE-
+        pixel alpha plane in [0,1] (the image's own /SMask or /Mask,
+        PDF 32000 8.9.6) with its OWN dimensions — it is sampled at the
+        same unit-square (u, v) as the image, so a mask whose w/h differ
+        from the base image's still registers (the spec maps both onto
+        the same unit square)."""
         a, b, c, d, e, f = ctm
         det = a * d - b * c
         if det == 0:
@@ -436,7 +441,7 @@ class Canvas:
         inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
         ys, xs = ys[inside], xs[inside]
         cols = img[sy[inside], sx[inside]]
-        if blend is None and (
+        if src_alpha is None and blend is None and (
             alpha is None or (np.ndim(alpha) == 0 and float(alpha) >= 1.0)
         ):
             self.pix[ys, xs] = cols
@@ -448,6 +453,19 @@ class Canvas:
             if np.ndim(alpha) == 2
             else (1.0 if alpha is None else float(alpha))
         )
+        if src_alpha is None:
+            self._blend_at(ys, xs, cols.astype(np.float64), av, blend)
+            return
+        sa = np.asarray(src_alpha, dtype=np.float64)
+        mh, mw = sa.shape
+        mx = np.clip((u[inside] * mw).astype(np.int64), 0, mw - 1)
+        my = np.clip(((1.0 - v[inside]) * mh).astype(np.int64), 0, mh - 1)
+        av = av * sa[my, mx]
+        keep = av > 0.0
+        if not keep.all():
+            ys, xs, cols, av = ys[keep], xs[keep], cols[keep], av[keep]
+        if len(ys) == 0:
+            return
         self._blend_at(ys, xs, cols.astype(np.float64), av, blend)
 
 

@@ -27,6 +27,12 @@ Fidelity envelope (documented, test-pinned):
   coverage record `raster_no_outline`;
 - images: Flate/LZW-class rasters through extract_image(transcode=True)
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
+  image-level alpha is honored (8.9.6): /SMask gray planes sample as
+  per-pixel alpha at the mask's own dimensions (/Matte pre-blend
+  un-blending skipped -> `raster_smask_matte`), /Mask streams stencil
+  (sample 1 masks out, /Decode flips), /Mask color-key arrays key out
+  source-sample ranges on 8-bpc DeviceGray/DeviceRGB (other spaces ->
+  `raster_image_colorkey`);
 - shadings: axial (type 2) and radial (type 3) through functions.py
   with a 256-sample LUT; triangle meshes (types 4/5) by barycentric
   Gouraud interpolation; Coons/tensor patches (6/7) evaluated on a
@@ -601,6 +607,92 @@ class RasterDevice:
             self.doc.note_failure("raster_no_outline")
 
     # --- images --------------------------------------------------------------
+    def _image_src_alpha(self, doc, obj: dict, arr):
+        """Per-source-pixel alpha for an image XObject (PDF 32000
+        8.9.6): /SMask (a DeviceGray image whose samples ARE the alpha;
+        8.9.6.3 — the dominant real-world transparency channel, e.g.
+        every transparent PNG converted to PDF), /Mask as a stream
+        (stencil: sample 1 masks OUT under the default Decode, 8.9.6.4),
+        or /Mask as an array (color-key: source-sample ranges become
+        fully transparent, 8.9.6.5). Returns a float (h, w) plane in
+        [0,1] or None. The reference decodes these through
+        fz_load_image's mask plane (src/vcl/pdf_imagess.pas)."""
+        from .cos import is_indirect, to_int
+        from .images import extract_image, _colorspace_ncomp
+        from ..operators.mediadec import MediaDecodeError, decode_image
+
+        sm = obj.get("SMask")
+        smobj = doc.resolve(sm)
+        if isinstance(smobj, dict):
+            if smobj.get("Matte") is not None:
+                # pre-blended (Matte) smasks still apply; the un-blend
+                # step is skipped, so record the envelope code
+                doc.note_failure("raster_smask_matte")
+            try:
+                smnum = sm.num if is_indirect(sm) else 0
+                img = extract_image(doc, smnum, smobj, transcode=True)
+                w, h, ncomp, pixels = decode_image(img.data)
+                a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+                    h, w, ncomp
+                )[:, :, 0]
+                return a.astype(np.float64) / 255.0
+            except Exception:
+                doc.note_failure("raster_image_smask")
+                return None
+
+        mk = doc.resolve(obj.get("Mask"))
+        if isinstance(mk, dict):
+            # stencil mask: 1-bpc; sample 1 = masked out (Decode [1 0]
+            # flips), independent of the base image's dimensions
+            try:
+                mknum = obj.get("Mask").num
+                data = doc.load_stream(mknum)
+                w = to_int(doc.resolve(mk.get("Width")))
+                h = to_int(doc.resolve(mk.get("Height")))
+                rowbytes = (w + 7) // 8
+                bits = np.unpackbits(
+                    np.frombuffer(
+                        data[: rowbytes * h], dtype=np.uint8
+                    ).reshape(h, rowbytes),
+                    axis=1,
+                )[:, :w]
+            except Exception:
+                doc.note_failure("raster_image_mask")
+                return None
+            dec = doc.resolve(mk.get("Decode"))
+            inverted = (
+                isinstance(dec, list)
+                and len(dec) >= 2
+                and to_int(doc.resolve(dec[0])) == 1
+            )
+            out = bits == (1 if inverted else 0)
+            return out.astype(np.float64)
+
+        if isinstance(mk, list) and arr is not None:
+            # color-key masking operates on SOURCE sample values; the
+            # decoded array equals the source samples only for plain
+            # 8-bpc DeviceGray/DeviceRGB — gate everything else
+            csname, ncomp = _colorspace_ncomp(doc, obj.get("ColorSpace"))
+            bpc = to_int(doc.resolve(obj.get("BitsPerComponent"))) or 8
+            if bpc != 8 or csname not in ("DeviceGray", "DeviceRGB"):
+                doc.note_failure("raster_image_colorkey")
+                return None
+            n = 1 if csname == "DeviceGray" else 3
+            if len(mk) < 2 * n:
+                doc.note_failure("raster_image_colorkey")
+                return None
+            try:
+                rng = [to_int(doc.resolve(v)) for v in mk[: 2 * n]]
+            except (TypeError, ValueError):
+                doc.note_failure("raster_image_colorkey")
+                return None
+            masked = np.ones(arr.shape[:2], dtype=bool)
+            for i in range(n):
+                ch = arr[:, :, i].astype(np.int64)
+                masked &= (ch >= rng[2 * i]) & (ch <= rng[2 * i + 1])
+            return (~masked).astype(np.float64)
+        return None
+
     def fill_image(self, doc, num: int, obj: dict, ctm, fill_rgb=(0, 0, 0), gs=None):
         from .cos import to_int
         from .images import extract_image
@@ -665,13 +757,15 @@ class RasterDevice:
         if arr is None:
             doc.note_failure("raster_image_decode")
             return
+        src_alpha = self._image_src_alpha(doc, obj, arr)
         # paint region = the CTM-mapped unit square
         unit = transform_poly([(0, 0), (1, 0), (1, 1), (0, 1)], ctm)
         mask = coverage_mask(
             [unit], self.canvas.width, self.canvas.height, NONZERO
         )
         self.canvas.paint_image(
-            mask, ctm, arr, self._alpha(gs), self._bl(gs)
+            mask, ctm, arr, self._alpha(gs), self._bl(gs),
+            src_alpha=src_alpha,
         )
 
     def fill_inline_image(self, doc, d: dict, payload: bytes, ctm, fill_rgb=(0, 0, 0), gs=None):

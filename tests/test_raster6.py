@@ -1011,3 +1011,182 @@ def test_text_mode_fill_then_stroke_uses_both_colors():
     assert tuple(pix[792 - 335, 130]) == (0, 0, 255)  # filled interior
     assert tuple(pix[792 - 335, 100]) == (255, 0, 0)  # stroked boundary
     assert tuple(pix[792 - 335, 90]) == (255, 255, 255)
+
+
+# --- image-level alpha: /SMask, stencil /Mask, color-key /Mask --------------
+
+def _flate(data: bytes) -> bytes:
+    import zlib
+
+    return zlib.compress(data)
+
+
+def test_image_smask_per_pixel_alpha():
+    """/SMask on an image XObject (PDF 32000 8.9.6.3): a 1x1 red base
+    under a 2x1 gray smask [0, 255] paints transparent-left/opaque-right
+    — the mask has its OWN dimensions, mapped onto the same unit
+    square. A mid-gray smask blends: 51 -> alpha 0.2 -> red over white
+    = (255, 204, 204)."""
+    base = _flate(bytes([255, 0, 0]))
+    sm = _flate(bytes([0, 255]))
+    sm2 = _flate(bytes([51]))
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Filter /FlateDecode /SMask 6 0 R"
+            f" /Length {len(base)} >>",
+            base,
+            num=5,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 2 /Height 1"
+            " /ColorSpace /DeviceGray /BitsPerComponent 8"
+            f" /Filter /FlateDecode /Length {len(sm)} >>",
+            sm,
+            num=6,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Filter /FlateDecode /SMask 8 0 R"
+            f" /Length {len(base)} >>",
+            base,
+            num=7,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceGray /BitsPerComponent 8"
+            f" /Filter /FlateDecode /Length {len(sm2)} >>",
+            sm2,
+            num=8,
+        )
+
+    pix, fails = render(
+        b"q 200 0 0 100 100 400 cm /Im1 Do Q"
+        b" q 100 0 0 100 400 400 cm /Im2 Do Q",
+        "<< /XObject << /Im1 5 0 R /Im2 7 0 R >> >>",
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 150, 450) == (255, 255, 255)  # smask 0: transparent
+    assert px(pix, 250, 450) == (255, 0, 0)      # smask 255: opaque red
+    assert px(pix, 450, 450) == (255, 204, 204)  # smask 51: 0.2 alpha
+
+
+def test_image_smask_composes_with_constant_alpha():
+    """Image /SMask multiplies with the gstate /ca: opaque smask x
+    ca 0.5 -> 50% red over white."""
+    base = _flate(bytes([255, 0, 0]))
+    sm = _flate(bytes([255]))
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Filter /FlateDecode /SMask 6 0 R"
+            f" /Length {len(base)} >>",
+            base,
+            num=5,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceGray /BitsPerComponent 8"
+            f" /Filter /FlateDecode /Length {len(sm)} >>",
+            sm,
+            num=6,
+        )
+
+    pix, fails = render(
+        b"/GA gs q 100 0 0 100 100 400 cm /Im1 Do Q",
+        "<< /ExtGState << /GA << /ca 0.5 >> >>"
+        " /XObject << /Im1 5 0 R >> >>",
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 150, 450) == (255, 128, 128)
+
+
+def test_image_stencil_mask_stream():
+    """/Mask as a stream (8.9.6.4): sample 1 masks OUT under the
+    default Decode; /Decode [1 0] flips the polarity."""
+    base = _flate(bytes([255, 0, 0]))
+    # bits [[0,1],[1,0]] -> row bytes 0x40, 0x80 (1-bpc, byte-aligned)
+    mask_bits = bytes([0x40, 0x80])
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Filter /FlateDecode /Mask 6 0 R"
+            f" /Length {len(base)} >>",
+            base,
+            num=5,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+            " /ImageMask true /BitsPerComponent 1"
+            f" /Length {len(mask_bits)} >>",
+            mask_bits,
+            num=6,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Filter /FlateDecode /Mask 8 0 R"
+            f" /Length {len(base)} >>",
+            base,
+            num=7,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+            " /ImageMask true /BitsPerComponent 1 /Decode [1 0]"
+            f" /Length {len(mask_bits)} >>",
+            mask_bits,
+            num=8,
+        )
+
+    pix, fails = render(
+        b"q 200 0 0 100 100 400 cm /Im1 Do Q"
+        b" q 200 0 0 100 350 400 cm /Im2 Do Q",
+        "<< /XObject << /Im1 5 0 R /Im2 7 0 R >> >>",
+        extra,
+    )
+    assert fails == {}
+    # mask row 0 = TOP of the unit square (user y 450..500)
+    assert px(pix, 150, 475) == (255, 0, 0)      # bit 0: painted
+    assert px(pix, 250, 475) == (255, 255, 255)  # bit 1: masked out
+    assert px(pix, 150, 425) == (255, 255, 255)
+    assert px(pix, 250, 425) == (255, 0, 0)
+    # inverted Decode flips all four quadrants
+    assert px(pix, 400, 475) == (255, 255, 255)
+    assert px(pix, 500, 475) == (255, 0, 0)
+    assert px(pix, 400, 425) == (255, 0, 0)
+    assert px(pix, 500, 425) == (255, 255, 255)
+
+
+def test_image_colorkey_mask_array():
+    """/Mask as an array (8.9.6.5): source samples inside every range
+    become fully transparent — here pure green is keyed out of a
+    red|green 2x1 DeviceRGB image."""
+    base = _flate(bytes([255, 0, 0, 0, 255, 0]))
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 2 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Filter /FlateDecode /Mask [0 10 250 255 0 10]"
+            f" /Length {len(base)} >>",
+            base,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"q 200 0 0 100 100 400 cm /Im1 Do Q",
+        "<< /XObject << /Im1 5 0 R >> >>",
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 150, 450) == (255, 0, 0)      # red: not keyed
+    assert px(pix, 250, 450) == (255, 255, 255)  # green: keyed out
