@@ -1252,6 +1252,26 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
     old_top_ctm = csi.top_ctm
     csi.top_ctm = gs.ctm
 
+    if csi.draw is not None and hasattr(csi.draw, "clip_path"):
+        # form content is CLIPPED to /BBox (PDF 32000 8.10.1), mapped
+        # through Matrix∘CTM — pushed after the gsave above so the
+        # finally-grestore's restore_clip unwinds it (a degenerate BBox
+        # correctly renders nothing)
+        bbox = doc.resolve(xobj.get("BBox"))
+        if isinstance(bbox, list) and len(bbox) >= 4:
+            try:
+                x0, y0, x1, y1 = (
+                    to_real(doc.resolve(v)) for v in bbox[:4]
+                )
+            except (TypeError, ValueError):
+                pass
+            else:
+                csi.draw.clip_path(
+                    [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]],
+                    False,
+                    gs.ctm,
+                )
+
     resources = doc.get(xobj, "Resources")
     if not isinstance(resources, dict):
         resources = rdb

@@ -1190,3 +1190,34 @@ def test_image_colorkey_mask_array():
     assert fails == {}
     assert px(pix, 150, 450) == (255, 0, 0)      # red: not keyed
     assert px(pix, 250, 450) == (255, 255, 255)  # green: keyed out
+
+
+# --- form XObject /BBox clipping (PDF 32000 8.10.1) -------------------------
+
+def test_form_xobject_content_clipped_to_bbox():
+    """Form content is clipped to /BBox mapped through Matrix∘CTM: a
+    fill that overflows the BBox paints only inside it, and the clip
+    unwinds after Do."""
+    form = b"1 0 0 rg 0 0 200 200 re f"
+    res = "<< /XObject << /Fx 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 50 50]"
+            " /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"q 1 0 0 1 100 400 cm /Fx Do Q 0 0 1 rg 300 400 50 50 re f",
+        res,
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 120, 420) == (255, 0, 0)      # inside BBox
+    assert px(pix, 180, 420) == (255, 255, 255)  # outside BBox: clipped
+    assert px(pix, 120, 480) == (255, 255, 255)  # above BBox: clipped
+    # the clip unwound: the follow-up blue fill outside paints normally
+    assert px(pix, 325, 425) == (0, 0, 255)
