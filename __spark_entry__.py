@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_span_dup_stats(spark, sf_dir):
         return dedup.span_dup_stats(_docs(spark, sf_dir), k=5)
 
+    def q_span_dedup_rewrite(spark, sf_dir):
+        return dedup.span_dedup_rewrite(_docs(spark, sf_dir), k=5)
+
     def q_paragraph_dedup(spark, sf_dir):
         # unit_words=8: the synthetic corpus has no line structure, so
         # the unit is an 8-token chunk (see paragraph_dedup docstring);
@@ -658,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_stats": q_minhash_band_stats,
         "simhash_band_stats": q_simhash_band_stats,
         "span_dup_stats": q_span_dup_stats,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
         "paragraph_dedup": q_paragraph_dedup,
         "semdedup": q_semdedup,
         "token_idf_stats": q_token_idf,
@@ -812,6 +816,62 @@ def oracle_sql() -> dict[str, str]:
             FROM occ o JOIN firsts f USING (wh)
             GROUP BY o.doc_id
             ORDER BY o.doc_id
+        """,
+        # span_dedup_rewrite (dedup.span_dedup_rewrite, k=5): same md5
+        # window keys + first-occurrence rule as span_dup_stats, then
+        # tokens covered by any duplicated window are cut and the doc
+        # re-joined — the whole rewrite oracles bit-for-bit
+        "span_dedup_rewrite": """
+            WITH base AS (
+                SELECT doc_id,
+                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, i - 1 AS p,
+                       md5(array_to_string(t[i:i+4], ' ')) AS wh,
+                       CAST(doc_id AS BIGINT) * 1048576 + (i - 1) AS wkey
+                FROM base, LATERAL (
+                    SELECT unnest(generate_series(1, len(t) - 4)) AS i
+                )
+                WHERE len(t) >= 5
+            ),
+            firsts AS (
+                SELECT wh, min(wkey) AS first_key FROM occ GROUP BY wh
+            ),
+            dupt AS (
+                SELECT DISTINCT o.doc_id, o.p + j AS tidx
+                FROM occ o JOIN firsts f USING (wh),
+                     LATERAL (SELECT unnest(generate_series(1, 5)) AS j)
+                WHERE o.wkey <> f.first_key
+            ),
+            toks AS (
+                SELECT doc_id, i AS tidx, t[i] AS tok
+                FROM base, LATERAL (
+                    SELECT unnest(generate_series(1, len(t))) AS i
+                )
+            ),
+            kept AS (
+                SELECT tk.doc_id, tk.tidx, tk.tok
+                FROM toks tk
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM dupt d
+                    WHERE d.doc_id = tk.doc_id AND d.tidx = tk.tidx
+                )
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY tidx) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(a.text, '') AS text,
+                   CAST(len(b.t) AS BIGINT) AS n_tokens,
+                   CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "paragraph_dedup": """
             WITH base AS (

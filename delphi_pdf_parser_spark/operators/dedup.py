@@ -600,6 +600,87 @@ def span_dup_stats(
     )
 
 
+def span_dedup_rewrite(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Corpus-REWRITING exact-substring span dedup (the removal step of
+    Lee et al. 2021 'Deduplicating Training Data Makes Language Models
+    Better', token-level fixed-window form): every k-token window whose
+    md5 key occurred earlier in the corpus (minimum doc_id*2^20+pos is
+    the canonical copy, the same first-occurrence rule as
+    span_dup_stats) is a duplicated span, and every token covered by
+    ANY duplicated window is removed — overlapping duplicate windows
+    merge into one cut, matching the paper's span-union semantics.
+    Emits (doc_id, text, n_tokens, n_removed) where text is the
+    space-joined surviving tokens of the normalized (trim/lower/split)
+    token stream.
+
+    Scale shape (100 TB): window explode and dup-token explode are
+    map-only; first-occurrence selection is ONE hash-aggregate on the
+    16-byte window key; the dup test joins occurrences back on that key
+    (AQE skew-splits boilerplate windows); token removal is a LEFT ANTI
+    join co-partitioned on (doc_id, tidx); the rewrite itself is one
+    groupBy(doc_id) whose in-group array_sort is bounded by document
+    length. No global sorts in the pipeline (the trailing orderBy is
+    presentation-only), no driver collects, no Python UDFs."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = documents.select("doc_id", toks.alias("t"))
+    idx = F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))
+    win = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", F.slice("t", i, k))
+    )
+    occ = base.filter(F.size("t") >= k).select(
+        "doc_id",
+        F.posexplode(F.transform(idx, win)).alias("p", "wh"),
+    )
+    occ = occ.select(
+        "doc_id",
+        "p",
+        "wh",
+        (F.col("doc_id").cast("long") * F.lit(1 << 20) + F.col("p")).alias(
+            "wkey"
+        ),
+    )
+    firsts = occ.groupBy("wh").agg(F.min("wkey").alias("first_key"))
+    dupw = (
+        occ.join(firsts, "wh")
+        .filter(F.col("wkey") != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+    # 0-based window start p covers 1-based token indices p+1 .. p+k
+    dupt = dupw.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p") + F.lit(1), F.col("p") + F.lit(k))
+        ).alias("tidx"),
+    ).distinct()
+    toks_tbl = base.select(
+        "doc_id", F.posexplode("t").alias("tp", "tok")
+    ).select("doc_id", (F.col("tp") + 1).alias("tidx"), "tok")
+    kept = toks_tbl.join(dupt, ["doc_id", "tidx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tidx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    docs = base.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def minhash_band_stats(documents: DataFrame) -> DataFrame:
     """Oracle-checkable MinHash banding census: 8 md5 minhashes over
     distinct 3-token shingles, 4 bands of 2 rows, per-band bucket

@@ -172,6 +172,32 @@ def test_span_dup_stats_hand_computed(spark):
     assert span_dup_stats(short, k=5).count() == 0
 
 
+
+def test_span_dedup_rewrite_hand_computed(spark):
+    """Corpus-rewriting span dedup: tokens covered by ANY duplicated
+    5-window are cut (overlapping windows union), first occurrences
+    survive verbatim, sub-k docs pass through whole."""
+    from delphi_pdf_parser_spark.operators.dedup import span_dedup_rewrite
+
+    t0 = "a b c d e f g h"    # all windows first -> untouched
+    t1 = "a b c d e f x y z"  # dup windows p=0,1 -> tokens 1..6 cut
+    t2 = "a b c d e f g h"    # full copy -> everything cut
+    t3 = "p q r s t u"        # fresh -> untouched
+    t4 = "a b c"              # below k: no windows, passes through
+    docs = spark.createDataFrame(
+        [(0, t0), (1, t1), (2, t2), (3, t3), (4, t4)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup_rewrite(docs, k=5).collect()}
+    assert len(rows) == 5
+    assert (rows[0]["text"], rows[0]["n_removed"]) == (t0, 0)
+    assert (rows[1]["text"], rows[1]["n_removed"]) == ("x y z", 6)
+    assert (rows[2]["text"], rows[2]["n_removed"]) == ("", 8)
+    assert (rows[3]["text"], rows[3]["n_removed"]) == (t3, 0)
+    assert (rows[4]["text"], rows[4]["n_removed"]) == (t4, 0)
+    assert rows[1]["n_tokens"] == 9 and rows[2]["n_tokens"] == 8
+
+
 # ---------------------------------------------------------------------------
 # round 6 second half: paragraph_dedup + semdedup
 # ---------------------------------------------------------------------------
