@@ -797,7 +797,7 @@ def oracle_sql() -> dict[str, str]:
             occ AS (
                 SELECT doc_id,
                        md5(array_to_string(t[i:i+4], ' ')) AS wh,
-                       CAST(doc_id AS BIGINT) * 1048576 + (i - 1) AS wkey
+                       {'d': doc_id, 'p': i - 1} AS wkey
                 FROM base, LATERAL (
                     SELECT unnest(generate_series(1, len(t) - 4)) AS i
                 )
@@ -830,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
             occ AS (
                 SELECT doc_id, i - 1 AS p,
                        md5(array_to_string(t[i:i+4], ' ')) AS wh,
-                       CAST(doc_id AS BIGINT) * 1048576 + (i - 1) AS wkey
+                       {'d': doc_id, 'p': i - 1} AS wkey
                 FROM base, LATERAL (
                     SELECT unnest(generate_series(1, len(t) - 4)) AS i
                 )
@@ -890,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             occ AS (
                 SELECT doc_id, idx, unit, md5(unit) AS h,
-                       CAST(doc_id AS BIGINT) * 1048576 + idx AS key
+                       {'d': doc_id, 'p': idx} AS key
                 FROM units
             ),
             firsts AS (

@@ -465,6 +465,15 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def _round4(x):
+    """Round to 4 decimals HALF-AWAY-FROM-ZERO, matching Spark's
+    F.round and DuckDB's round() — np.round is half-to-even, which
+    flips oracle comparisons at exact 4-decimal ties (e.g. 5/32)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+
 def _cosine(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -508,7 +517,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataF
         block = 1024
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            c = np.round(mn[lo:hi] @ mn.T, 4)
+            c = _round4(mn[lo:hi] @ mn.T)
             for r in range(lo, hi):
                 row = c[r - lo, r + 1:]
                 hits = np.nonzero(row >= threshold)[0]
@@ -572,10 +581,12 @@ def span_dup_stats(
         "doc_id",
         F.posexplode(F.transform(idx, win)).alias("pos", "wh"),
     )
-    wkey = (F.col("doc_id").cast("long") * F.lit(1 << 20) + F.col("pos")).alias(
-        "wkey"
+    # first occurrence = lexicographic min of (doc_id, pos): a struct
+    # min cannot overflow, unlike a packed doc_id*2^20+pos long, which
+    # would bleed >=2^20-token documents into the next doc's key space
+    occ = occ.select(
+        "doc_id", "wh", F.struct("doc_id", "pos").alias("wkey")
     )
-    occ = occ.select("doc_id", "wh", wkey)
     firsts = occ.groupBy("wh").agg(F.min("wkey").alias("first_key"))
     marked = occ.join(firsts, "wh").select(
         "doc_id",
@@ -631,13 +642,10 @@ def span_dedup_rewrite(documents: DataFrame, k: int = 5) -> DataFrame:
         "doc_id",
         F.posexplode(F.transform(idx, win)).alias("p", "wh"),
     )
+    # lexicographic struct min, not a packed long: overflow-free for
+    # arbitrarily long documents (see span_dup_stats)
     occ = occ.select(
-        "doc_id",
-        "p",
-        "wh",
-        (F.col("doc_id").cast("long") * F.lit(1 << 20) + F.col("p")).alias(
-            "wkey"
-        ),
+        "doc_id", "p", "wh", F.struct("doc_id", "p").alias("wkey")
     )
     firsts = occ.groupBy("wh").agg(F.min("wkey").alias("first_key"))
     dupw = (
@@ -839,9 +847,11 @@ def paragraph_dedup(
     kept/dropped decision AND the md5 of every reconstructed document
     bit-for-bit.
 
-    First occurrence = minimum (doc_id, unit_idx), encoded as
-    doc_id*2^20+idx like span_dup_stats (positions bounded by unit
-    count).
+    First occurrence = lexicographic minimum (doc_id, unit_idx) via a
+    struct min, like span_dup_stats (overflow-free for any document
+    length). `sep` is a LITERAL separator (regex metacharacters are
+    escaped before the split). Documents producing zero non-empty
+    units (possible in newline mode) still emit a row with n_units=0.
 
     Emits per doc: n_units, n_kept, kept_frac, kept_text_md5 (md5 of the
     space-joined surviving units in original order — the deduplicated
@@ -862,9 +872,15 @@ def paragraph_dedup(
     """
     norm = F.trim(F.lower(F.col("text")))
     if unit_words is None:
+        # F.split takes a Java regex; sep is documented as a literal,
+        # so escape metacharacters ('.'/'|'/... would otherwise split
+        # on every character / alternation)
+        sep_rx = "".join(
+            "\\" + ch if ch in "\\.[]{}()*+-?^$|" else ch for ch in sep
+        )
         units = documents.select(
             "doc_id",
-            F.posexplode(F.split(norm, sep)).alias("idx", "unit"),
+            F.posexplode(F.split(norm, sep_rx)).alias("idx", "unit"),
         ).select(
             "doc_id", "idx", F.trim(F.col("unit")).alias("unit")
         ).filter(F.length("unit") > 0)
@@ -879,14 +895,14 @@ def paragraph_dedup(
         units = documents.select(
             "doc_id", F.posexplode(chunks).alias("idx", "unit")
         )
+    # lexicographic struct min, not a packed long: overflow-free for
+    # arbitrarily long documents (see span_dup_stats)
     occ = units.select(
         "doc_id",
         "idx",
         "unit",
         F.md5(F.col("unit")).alias("h"),
-        (F.col("doc_id").cast("long") * F.lit(1 << 20) + F.col("idx")).alias(
-            "key"
-        ),
+        F.struct("doc_id", "idx").alias("key"),
     )
     firsts = occ.groupBy("h").agg(F.min("key").alias("first_key"))
     marked = occ.join(firsts, "h").select(
@@ -898,7 +914,7 @@ def paragraph_dedup(
     kept_units = F.array_sort(
         F.collect_list(F.when(F.col("kept"), F.struct("idx", "unit")))
     )
-    return (
+    out = (
         marked.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_units"),
@@ -916,8 +932,28 @@ def paragraph_dedup(
             (F.col("n_kept") / F.col("n_units")).alias("kept_frac"),
             "kept_text_md5",
         )
-        .orderBy("doc_id")
     )
+    if unit_words is None:
+        # newline mode can drop every unit of a blank document; keep
+        # the doc in the output (n_units=0) so doc_id-keyed joins
+        # downstream don't silently lose it. Chunk mode always yields
+        # >=1 unit, so the extra join is skipped there.
+        out = (
+            documents.select("doc_id")
+            .join(out, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_units", F.lit(0)).alias("n_units"),
+                F.coalesce("n_kept", F.lit(0).cast("long")).alias(
+                    "n_kept"
+                ),
+                "kept_frac",
+                F.coalesce("kept_text_md5", F.md5(F.lit(""))).alias(
+                    "kept_text_md5"
+                ),
+            )
+        )
+    return out.orderBy("doc_id")
 
 
 def semdedup(
@@ -990,8 +1026,8 @@ def semdedup(
                 {
                     "vec_id": pdf["vec_id"],
                     "cluster_id": cid.astype("int32"),
-                    "centroid_cos": np.round(
-                        cs[np.arange(len(cid)), cid], 4
+                    "centroid_cos": _round4(
+                        cs[np.arange(len(cid)), cid]
                     ),
                     "embedding": pdf["embedding"],
                 }
@@ -1012,7 +1048,7 @@ def semdedup(
         block = 1024
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            c = np.round(mn[lo:hi] @ mn.T, 4)
+            c = _round4(mn[lo:hi] @ mn.T)
             for r in range(lo, hi):
                 if r > 0 and (c[r - lo, :r] >= threshold).any():
                     dup[r] = True

@@ -1259,18 +1259,19 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
         # correctly renders nothing)
         bbox = doc.resolve(xobj.get("BBox"))
         if isinstance(bbox, list) and len(bbox) >= 4:
-            try:
-                x0, y0, x1, y1 = (
-                    to_real(doc.resolve(v)) for v in bbox[:4]
-                )
-            except (TypeError, ValueError):
-                pass
-            else:
+            vals = [doc.resolve(v) for v in bbox[:4]]
+            # to_real coerces junk to 0.0, which would silently clip
+            # the whole form to a 0x0 rect; a non-numeric /BBox skips
+            # the clip (tolerant render) and records the envelope code
+            if all(isinstance(v, (int, float)) for v in vals):
+                x0, y0, x1, y1 = (to_real(v) for v in vals)
                 csi.draw.clip_path(
                     [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]],
                     False,
                     gs.ctm,
                 )
+            else:
+                doc.note_failure("form_bbox_malformed")
 
     resources = doc.get(xobj, "Resources")
     if not isinstance(resources, dict):

@@ -362,11 +362,20 @@ class Canvas:
             src = (c[None, :] if c.ndim == 1 else c) / 255.0
             # non-separable modes index rows; give src the backdrop's shape
             src = np.broadcast_to(src, old.shape)
-            mixed = np.clip(blend(old, src), 0.0, 1.0)
             if self.cov is not None and not self.blend_seed_opaque:
                 cb = self.ko_cov if ko else self.cov
                 ab = cb[ys, xs][:, None]
+                # inside a transparent-backdrop group the canvas stores
+                # coverage-PREMULTIPLIED color; B() is defined over the
+                # un-premultiplied Cb (PDF 32000 11.4.5), so divide by
+                # the accumulated group alpha before blending
+                old_u = np.clip(
+                    old / np.maximum(ab, 1e-12), 0.0, 1.0
+                )
+                mixed = np.clip(blend(old_u, src), 0.0, 1.0)
                 mixed = src * (1.0 - ab) + mixed * ab
+            else:
+                mixed = np.clip(blend(old, src), 0.0, 1.0)
             c = mixed * 255.0
         if a.ndim == 0 and float(a) >= 1.0:
             self.pix[ys, xs] = np.asarray(

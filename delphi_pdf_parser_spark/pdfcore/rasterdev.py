@@ -607,6 +607,35 @@ class RasterDevice:
             self.doc.note_failure("raster_no_outline")
 
     # --- images --------------------------------------------------------------
+    @staticmethod
+    def _stencil_bits(doc, num: int, obj: dict):
+        """Decode a 1-bpc stencil stream to its boolean 'selected'
+        plane: True where the sample selects (paints, for an ImageMask
+        XObject; stays visible, for a stencil /Mask), honoring the
+        Decode [1 0] inversion (PDF 32000 8.9.6.4). Shared by both
+        stencil consumers so row padding / Decode fixes cannot drift.
+        Raises on malformed streams — callers record their own
+        failure code."""
+        from .cos import to_int
+
+        data = doc.load_stream(num)
+        w = to_int(doc.resolve(obj.get("Width")))
+        h = to_int(doc.resolve(obj.get("Height")))
+        rowbytes = (w + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(
+                data[: rowbytes * h], dtype=np.uint8
+            ).reshape(h, rowbytes),
+            axis=1,
+        )[:, :w]
+        dec = doc.resolve(obj.get("Decode"))
+        inverted = (
+            isinstance(dec, list)
+            and len(dec) >= 2
+            and to_int(doc.resolve(dec[0])) == 1
+        )
+        return bits == (1 if inverted else 0)
+
     def _image_src_alpha(self, doc, obj: dict, arr):
         """Per-source-pixel alpha for an image XObject (PDF 32000
         8.9.6): /SMask (a DeviceGray image whose samples ARE the alpha;
@@ -619,7 +648,7 @@ class RasterDevice:
         fz_load_image's mask plane (src/vcl/pdf_imagess.pas)."""
         from .cos import is_indirect, to_int
         from .images import extract_image, _colorspace_ncomp
-        from ..operators.mediadec import MediaDecodeError, decode_image
+        from ..operators.mediadec import decode_image
 
         sm = obj.get("SMask")
         smobj = doc.resolve(sm)
@@ -645,28 +674,11 @@ class RasterDevice:
             # stencil mask: 1-bpc; sample 1 = masked out (Decode [1 0]
             # flips), independent of the base image's dimensions
             try:
-                mknum = obj.get("Mask").num
-                data = doc.load_stream(mknum)
-                w = to_int(doc.resolve(mk.get("Width")))
-                h = to_int(doc.resolve(mk.get("Height")))
-                rowbytes = (w + 7) // 8
-                bits = np.unpackbits(
-                    np.frombuffer(
-                        data[: rowbytes * h], dtype=np.uint8
-                    ).reshape(h, rowbytes),
-                    axis=1,
-                )[:, :w]
+                visible = self._stencil_bits(doc, obj.get("Mask").num, mk)
             except Exception:
                 doc.note_failure("raster_image_mask")
                 return None
-            dec = doc.resolve(mk.get("Decode"))
-            inverted = (
-                isinstance(dec, list)
-                and len(dec) >= 2
-                and to_int(doc.resolve(dec[0])) == 1
-            )
-            out = bits == (1 if inverted else 0)
-            return out.astype(np.float64)
+            return visible.astype(np.float64)
 
         if isinstance(mk, list) and arr is not None:
             # color-key masking operates on SOURCE sample values; the
@@ -686,6 +698,18 @@ class RasterDevice:
             except (TypeError, ValueError):
                 doc.note_failure("raster_image_colorkey")
                 return None
+            # 8.9.6.5 ranges are over SOURCE samples, but `arr` is the
+            # post-/Decode output; the decode pipeline reduces /Decode
+            # to one inversion flag (decoded = 255 - s), so mirror it
+            # by flipping each range into decoded space
+            from .images import _decode_is_inverted
+
+            if _decode_is_inverted(doc, obj, bpc):
+                rng = [
+                    v
+                    for i in range(n)
+                    for v in (255 - rng[2 * i + 1], 255 - rng[2 * i])
+                ]
             masked = np.ones(arr.shape[:2], dtype=bool)
             for i in range(n):
                 ch = arr[:, :, i].astype(np.int64)
@@ -702,26 +726,10 @@ class RasterDevice:
             # stencil mask XObject: decoded 1-bpc samples select pixels
             # painted with the gstate fill color (Decode [1 0] inverts)
             try:
-                data = doc.load_stream(num)
-                w = to_int(doc.resolve(obj.get("Width")))
-                h = to_int(doc.resolve(obj.get("Height")))
-                rowbytes = (w + 7) // 8
-                bits = np.unpackbits(
-                    np.frombuffer(
-                        data[: rowbytes * h], dtype=np.uint8
-                    ).reshape(h, rowbytes),
-                    axis=1,
-                )[:, :w]
+                paint = self._stencil_bits(doc, num, obj)
             except Exception:
                 doc.note_failure("raster_image_decode")
                 return
-            dec = doc.resolve(obj.get("Decode"))
-            inverted = (
-                isinstance(dec, list)
-                and len(dec) >= 2
-                and to_int(doc.resolve(dec[0])) == 1
-            )
-            paint = bits == (1 if inverted else 0)
             unit = transform_poly([(0, 0), (1, 0), (1, 1), (0, 1)], ctm)
             mask = coverage_mask(
                 [unit], self.canvas.width, self.canvas.height, NONZERO

@@ -235,6 +235,60 @@ def test_paragraph_dedup_newline_mode(spark):
     assert out[2]["kept_text_md5"] == md5("")
 
 
+def test_paragraph_dedup_blank_doc_and_literal_sep(spark):
+    """Newline mode keeps zero-unit documents in the output (n_units=0)
+    instead of silently dropping them, and `sep` is a LITERAL —
+    sep='.' must split on dots, not on every character."""
+    import hashlib
+
+    from delphi_pdf_parser_spark.operators.dedup import paragraph_dedup
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    docs = spark.createDataFrame(
+        [(0, "Alpha\nBeta"), (1, ""), (2, "\n\n")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, unit_words=None).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    for d in (1, 2):
+        assert out[d]["n_units"] == 0 and out[d]["n_kept"] == 0
+        assert out[d]["kept_text_md5"] == md5("")
+
+    docs2 = spark.createDataFrame(
+        [(0, "one two. one two. three")], "doc_id long, text string"
+    )
+    r = paragraph_dedup(docs2, unit_words=None, sep=".").collect()[0]
+    # literal '.' -> units ['one two', 'one two', 'three']; a regex
+    # '.' would split on every character (garbage units)
+    assert r["n_units"] == 3 and r["n_kept"] == 2
+    assert r["kept_text_md5"] == md5("one two three")
+
+
+def test_span_first_occurrence_survives_huge_documents(spark):
+    """First-occurrence keys are (doc_id, pos) struct minima: a
+    >=2^20-token document must NOT bleed into the next doc_id's key
+    space (the old packed doc_id*2^20+pos long overflowed, tying the
+    two occurrences so neither was marked duplicate)."""
+    from delphi_pdf_parser_spark.operators.dedup import span_dup_stats
+
+    n = (1 << 20) + 5
+    # doc 0: n unique tokens ending in the probe phrase; doc 1 repeats
+    # the probe phrase -> its single window MUST be marked duplicate
+    probe = "zq1 zq2 zq3 zq4 zq5"
+    big = " ".join(f"t{i}" for i in range(n - 5)) + " " + probe
+    docs = spark.createDataFrame(
+        [(0, big), (1, probe)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in span_dup_stats(docs, k=5).collect()
+    }
+    assert out[1]["n_windows"] == 1 and out[1]["n_dup"] == 1
+    assert out[0]["n_dup"] == 0
+
+
 def test_paragraph_dedup_chunk_mode(spark):
     """unit_words mode: non-overlapping w-token chunks; a document that
     is a permutation of another's chunks dedups to nothing."""

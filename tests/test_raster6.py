@@ -344,6 +344,33 @@ def test_group_isolation_flag_changes_blend_backdrop():
     assert px(pix, 150, 150) == (178, 228, 25)  # 0.5*yellow + 0.5*src
 
 
+def test_isolated_group_blend_backdrop_unpremultiplied():
+    """Blend backdrop inside an isolated group is the UN-premultiplied
+    group color (11.4.5): white at ca 0.5, then Multiply red at ca 1 —
+    B(white, red) = red everywhere, so the group lands pure red (the
+    premultiplied-backdrop bug yielded (192, 0, 0))."""
+    form = (
+        b"/GH gs 1 1 1 rg 100 100 100 100 re f "
+        b"/GM gs 1 0 0 rg 100 100 100 100 re f"
+    )
+    res = "<< /XObject << /Fx 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            " /Group << /S /Transparency /I true >>"
+            " /Resources << /ExtGState"
+            " << /GH << /ca 0.5 >> /GM << /BM /Multiply /ca 1 >> >> >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(b"/Fx Do", res, extra)
+    assert fails == {}
+    assert px(pix, 150, 150) == (255, 0, 0)
+
+
 def test_group_composites_with_do_time_blend_mode():
     """BM at Do time applies ONCE to the group result (11.6.6): a blue
     group over a red page under Difference lands magenta, and the BM
@@ -1192,6 +1219,37 @@ def test_image_colorkey_mask_array():
     assert px(pix, 250, 450) == (255, 255, 255)  # green: keyed out
 
 
+def test_image_colorkey_ranges_apply_pre_decode():
+    """8.9.6.5 color-key ranges are over SOURCE samples; with an
+    inverting /Decode [1 0 1 0 1 0] the decoded array is 255-s, so the
+    keyed range must flip with it — source-green is still the keyed
+    pixel, not decoded-green."""
+    # source red|green; Decode [1 0 ...] renders them cyan|magenta
+    base = _flate(bytes([255, 0, 0, 0, 255, 0]))
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 2 /Height 1"
+            " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            " /Decode [1 0 1 0 1 0]"
+            " /Filter /FlateDecode /Mask [0 10 250 255 0 10]"
+            f" /Length {len(base)} >>",
+            base,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"q 200 0 0 100 100 400 cm /Im1 Do Q",
+        "<< /XObject << /Im1 5 0 R >> >>",
+        extra,
+    )
+    assert fails == {}
+    # source red (decoded cyan): NOT keyed — paints cyan
+    assert px(pix, 150, 450) == (0, 255, 255)
+    # source green (decoded magenta): keyed out — page shows through
+    assert px(pix, 250, 450) == (255, 255, 255)
+
+
 # --- form XObject /BBox clipping (PDF 32000 8.10.1) -------------------------
 
 def test_form_xobject_content_clipped_to_bbox():
@@ -1221,3 +1279,24 @@ def test_form_xobject_content_clipped_to_bbox():
     assert px(pix, 120, 480) == (255, 255, 255)  # above BBox: clipped
     # the clip unwound: the follow-up blue fill outside paints normally
     assert px(pix, 325, 425) == (0, 0, 255)
+
+
+def test_form_xobject_malformed_bbox_renders_unclipped():
+    """A non-numeric /BBox must not silently coerce to a 0x0 clip that
+    blanks the form — the clip is skipped (tolerant render) and
+    form_bbox_malformed is recorded."""
+    form = b"1 0 0 rg 0 0 50 50 re f"
+    res = "<< /XObject << /Fx 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Form"
+            " /BBox [null null null null] /Resources << >>"
+            f" /Length {len(form)} >>",
+            form,
+            num=5,
+        )
+
+    pix, fails = render(b"q 1 0 0 1 100 400 cm /Fx Do Q", res, extra)
+    assert fails == {"form_bbox_malformed": 1}
+    assert px(pix, 120, 420) == (255, 0, 0)  # content still painted
