@@ -257,18 +257,23 @@ class FontDesc:
             return None
         from .fallbackfont import fallback_outline
 
+        # fall THROUGH the mapping sources: a fast_table entry without
+        # a ucs (unencoded code) must still consult /ToUnicode and
+        # cid_to_ucs before giving up on the glyph
         ucs = None
         ft = self.fast_table()
         if ft and 0 <= code_or_cid < 256:
             ent = ft[code_or_cid]
             if ent and ent[1]:
                 ucs = ent[1][0]
-        elif self.to_unicode is not None:
+        if ucs is None and self.to_unicode is not None:
             full = self.to_unicode.lookup_full(code_or_cid)
             if full:
                 ucs = full[0]
-        elif self.cid_to_ucs is not None and 0 <= code_or_cid < len(
-            self.cid_to_ucs
+        if (
+            ucs is None
+            and self.cid_to_ucs is not None
+            and 0 <= code_or_cid < len(self.cid_to_ucs)
         ):
             ucs = int(self.cid_to_ucs[code_or_cid])
         if ucs is None:

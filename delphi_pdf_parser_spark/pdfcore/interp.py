@@ -686,31 +686,13 @@ def run_keyword(csi: CSI, rdb, lex: Lexer, kw: bytes):
         gs.render = int(_st(csi, 0))
     elif kw == b"Ts":
         gs.rise = _st(csi, 0)
-    elif kw == b"Td":
-        csi.tlm = _concat(_translate(_st(csi, 0), _st(csi, 1)), csi.tlm)
-        csi.tm = csi.tlm
     elif kw == b"TD":
         gs.leading = -_st(csi, 1)
         csi.tlm = _concat(_translate(_st(csi, 0), _st(csi, 1)), csi.tlm)
         csi.tm = csi.tlm
-    elif kw == b"Tm":
-        csi.tm = (
-            _st(csi, 0),
-            _st(csi, 1),
-            _st(csi, 2),
-            _st(csi, 3),
-            _st(csi, 4),
-            _st(csi, 5),
-        )
-        csi.tlm = csi.tm
     elif kw == b"T*":
         csi.tlm = _concat(_translate(0, -gs.leading), csi.tlm)
         csi.tm = csi.tlm
-    elif kw in (b"Tj", b"TJ"):
-        if csi.string:
-            csi.show_string(csi.string)
-        else:
-            csi.show_text(csi.obj)
     elif kw == b"'":
         csi.tlm = _concat(_translate(0, -gs.leading), csi.tlm)
         csi.tm = csi.tlm
@@ -950,6 +932,25 @@ def _resolve_colorspace(csi: CSI, rdb, name: str):
     if conv is None:
         doc.note_failure("raster_colorspace")
         return None
+    if head == "Lab":
+        # sc operands are REAL Lab values (L 0..100, a/b per /Range),
+        # not the [0,1] byte fractions lab_to_rgb takes — carry the
+        # /Range so _convert_space_color can clamp and rescale
+        params = doc.resolve(cs[1]) if len(cs) > 1 else None
+        rng = (
+            doc.resolve(params.get("Range"))
+            if isinstance(params, dict)
+            else None
+        )
+        bounds = (-100.0, 100.0, -100.0, 100.0)
+        if isinstance(rng, list) and len(rng) >= 4:
+            try:
+                bounds = tuple(
+                    float(to_real(doc.resolve(v))) for v in rng[:4]
+                )
+            except (TypeError, ValueError):
+                pass
+        return ("lab", conv[0], conv[1], bounds)
     return ("conv", conv[0], conv[1])
 
 
@@ -961,6 +962,22 @@ def _convert_space_color(csi: CSI, space, st):
             idx = int(st[0]) if st else 0
             idx = max(0, min(len(pal) - 1, idx))
             return tuple(int(v) for v in pal[idx])
+        if space[0] == "lab":
+            _tag, _n, f, (amin, amax, bmin, bmax) = space
+            lst = float(st[0]) if len(st) > 0 else 0.0
+            ast = float(st[1]) if len(st) > 1 else 0.0
+            bst = float(st[2]) if len(st) > 2 else 0.0
+            lst = min(max(lst, 0.0), 100.0)
+            ast = min(max(ast, amin), amax)
+            bst = min(max(bst, bmin), bmax)
+            # lab_to_rgb takes byte fractions: L=v*100, a/b=v*255-128
+            v = np.array(
+                [[lst / 100.0, (ast + 128.0) / 255.0, (bst + 128.0) / 255.0]]
+            )
+            out = f(v)
+            return tuple(
+                int(x) for x in np.clip(np.round(out[0, :3] * 255.0), 0, 255)
+            )
         _tag, ncomp, f = space
         vals = [float(st[i]) if i < len(st) else 0.0 for i in range(ncomp)]
         out = f(np.clip(np.array([vals]), 0.0, 1.0))
@@ -982,9 +999,17 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
         csi.path.append([csi.cur])
         csi.path_closed.append(False)
     elif kw == b"l":
+        prev = csi.cur
         csi.cur = (_st(csi, 0), _st(csi, 1))
         if csi.path:
-            csi.path[-1].append(csi.cur)
+            # 8.5.2.1: appending a segment after h/re begins a NEW
+            # subpath at the current point — extending the closed one
+            # would stroke a phantom closing edge
+            if csi.path_closed and csi.path_closed[-1]:
+                csi.path.append([prev, csi.cur] if prev else [csi.cur])
+                csi.path_closed.append(False)
+            else:
+                csi.path[-1].append(csi.cur)
     elif kw in (b"c", b"v", b"y"):
         from .raster import flatten_cubic
 
@@ -1002,13 +1027,22 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
             p3 = (_st(csi, 2), _st(csi, 3))
             p2 = p3
         if csi.path:
-            csi.path[-1].extend(flatten_cubic(p0, p1, p2, p3))
+            pts = flatten_cubic(p0, p1, p2, p3)
+            if csi.path_closed and csi.path_closed[-1]:
+                # new subpath after h/re (8.5.2.1), as in `l` above
+                csi.path.append([p0] + pts)
+                csi.path_closed.append(False)
+            else:
+                csi.path[-1].extend(pts)
         csi.cur = p3
     elif kw == b"h":
-        if csi.path and csi.start is not None:
+        # a second h on an already-closed subpath is a no-op (8.5.2.1)
+        if csi.path and csi.start is not None and not csi.path_closed[-1]:
             csi.path[-1].append(csi.start)
             csi.path_closed[-1] = True
             csi.cur = csi.start
+        elif csi.path_closed and csi.path_closed[-1]:
+            csi.cur = csi.start if csi.start is not None else csi.cur
     elif kw == b"re":
         x, y, w, h = (_st(csi, i) for i in range(4))
         csi.path.append([(x, y), (x + w, y), (x + w, y + h), (x, y + h)])
@@ -1029,7 +1063,12 @@ def _run_path_op(csi: CSI, rdb, kw: bytes):
         stroke = kw in (b"S", b"s", b"B", b"B*", b"b", b"b*")
         close_first = kw in (b"s", b"b", b"b*")
         evenodd = kw in (b"f*", b"B*")
-        if close_first and csi.path and csi.start is not None:
+        if (
+            close_first
+            and csi.path
+            and csi.start is not None
+            and not csi.path_closed[-1]
+        ):
             csi.path[-1].append(csi.start)
             csi.path_closed[-1] = True
         if fill and csi.path:
@@ -1294,6 +1333,125 @@ def run_form_xobject(csi: CSI, rdb, ref, xobj: dict, transform):
             )
 
 
+def _jpeg_payload_end(data: bytes, pos: int) -> int:
+    """Index one past the EOI of the JPEG starting at `pos`, or -1.
+    Marker segments (APPn/COM/DQT/...) carry explicit lengths and may
+    legally CONTAIN 0xFFD9 (EXIF thumbnails have their own EOI) — only
+    post-SOS entropy data is FF-stuffed, so a bare find(FFD9) can stop
+    inside a header segment and truncate the codestream."""
+    n = len(data)
+    i = pos
+    if i + 2 > n or data[i] != 0xFF or data[i + 1] != 0xD8:
+        return -1
+    i += 2
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            return -1
+        m = data[i + 1]
+        i += 2
+        if m == 0xD9:
+            return i
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7 or m == 0xFF:
+            # TEM / SOI / RSTn / fill byte: no length field
+            if m == 0xFF:
+                i -= 1
+            continue
+        if i + 2 > n:
+            return -1
+        seglen = (data[i] << 8) | data[i + 1]
+        if seglen < 2:
+            return -1
+        i += seglen
+        if m == 0xDA:  # SOS: entropy-coded data until the next marker
+            while i + 1 < n:
+                if data[i] != 0xFF:
+                    i += 1
+                elif data[i + 1] == 0x00 or data[i + 1] == 0xFF:
+                    i += 2 if data[i + 1] == 0x00 else 1
+                elif 0xD0 <= data[i + 1] <= 0xD7:
+                    i += 2
+                else:
+                    break  # a real marker; outer loop dispatches it
+    return -1
+
+
+def _j2k_payload_end(data: bytes, pos: int) -> int:
+    """Index one past the EOC of the raw JPEG-2000 codestream at
+    `pos`, or -1. Marker segments have explicit lengths; tile-parts
+    are skipped whole via SOT's Psot field, so an FFD9 inside packet
+    data never terminates the scan early."""
+    n = len(data)
+    i = pos
+    if not (
+        i + 4 <= n
+        and data[i : i + 2] == b"\xff\x4f"
+        and data[i + 2] == 0xFF
+    ):
+        return -1
+    i += 2  # past SOC
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            return -1
+        m = data[i + 1]
+        if m == 0xD9:  # EOC
+            return i + 2
+        if m == 0x90:  # SOT: Psot = whole tile-part length
+            if i + 10 > n:
+                return -1
+            psot = int.from_bytes(data[i + 6 : i + 10], "big")
+            if psot == 0:
+                # last tile-part extends to EOC (rare); packet data is
+                # not FF-escaped, so this residual scan can still stop
+                # early — tolerated, matching the previous behavior
+                e = data.find(b"\xff\xd9", i)
+                return e + 2 if e >= 0 else -1
+            i += psot
+            continue
+        if i + 4 > n:
+            return -1
+        seglen = (data[i + 2] << 8) | data[i + 3]
+        if seglen < 2:
+            return -1
+        i += 2 + seglen
+    return -1
+
+
+def _jp2_payload_end(data: bytes, pos: int) -> int:
+    """Index one past the last box of the JP2 container at `pos`, or
+    -1. Box lengths are explicit, so ICC profiles or metadata
+    containing FFD9 never truncate the payload."""
+    n = len(data)
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    if not data.startswith(sig, pos):
+        return -1
+    i = pos
+    end = -1
+    while i + 8 <= n:
+        ln = int.from_bytes(data[i : i + 4], "big")
+        btype = data[i + 4 : i + 8]
+        if not all(0x20 <= c < 0x7F for c in btype):
+            break  # next bytes aren't a box: payload ended at `end`
+        if ln == 1:
+            if i + 16 > n:
+                break
+            ln = int.from_bytes(data[i + 8 : i + 16], "big")
+            if ln < 16:
+                break
+        elif ln == 0:
+            # box runs "to end of file" — only determinable when it is
+            # the codestream box, via the codestream's own EOC
+            if btype == b"jp2c":
+                return _j2k_payload_end(data, i + 8)
+            break
+        elif ln < 8:
+            break
+        if i + ln > n:
+            break
+        i += ln
+        end = i
+    return end
+
+
 def _consume_inline_data(doc, lex: Lexer, d: dict):
     """Advance the lexer past the inline image payload. The reference
     decodes the image to consume exactly its bytes, then scans to EI; the
@@ -1332,10 +1490,19 @@ def _consume_inline_data(doc, lex: Lexer, d: dict):
         lex.seek(i)
         return
     if first in ("DCT", "DCTDecode", "JPX", "JPXDecode"):
-        # JPEG EOI and JPEG-2000 EOC are both 0xFFD9, and entropy data
-        # byte-stuffs 0xFF, so the first FFD9 ends the codestream
-        end = data.find(b"\xff\xd9", pos)
-        lex.seek(end + 2 if end >= 0 else len(data))
+        # walk the marker/box structure to the true EOI/EOC — a bare
+        # find(FFD9) can stop inside an EXIF thumbnail or ICC box and
+        # desync the rest of the content stream
+        if first in ("DCT", "DCTDecode"):
+            end = _jpeg_payload_end(data, pos)
+        else:
+            end = _jp2_payload_end(data, pos)
+            if end < 0:
+                end = _j2k_payload_end(data, pos)
+        if end < 0:
+            e = data.find(b"\xff\xd9", pos)  # tolerant fallback
+            end = e + 2 if e >= 0 else len(data)
+        lex.seek(end)
         return
     if first is None:
         w = to_int(doc.resolve(d.get("W") or d.get("Width")))

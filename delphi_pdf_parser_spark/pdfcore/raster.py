@@ -182,9 +182,17 @@ def dash_polyline(pts: np.ndarray, pattern, phase: float):
                 on = not on
                 idx = (idx + 1) % len(pat)
                 remain = pat[idx]
-                # skip zero-length elements (degenerate dots elided)
+                # skip zero-length elements (degenerate dots elided);
+                # each flip must keep `cur` consistent with `on`, else
+                # a legal pattern like [5 0] crashes on cur=None
                 while remain == 0:
                     on = not on
+                    if on:
+                        cur = [p]
+                    else:
+                        if cur is not None and len(cur) >= 2:
+                            pieces.append(np.asarray(cur))
+                        cur = None
                     idx = (idx + 1) % len(pat)
                     remain = pat[idx]
             elif on and t >= seglen - 1e-9:

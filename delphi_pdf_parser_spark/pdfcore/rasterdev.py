@@ -264,10 +264,18 @@ class RasterDevice:
         ntiles = max(0, i1 - i0 + 1) * max(0, j1 - j0 + 1)
         if ntiles > self._MAX_TILES:
             doc.note_failure("raster_pattern_tiles")
-            # paint the centermost tiles only, bounded
+            # paint the centermost tiles only, bounded — anchoring at
+            # the low corner would leave the fill's visible center
+            # unpainted
             span = int(self._MAX_TILES**0.5)
-            i1 = min(i1, i0 + span - 1)
-            j1 = min(j1, j0 + span - 1)
+            if i1 - i0 + 1 > span:
+                imid = (i0 + i1) // 2
+                i0 = imid - span // 2
+                i1 = i0 + span - 1
+            if j1 - j0 + 1 > span:
+                jmid = (j0 + j1) // 2
+                j0 = jmid - span // 2
+                j1 = j0 + span - 1
         try:
             contents = doc.load_stream(pref.num)
         except Exception:
@@ -1184,15 +1192,25 @@ class RasterDevice:
             doc.note_failure("raster_shading_mesh")
             return
 
-        def tri_color(i):
-            if fn is not None:
-                cols = eval_function(fn, np.array([[verts[i][2][0]]]))
-                if cols.shape[1] == 1:
-                    cols = np.repeat(cols, 3, axis=1)
-                return np.clip(cols[0, :3] * 255.0, 0, 255)
-            comps = verts[i][2]
-            rgb = [comps[0]] * 3 if ncomp == 1 else comps[:3]
-            return np.clip(np.asarray(rgb) * 255.0, 0, 255)
+        # per-VERTEX colors, computed once — a lattice vertex is shared
+        # by up to 6 triangles, and with /Function this is one batched
+        # eval_function over all vertices instead of one scalar eval
+        # per triangle corner
+        if fn is not None:
+            cols = eval_function(
+                fn, np.array([[v[2][0]] for v in verts])
+            )
+            if cols.shape[1] == 1:
+                cols = np.repeat(cols, 3, axis=1)
+            vcolors = np.clip(cols[:, :3] * 255.0, 0, 255)
+        elif ncomp == 1:
+            vcolors = np.clip(
+                np.array([[v[2][0]] * 3 for v in verts]) * 255.0, 0, 255
+            )
+        else:
+            vcolors = np.clip(
+                np.array([v[2][:3] for v in verts]) * 255.0, 0, 255
+            )
 
         a, b, c, d, e, f = ctm
         out = []
@@ -1206,8 +1224,7 @@ class RasterDevice:
                     for i in (i1, i2, i3)
                 ]
             )
-            C = np.stack([tri_color(i1), tri_color(i2), tri_color(i3)])
-            out.append((P, C))
+            out.append((P, vcolors[[i1, i2, i3]]))
         self._paint_gouraud_tris(out, alpha, blend)
 
     def _paint_gouraud_tris(self, tris, alpha, blend=None):

@@ -651,6 +651,19 @@ def test_dash_polyline_unit():
     assert abs(pieces[0][-1][0] - 5.0) < 1e-9  # first ON run truncated
     # empty / all-zero pattern -> whole line
     assert len(dash_polyline(pts, [], 0)) == 1
+    # legal zero elements (8.4.3.6 forbids only all-zero arrays):
+    # [5 0] is effectively solid, [3 0 2] merges the abutting on-runs,
+    # and neither crashes on the cur/on bookkeeping
+    pieces = dash_polyline(np.array([[0.0, 0.0], [12.0, 0.0]]), [5, 0], 0)
+    assert [(p[0][0], p[-1][0]) for p in pieces] == [
+        (0.0, 5.0), (5.0, 10.0), (10.0, 12.0)
+    ]
+    pieces = dash_polyline(
+        np.array([[0.0, 0.0], [12.0, 0.0]]), [3, 0, 2], 0
+    )
+    assert [(p[0][0], p[-1][0]) for p in pieces] == [
+        (0.0, 3.0), (3.0, 5.0), (10.0, 12.0)
+    ]
 
 
 def _patch_pt(x, y):
@@ -849,6 +862,48 @@ def test_separation_colorspace_fill():
     assert px(pix, 225, 225) == (255, 128, 128)
 
 
+def test_lab_colorspace_fill_rescales_operands():
+    """sc operands in a Lab space are REAL Lab values (L 0..100, a/b
+    per /Range), not byte fractions: Lab white `100 0 0 sc` must paint
+    white, and a chromatic triple must match lab_to_rgb fed the
+    correctly-rescaled encoding."""
+    from delphi_pdf_parser_spark.pdfcore.colorspace import lab_to_rgb
+
+    res = "<< /ColorSpace << /LB 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "[/Lab << /WhitePoint [0.9505 1 1.089]"
+            " /Range [-100 100 -100 100] >>]",
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/LB cs 100 0 0 sc 100 100 50 50 re f"
+        b" /LB cs 50 60 -60 sc 200 100 50 50 re f",
+        res,
+        extra,
+    )
+    assert fails == {}
+    assert px(pix, 125, 125) == (255, 255, 255)  # Lab white -> white
+    import numpy as np
+
+    exp = tuple(
+        int(v)
+        for v in np.clip(
+            np.round(
+                lab_to_rgb(
+                    np.array([[0.5, (60 + 128) / 255.0, (-60 + 128) / 255.0]])
+                )[0]
+                * 255.0
+            ),
+            0,
+            255,
+        )
+    )
+    assert px(pix, 225, 125) == exp
+
+
 def test_device_color_op_clears_resource_space():
     """g/rg after an Indexed cs: operands are device components again."""
     res = "<< /ColorSpace << /CSI 5 0 R >> >>"
@@ -975,6 +1030,29 @@ def test_inline_image_dct_decodes():
     assert px(pix, 150, 150) == (77, 77, 77)
     assert px(pix, 99, 150) == WHITE  # outside the placed unit square
     assert px(pix, 425, 125) == (255, 0, 0)  # lexer resynced after EI
+
+
+def test_inline_jpeg_with_exif_thumbnail_eoi_not_truncated():
+    """An APP1 (EXIF) segment may contain its thumbnail's own FFD9;
+    the payload scan must walk marker lengths to the REAL EOI instead
+    of truncating at the first FFD9 and desyncing the stream."""
+    from delphi_pdf_parser_spark.fixtures import jpeg_encode
+
+    jp = jpeg_encode(16, 16, 1, bytes([77]) * 256)
+    assert jp[:2] == b"\xff\xd8"
+    # splice an APP1 segment right after SOI whose body embeds FFD9
+    exif_body = b"Exif\x00\x00" + b"\xff\xd8" + b"\x00" * 8 + b"\xff\xd9"
+    app1 = b"\xff\xe1" + (len(exif_body) + 2).to_bytes(2, "big") + exif_body
+    jp2 = jp[:2] + app1 + jp[2:]
+    content = (
+        b"q 100 0 0 100 100 100 cm BI /W 16 /H 16 /BPC 8 /CS /G"
+        b" /F /DCT ID " + jp2 + b" EI Q"
+        b" 1 0 0 rg 400 100 50 50 re f"
+    )
+    pix, fails = render(content)
+    assert fails == {}
+    assert px(pix, 150, 150) == (77, 77, 77)  # image decoded whole
+    assert px(pix, 425, 125) == (255, 0, 0)   # stream stayed in sync
 
 
 def test_blend_mode_unknown_name_records_failure():
@@ -1219,7 +1297,19 @@ def test_image_colorkey_mask_array():
     assert px(pix, 250, 450) == (255, 255, 255)  # green: keyed out
 
 
-def test_image_colorkey_ranges_apply_pre_decode():
+def test_segment_after_re_starts_new_subpath():
+    """8.5.2.1: appending a segment after re/h begins a NEW subpath —
+    no phantom closing edge from the appended segment's endpoint back
+    to the rectangle corner may be stroked."""
+    # `re` then a bare `l`: the l segment starts a fresh subpath at
+    # the rect corner (100,100); the buggy extend kept the subpath
+    # closed, losing the rect's left edge and adding a spurious
+    # (100,200)->(300,300) edge
+    pix, fails = render(b"0 0 0 RG 4 w 100 100 100 100 re 300 300 l S")
+    assert fails == {}
+    assert px(pix, 100, 150) == BLACK   # rect left (closing) edge
+    assert px(pix, 150, 150) == BLACK   # the new diagonal subpath
+    assert px(pix, 200, 250) == WHITE   # no (100,200)->(300,300) edge
     """8.9.6.5 color-key ranges are over SOURCE samples; with an
     inverting /Decode [1 0 1 0 1 0] the decoded array is 255-s, so the
     keyed range must flip with it — source-green is still the keyed
