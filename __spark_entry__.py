@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_idf(spark, sf_dir):
         return textstats.token_idf_stats(_docs(spark, sf_dir))
 
+    def q_c4_quality(spark, sf_dir):
+        return textstats.c4_quality_rules(_docs(spark, sf_dir))
+
     def q_dedup_recall(spark, sf_dir):
         """Dedup QUALITY tracking: precision/recall of the LSH candidate
         generator vs exact shingle-Jaccard truth, per threshold. Rows-only
@@ -665,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "semdedup": q_semdedup,
         "token_idf_stats": q_token_idf,
+        "c4_quality": q_c4_quality,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -952,6 +956,54 @@ def oracle_sql() -> dict[str, str]:
                    a.vec_id IN (SELECT vec_id FROM dup) AS is_dup
             FROM asg a
             ORDER BY a.vec_id
+        """,
+        # c4_quality (textstats.c4_quality_rules): the Raffel et al.
+        # 2020 C4 cleaning heuristics — line rules (terminal punct,
+        # >=3 words, no 'javascript'), page rules (>=5 sentences in
+        # kept text, lorem ipsum, curly brace, badword list); the
+        # rewritten kept text pins via md5
+        "c4_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           list_transform(
+                               str_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, text, lines,
+                       list_filter(lines, x ->
+                           regexp_matches(x, '[.!?"]$')
+                           AND len(str_split_regex(x, '\\s+')) >= 3
+                           AND NOT contains(lower(x), 'javascript')
+                       ) AS kept
+                FROM base
+            ),
+            s AS (
+                SELECT doc_id, text, lines, kept,
+                       coalesce(array_to_string(kept, chr(10)), '')
+                           AS kept_text,
+                       CAST(length(regexp_replace(
+                           coalesce(array_to_string(kept, chr(10)), ''),
+                           '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{') AS has_brace,
+                       len(list_filter(
+                           str_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w IN ('badword', 'obscenity', 'slur')
+                       )) > 0 AS has_badword
+                FROM k
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   n_sentences, has_lorem, has_brace, has_badword,
+                   md5(kept_text) AS kept_text_md5,
+                   CAST(CASE WHEN n_sentences >= 5 AND NOT has_lorem
+                             AND NOT has_brace AND NOT has_badword
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM s ORDER BY doc_id
         """,
         "token_idf_stats": """
             WITH d AS (

@@ -468,6 +468,66 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     )
 
 
+# deterministic stand-in for the 'List of Dirty, Naughty, Obscene or
+# Otherwise Bad Words' C4 uses; a production run swaps in the full
+# published list — the operator only cares that matching is word-exact
+C4_BADWORDS = ("badword", "obscenity", "slur")
+
+
+def c4_quality_rules(
+    documents: DataFrame, badwords: tuple = C4_BADWORDS
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2, the corpus
+    behind T5 — with Gopher the second canonical web-text filter set).
+
+    Line rules (a line survives iff ALL hold, over trimmed non-empty
+    lines): ends in a terminal punctuation mark (. ! ? closing quote);
+    contains >= 3 whitespace words; does not contain 'javascript'
+    (case-insensitive — the paper drops the JS-warning boilerplate
+    lines). Page rules (the keep verdict): >= 5 sentences in the
+    RETAINED text (sentence proxy: terminal-punctuation marks, the
+    splitter-free equivalent of the paper's sentence count), no
+    'lorem ipsum', no curly brace '{', and no word from `badwords`
+    (word-exact over [^a-z0-9]+-split lowercase tokens; the published
+    list also has phrases — single words only here).
+
+    Emits every rule input plus kept_text_md5 (md5 of the surviving
+    lines newline-joined) so the whole line-rewrite pins bit-for-bit
+    against the SQL oracle.
+
+    Scale shape (100 TB): pure per-row JVM expressions, map-only — no
+    shuffle, no UDFs; the trailing orderBy is presentation-only."""
+    raw = F.split(F.col("text"), "\n")
+    lines = F.filter(F.transform(raw, F.trim), lambda x: x != "")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.split(x, r"\s+")) >= 3)
+        & ~F.lower(x).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.length(
+        F.regexp_replace(kept_text, r"[^.!?]", "")
+    ).cast("long")
+    low = F.lower(F.col("text"))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    words = F.split(low, "[^a-z0-9]+")
+    has_bad = F.size(F.filter(words, lambda w: w.isin(*badwords))) > 0
+    keep = (n_sentences >= 5) & ~has_lorem & ~has_brace & ~has_bad
+    return documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_badword"),
+        F.md5(kept_text).alias("kept_text_md5"),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def token_idf_stats(documents: DataFrame) -> DataFrame:
     """Inverse-document-frequency rarity profile per document: over the
     distinct tokens of each document, the mean and max ln(N/df) plus the

@@ -360,3 +360,56 @@ def test_token_idf_stats_repeated_tokens_count_once(spark):
     out = {r["doc_id"]: r for r in token_idf_stats(docs).collect()}
     assert out[0]["n_unique"] == 2  # a, b — not 4
     assert out[1]["mean_idf"] == 0.0  # df(a)=2=N -> ln(1)=0
+
+
+def test_c4_quality_rules_hand_computed(spark):
+    """C4 line rules (terminal punct + >=3 words + no 'javascript')
+    and page rules (>=5 sentences, lorem ipsum, curly brace, badword
+    list) pinned on hand-built pages."""
+    import hashlib
+
+    from delphi_pdf_parser_spark.operators.textstats import (
+        c4_quality_rules,
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    good = (
+        "This is a fine sentence one.\n"
+        "Here is a second good line!\n"
+        "A third line, asking a question?\n"
+        "The fourth line ends with a period.\n"
+        "And a fifth sentence closes it out."
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            # line rules: no terminal punct / <3 words / javascript
+            (1, "no punct here\nToo. Short.\nPlease enable JavaScript now."),
+            (2, good + "\nBut it has a { brace."),
+            (3, good.replace("second good", "second badword")),
+            (4, "Lorem ipsum dolor sit amet, consectetur adipiscing."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_quality_rules(docs).collect()}
+    assert len(out) == 6
+    r0 = out[0]
+    assert (r0["n_lines"], r0["n_kept_lines"], r0["n_sentences"]) == (5, 5, 5)
+    assert r0["keep"] == 1 and r0["kept_text_md5"] == md5(good)
+    r1 = out[1]
+    # 'no punct here' fails punct; 'Too. Short.' has 2 words;
+    # the JavaScript line fails the javascript rule
+    assert (r1["n_lines"], r1["n_kept_lines"]) == (3, 0)
+    assert r1["keep"] == 0 and r1["kept_text_md5"] == md5("")
+    r2 = out[2]
+    assert r2["has_brace"] and r2["keep"] == 0
+    assert r2["n_kept_lines"] == 6  # the brace line itself passes line rules
+    r3 = out[3]
+    assert r3["has_badword"] and r3["keep"] == 0
+    r4 = out[4]
+    # lorem ipsum page: the single line passes line rules but the page
+    # drops on the phrase AND on <5 sentences
+    assert r4["has_lorem"] and r4["n_sentences"] == 1 and r4["keep"] == 0
+    r5 = out[5]
+    assert (r5["n_lines"], r5["keep"]) == (0, 0)
