@@ -187,6 +187,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_c4_quality(spark, sf_dir):
         return textstats.c4_quality_rules(_docs(spark, sf_dir))
 
+    def q_pack_sequences(spark, sf_dir):
+        # seq_len sized so sf0.01 yields ~100 sequences; bucket_docs=64
+        # forces the multi-bucket two-phase prefix-sum path
+        from delphi_pdf_parser_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        return pack_sequences(
+            _docs(spark, sf_dir), seq_len=256, bucket_docs=64
+        )
+
     def q_dedup_recall(spark, sf_dir):
         """Dedup QUALITY tracking: precision/recall of the LSH candidate
         generator vs exact shingle-Jaccard truth, per threshold. Rows-only
@@ -669,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "token_idf_stats": q_token_idf,
         "c4_quality": q_c4_quality,
+        "pack_sequences": q_pack_sequences,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1004,6 +1016,41 @@ def oracle_sql() -> dict[str, str]:
                              AND NOT has_brace AND NOT has_badword
                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # pack_sequences (packing.pack_sequences, seq_len=256): the
+        # two-phase distributed prefix sum must equal this flat window
+        # cumsum bit-for-bit — sequence boundaries, doc spans and the
+        # under-filled tail all pin
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(str_split_regex(trim(lower(text)), '\\s+'))
+                           + 1 AS n
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, n,
+                       CAST(coalesce(sum(n) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM d
+            ),
+            spans AS (
+                SELECT doc_id, n, start,
+                       unnest(generate_series(
+                           start // 256, (start + n - 1) // 256
+                       )) AS seq_id
+                FROM g
+            )
+            SELECT seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(least(start + n, (seq_id + 1) * 256)
+                            - greatest(start, seq_id * 256)) AS BIGINT)
+                       AS n_tokens,
+                   min(doc_id) AS first_doc_id,
+                   max(doc_id) AS last_doc_id
+            FROM spans GROUP BY seq_id ORDER BY seq_id
         """,
         "token_idf_stats": """
             WITH d AS (

@@ -413,3 +413,36 @@ def test_c4_quality_rules_hand_computed(spark):
     assert r4["has_lorem"] and r4["n_sentences"] == 1 and r4["keep"] == 0
     r5 = out[5]
     assert (r5["n_lines"], r5["keep"]) == (0, 0)
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Document packing: corpus-order concat with one EOS per doc, cut
+    into seq_len windows; the two-phase prefix sum must produce the
+    exact flat-cumsum layout (forced multi-bucket via bucket_docs=2)."""
+    from delphi_pdf_parser_spark.operators.packing import pack_sequences
+
+    # token counts (+1 EOS): 3+1, 5+1, 2+1, 4+1 -> starts 0,4,10,13
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f g h"),
+            (2, "i j"),
+            (3, "k l m n"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["seq_id"]: r
+        for r in pack_sequences(docs, seq_len=8, bucket_docs=2).collect()
+    }
+    # total 18 tokens -> seqs 0..2: [0,8) [8,16) [16,18)
+    assert sorted(rows) == [0, 1, 2]
+    # seq 0: doc0 (4 tok) + doc1 tokens 4..7 (4 of its 6)
+    assert (rows[0]["n_docs"], rows[0]["n_tokens"]) == (2, 8)
+    assert (rows[0]["first_doc_id"], rows[0]["last_doc_id"]) == (0, 1)
+    # seq 1: doc1 remainder (2) + doc2 (3) + doc3 head (3)
+    assert (rows[1]["n_docs"], rows[1]["n_tokens"]) == (3, 8)
+    assert (rows[1]["first_doc_id"], rows[1]["last_doc_id"]) == (1, 3)
+    # seq 2: doc3 tail (2) — the only under-filled sequence
+    assert (rows[2]["n_docs"], rows[2]["n_tokens"]) == (1, 2)
+    assert (rows[2]["first_doc_id"], rows[2]["last_doc_id"]) == (3, 3)
