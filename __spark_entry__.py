@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_c4_quality(spark, sf_dir):
         return textstats.c4_quality_rules(_docs(spark, sf_dir))
 
+    def q_temperature_mix(spark, sf_dir):
+        return textstats.temperature_mix(_docs(spark, sf_dir))
+
     def q_pack_sequences(spark, sf_dir):
         # seq_len sized so sf0.01 yields ~100 sequences; bucket_docs=64
         # forces the multi-bucket two-phase prefix-sum path
@@ -681,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf_stats": q_token_idf,
         "c4_quality": q_c4_quality,
         "pack_sequences": q_pack_sequences,
+        "temperature_mix": q_temperature_mix,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1051,6 +1055,43 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc_id,
                    max(doc_id) AS last_doc_id
             FROM spans GROUP BY seq_id ORDER BY seq_id
+        """,
+        # temperature_mix (textstats.temperature_mix, alpha=0.5,
+        # target 0.5): per-source sqrt-temperature rates rounded to 6
+        # decimals, deterministic md5-threshold keep — the exact kept
+        # counts oracle
+        "temperature_mix": """
+            WITH counts AS (
+                SELECT source, count(*) AS c FROM documents
+                GROUP BY source
+            ),
+            tot AS (
+                SELECT sum(c) AS n_total, sum(pow(c, 0.5)) AS sum_w
+                FROM counts
+            ),
+            rates AS (
+                SELECT source, c,
+                       round(least(1.0,
+                           0.5 * n_total * pow(c, 0.5) / sum_w / c
+                       ), 6) AS rate
+                FROM counts CROSS JOIN tot
+            ),
+            marked AS (
+                SELECT d.source, r.c, r.rate,
+                       CASE WHEN substring(md5(concat_ws(':',
+                                d.source, 't1',
+                                CAST(d.doc_id AS VARCHAR))), 1, 8)
+                            < printf('%08x', least(
+                                CAST(floor(rate * 4294967296.0)
+                                     AS BIGINT), 4294967295))
+                       THEN 1 ELSE 0 END AS kept
+                FROM documents d JOIN rates r USING (source)
+            )
+            SELECT source,
+                   CAST(min(c) AS BIGINT) AS n_docs,
+                   min(rate) AS rate,
+                   CAST(sum(kept) AS BIGINT) AS n_kept
+            FROM marked GROUP BY source ORDER BY source
         """,
         "token_idf_stats": """
             WITH d AS (

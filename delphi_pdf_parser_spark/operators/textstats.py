@@ -216,6 +216,85 @@ def stratified_sample(
     )
 
 
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "t1",
+) -> DataFrame:
+    """Temperature-weighted source resampling (the multilingual /
+    domain-mixing primitive of XLM-R, Conneau et al. 2020 §3.1, and the
+    static-weights half of DoReMi): source s with c_s documents is
+    sampled at a rate proportional to c_s^alpha / c_s, so alpha < 1
+    up-samples small sources and flattens the head. The target total is
+    `target_frac` of the corpus; rates cap at 1 (no up-replication).
+
+    Selection is the same deterministic md5-threshold device as
+    stratified_sample, but with a PER-SOURCE threshold: the rate is
+    rounded to 6 decimals, scaled to a 32-bit hex bound, and a document
+    keeps iff its first 8 md5 hex chars compare below it — md5 and the
+    printf are bit-identical in Spark and DuckDB, so the exact kept
+    set oracles. (The rounding also absorbs float-summation order
+    differences in sum_s c_s^alpha across engines/partitions.)
+
+    Emits per source: n_docs, rate, n_kept. Scale shape (100 TB): one
+    count agg on source, a tiny weights table broadcast back, one
+    map-side hash filter, one final agg — two shuffles on compact keys
+    total, no RNG state, reproducible across runs and engines."""
+    counts = documents.groupBy("source").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.sum(F.pow(F.col("c"), F.lit(alpha))).alias("sum_w"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * F.col("n_total")
+                * F.pow(F.col("c"), F.lit(alpha))
+                / F.col("sum_w")
+                / F.col("c"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    # cap at 2^32-1 so rate=1.0 prints "ffffffff" (8 hex chars, keeps
+    # everything but the one-in-2^32 max hash) instead of a 9-char
+    # string that compares BELOW every hash
+    thr = F.format_string(
+        "%08x",
+        F.least(
+            F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"),
+            F.lit(4294967295),
+        ),
+    )
+    key = F.concat_ws(
+        ":", F.col("source"), F.lit(salt), F.col("doc_id").cast("string")
+    )
+    marked = (
+        documents.select("doc_id", "source", F.md5(key).alias("h"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            "c",
+            "rate",
+            (F.substring("h", 1, 8) < thr).cast("int").alias("kept"),
+        )
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.first("c").alias("n_docs"),
+            F.first("rate").alias("rate"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def unigram_logprob(
     documents: DataFrame, k: float = 0.5, top_v: int = 100_000
 ) -> DataFrame:

@@ -446,3 +446,38 @@ def test_pack_sequences_hand_computed(spark):
     # seq 2: doc3 tail (2) — the only under-filled sequence
     assert (rows[2]["n_docs"], rows[2]["n_tokens"]) == (1, 2)
     assert (rows[2]["first_doc_id"], rows[2]["last_doc_id"]) == (3, 3)
+
+
+def test_temperature_mix_hand_computed(spark):
+    """alpha<1 up-samples small sources: with sources of 16 and 4 docs
+    at alpha=0.5 and target 0.5, rates are prop. to sqrt(c)/c — the
+    small source's rate is twice the big one's; rate caps at 1."""
+    from delphi_pdf_parser_spark.operators.textstats import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big", "x") for i in range(16)] + [
+        (100 + i, "small", "x") for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        r["source"]: r
+        for r in temperature_mix(docs, alpha=0.5, target_frac=0.5).collect()
+    }
+    # sum_w = 4 + 2 = 6; rate_s = 0.5 * 20 * sqrt(c)/6/c
+    assert out["big"]["n_docs"] == 16 and out["small"]["n_docs"] == 4
+    assert abs(out["big"]["rate"] - round(10 * 4 / 6 / 16, 6)) < 1e-9
+    assert abs(out["small"]["rate"] - round(10 * 2 / 6 / 4, 6)) < 1e-9
+    # small source's (pre-rounding) rate is exactly double big's
+    assert abs(out["small"]["rate"] - 2 * out["big"]["rate"]) < 1e-5
+    assert 0 <= out["big"]["n_kept"] <= 16
+    assert 0 <= out["small"]["n_kept"] <= 4
+    # rate caps at 1: tiny corpus, huge target
+    out2 = {
+        r["source"]: r
+        for r in temperature_mix(docs, alpha=0.5, target_frac=2.0).collect()
+    }
+    assert out2["small"]["rate"] == 1.0
+    assert out2["small"]["n_kept"] == 4  # rate 1 keeps everything
