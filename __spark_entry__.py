@@ -187,6 +187,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_c4_quality(spark, sf_dir):
         return textstats.c4_quality_rules(_docs(spark, sf_dir))
 
+    def q_quality_classifier(spark, sf_dir):
+        """Model-based quality filter (MLlib hashed-feature logistic
+        regression, weak labels from a quality-score median split).
+        Rows-only: LBFGS training is not SQL-expressible; learning
+        behavior is pinned by tests on separable synthetic classes."""
+        from delphi_pdf_parser_spark.operators.classify import (
+            quality_classifier,
+        )
+
+        return quality_classifier(_docs(spark, sf_dir))
+
     def q_temperature_mix(spark, sf_dir):
         return textstats.temperature_mix(_docs(spark, sf_dir))
 
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "pack_sequences": q_pack_sequences,
         "temperature_mix": q_temperature_mix,
+        "quality_classifier": q_quality_classifier,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,

@@ -481,3 +481,59 @@ def test_temperature_mix_hand_computed(spark):
     }
     assert out2["small"]["rate"] == 1.0
     assert out2["small"]["n_kept"] == 4  # rate 1 keeps everything
+
+
+def test_quality_classifier_learns_separable_classes(spark):
+    """MLlib-backed learned filter: on a linearly separable corpus the
+    hashed-feature logistic regression recovers the labels exactly,
+    and scoring emits calibrated per-class probabilities."""
+    from delphi_pdf_parser_spark.operators.classify import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog have run with that "
+        "style of grace to be seen"
+    )
+    junk = "### @@@ $$$ %%% ^^^ &&& *** ((( ))) ]]] [[["
+    rows = [(i, (good + " ") * 5) for i in range(30)] + [
+        (100 + i, (junk + " ") * 5) for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(i, 1.0) for i in range(30)] + [(100 + i, 0.0) for i in range(30)],
+        "doc_id long, label double",
+    )
+    m = train_quality_classifier(docs, labels=labels)
+    out = {r["doc_id"]: r for r in score_quality(docs, m).collect()}
+    assert all(out[i]["keep"] == 1 for i in range(30))
+    assert all(out[100 + i]["keep"] == 0 for i in range(30))
+    assert out[0]["quality_prob"] > 0.9 > 0.1 > out[100]["quality_prob"]
+
+
+def test_quality_classifier_weak_label_bootstrap(spark):
+    """Without labels the median-split bootstrap must yield two
+    classes and score every document; a constant-score corpus raises
+    instead of fitting a degenerate model."""
+    import pytest
+
+    from delphi_pdf_parser_spark.operators.classify import (
+        quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("word" + str(i) + " ") * (10 + i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = quality_classifier(docs, num_features=256)
+    assert out.count() == 20
+    assert {r["keep"] for r in out.collect()} <= {0, 1}
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        train_quality_classifier(same, num_features=256)
