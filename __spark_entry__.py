@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return quality_classifier(_docs(spark, sf_dir))
 
+    def q_bigram_logprob(spark, sf_dir):
+        return textstats.bigram_logprob(_docs(spark, sf_dir))
+
     def q_temperature_mix(spark, sf_dir):
         return textstats.temperature_mix(_docs(spark, sf_dir))
 
@@ -697,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "temperature_mix": q_temperature_mix,
         "quality_classifier": q_quality_classifier,
+        "bigram_logprob": q_bigram_logprob,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1104,6 +1108,57 @@ def oracle_sql() -> dict[str, str]:
                    min(rate) AS rate,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY source ORDER BY source
+        """,
+        # bigram_logprob (textstats.bigram_logprob, k=0.5 lam=0.7):
+        # interpolated bigram LM over corpus counts; vocab below the
+        # caps at this sf so the capped model is exact
+        "bigram_logprob": """
+            WITH d AS (
+                SELECT doc_id,
+                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(t) AS tok FROM d
+            ),
+            tk AS (SELECT * FROM toks WHERE tok <> ''),
+            vocab AS (
+                SELECT tok, count(*) AS n FROM tk GROUP BY tok
+            ),
+            tot AS (
+                SELECT sum(n) AS total, count(*) AS vsize FROM vocab
+            ),
+            pairs AS (
+                SELECT doc_id, t[i] AS a, t[i+1] AS b
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(1, len(t) - 1)) AS i
+                )
+                WHERE len(t) >= 2
+            ),
+            pr AS (
+                SELECT * FROM pairs WHERE a <> '' AND b <> ''
+            ),
+            big AS (
+                SELECT a, b, count(*) AS nab FROM pr GROUP BY a, b
+            ),
+            scored AS (
+                SELECT pr.doc_id,
+                       log10(
+                           0.7 * coalesce(
+                               nab / CAST(ua.n AS DOUBLE), 0.0)
+                           + 0.3 * (coalesce(ub.n, 0) + 0.5)
+                               / (total + 0.5 * vsize)
+                       ) AS lp
+                FROM pr
+                LEFT JOIN big USING (a, b)
+                LEFT JOIN vocab ua ON pr.a = ua.tok
+                LEFT JOIN vocab ub ON pr.b = ub.tok
+                CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   round(avg(lp), 4) AS mean_logprob,
+                   count(*) AS n_bigrams
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "token_idf_stats": """
             WITH d AS (

@@ -348,6 +348,106 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    documents: DataFrame,
+    k: float = 0.5,
+    lam: float = 0.7,
+    top_v: int = 100_000,
+    top_b: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated bigram LM scoring — the order-2 step toward the
+    CCNet-style n-gram-LM perplexity filter (Wenzek et al. 2020 use a
+    5-gram KenLM; the smoothing family is the same): per document, the
+    mean log10 of p(w_i | w_{i-1}) = lam * c(ab)/c(a) + (1-lam) *
+    p_uni(b), where p_uni is the add-k unigram model unigram_logprob
+    broadcasts. Low scores flag locally-incoherent text that a unigram
+    model cannot see (shuffled words score identically under order 1).
+
+    Caps mirror unigram_logprob's 100-TB story: the broadcast tables
+    are the top_v unigrams and top_b bigrams by count (deterministic
+    tie-breaks); a capped-out or unseen bigram contributes only its
+    interpolated unigram term, an OOV conditioning token zeroes the
+    bigram term, and an OOV target takes the unigram unseen floor.
+    Under the caps (always true at bench scale) the model is exact and
+    the DuckDB oracle pins it.
+
+    Scale shape: bigrams are built ARRAY-side (two slices zipped — no
+    self-join on the token stream), counted in one hash-agg each for
+    unigrams and bigrams, and scored via three broadcast joins on the
+    exploded pair stream; one final groupBy(doc_id). Docs with < 2
+    tokens emit no row (no transitions to score)."""
+    t = _tokens(F.col("text"))
+    pre = F.slice(t, 1, F.size(t) - 1)
+    nxt = F.slice(t, 2, F.size(t) - 1)
+    pairs = (
+        documents.filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    pre, nxt, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    toks = documents.select(
+        "doc_id", F.explode(t).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    totals = vocab.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vsize")
+    )
+    uni = (
+        vocab.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_v)
+        .select("tok", "n")
+    )
+    big = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("nab"))
+        .orderBy(F.desc("nab"), F.asc("a"), F.asc("b"))
+        .limit(top_b)
+    )
+    p_uni = (F.col("nb") + F.lit(k)) / (
+        F.col("total") + F.lit(k) * F.col("vsize")
+    )
+    p_uni_oov = F.lit(k) / (F.col("total") + F.lit(k) * F.col("vsize"))
+    bg_term = F.when(
+        F.col("nab").isNotNull() & F.col("na").isNotNull(),
+        F.col("nab") / F.col("na"),
+    ).otherwise(F.lit(0.0))
+    p = F.lit(lam) * bg_term + F.lit(1.0 - lam) * F.coalesce(
+        p_uni, p_uni_oov
+    )
+    scored = (
+        pairs.join(F.broadcast(big), ["a", "b"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("a"),
+                                   F.col("n").alias("na"))),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("b"),
+                                   F.col("n").alias("nb"))),
+            "b",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.log10(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Rae et al. 2021 §A1.1: "the, be, to, of, and, that, have, with" —
 # document must contain at least two of these (full published list).
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")

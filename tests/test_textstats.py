@@ -537,3 +537,29 @@ def test_quality_classifier_weak_label_bootstrap(spark):
     )
     with pytest.raises(ValueError):
         train_quality_classifier(same, num_features=256)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram LM: p(b|a) = lam*c(ab)/c(a) +
+    (1-lam)*p_uni(b) with add-k unigrams over the WHOLE corpus; docs
+    with < 2 tokens emit no row."""
+    import math
+
+    from delphi_pdf_parser_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y z"), (1, "q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert sorted(out) == [0]  # the 1-token doc has no transitions
+    # corpus: x2 y2 z1 q1 -> total 6, vsize 4, denom 6+0.5*4=8
+    pxy = 0.7 * (2 / 2) + 0.3 * (2.5 / 8)
+    pyx = 0.7 * (1 / 2) + 0.3 * (2.5 / 8)
+    pyz = 0.7 * (1 / 2) + 0.3 * (1.5 / 8)
+    exp = round(
+        (2 * math.log10(pxy) + math.log10(pyx) + math.log10(pyz)) / 4, 4
+    )
+    assert out[0]["n_bigrams"] == 4
+    assert abs(out[0]["mean_logprob"] - exp) < 1e-9
