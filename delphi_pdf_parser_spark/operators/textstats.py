@@ -675,7 +675,18 @@ def c4_quality_rules(
     against the SQL oracle.
 
     Scale shape (100 TB): pure per-row JVM expressions, map-only — no
-    shuffle, no UDFs; the trailing orderBy is presentation-only."""
+    shuffle, no UDFs; the trailing orderBy is presentation-only.
+    `c4_base` is the sortless projection form — being stateless, it
+    applies unchanged to a STREAMING DataFrame (parity pinned in
+    tests/test_streaming.py)."""
+    return c4_base(documents, badwords).orderBy("doc_id")
+
+
+def c4_base(
+    documents: DataFrame, badwords: tuple = C4_BADWORDS
+) -> DataFrame:
+    """The C4 projection without the presentation sort — works on both
+    batch and streaming DataFrames (see c4_quality_rules)."""
     raw = F.split(F.col("text"), "\n")
     lines = F.filter(F.transform(raw, F.trim), lambda x: x != "")
     kept = F.filter(
@@ -704,7 +715,7 @@ def c4_quality_rules(
         has_bad.alias("has_badword"),
         F.md5(kept_text).alias("kept_text_md5"),
         keep.cast("int").alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def token_idf_stats(documents: DataFrame) -> DataFrame:

@@ -240,3 +240,61 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
         .collect()
     )
     assert sorted(got["doc_id"].tolist()) == sorted(r["doc_id"] for r in keep)
+
+
+def test_streaming_c4_filter_matches_batch(spark, tmp_path):
+    """c4_base is stateless, so the same projection runs unchanged on a
+    file stream: availableNow output must equal the batch
+    c4_quality_rules row set exactly."""
+    import time
+
+    from delphi_pdf_parser_spark.operators.textstats import (
+        c4_base,
+        c4_quality_rules,
+    )
+
+    good = "\n".join(
+        f"this is perfectly fine sentence number {i}." for i in range(6)
+    )
+    rows = [
+        (1, good),
+        (2, "no terminal punctuation here\nshort line"),
+        (3, good + "\ncode has a { brace."),
+        (4, "Lorem ipsum dolor sit amet, consectetur adipiscing."),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "c4_in"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:2], rows[2:]]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        c4_base(stream)
+        .writeStream.format("memory")
+        .queryName("c4_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM c4_stream")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        c4_quality_rules(spark.createDataFrame(rows, schema))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)
