@@ -1044,8 +1044,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH d AS (
                 SELECT doc_id,
-                       len(str_split_regex(trim(lower(text)), '\\s+'))
-                           + 1 AS n
+                       len(list_filter(
+                           str_split_regex(
+                               trim(lower(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) + 1 AS n
                 FROM documents
             ),
             g AS (
@@ -1115,7 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": """
             WITH d AS (
                 SELECT doc_id,
-                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                       str_split_regex(trim(text), '\\s+') AS t
                 FROM documents
             ),
             toks AS (

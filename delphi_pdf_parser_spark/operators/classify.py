@@ -67,6 +67,11 @@ def train_quality_classifier(
         med = qs.agg(
             F.expr("percentile_approx(quality, 0.5)")
         ).first()[0]
+        if med is None:
+            raise ValueError(
+                "quality classifier weak-label bootstrap needs a "
+                "non-empty corpus with quality scores"
+            )
         labels = qs.select(
             "doc_id",
             (F.col("quality") > F.lit(float(med)))
@@ -76,9 +81,11 @@ def train_quality_classifier(
     train = _featurize(documents, num_features).join(
         labels, "doc_id"
     ).select("doc_id", "features", "label")
-    n_pos = train.filter(F.col("label") > 0).limit(1).count()
-    n_neg = train.filter(F.col("label") <= 0).limit(1).count()
-    if n_pos == 0 or n_neg == 0:
+    counts = train.agg(
+        F.sum((F.col("label") > 0).cast("int")).alias("pos"),
+        F.count("*").alias("n"),
+    ).first()
+    if not counts["n"] or not counts["pos"] or counts["pos"] == counts["n"]:
         raise ValueError(
             "quality classifier needs both classes in the weak labels"
         )

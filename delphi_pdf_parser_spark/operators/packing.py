@@ -57,11 +57,15 @@ def pack_sequences(
     hash-agg. No Python UDFs, no driver collects; the trailing orderBy
     is presentation-only.
     """
-    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # non-empty tokens only: an empty/whitespace/null document carries
+    # exactly its EOS slot (n=1); `div` is true integer division —
+    # float `/`+cast rounds once offsets pass 2^53 tokens
+    t = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    nt = F.size(F.filter(t, lambda x: x != ""))
     toks = documents.select(
         "doc_id",
-        (F.size(t) + 1).cast("long").alias("n"),
-        (F.col("doc_id") / F.lit(bucket_docs)).cast("long").alias("bucket"),
+        (nt + 1).cast("long").alias("n"),
+        F.expr(f"doc_id div {int(bucket_docs)}").alias("bucket"),
     )
     w_in = (
         Window.partitionBy("bucket")
@@ -84,8 +88,8 @@ def pack_sequences(
         "n",
         (F.col("boff") + F.col("cum_in") - F.col("n")).alias("start"),
     )
-    first_seq = (F.col("start") / seq_len).cast("long")
-    last_seq = ((F.col("start") + F.col("n") - 1) / seq_len).cast("long")
+    first_seq = F.expr(f"start div {int(seq_len)}")
+    last_seq = F.expr(f"(start + n - 1) div {int(seq_len)}")
     spans = g.select(
         "doc_id",
         "n",

@@ -119,6 +119,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "image_resize",
         "bpe_tokenize",  # iterative training: not SQL-expressible
         "pdf_render",  # DuckDB cannot rasterize PDFs
+        "quality_classifier",  # LBFGS training: not SQL-expressible
     }
     assert rows_only == allowed, rows_only ^ allowed
 

@@ -1310,6 +1310,9 @@ def test_segment_after_re_starts_new_subpath():
     assert px(pix, 100, 150) == BLACK   # rect left (closing) edge
     assert px(pix, 150, 150) == BLACK   # the new diagonal subpath
     assert px(pix, 200, 250) == WHITE   # no (100,200)->(300,300) edge
+
+
+def test_image_colorkey_ranges_apply_pre_decode():
     """8.9.6.5 color-key ranges are over SOURCE samples; with an
     inverting /Decode [1 0 1 0 1 0] the decoded array is 255-s, so the
     keyed range must flip with it — source-green is still the keyed

@@ -563,3 +563,28 @@ def test_bigram_logprob_hand_computed(spark):
     )
     assert out[0]["n_bigrams"] == 4
     assert abs(out[0]["mean_logprob"] - exp) < 1e-9
+
+
+def test_pack_sequences_null_and_empty_docs(spark):
+    """A null/empty/whitespace document occupies exactly its EOS slot
+    (n=1) — no phantom tokens, no descending-sequence explosion at a
+    window boundary."""
+    from delphi_pdf_parser_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, ""), (3, "   "), (4, "d e f g")],
+        "doc_id long, text string",
+    )
+    # n: 4, 1, 1, 1, 5 -> total 12, seq_len 4 -> seqs [0,4) [4,8) [8,12)
+    rows = {
+        r["seq_id"]: r
+        for r in pack_sequences(docs, seq_len=4, bucket_docs=2).collect()
+    }
+    assert sorted(rows) == [0, 1, 2]
+    assert (rows[0]["n_docs"], rows[0]["n_tokens"]) == (1, 4)
+    # seq 1: docs 1,2,3 (EOS slots) + doc4 head token
+    assert (rows[1]["n_docs"], rows[1]["n_tokens"]) == (4, 4)
+    assert (rows[1]["first_doc_id"], rows[1]["last_doc_id"]) == (1, 4)
+    assert (rows[2]["n_docs"], rows[2]["n_tokens"]) == (1, 4)
+    total = sum(r["n_tokens"] for r in rows.values())
+    assert total == 12
