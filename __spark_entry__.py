@@ -423,6 +423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source"
         )
 
+    def q_canonical_by_quality(spark, sf_dir):
+        from delphi_pdf_parser_spark.operators.clusters import (
+            canonical_by_quality,
+        )
+
+        return canonical_by_quality(_docs(spark, sf_dir))
+
     def q_dedup_clusters(spark, sf_dir):
         """Keep-one-per-cluster resolution: connected components over
         the exact-Jaccard near-dup pairs (DuckDB oracle: recursive CTE
@@ -701,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "quality_classifier": q_quality_classifier,
         "bigram_logprob": q_bigram_logprob,
+        "canonical_by_quality": q_canonical_by_quality,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1161,6 +1169,62 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(lp), 4) AS mean_logprob,
                    count(*) AS n_bigrams
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # canonical_by_quality (clusters.canonical_by_quality):
+        # RefinedWeb-style keep policy — highest-quality member per
+        # near-dup component (ties: min doc_id); components via the
+        # same recursive-CTE reachability as dedup_clusters
+        "canonical_by_quality": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, source,
+                       list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '\\s+')) AS tokset
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM t a JOIN t b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE round(
+                    len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                    / (len(a.tokset) + len(b.tokset)
+                       - len(list_intersect(a.tokset, b.tokset))), 4
+                ) >= 0.5
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            ), cc AS (
+                SELECT node AS doc_id, min(lab) AS cluster_id
+                FROM reach GROUP BY node
+            ), q AS (
+                SELECT doc_id,
+                       round(
+                         least(len(regexp_split_to_array(
+                             trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+                         + (len(list_distinct(regexp_split_to_array(
+                               trim(text), '\\s+')))::DOUBLE
+                            / len(regexp_split_to_array(
+                               trim(text), '\\s+'))) * 0.3
+                         + (length(regexp_replace(
+                               text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                            / length(text)) * 0.4
+                       , 4) AS quality
+                FROM documents
+            ), jj AS (
+                SELECT cc.doc_id, cc.cluster_id, q.quality,
+                       row_number() OVER (
+                           PARTITION BY cc.cluster_id
+                           ORDER BY q.quality DESC, cc.doc_id ASC
+                       ) AS rn
+                FROM cc JOIN q USING (doc_id)
+            )
+            SELECT doc_id, cluster_id, quality,
+                   CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT)
+                       AS keep
+            FROM jj ORDER BY doc_id
         """,
         "token_idf_stats": """
             WITH d AS (

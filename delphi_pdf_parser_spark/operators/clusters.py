@@ -85,3 +85,52 @@ def dedup_clusters(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     return connected_components(documents.select("doc_id"), pairs)
+
+
+def canonical_by_quality(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Quality-aware cluster resolution (the RefinedWeb-style keep
+    policy): within each near-dup cluster retain the HIGHEST-quality
+    member — heuristic quality score, ties broken by minimum doc_id —
+    instead of dedup_clusters' positional min-doc_id canonical. The
+    difference matters exactly when near-duplicates are NOT identical
+    (truncations, boilerplate-injected copies): min-id keeps whichever
+    crawl happened first; this keeps the best text.
+
+    Emits (doc_id, cluster_id, quality, keep). Scale shape (100 TB):
+    components from dedup_clusters (iterative min-label propagation);
+    the selection is ONE struct-max agg on cluster_id — lexicographic
+    max of (quality, -doc_id) gives argmax-with-tie-break without a
+    per-cluster sort window — joined back on cluster_id. Map-side
+    partial aggregation applies; no global sorts (trailing orderBy is
+    presentation-only)."""
+    from .textstats import quality_score
+
+    cc = dedup_clusters(documents, threshold=threshold).select(
+        "doc_id", "cluster_id"
+    )
+    q = quality_score(documents).select("doc_id", "quality")
+    j = cc.join(q, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("best")
+    )
+    return (
+        j.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (
+                (F.col("quality") == F.col("best.quality"))
+                & (F.col("doc_id") == -F.col("best.neg_id"))
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -360,3 +360,31 @@ def test_semdedup_trained_mode_invariants(spark):
         for m in members:
             if m["vec_id"] == lowest:
                 assert not m["is_dup"]
+
+
+def test_canonical_by_quality_keeps_best_not_first(spark):
+    """Cluster resolution by QUALITY: the higher-quality later member
+    wins its cluster (min-doc_id policy would keep doc 0); singletons
+    keep themselves."""
+    from delphi_pdf_parser_spark.operators.clusters import (
+        canonical_by_quality,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # Jaccard(base, rich) = 8/10 >= 0.5 -> same cluster
+    rich = base + " iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, "s", base),          # near-dup of 1, fewer tokens
+            (1, "s", rich),          # same cluster, higher quality
+            (2, "s", "unrelated solitary document text here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in canonical_by_quality(docs).collect()
+    }
+    assert out[0]["cluster_id"] == out[1]["cluster_id"]
+    assert out[1]["quality"] > out[0]["quality"]
+    assert (out[0]["keep"], out[1]["keep"]) == (0, 1)
+    assert out[2]["keep"] == 1
