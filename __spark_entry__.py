@@ -474,6 +474,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("canon_url", "url")
         )
 
+    def q_domain_stats(spark, sf_dir):
+        """URL-filter stage: eTLD+1 extraction (PSL-subset rule) +
+        blocklist verdict + per-domain rollup over synthesized
+        crawl-style URLs (subdomain prefix, mixed TLD families, a
+        blocked ad domain every 7th doc)."""
+        from delphi_pdf_parser_spark.operators.urls import domain_stats
+
+        docs = _docs(spark, sf_dir)
+        host = (
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("ads.spam-mill.com")
+            )
+            .when(
+                F.col("doc_id") % 3 == 0,
+                F.format_string("sub.%s-site.co.uk", F.col("source")),
+            )
+            .otherwise(
+                F.format_string("www.%s-site.com", F.col("source"))
+            )
+        )
+        urls = docs.select(
+            F.format_string(
+                "https://%s/page/%d", host, F.col("doc_id")
+            ).alias("url")
+        )
+        return domain_stats(urls, blocklist=("spam-mill.com",))
+
     def q_html_main_content(spark, sf_dir):
         """HTML boilerplate strip (north rule's web-page half): wrap each
         document's text in a deterministic page template (nav/header/
@@ -709,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bigram_logprob": q_bigram_logprob,
         "canonical_by_quality": q_canonical_by_quality,
+        "domain_stats": q_domain_stats,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1225,6 +1253,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT)
                        AS keep
             FROM jj ORDER BY doc_id
+        """,
+        # domain_stats (urls.domain_stats): eTLD+1 via the PSL-subset
+        # rule (last-3 labels when the final 2 are a listed public
+        # suffix, else last-2), blocklist verdict, per-domain rollup
+        "domain_stats": """
+            WITH u AS (
+                SELECT CASE
+                    WHEN doc_id % 7 = 0 THEN 'ads.spam-mill.com'
+                    WHEN doc_id % 3 = 0
+                        THEN 'sub.' || source || '-site.co.uk'
+                    ELSE 'www.' || source || '-site.com'
+                END AS host
+                FROM documents
+            ),
+            r AS (
+                SELECT host, str_split(host, '.') AS p,
+                       len(str_split(host, '.')) AS n
+                FROM u
+            ),
+            reg AS (
+                SELECT CASE
+                    WHEN n >= 3 AND array_to_string(p[n-1:n], '.') IN
+                        ('co.uk','ac.uk','gov.uk','org.uk','com.au',
+                         'net.au','co.jp','ne.jp','com.br','co.in',
+                         'com.cn','com.mx')
+                        THEN array_to_string(p[n-2:n], '.')
+                    WHEN n >= 2 THEN array_to_string(p[n-1:n], '.')
+                    ELSE host
+                END AS registered_domain
+                FROM r
+            )
+            SELECT registered_domain,
+                   count(*) AS n_urls,
+                   CAST(max(CASE WHEN registered_domain = 'spam-mill.com'
+                            THEN 1 ELSE 0 END) AS INT) AS blocked
+            FROM reg GROUP BY registered_domain
+            ORDER BY registered_domain
         """,
         "token_idf_stats": """
             WITH d AS (

@@ -58,6 +58,59 @@ def canonicalize_url(url: Column) -> Column:
     )
 
 
+# two-label public suffixes for eTLD+1 extraction — a deterministic
+# stand-in subset of the Mozilla Public Suffix List (the full list is
+# ~10k entries; production swaps it in — the extraction rule is what
+# the operator implements, and it only needs suffix membership)
+PUBLIC_SUFFIX_2 = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
+    "co.jp", "ne.jp", "com.br", "co.in", "com.cn", "com.mx",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a lowercase host: the last 3 labels when the final 2
+    form a listed public suffix (example.co.uk), else the last 2
+    (example.com). Hosts with one label pass through unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
+    return (
+        F.when((n >= 3) & last2.isin(*PUBLIC_SUFFIX_2), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def domain_stats(
+    df: DataFrame, blocklist: tuple = (), url_col: str = "url"
+) -> DataFrame:
+    """Per-registered-domain crawl accounting + blocklist verdict (the
+    C4/RefinedWeb URL-filter stage: drop pages whose eTLD+1 is on a
+    bad-domain list — UT1-style): emits (registered_domain, n_urls,
+    blocked). Scale shape (100 TB): host/eTLD+1 extraction is map-only
+    string expressions; ONE hash-agg on the registered domain; the
+    blocklist is an in-expression literal set (broadcast-join a table
+    instead when it outgrows a literal)."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)
+    )
+    reg = registered_domain(host)
+    blocked = (
+        reg.isin(*blocklist) if blocklist else F.lit(False)
+    )
+    return (
+        df.select(reg.alias("registered_domain"), blocked.alias("b"))
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max(F.col("b")).cast("int").alias("blocked"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Keep one row per canonical URL (min original url as the winner —
     deterministic, engine-portable tiebreak)."""

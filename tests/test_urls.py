@@ -50,3 +50,31 @@ def test_url_dedup_groups_variants(spark):
     assert rows["http://e.com/y"]["n_variants"] == 1
     # winner is the lexicographically smallest original
     assert rows["http://e.com/x"]["url"] == "HTTP://E.com/x?utm_source=a"
+
+
+def test_registered_domain_and_blocklist(spark):
+    """eTLD+1: last-3 labels on a listed 2-level public suffix, else
+    last-2; blocklist matches on the registered domain regardless of
+    subdomain depth."""
+    from delphi_pdf_parser_spark.operators.urls import domain_stats
+
+    urls = spark.createDataFrame(
+        [
+            ("https://www.news.example.co.uk/a",),
+            ("https://deep.sub.news.example.co.uk/b",),
+            ("https://example.com/c",),
+            ("https://a.b.example.com/d",),
+            ("https://ads.spam-mill.com/x",),
+            ("https://localhost/e",),
+        ],
+        "url string",
+    )
+    out = {
+        r["registered_domain"]: r
+        for r in domain_stats(urls, blocklist=("spam-mill.com",)).collect()
+    }
+    assert out["example.co.uk"]["n_urls"] == 2
+    assert out["example.com"]["n_urls"] == 2
+    assert out["spam-mill.com"]["blocked"] == 1
+    assert out["example.com"]["blocked"] == 0
+    assert out["localhost"]["n_urls"] == 1  # single label passes through
