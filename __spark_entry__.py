@@ -474,6 +474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("canon_url", "url")
         )
 
+    def q_embedding_decontam(spark, sf_dir):
+        from delphi_pdf_parser_spark.operators.decontam import (
+            embedding_decontam,
+        )
+
+        return embedding_decontam(_embs(spark, sf_dir))
+
     def q_domain_stats(spark, sf_dir):
         """URL-filter stage: eTLD+1 extraction (PSL-subset rule) +
         blocklist verdict + per-domain rollup over synthesized
@@ -737,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "canonical_by_quality": q_canonical_by_quality,
         "domain_stats": q_domain_stats,
+        "embedding_decontam": q_embedding_decontam,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1290,6 +1298,31 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS INT) AS blocked
             FROM reg GROUP BY registered_domain
             ORDER BY registered_domain
+        """,
+        # embedding_decontam (decontam.embedding_decontam): max cosine
+        # of every corpus vector against the vec_id%50==0 benchmark
+        # slice; contaminated at >= 0.5
+        "embedding_decontam": """
+            WITH bench AS (
+                SELECT vec_id AS bench_id,
+                       embedding::DOUBLE[] AS bemb
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb
+                FROM embeddings WHERE vec_id % 50 <> 0
+            ),
+            m AS (
+                SELECT c.vec_id,
+                       round(max(list_cosine_similarity(c.emb, b.bemb)),
+                             4) AS max_bench_cos
+                FROM corpus c CROSS JOIN bench b
+                GROUP BY c.vec_id
+            )
+            SELECT vec_id, max_bench_cos,
+                   CAST(CASE WHEN max_bench_cos >= 0.5 THEN 1 ELSE 0 END
+                        AS INT) AS contaminated
+            FROM m ORDER BY vec_id
         """,
         "token_idf_stats": """
             WITH d AS (

@@ -65,3 +65,46 @@ def benchmark_overlap(
         )
         .orderBy("doc_id")
     )
+
+
+def embedding_decontam(
+    embeddings: DataFrame, bench_mod: int = 50, threshold: float = 0.5
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the n-gram overlap pass (benchmark_overlap): corpus
+    vectors whose cosine to ANY benchmark vector reaches `threshold`
+    are flagged as contaminated (paraphrased eval leakage that n-gram
+    matching cannot see). The benchmark set here is the deterministic
+    vec_id % bench_mod == 0 slice — production passes its real
+    eval-set embeddings.
+
+    Emits (vec_id, max_bench_cos, contaminated). Scale shape (100 TB):
+    the benchmark side is SMALL by construction (eval sets are
+    thousands of rows) and broadcasts; the corpus scans ONCE and the
+    per-vector max over benchmark cosines partial-aggregates map-side,
+    so the one exchange carries corpus-row counts, never the corpus x
+    benchmark product. Cosines are JVM higher-order expressions
+    (zip_with / aggregate) — no Python in the path."""
+    from .dedup import _cosine
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bench = e.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("emb").alias("bemb")
+    )
+    corpus = e.filter(F.col("vec_id") % bench_mod != 0)
+    cos = _cosine(F.col("emb"), F.col("bemb"))
+    return (
+        corpus.join(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.round(F.max(cos), 4).alias("max_bench_cos"))
+        .select(
+            "vec_id",
+            "max_bench_cos",
+            (F.col("max_bench_cos") >= threshold)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )

@@ -109,3 +109,32 @@ def test_dedup_clusters_keep_one(spark):
         for r in dedup_clusters(docs, threshold=0.5).collect()
     }
     assert rows == {0: (0, True), 1: (0, False), 2: (2, True)}
+
+
+def test_embedding_decontam_flags_paraphrase_copies(spark):
+    """A corpus vector equal (or nearly equal) to a benchmark vector is
+    contaminated (cos ~1); an orthogonal vector is clean."""
+    from delphi_pdf_parser_spark.operators.decontam import (
+        embedding_decontam,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # benchmark (id % 5 == 0)
+        (5, [0.0, 1.0, 0.0]),    # benchmark
+        (1, [1.0, 0.01, 0.0]),   # ~copy of bench 0 -> contaminated
+        (2, [0.0, 0.0, 1.0]),    # orthogonal -> clean
+        (3, [0.6, 0.8, 0.0]),    # cos 0.8 to bench 5 -> contaminated
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_decontam(
+            embs, bench_mod=5, threshold=0.75
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3]  # benchmark rows are not scored
+    assert out[1]["contaminated"] == 1 and out[1]["max_bench_cos"] > 0.99
+    assert out[2]["contaminated"] == 0 and out[2]["max_bench_cos"] == 0.0
+    assert out[3]["contaminated"] == 1 and out[3]["max_bench_cos"] == 0.8
