@@ -474,6 +474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("canon_url", "url")
         )
 
+    def q_shard_stats(spark, sf_dir):
+        # 16 KiB shards so sf0.01 yields a few dozen shards
+        from delphi_pdf_parser_spark.operators.packing import (
+            assign_shards,
+        )
+
+        return assign_shards(
+            _docs(spark, sf_dir), shard_bytes=16384, bucket_docs=64
+        )
+
     def q_embedding_decontam(spark, sf_dir):
         from delphi_pdf_parser_spark.operators.decontam import (
             embedding_decontam,
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_by_quality": q_canonical_by_quality,
         "domain_stats": q_domain_stats,
         "embedding_decontam": q_embedding_decontam,
+        "shard_stats": q_shard_stats,
         "warc_ingest": q_warc_ingest,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
@@ -1323,6 +1334,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN max_bench_cos >= 0.5 THEN 1 ELSE 0 END
                         AS INT) AS contaminated
             FROM m ORDER BY vec_id
+        """,
+        # shard_stats (packing.assign_shards, 16 KiB shards): the
+        # sink-side two-phase prefix sum == flat byte-cumsum oracle;
+        # shard = first-byte div shard_bytes, documents atomic
+        "shard_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       length(coalesce(text, '')) + 1 AS n
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, n,
+                       CAST(coalesce(sum(n) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM d
+            )
+            SELECT start // 16384 AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_bytes,
+                   min(doc_id) AS first_doc_id,
+                   max(doc_id) AS last_doc_id
+            FROM g GROUP BY shard_id ORDER BY shard_id
         """,
         "token_idf_stats": """
             WITH d AS (

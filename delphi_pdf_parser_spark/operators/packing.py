@@ -32,6 +32,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _global_offsets(
+    documents: DataFrame, n_expr, bucket_docs: int
+) -> DataFrame:
+    """(doc_id, n, start): corpus-order global offsets of per-document
+    sizes `n_expr` via the two-phase prefix sum (module docstring):
+    bounded-bucket phase-1 window + O(n_buckets) phase-2 cumsum
+    broadcast back. Shared by pack_sequences and assign_shards."""
+    toks = documents.select(
+        "doc_id",
+        n_expr.alias("n"),
+        F.expr(f"doc_id div {int(bucket_docs)}").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("cum_in", F.sum("n").over(w_in))
+    btot = toks.groupBy("bucket").agg(F.sum("n").alias("btot"))
+    # phase 2: O(n_buckets) rows — the single-partition window is the
+    # point of the construction, not an accident
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff"),
+    )
+    return within.join(F.broadcast(boff), "bucket").select(
+        "doc_id",
+        "n",
+        (F.col("boff") + F.col("cum_in") - F.col("n")).alias("start"),
+    )
+
+
 def pack_sequences(
     documents: DataFrame, seq_len: int = 1024, bucket_docs: int = 4096
 ) -> DataFrame:
@@ -62,32 +97,7 @@ def pack_sequences(
     # float `/`+cast rounds once offsets pass 2^53 tokens
     t = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
     nt = F.size(F.filter(t, lambda x: x != ""))
-    toks = documents.select(
-        "doc_id",
-        (nt + 1).cast("long").alias("n"),
-        F.expr(f"doc_id div {int(bucket_docs)}").alias("bucket"),
-    )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    within = toks.withColumn("cum_in", F.sum("n").over(w_in))
-    btot = toks.groupBy("bucket").agg(F.sum("n").alias("btot"))
-    # phase 2: O(n_buckets) rows — the single-partition window is the
-    # point of the construction, not an accident
-    w_b = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    boff = btot.select(
-        "bucket",
-        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff"),
-    )
-    g = within.join(F.broadcast(boff), "bucket").select(
-        "doc_id",
-        "n",
-        (F.col("boff") + F.col("cum_in") - F.col("n")).alias("start"),
-    )
+    g = _global_offsets(documents, (nt + 1).cast("long"), bucket_docs)
     first_seq = F.expr(f"start div {int(seq_len)}")
     last_seq = F.expr(f"(start + n - 1) div {int(seq_len)}")
     spans = g.select(
@@ -110,4 +120,40 @@ def pack_sequences(
             F.max("doc_id").alias("last_doc_id"),
         )
         .orderBy("seq_id")
+    )
+
+
+def assign_shards(
+    documents: DataFrame, shard_bytes: int = 1 << 20, bucket_docs: int = 4096
+) -> DataFrame:
+    """Byte-balanced output shard assignment — the sink-side use of the
+    same two-phase prefix sum pack_sequences builds: documents are
+    laid out in corpus order and shard i covers byte offsets
+    [i*shard_bytes, (i+1)*shard_bytes); a document belongs to the
+    shard its FIRST byte lands in (documents are atomic — shards vary
+    by at most one document's size, the standard balanced-writer
+    contract). Downstream, `repartition(col("shard_id"))` +
+    partitioned write produces size-balanced output files with a
+    deterministic doc->shard map that checkpoint-resume can re-derive.
+
+    Emits per shard: shard_id, n_docs, n_bytes, first/last doc_id.
+    Scale shape matches pack_sequences: bounded-bucket phase-1 window,
+    O(n_buckets) phase-2 cumsum broadcast back, one hash-agg."""
+    # +1: newline terminator per written document record
+    sz = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long") + 1
+    g = _global_offsets(documents, sz, bucket_docs)
+    return (
+        g.select(
+            "doc_id",
+            "n",
+            F.expr(f"start div {int(shard_bytes)}").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_bytes"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
     )

@@ -588,3 +588,24 @@ def test_pack_sequences_null_and_empty_docs(spark):
     assert (rows[2]["n_docs"], rows[2]["n_tokens"]) == (1, 4)
     total = sum(r["n_tokens"] for r in rows.values())
     assert total == 12
+
+
+def test_assign_shards_hand_computed(spark):
+    """Byte-balanced shards: documents atomic, shard = first-byte
+    window, shards overshoot by at most one document."""
+    from delphi_pdf_parser_spark.operators.packing import assign_shards
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 9), (1, "y" * 9), (2, "z" * 9), (3, "w" * 3)],
+        "doc_id long, text string",
+    )
+    # sizes +1 terminator: 10,10,10,4; starts 0,10,20,30; shard 16B:
+    # doc0 -> 0, doc1 -> 0 (starts at 10), doc2 -> 1, doc3 -> 1
+    rows = {
+        r["shard_id"]: r
+        for r in assign_shards(docs, shard_bytes=16, bucket_docs=2).collect()
+    }
+    assert sorted(rows) == [0, 1]
+    assert (rows[0]["n_docs"], rows[0]["n_bytes"]) == (2, 20)
+    assert (rows[1]["n_docs"], rows[1]["n_bytes"]) == (2, 14)
+    assert (rows[1]["first_doc_id"], rows[1]["last_doc_id"]) == (2, 3)
