@@ -732,9 +732,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       plus ann_ivf_topk (owed from r4) and pdf_extract.
         # Note: VERDICT r5 #10 asks for 49+ oracled in-window, which
         # cannot coexist with the three #3 rotations inside 50 slots;
-        # #3 is ranked higher and wins this round. The two NEW oracled
-        # entries (minhash_band_stats, simhash_band_stats) sit at 51-52
-        # and take in-window slots next round.
+        # #3 is ranked higher and wins this round. The NEW oracled
+        # entries queue directly below (band stats, span census +
+        # rewrite, paragraph/semdedup, idf, C4, packing, mixing,
+        # bigram LM, quality canonical, domains, embedding decontam,
+        # shards — 15 oracled + 2 rows-only this round) and rotate
+        # into slots 48-50 three per round, oracled-first, starting
+        # next round.
         "pdf_render": q_pdf_render,
         "ann_ivf_topk": q_ann_ivf,
         "pdf_extract": _q_pdf_extract,
