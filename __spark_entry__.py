@@ -1254,14 +1254,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        round(
                          least(len(regexp_split_to_array(
-                             trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+                             trim(coalesce(text, '')), '\\s+')) / 100.0,
+                             1.0) * 0.3
                          + (len(list_distinct(regexp_split_to_array(
-                               trim(text), '\\s+')))::DOUBLE
+                               trim(coalesce(text, '')), '\\s+')))::DOUBLE
                             / len(regexp_split_to_array(
-                               trim(text), '\\s+'))) * 0.3
-                         + (length(regexp_replace(
-                               text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                            / length(text)) * 0.4
+                               trim(coalesce(text, '')), '\\s+'))) * 0.3
+                         + (CASE WHEN length(coalesce(text, '')) > 0
+                            THEN length(regexp_replace(
+                               coalesce(text, ''), '[^a-zA-Z]', '',
+                               'g'))::DOUBLE / length(coalesce(text, ''))
+                            ELSE 0.0 END) * 0.4
                        , 4) AS quality
                 FROM documents
             ), jj AS (
@@ -1334,10 +1337,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM corpus c CROSS JOIN bench b
                 GROUP BY c.vec_id
             )
-            SELECT vec_id, max_bench_cos,
-                   CAST(CASE WHEN max_bench_cos >= 0.5 THEN 1 ELSE 0 END
-                        AS INT) AS contaminated
-            FROM m ORDER BY vec_id
+            SELECT c.vec_id,
+                   coalesce(m.max_bench_cos, 0.0) AS max_bench_cos,
+                   CAST(CASE WHEN coalesce(m.max_bench_cos, 0.0) >= 0.5
+                        THEN 1 ELSE 0 END AS INT) AS contaminated
+            FROM corpus c LEFT JOIN m USING (vec_id)
+            ORDER BY c.vec_id
         """,
         # shard_stats (packing.assign_shards, 16 KiB shards): the
         # sink-side two-phase prefix sum == flat byte-cumsum oracle;
@@ -1345,7 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_stats": """
             WITH d AS (
                 SELECT doc_id,
-                       length(coalesce(text, '')) + 1 AS n
+                       strlen(coalesce(text, '')) + 1 AS n
                 FROM documents
             ),
             g AS (
@@ -1976,8 +1981,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM urls
             ), parts AS (
                 SELECT url, scheme,
-                    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
-                    substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+                    -- userinfo stripped (host_of mirror); pathq offsets
+                    -- from the RAW authority
+                    regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                                   '^.*@', '') AS hostport,
+                    substring(rest, length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1)
                         AS pathq
                 FROM canon
             ), pieces AS (
@@ -2061,14 +2069,16 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": f"""
             SELECT doc_id,
                    round(
-                     least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
-                     + (len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
-                        / len(regexp_split_to_array(trim(text), '\\s+'))) * 0.3
-                     + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                        / length(text)) * 0.4
+                     least(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) / 100.0, 1.0) * 0.3
+                     + (len(list_distinct(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')))::DOUBLE
+                        / len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))) * 0.3
+                     + (CASE WHEN length(coalesce(text, '')) > 0
+                        THEN length(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))::DOUBLE
+                             / length(coalesce(text, ''))
+                        ELSE 0.0 END) * 0.4
                    , 4) AS quality,
-                   round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
-                         / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS diversity
+                   round(len(list_distinct(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')))::DOUBLE
+                         / len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')), 4) AS diversity
             FROM documents ORDER BY doc_id
         """,
         "lang_id": f"""

@@ -83,8 +83,15 @@ def train_quality_classifier(
     ).select("doc_id", "features", "label")
     counts = train.agg(
         F.sum((F.col("label") > 0).cast("int")).alias("pos"),
+        F.sum(F.col("label").isNull().cast("int")).alias("nulls"),
         F.count("*").alias("n"),
     ).first()
+    if counts["nulls"]:
+        # a null label would fail deep inside LBFGS with an opaque
+        # error — and must not count as the negative class
+        raise ValueError(
+            f"quality classifier labels contain {counts['nulls']} nulls"
+        )
     if not counts["n"] or not counts["pos"] or counts["pos"] == counts["n"]:
         raise ValueError(
             "quality classifier needs both classes in the weak labels"

@@ -95,14 +95,22 @@ def embedding_decontam(
     )
     corpus = e.filter(F.col("vec_id") % bench_mod != 0)
     cos = _cosine(F.col("emb"), F.col("bemb"))
-    return (
+    per = (
         corpus.join(F.broadcast(bench))
         .groupBy("vec_id")
         .agg(F.round(F.max(cos), 4).alias("max_bench_cos"))
+    )
+    # left-join back so an EMPTY benchmark set marks every corpus row
+    # clean (max cos 0) instead of silently emitting zero verdicts
+    return (
+        corpus.select("vec_id")
+        .join(per, "vec_id", "left")
         .select(
             "vec_id",
-            "max_bench_cos",
-            (F.col("max_bench_cos") >= threshold)
+            F.coalesce("max_bench_cos", F.lit(0.0)).alias(
+                "max_bench_cos"
+            ),
+            (F.coalesce("max_bench_cos", F.lit(0.0)) >= threshold)
             .cast("int")
             .alias("contaminated"),
         )

@@ -139,8 +139,10 @@ def assign_shards(
     Emits per shard: shard_id, n_docs, n_bytes, first/last doc_id.
     Scale shape matches pack_sequences: bounded-bucket phase-1 window,
     O(n_buckets) phase-2 cumsum broadcast back, one hash-agg."""
-    # +1: newline terminator per written document record
-    sz = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long") + 1
+    # +1: newline terminator per written document record; octet_length
+    # = UTF-8 BYTES (F.length counts characters — 4x off on CJK text,
+    # defeating the size-balance contract)
+    sz = F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long") + 1
     g = _global_offsets(documents, sz, bucket_docs)
     return (
         g.select(

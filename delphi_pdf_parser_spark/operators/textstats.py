@@ -48,16 +48,20 @@ def token_count(documents: DataFrame) -> DataFrame:
 
 def quality_score(documents: DataFrame) -> DataFrame:
     """length / lexical-diversity / alpha-ratio blend, rounded for stable
-    cross-engine comparison."""
-    toks = _tokens(F.col("text"))
+    cross-engine comparison. Null text counts as empty; a zero-length
+    document takes alpha-ratio 0 instead of dividing by zero (ANSI mode
+    would otherwise kill the whole job on one blank row)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = _tokens(txt)
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
-    total = F.length("text")
+    alpha = F.length(F.regexp_replace(txt, r"[^a-zA-Z]", ""))
+    total = F.length(txt)
+    alpha_frac = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
     score = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.3
         + (n_distinct / n_tok) * 0.3
-        + (alpha / total) * 0.4
+        + alpha_frac * 0.4
     )
     return documents.select(
         "doc_id",

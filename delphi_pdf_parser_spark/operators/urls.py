@@ -24,12 +24,34 @@ from pyspark.sql import functions as F
 _TRACKING_RE = "^(utm_[a-z]+|gclid|fbclid)="
 
 
+def _strip_scheme(u: Column) -> Column:
+    return F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+
+
+def _drop_userinfo(auth: Column) -> Column:
+    """RFC 3986 userinfo must not defeat host-based logic — the classic
+    'https://good.com@spam-mill.com/' blocklist-evasion trick."""
+    return F.regexp_replace(auth, r"^.*@", "")
+
+
+def host_of(url: Column) -> Column:
+    """Lowercase host of a URL (scheme optional, userinfo and port
+    stripped) — the one host extraction shared by canonicalize_url and
+    domain_stats so their edge-case behavior cannot drift."""
+    rest = _strip_scheme(F.trim(url))
+    auth = _drop_userinfo(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    return F.lower(F.regexp_replace(auth, r":\d+$", ""))
+
+
 def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(F.trim(url), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    pathq = rest.substr(F.length(hostport) + 1, F.lit(1 << 30))
+    rest = _strip_scheme(u)
+    rawauth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = _drop_userinfo(rawauth)
+    # pathq offsets from the RAW authority (userinfo included) so the
+    # path still starts at the right byte after the strip
+    pathq = rest.substr(F.length(rawauth) + 1, F.lit(1 << 30))
     host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     keep_port = (port != "") & ~(
@@ -93,10 +115,7 @@ def domain_stats(
     string expressions; ONE hash-agg on the registered domain; the
     blocklist is an in-expression literal set (broadcast-join a table
     instead when it outgrows a literal)."""
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)
-    )
-    reg = registered_domain(host)
+    reg = registered_domain(host_of(F.col(url_col)))
     blocked = (
         reg.isin(*blocklist) if blocklist else F.lit(False)
     )

@@ -138,3 +138,21 @@ def test_embedding_decontam_flags_paraphrase_copies(spark):
     assert out[1]["contaminated"] == 1 and out[1]["max_bench_cos"] > 0.99
     assert out[2]["contaminated"] == 0 and out[2]["max_bench_cos"] == 0.0
     assert out[3]["contaminated"] == 1 and out[3]["max_bench_cos"] == 0.8
+
+
+def test_embedding_decontam_empty_benchmark_marks_all_clean(spark):
+    """No benchmark vectors -> every corpus row emits a clean verdict
+    (max cos 0), not an empty result."""
+    from delphi_pdf_parser_spark.operators.decontam import (
+        embedding_decontam,
+    )
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_decontam(embs, bench_mod=100).collect()
+    assert len(out) == 3
+    assert all(
+        r["contaminated"] == 0 and r["max_bench_cos"] == 0.0 for r in out
+    )

@@ -609,3 +609,30 @@ def test_assign_shards_hand_computed(spark):
     assert (rows[0]["n_docs"], rows[0]["n_bytes"]) == (2, 20)
     assert (rows[1]["n_docs"], rows[1]["n_bytes"]) == (2, 14)
     assert (rows[1]["first_doc_id"], rows[1]["last_doc_id"]) == (2, 3)
+
+
+def test_quality_score_blank_and_null_text(spark):
+    """ANSI hardening: empty / null / whitespace text must score
+    (alpha-ratio 0) instead of dividing by zero or returning null —
+    the cluster-canonical and classifier paths depend on it."""
+    from delphi_pdf_parser_spark.operators.textstats import quality_score
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "real words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert out[0]["quality"] is not None
+    assert out[1]["quality"] == out[0]["quality"]
+    assert out[2]["quality"] > out[0]["quality"]
+
+
+def test_assign_shards_counts_bytes_not_chars(spark):
+    """Shard sizes are UTF-8 BYTES: 3-byte CJK chars weigh 3x."""
+    from delphi_pdf_parser_spark.operators.packing import assign_shards
+
+    docs = spark.createDataFrame(
+        [(0, "世" * 5)], "doc_id long, text string"  # 15 bytes + 1
+    )
+    r = assign_shards(docs, shard_bytes=64).collect()[0]
+    assert r["n_bytes"] == 16
