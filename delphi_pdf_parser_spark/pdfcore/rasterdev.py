@@ -28,8 +28,9 @@ Fidelity envelope (documented, test-pinned):
 - images: Flate/LZW-class rasters through extract_image(transcode=True)
   + the from-scratch mediadec decoders, nearest-neighbor sampling;
   image-level alpha is honored (8.9.6): /SMask gray planes sample as
-  per-pixel alpha at the mask's own dimensions (/Matte pre-blend
-  un-blending skipped -> `raster_smask_matte`), /Mask streams stencil
+  per-pixel alpha at the mask's own dimensions; /Matte pre-blended
+  bases are UN-blended (11.6.5.3, gray/RGB mattes at matching dims —
+  exotic mattes record `raster_smask_matte`), /Mask streams stencil
   (sample 1 masks out, /Decode flips), /Mask color-key arrays key out
   source-sample ranges on 8-bpc DeviceGray/DeviceRGB (other spaces ->
   `raster_image_colorkey`);
@@ -661,21 +662,55 @@ class RasterDevice:
         sm = obj.get("SMask")
         smobj = doc.resolve(sm)
         if isinstance(smobj, dict):
-            if smobj.get("Matte") is not None:
-                # pre-blended (Matte) smasks still apply; the un-blend
-                # step is skipped, so record the envelope code
-                doc.note_failure("raster_smask_matte")
             try:
                 smnum = sm.num if is_indirect(sm) else 0
                 img = extract_image(doc, smnum, smobj, transcode=True)
                 w, h, ncomp, pixels = decode_image(img.data)
-                a = np.frombuffer(pixels, dtype=np.uint8).reshape(
-                    h, w, ncomp
-                )[:, :, 0]
-                return a.astype(np.float64) / 255.0
+                a = (
+                    np.frombuffer(pixels, dtype=np.uint8)
+                    .reshape(h, w, ncomp)[:, :, 0]
+                    .astype(np.float64)
+                    / 255.0
+                )
             except Exception:
                 doc.note_failure("raster_image_smask")
                 return None
+            mt = doc.resolve(smobj.get("Matte"))
+            if isinstance(mt, list) and mt:
+                # pre-blended base (11.6.5.3): C' = M + a*(C - M) was
+                # stored, so recover C = M + (C' - M)/a where a > 0.
+                # Matte requires mask dims == image dims; gray/RGB
+                # mattes un-blend in place, anything else keeps the
+                # envelope code
+                rgbm = None
+                try:
+                    comps = [float(doc.resolve(v)) for v in mt]
+                    if len(comps) == 1:
+                        rgbm = [comps[0]] * 3
+                    elif len(comps) >= 3:
+                        rgbm = comps[:3]
+                except (TypeError, ValueError):
+                    rgbm = None
+                if (
+                    rgbm is not None
+                    and arr is not None
+                    and a.shape == arr.shape[:2]
+                ):
+                    m255 = np.asarray(rgbm, dtype=np.float64) * 255.0
+                    af = a[:, :, None]
+                    un = np.where(
+                        af > 0,
+                        m255
+                        + (arr.astype(np.float64) - m255)
+                        / np.maximum(af, 1e-6),
+                        arr,
+                    )
+                    arr[:] = np.clip(np.round(un), 0, 255).astype(
+                        np.uint8
+                    )
+                else:
+                    doc.note_failure("raster_smask_matte")
+            return a
 
         mk = doc.resolve(obj.get("Mask"))
         if isinstance(mk, dict):

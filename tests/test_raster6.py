@@ -1126,6 +1126,41 @@ def _flate(data: bytes) -> bytes:
     return zlib.compress(data)
 
 
+def test_image_smask_matte_unblends_preblended_base():
+    """/Matte (11.6.5.3): the base was stored pre-blended C' = M + a*(C-M);
+    the renderer recovers C before compositing. Black matte, gray base
+    160, alpha 204/255 = 0.8 -> recovered C = 200 exactly; over white:
+    200*0.8 + 255*0.2 = 211. The no-unblend bug yields 179."""
+    base = _flate(bytes([160]))
+    sm = _flate(bytes([204]))
+
+    def extra(b):
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceGray /BitsPerComponent 8"
+            " /Filter /FlateDecode /SMask 6 0 R"
+            f" /Length {len(base)} >>",
+            base,
+            num=5,
+        )
+        b.add(
+            "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            " /ColorSpace /DeviceGray /BitsPerComponent 8"
+            " /Matte [0]"
+            f" /Filter /FlateDecode /Length {len(sm)} >>",
+            sm,
+            num=6,
+        )
+
+    pix, fails = render(
+        b"q 100 0 0 100 100 100 cm /Im1 Do Q",
+        "<< /XObject << /Im1 5 0 R >> >>",
+        extra,
+    )
+    assert fails == {}  # matte handled, no envelope code
+    assert px(pix, 150, 150) == (211, 211, 211)
+
+
 def test_image_smask_per_pixel_alpha():
     """/SMask on an image XObject (PDF 32000 8.9.6.3): a 1x1 red base
     under a 2x1 gray smask [0, 255] paints transparent-left/opaque-right
