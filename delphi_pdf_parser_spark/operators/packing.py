@@ -123,6 +123,25 @@ def pack_sequences(
     )
 
 
+def doc_shard_ids(
+    documents: DataFrame, shard_bytes: int = 1 << 20, bucket_docs: int = 4096
+) -> DataFrame:
+    """(doc_id, n, shard_id): the per-document shard map assign_shards
+    aggregates — exposed so a writer can equi-join it back on doc_id
+    (a broadcast range-join over shard spans would be a nested loop at
+    scale)."""
+    # +1: newline terminator per written document record; octet_length
+    # = UTF-8 BYTES (F.length counts characters — 4x off on CJK text,
+    # defeating the size-balance contract)
+    sz = F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long") + 1
+    g = _global_offsets(documents, sz, bucket_docs)
+    return g.select(
+        "doc_id",
+        "n",
+        F.expr(f"start div {int(shard_bytes)}").alias("shard_id"),
+    )
+
+
 def assign_shards(
     documents: DataFrame, shard_bytes: int = 1 << 20, bucket_docs: int = 4096
 ) -> DataFrame:
@@ -139,17 +158,8 @@ def assign_shards(
     Emits per shard: shard_id, n_docs, n_bytes, first/last doc_id.
     Scale shape matches pack_sequences: bounded-bucket phase-1 window,
     O(n_buckets) phase-2 cumsum broadcast back, one hash-agg."""
-    # +1: newline terminator per written document record; octet_length
-    # = UTF-8 BYTES (F.length counts characters — 4x off on CJK text,
-    # defeating the size-balance contract)
-    sz = F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long") + 1
-    g = _global_offsets(documents, sz, bucket_docs)
     return (
-        g.select(
-            "doc_id",
-            "n",
-            F.expr(f"start div {int(shard_bytes)}").alias("shard_id"),
-        )
+        doc_shard_ids(documents, shard_bytes, bucket_docs)
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),
