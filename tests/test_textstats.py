@@ -636,3 +636,51 @@ def test_assign_shards_counts_bytes_not_chars(spark):
     )
     r = assign_shards(docs, shard_bytes=64).collect()[0]
     assert r["n_bytes"] == 16
+
+
+def test_pack_sequences_randomized_invariants(spark):
+    """Randomized (fixed-seed) corpus incl. empties: packing conserves
+    tokens, fills every sequence to seq_len except the last, and
+    matches a pure-Python flat-cumsum reference."""
+    import random
+
+    from delphi_pdf_parser_spark.operators.packing import pack_sequences
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        k = rng.choice([0, 1, 3, 7, 20, 55])
+        rows.append((i, " ".join(f"t{i}_{j}" for j in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 32
+    got = {
+        r["seq_id"]: r
+        for r in pack_sequences(docs, seq_len=L, bucket_docs=16).collect()
+    }
+
+    # pure-python reference
+    sizes = [(i, (len(t.split()) if t.strip() else 0) + 1) for i, t in rows]
+    total = sum(n for _, n in sizes)
+    import collections
+
+    ref = collections.defaultdict(lambda: [0, 0, None, None])
+    off = 0
+    for i, n in sizes:
+        for s in range(off // L, (off + n - 1) // L + 1):
+            tok = min(off + n, (s + 1) * L) - max(off, s * L)
+            e = ref[s]
+            e[0] += 1
+            e[1] += tok
+            e[2] = i if e[2] is None else e[2]
+            e[3] = i
+        off += n
+    assert sorted(got) == sorted(ref)
+    for s, e in ref.items():
+        r = got[s]
+        assert (
+            r["n_docs"], r["n_tokens"], r["first_doc_id"], r["last_doc_id"]
+        ) == tuple(e), s
+    assert sum(r["n_tokens"] for r in got.values()) == total
+    last = max(got)
+    for s, r in got.items():
+        assert r["n_tokens"] == (L if s != last else r["n_tokens"])
