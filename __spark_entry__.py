@@ -198,6 +198,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return quality_classifier(_docs(spark, sf_dir))
 
+    def q_boilerplate_lines(spark, sf_dir):
+        """Per-source boilerplate detection over synthesized pages:
+        each doc's text is wrapped with a per-source nav/footer
+        template plus its real body, so the operator must find exactly
+        the template lines."""
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.format_string("Home | %s | Contact\n", F.col("source")),
+                F.col("text"),
+                F.lit("\nCopyright Example Site"),
+            ).alias("text"),
+        )
+        return textstats.boilerplate_lines(docs)
+
     def q_bigram_logprob(spark, sf_dir):
         return textstats.bigram_logprob(_docs(spark, sf_dir))
 
@@ -756,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "quality_classifier": q_quality_classifier,
         "bigram_logprob": q_bigram_logprob,
+        "boilerplate_lines": q_boilerplate_lines,
         "canonical_by_quality": q_canonical_by_quality,
         "domain_stats": q_domain_stats,
         "embedding_decontam": q_embedding_decontam,
@@ -1367,6 +1384,57 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc_id,
                    max(doc_id) AS last_doc_id
             FROM g GROUP BY shard_id ORDER BY shard_id
+        """,
+        # boilerplate_lines (textstats.boilerplate_lines, min_frac
+        # 0.5) over template-wrapped pages: per-source doc-frequency
+        # of distinct trimmed lines, >= 50%-of-docs = boilerplate,
+        # most-widespread line pinned by md5 (ties: min md5)
+        "boilerplate_lines": """
+            WITH wrapped AS (
+                SELECT doc_id, source,
+                       'Home | ' || source || ' | Contact' || chr(10)
+                       || text || chr(10) || 'Copyright Example Site'
+                           AS text
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT DISTINCT doc_id, source, line
+                FROM (
+                    SELECT doc_id, source,
+                           trim(unnest(str_split(text, chr(10)))) AS line
+                    FROM wrapped
+                )
+                WHERE line <> ''
+            ),
+            nd AS (
+                SELECT source, count(*) AS n_docs FROM wrapped
+                GROUP BY source
+            ),
+            dfreq AS (
+                SELECT source, line, count(*) AS df FROM per_doc
+                GROUP BY source, line
+            ),
+            j AS (SELECT * FROM dfreq JOIN nd USING (source)),
+            agg AS (
+                SELECT source,
+                       min(n_docs) AS n_docs,
+                       count(*) AS n_distinct_lines,
+                       CAST(sum(CASE WHEN df >= n_docs * 0.5
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_boilerplate_lines,
+                       max(df) AS top_df
+                FROM j GROUP BY source
+            ),
+            topline AS (
+                SELECT j.source, min(md5(j.line)) AS top_line_md5
+                FROM j JOIN agg ON j.source = agg.source
+                    AND j.df = agg.top_df
+                GROUP BY j.source
+            )
+            SELECT a.source, a.n_docs, a.n_distinct_lines,
+                   a.n_boilerplate_lines, a.top_df, t.top_line_md5
+            FROM agg a JOIN topline t USING (source)
+            ORDER BY a.source
         """,
         "token_idf_stats": """
             WITH d AS (

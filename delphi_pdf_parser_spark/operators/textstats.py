@@ -722,7 +722,58 @@ def c4_base(
     )
 
 
-def token_idf_stats(documents: DataFrame) -> DataFrame:
+def boilerplate_lines(
+    documents: DataFrame, min_frac: float = 0.5
+) -> DataFrame:
+    """Per-source boilerplate-template detection (the cross-document
+    complement of paragraph_dedup, CCNet §3's per-shard dedup
+    rationale: nav bars / footers repeat across a site's pages): a
+    trimmed non-empty line occurring in at least `min_frac` of a
+    source's documents is boilerplate. Emits per source: n_docs,
+    n_distinct_lines, n_boilerplate_lines, and the md5 of the most
+    widespread line (ties: lexicographic min md5 — deterministic in
+    both engines).
+
+    Scale shape (100 TB): lines explode map-only and dedupe per doc
+    BEFORE the corpus agg (array_distinct in-row); the (source, line)
+    doc-frequency is ONE hash-agg on a compact key; the per-source
+    rollup aggregates counts and takes the max-by-struct line — no
+    windows, no global sorts."""
+    lines = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+                F.trim,
+            ),
+            lambda x: x != "",
+        )
+    )
+    per_doc = documents.select(
+        "doc_id", "source", F.explode(lines).alias("line")
+    )
+    ndocs = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    dfreq = per_doc.groupBy("source", "line").agg(
+        F.count("*").alias("df")
+    )
+    j = dfreq.join(ndocs, "source")
+    boiler = F.col("df") >= F.col("n_docs") * F.lit(min_frac)
+    agg = j.groupBy("source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(boiler.cast("int")).cast("long").alias(
+            "n_boilerplate_lines"
+        ),
+        F.max("df").alias("top_df"),
+    )
+    topline = (
+        j.join(agg.select("source", "top_df"), "source")
+        .filter(F.col("df") == F.col("top_df"))
+        .groupBy("source")
+        .agg(F.min(F.md5("line")).alias("top_line_md5"))
+    )
+    return agg.join(topline, "source").orderBy("source")
     """Inverse-document-frequency rarity profile per document: over the
     distinct tokens of each document, the mean and max ln(N/df) plus the
     hapax fraction (share of the document's unique tokens that appear in

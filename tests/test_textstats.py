@@ -684,3 +684,29 @@ def test_pack_sequences_randomized_invariants(spark):
     last = max(got)
     for s, r in got.items():
         assert r["n_tokens"] == (L if s != last else r["n_tokens"])
+
+
+def test_boilerplate_lines_finds_site_template(spark):
+    """Lines present in >= min_frac of a source's docs are boilerplate;
+    the most widespread line is pinned by md5."""
+    import hashlib
+
+    from delphi_pdf_parser_spark.operators.textstats import (
+        boilerplate_lines,
+    )
+
+    nav = "Home | About | Contact"
+    docs = spark.createDataFrame(
+        [
+            (0, "s1", nav + "\nreal content zero"),
+            (1, "s1", nav + "\nother content one"),
+            (2, "s1", nav + "\nmore content two"),
+            (3, "s1", "totally unique page"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = boilerplate_lines(docs).collect()[0]
+    assert (r["n_docs"], r["n_distinct_lines"]) == (4, 5)
+    assert r["n_boilerplate_lines"] == 1  # nav in 3/4 >= 0.5
+    assert r["top_df"] == 3
+    assert r["top_line_md5"] == hashlib.md5(nav.encode()).hexdigest()
