@@ -831,6 +831,7 @@ def paragraph_dedup(
     documents: DataFrame,
     unit_words: int | None = None,
     sep: str = "\n",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Corpus-wide paragraph-level exact deduplication (the CCNet /
     Wenzek et al. 2020 primitive: hash every paragraph, keep only the
@@ -914,23 +915,35 @@ def paragraph_dedup(
     kept_units = F.array_sort(
         F.collect_list(F.when(F.col("kept"), F.struct("idx", "unit")))
     )
+    kept_join = F.concat_ws(
+        " " if unit_words is not None else sep,
+        F.transform(kept_units, lambda s: s["unit"]),
+    )
+    aggs = [
+        F.count("*").alias("n_units"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(kept_units, lambda s: s["unit"])
+            )
+        ).alias("kept_text_md5"),
+    ]
+    if emit_text:
+        # the reconstructed document body (units re-joined with the
+        # original separator in newline mode) — the REWRITE output a
+        # curation job writes back; off by default so the oracled
+        # md5-only shape is unchanged
+        aggs.append(kept_join.alias("kept_text"))
     out = (
         marked.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_units"),
-            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.transform(kept_units, lambda s: s["unit"])
-                )
-            ).alias("kept_text_md5"),
-        )
+        .agg(*aggs)
         .select(
             "doc_id",
             "n_units",
             "n_kept",
             (F.col("n_kept") / F.col("n_units")).alias("kept_frac"),
             "kept_text_md5",
+            *(["kept_text"] if emit_text else []),
         )
     )
     if unit_words is None:
@@ -950,6 +963,11 @@ def paragraph_dedup(
                 "kept_frac",
                 F.coalesce("kept_text_md5", F.md5(F.lit(""))).alias(
                     "kept_text_md5"
+                ),
+                *(
+                    [F.coalesce("kept_text", F.lit("")).alias("kept_text")]
+                    if emit_text
+                    else []
                 ),
             )
         )

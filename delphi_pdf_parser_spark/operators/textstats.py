@@ -774,6 +774,9 @@ def boilerplate_lines(
         .agg(F.min(F.md5("line")).alias("top_line_md5"))
     )
     return agg.join(topline, "source").orderBy("source")
+
+
+def token_idf_stats(documents: DataFrame) -> DataFrame:
     """Inverse-document-frequency rarity profile per document: over the
     distinct tokens of each document, the mean and max ln(N/df) plus the
     hapax fraction (share of the document's unique tokens that appear in

@@ -652,9 +652,12 @@ class RasterDevice:
         every transparent PNG converted to PDF), /Mask as a stream
         (stencil: sample 1 masks OUT under the default Decode, 8.9.6.4),
         or /Mask as an array (color-key: source-sample ranges become
-        fully transparent, 8.9.6.5). Returns a float (h, w) plane in
-        [0,1] or None. The reference decodes these through
-        fz_load_image's mask plane (src/vcl/pdf_imagess.pas)."""
+        fully transparent, 8.9.6.5). Returns (alpha, arr): a float
+        (h, w) plane in [0,1] or None, plus the base-image array —
+        REPLACED by an un-blended copy when /Matte applies (the
+        original may be a read-only frombuffer view). The reference
+        decodes these through fz_load_image's mask plane
+        (src/vcl/pdf_imagess.pas)."""
         from .cos import is_indirect, to_int
         from .images import extract_image, _colorspace_ncomp
         from ..operators.mediadec import decode_image
@@ -674,8 +677,12 @@ class RasterDevice:
                 )
             except Exception:
                 doc.note_failure("raster_image_smask")
-                return None
+                return None, arr
             mt = doc.resolve(smobj.get("Matte"))
+            if mt is not None and not (isinstance(mt, list) and mt):
+                # malformed /Matte (dict, number, empty list): keep the
+                # pre-blended colors but record the envelope code
+                doc.note_failure("raster_smask_matte")
             if isinstance(mt, list) and mt:
                 # pre-blended base (11.6.5.3): C' = M + a*(C - M) was
                 # stored, so recover C = M + (C' - M)/a where a > 0.
@@ -705,12 +712,13 @@ class RasterDevice:
                         / np.maximum(af, 1e-6),
                         arr,
                     )
-                    arr[:] = np.clip(np.round(un), 0, 255).astype(
+                    # a COPY: arr may be a read-only frombuffer view
+                    arr = np.clip(np.round(un), 0, 255).astype(
                         np.uint8
                     )
                 else:
                     doc.note_failure("raster_smask_matte")
-            return a
+            return a, arr
 
         mk = doc.resolve(obj.get("Mask"))
         if isinstance(mk, dict):
@@ -720,8 +728,8 @@ class RasterDevice:
                 visible = self._stencil_bits(doc, obj.get("Mask").num, mk)
             except Exception:
                 doc.note_failure("raster_image_mask")
-                return None
-            return visible.astype(np.float64)
+                return None, arr
+            return visible.astype(np.float64), arr
 
         if isinstance(mk, list) and arr is not None:
             # color-key masking operates on SOURCE sample values; the
@@ -731,16 +739,16 @@ class RasterDevice:
             bpc = to_int(doc.resolve(obj.get("BitsPerComponent"))) or 8
             if bpc != 8 or csname not in ("DeviceGray", "DeviceRGB"):
                 doc.note_failure("raster_image_colorkey")
-                return None
+                return None, arr
             n = 1 if csname == "DeviceGray" else 3
             if len(mk) < 2 * n:
                 doc.note_failure("raster_image_colorkey")
-                return None
+                return None, arr
             try:
                 rng = [to_int(doc.resolve(v)) for v in mk[: 2 * n]]
             except (TypeError, ValueError):
                 doc.note_failure("raster_image_colorkey")
-                return None
+                return None, arr
             # 8.9.6.5 ranges are over SOURCE samples, but `arr` is the
             # post-/Decode output; the decode pipeline reduces /Decode
             # to one inversion flag (decoded = 255 - s), so mirror it
@@ -757,8 +765,8 @@ class RasterDevice:
             for i in range(n):
                 ch = arr[:, :, i].astype(np.int64)
                 masked &= (ch >= rng[2 * i]) & (ch <= rng[2 * i + 1])
-            return (~masked).astype(np.float64)
-        return None
+            return (~masked).astype(np.float64), arr
+        return None, arr
 
     def fill_image(self, doc, num: int, obj: dict, ctm, fill_rgb=(0, 0, 0), gs=None):
         from .cos import to_int
@@ -808,7 +816,7 @@ class RasterDevice:
         if arr is None:
             doc.note_failure("raster_image_decode")
             return
-        src_alpha = self._image_src_alpha(doc, obj, arr)
+        src_alpha, arr = self._image_src_alpha(doc, obj, arr)
         # paint region = the CTM-mapped unit square
         unit = transform_poly([(0, 0), (1, 0), (1, 1), (0, 1)], ctm)
         mask = coverage_mask(

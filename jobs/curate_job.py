@@ -15,8 +15,9 @@ dedup (exact fingerprint keep-first, paragraph-level CCNet rewrite, or
 exact-substring span rewrite) -> byte-balanced shard assignment ->
 curated parquet partitioned by shard_id (size-balanced output files a
 resumable writer can re-derive deterministically) + a per-stage report
-table (counts per source, per shard). Every stage is one Catalyst plan
-per write — no driver-side loops.
+table (counts per shard + stage totals). The filter+dedup lineage is
+persisted once and reused by every downstream action; reruns are
+idempotent under the default --write-mode overwrite.
 """
 
 from __future__ import annotations
@@ -42,6 +43,13 @@ def main(argv=None):
     )
     ap.add_argument("--shard-bytes", type=int, default=256 << 20)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--write-mode",
+        choices=("overwrite", "append"),
+        default="overwrite",
+        help="overwrite (default) makes reruns idempotent; append is "
+        "for multi-input accumulation and NOT crash-safe",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -49,10 +57,7 @@ def main(argv=None):
 
     from delphi_pdf_parser_spark.operators import dedup as dd
     from delphi_pdf_parser_spark.operators import textstats as ts
-    from delphi_pdf_parser_spark.operators.packing import (
-        assign_shards,
-        doc_shard_ids,
-    )
+    from delphi_pdf_parser_spark.operators.packing import doc_shard_ids
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = SparkSession.builder.appName("corpus-curate").getOrCreate()
@@ -97,10 +102,14 @@ def main(argv=None):
         )
         deduped = filtered.join(winners, "doc_id")
     elif args.dedup == "paragraph":
-        kept = dd.paragraph_dedup(filtered, unit_words=None).filter(
-            F.col("n_kept") > 0
-        )
-        deduped = filtered.join(kept.select("doc_id"), "doc_id")
+        # REWRITE: the reconstructed body (first-occurrence paragraphs
+        # only) replaces the original text
+        kept = dd.paragraph_dedup(
+            filtered, unit_words=None, emit_text=True
+        ).filter(F.col("n_kept") > 0)
+        deduped = kept.select(
+            "doc_id", F.col("kept_text").alias("text")
+        ).join(filtered.drop("text"), "doc_id")
     elif args.dedup == "span":
         rewritten = dd.span_dedup_rewrite(filtered).filter(
             F.col("n_tokens") > F.col("n_removed")
@@ -110,28 +119,39 @@ def main(argv=None):
         )  # rewritten text replaces the original
     else:
         deduped = filtered
+    # one persist point: everything downstream (counts, shard map,
+    # curated write, report) reuses the filter+dedup lineage instead
+    # of recomputing its shuffles 4-5 times
+    deduped = deduped.persist()
     n_deduped = deduped.count()
 
-    # --- byte-balanced shards + partitioned write: equi-join the
-    # per-doc shard map back on doc_id (never a range join)
-    shard_map = assign_shards(deduped, shard_bytes=args.shard_bytes)
+    # --- byte-balanced shards + partitioned write: ONE per-doc shard
+    # map (persisted), equi-joined on doc_id (never a range join); the
+    # per-shard report is its groupBy
+    shard_ids = doc_shard_ids(
+        deduped, shard_bytes=args.shard_bytes
+    ).persist()
     curated = deduped.join(
-        doc_shard_ids(deduped, shard_bytes=args.shard_bytes).select(
-            "doc_id", "shard_id"
-        ),
-        "doc_id",
+        shard_ids.select("doc_id", "shard_id"), "doc_id"
     )
     curated.repartition(F.col("shard_id")).write.mode(
-        "append"
+        args.write_mode
     ).partitionBy("shard_id").parquet(args.output)
 
+    shard_map = shard_ids.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_bytes"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
     report = shard_map.withColumn("n_input", F.lit(n_input)).withColumn(
         "n_filtered", F.lit(n_filtered)
     ).withColumn("n_deduped", F.lit(n_deduped))
-    report.write.mode("append").parquet(args.report)
+    report.write.mode(args.write_mode).parquet(args.report)
+    n_shards = shard_ids.select("shard_id").distinct().count()
     print(
         f"curation complete: {n_input} -> {n_filtered} (filter) -> "
-        f"{n_deduped} (dedup) over {shard_map.count()} shards",
+        f"{n_deduped} (dedup) over {n_shards} shards",
         file=sys.stderr,
     )
     if not preexisting:

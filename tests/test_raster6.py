@@ -1161,6 +1161,56 @@ def test_image_smask_matte_unblends_preblended_base():
     assert px(pix, 150, 150) == (211, 211, 211)
 
 
+def test_image_smask_matte_rgb_base_and_malformed_matte():
+    """The /Matte un-blend must work on an RGB base (a read-only
+    frombuffer view — the in-place write crashed and blanked the
+    image), and a malformed /Matte keeps the pre-blended colors with
+    the envelope code."""
+    # pre-blended red at a=0.8 over black matte: stored (204, 0, 0);
+    # recover (255, 0, 0); over white: 255*0.8+51 = (255, 51, 51)
+    base = _flate(bytes([204, 0, 0]))
+    sm = _flate(bytes([204]))
+
+    def extra_for(matte):
+        def extra(b):
+            b.add(
+                "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+                " /ColorSpace /DeviceRGB /BitsPerComponent 8"
+                " /Filter /FlateDecode /SMask 6 0 R"
+                f" /Length {len(base)} >>",
+                base,
+                num=5,
+            )
+            b.add(
+                "<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+                " /ColorSpace /DeviceGray /BitsPerComponent 8"
+                f" /Matte {matte}"
+                f" /Filter /FlateDecode /Length {len(sm)} >>",
+                sm,
+                num=6,
+            )
+
+        return extra
+
+    pix, fails = render(
+        b"q 100 0 0 100 100 100 cm /Im1 Do Q",
+        "<< /XObject << /Im1 5 0 R >> >>",
+        extra_for("[0 0 0]"),
+    )
+    assert fails == {}
+    assert px(pix, 150, 150) == (255, 51, 51)
+
+    # malformed matte: pre-blended colors painted, envelope code set
+    pix, fails = render(
+        b"q 100 0 0 100 100 100 cm /Im1 Do Q",
+        "<< /XObject << /Im1 5 0 R >> >>",
+        extra_for("<< >>"),
+    )
+    assert fails == {"raster_smask_matte": 1}
+    # stored (204,0,0) at alpha 0.8 over white: 204*0.8+51 = 214
+    assert px(pix, 150, 150) == (214, 51, 51)
+
+
 def test_image_smask_per_pixel_alpha():
     """/SMask on an image XObject (PDF 32000 8.9.6.3): a 1x1 red base
     under a 2x1 gray smask [0, 255] paints transparent-left/opaque-right
