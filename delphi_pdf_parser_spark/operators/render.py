@@ -38,7 +38,7 @@ RENDER_SCHEMA = StructType(
 )
 
 
-def _render_batches(scale: float, max_pages: int):
+def _render_batches(scale: float, max_pages: int, supersample: int = 1):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -70,7 +70,9 @@ def _render_batches(scale: float, max_pages: int):
                     try:
                         # reuse the parsed doc: xref/page-tree work happens
                         # once per document, not once per page
-                        w, h, pix, _fails = render_loaded_page(doc, p, scale)
+                        w, h, pix, _fails = render_loaded_page(
+                            doc, p, scale, supersample
+                        )
                         inked = int((pix != 255).any(axis=2).sum())
                         rows.append(
                             (
@@ -94,11 +96,19 @@ def _render_batches(scale: float, max_pages: int):
 
 
 def render_documents(
-    documents: DataFrame, scale: float = 0.25, max_pages: int = 4
+    documents: DataFrame,
+    scale: float = 0.25,
+    max_pages: int = 4,
+    supersample: int = 1,
 ) -> DataFrame:
     """-> one row per rendered page with pixel digest + ink coverage."""
     df = documents.select("url", "html").filter(
         F.col("html").isNotNull()
         & (F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-"))
     )
-    return df.mapInPandas(_render_batches(scale, max_pages), RENDER_SCHEMA)
+    # supersample > 1 = box-downsampled anti-aliasing (supersample^2
+    # pixel cost); default 1 keeps digests bit-stable vs the pinned
+    # hard-edge rasterizer
+    return df.mapInPandas(
+        _render_batches(scale, max_pages, supersample), RENDER_SCHEMA
+    )
