@@ -468,6 +468,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.filter(F.col("doc_id") % 97 == 0)
         return benchmark_overlap(docs, bench, n=13)
 
+    # -- link-graph family: deterministic wrapped pages + synthetic edges --
+    # (src url / anchor targets are pure doc_id arithmetic so the whole
+    # extract->graph pipeline reconstructs in ANSI SQL; see test_graphs.py
+    # for hand-pinned parse/PageRank truth)
+
+    def _wrapped_link_docs(spark, sf_dir):
+        """Documents wrapped into pages with a deterministic link set:
+        one cross-site hub link, one relative link, one nofollow link,
+        plus a fragment-only and a javascript: href the extractor must
+        skip. 3 followable edges per doc, all SQL-reconstructible."""
+        docs = _docs(spark, sf_dir)
+        nn = docs.count()
+        hub = (F.col("doc_id") * 389 + 1) % 20
+        a3 = (F.col("doc_id") * 233 + 7) % 3
+        site = F.col("doc_id") % 50
+        src = F.format_string(
+            "https://site%d.example/d/%d", site, F.col("doc_id")
+        )
+        html = F.format_string(
+            '<html><body><a href="https://hub%d.example/">Hub %d</a>'
+            "<a href='/about'>About &amp; Help</a>"
+            '<a rel="nofollow" href="promo.html">Promo</a>'
+            '<a href="#top">Top</a>'
+            '<a href="javascript:void(0)">JS</a></body></html>',
+            hub,
+            a3,
+        )
+        return docs.select(src.alias("url"), html.alias("html")), nn
+
+    def q_html_links(spark, sf_dir):
+        """<a href> extraction + RFC 3986 resolution over deterministic
+        wrapped pages — the edge-list half of the crawl graph. The
+        oracle reconstructs every (src, dst, anchor, nofollow) row."""
+        from delphi_pdf_parser_spark.operators.graphs import extract_links
+
+        wrapped, _ = _wrapped_link_docs(spark, sf_dir)
+        return extract_links(wrapped).orderBy("src", "dst")
+
+    def q_anchor_topk(spark, sf_dir):
+        """Anchor-text index: top-2 anchor texts per link target over
+        the extracted edge list (nofollow/empty excluded), ties broken
+        by anchor text — counts collide by construction so the ranking
+        window is genuinely exercised."""
+        from delphi_pdf_parser_spark.operators.graphs import (
+            anchor_topk,
+            extract_links,
+        )
+
+        wrapped, _ = _wrapped_link_docs(spark, sf_dir)
+        return anchor_topk(extract_links(wrapped), k=2).orderBy(
+            "dst", "rk"
+        )
+
+    def _synthetic_edges(spark, sf_dir):
+        """Deterministic doc_id-arithmetic edge list: varying outdegree
+        (1-3), dangling nodes (doc_id%11==0 emits nothing), self-loops
+        dropped — identical construction in the SQL oracles."""
+        docs = _docs(spark, sf_dir)
+        nn = docs.count()
+        base = docs.select("doc_id").filter(F.col("doc_id") % 11 != 0)
+        d = F.col("doc_id")
+        e0 = base.select(
+            d.alias("src"), ((d * 389 + 1) % nn).alias("dst")
+        )
+        e1 = base.filter(d % 3 != 0).select(
+            d.alias("src"), ((d * 233 + 7) % nn).alias("dst")
+        )
+        e2 = base.filter(d % 7 == 0).select(
+            d.alias("src"), ((d * 89 + 3) % nn).alias("dst")
+        )
+        return e0.union(e1).union(e2).filter(F.col("src") != F.col("dst"))
+
+    def q_link_pagerank(spark, sf_dir):
+        """Distributed power-iteration PageRank (5 iterations, d=0.85,
+        dangling mass redistributed) on the synthetic crawl graph; the
+        oracle unrolls the same iteration in pure SQL. Edge table is
+        degree-annotated + src-partitioned ONCE; each iteration moves
+        only the node-sized rank table."""
+        from delphi_pdf_parser_spark.operators.graphs import pagerank
+
+        pr = pagerank(_synthetic_edges(spark, sf_dir), iterations=5)
+        return pr.select(
+            F.col("node").cast("long").alias("node"),
+            F.round("rank", 8).alias("rank"),
+        ).orderBy("node")
+
+    def q_link_degree_stats(spark, sf_dir):
+        """Per-node in/out degree over the synthetic crawl graph
+        (zero-filled full-outer join) — the frontier/spam-heuristic
+        primitive."""
+        from delphi_pdf_parser_spark.operators.graphs import degree_table
+
+        deg = degree_table(_synthetic_edges(spark, sf_dir))
+        return deg.select(
+            F.col("node").cast("long").alias("node"), "out_deg", "in_deg"
+        ).orderBy("node")
+
     def q_url_dedup(spark, sf_dir):
         """URL canonicalization + dedup: synthesize crawl-style URL
         variants (mixed-case host, default port, tracking params,
@@ -775,6 +872,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "canonical_by_quality": q_canonical_by_quality,
         "domain_stats": q_domain_stats,
+        "html_links": q_html_links,
+        "anchor_topk": q_anchor_topk,
+        "link_pagerank": q_link_pagerank,
+        "link_degree_stats": q_link_degree_stats,
         "embedding_decontam": q_embedding_decontam,
         "shard_stats": q_shard_stats,
         "warc_ingest": q_warc_ingest,
@@ -893,9 +994,129 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes GROUP BY band ORDER BY band
         """
 
+    # -- link-graph oracles: shared synthetic-edge CTE (mirrors
+    # _synthetic_edges doc_id arithmetic exactly; e-notation literals
+    # force DOUBLE arithmetic so float semantics match Spark/Python) --
+    graph_edges_cte = """
+            nn AS (SELECT count(*) AS n FROM documents),
+            eraw AS (
+                SELECT doc_id AS src,
+                       (doc_id * 389 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id, (doc_id * 233 + 7) % (SELECT n FROM nn)
+                FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 3 <> 0
+                UNION ALL
+                SELECT doc_id, (doc_id * 89 + 3) % (SELECT n FROM nn)
+                FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+            ),
+            e AS (SELECT src, dst FROM eraw WHERE src <> dst)
+    """
+    # unrolled 5-step power iteration: pr{t+1}(v) = (1-d)/N + d*dm_t/N
+    # + d * sum_{u->v} pr_t(u)/outdeg(u); association mirrors the Spark
+    # operator (base scalar first, contribution added after) so double
+    # rounding at 8 dp cannot drift
+    pr_steps = []
+    for t in range(5):
+        pr_steps.append(
+            f"""
+            dg{t} AS (SELECT coalesce(sum(rank), 0e0) AS dm FROM pr{t}
+                      WHERE node NOT IN (SELECT src FROM odeg)),
+            ct{t} AS (SELECT e.dst AS node,
+                             sum(p.rank / o.outdeg) AS contrib
+                      FROM e JOIN odeg o ON e.src = o.src
+                             JOIN pr{t} p ON p.node = e.src
+                      GROUP BY e.dst),
+            pr{t + 1} AS (SELECT nodes.node,
+                          ((1e0 - 0.85e0) / (SELECT n FROM gn)
+                           + 0.85e0 * (SELECT dm FROM dg{t})
+                             / (SELECT n FROM gn))
+                          + 0.85e0 * coalesce(c.contrib, 0e0) AS rank
+                          FROM nodes LEFT JOIN ct{t} c
+                               ON c.node = nodes.node)"""
+        )
+    link_pagerank_sql = (
+        "WITH "
+        + graph_edges_cte
+        + """,
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            gn AS (SELECT count(*) AS n FROM nodes),
+            odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            pr0 AS (SELECT node, 1e0 / (SELECT n FROM gn) AS rank
+                    FROM nodes),"""
+        + ",".join(pr_steps)
+        + """
+            SELECT node, round(rank, 8) AS rank FROM pr5 ORDER BY node"""
+    )
+    link_degree_sql = (
+        "WITH "
+        + graph_edges_cte
+        + """
+            SELECT coalesce(o.src, i.dst) AS node,
+                   coalesce(o.c, 0) AS out_deg,
+                   coalesce(i.c, 0) AS in_deg
+            FROM (SELECT src, count(*) AS c FROM e GROUP BY src) o
+            FULL OUTER JOIN
+                 (SELECT dst, count(*) AS c FROM e GROUP BY dst) i
+                 ON o.src = i.dst
+            ORDER BY node"""
+    )
+    # wrapped-page link rows (mirrors _wrapped_link_docs: hub link,
+    # relative /about, nofollow promo; fragment/javascript skipped)
+    link_rows_cte = """
+            b AS (
+                SELECT 'https://site' || (doc_id % 50) || '.example/d/'
+                           || doc_id AS src,
+                       (doc_id * 389 + 1) % 20 AS hub,
+                       (doc_id * 233 + 7) % 3 AS a3,
+                       doc_id % 50 AS site
+                FROM documents
+            ),
+            links AS (
+                SELECT src, 'https://hub' || hub || '.example/' AS dst,
+                       'Hub ' || a3 AS anchor, FALSE AS nofollow FROM b
+                UNION ALL
+                SELECT src, 'https://site' || site || '.example/about',
+                       'About & Help', FALSE FROM b
+                UNION ALL
+                SELECT src,
+                       'https://site' || site || '.example/d/promo.html',
+                       'Promo', TRUE FROM b
+            )
+    """
+    html_links_sql = (
+        "WITH "
+        + link_rows_cte
+        + """
+            SELECT src, dst, anchor, nofollow FROM links
+            ORDER BY src, dst"""
+    )
+    anchor_topk_sql = (
+        "WITH "
+        + link_rows_cte
+        + """,
+            counts AS (
+                SELECT dst, anchor, count(*) AS n FROM links
+                WHERE NOT nofollow AND anchor <> ''
+                GROUP BY dst, anchor
+            ),
+            ranked AS (
+                SELECT dst, anchor, n,
+                       row_number() OVER (PARTITION BY dst
+                           ORDER BY n DESC, anchor ASC) AS rk
+                FROM counts
+            )
+            SELECT dst, anchor, n, rk FROM ranked
+            WHERE rk <= 2 ORDER BY dst, rk"""
+    )
+
     return {
         "minhash_band_stats": minhash_band_sql,
         "simhash_band_stats": simhash_band_sql,
+        "html_links": html_links_sql,
+        "anchor_topk": anchor_topk_sql,
+        "link_pagerank": link_pagerank_sql,
+        "link_degree_stats": link_degree_sql,
         # span_dup_stats (dedup.span_dup_stats, k=5): md5 window keys are
         # identical hex in both engines; first occurrence = min
         # doc_id*2^20+pos composite

@@ -1,0 +1,311 @@
+"""Web link-graph operators: anchor extraction, host graph, degrees,
+PageRank, and an anchor-text index.
+
+A Common-Crawl-style corpus is a graph as much as it is text: crawl
+frontier ranking, spam-domain discovery, and quality signals (Gopher's
+"URL-level" filters, Ebay/CC link-farm heuristics) all consume the
+hyperlink structure. The Delphi reference extracts per-page link
+annotations from PDFs (`src/vcl/fz_pdf_page.pas:390`,
+``pdf_load_links``); these operators are the web-page analogue over the
+``html`` column plus the graph analytics built on top.
+
+Scale shape (100 TB / 10^12 pages):
+- ``extract_links`` is one ``mapInPandas`` pass (the same zero-per-row-
+  Python contract as extraction) — map-only, no shuffle.
+- ``host_graph`` is a map + one hash aggregate on (src_host, dst_host).
+- ``pagerank`` materializes the degree-annotated edge table ONCE,
+  hash-partitioned by ``src`` (`localCheckpoint`), so every iteration
+  shuffles only the node-sized rank table to the edge partitioning,
+  never the edge table itself; the new ranks come from one map-side-
+  combined ``groupBy(dst)``. The dangling-mass term is a single scalar
+  aggregate per iteration (bounded driver value, same contract as the
+  k-means iteration stats in similarity.py). Lineage is cut per
+  iteration with ``localCheckpoint`` exactly like
+  ``clusters.dedup_clusters``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+from urllib.parse import urljoin, urldefrag
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from delphi_pdf_parser_spark.operators.urls import host_of, registered_domain
+
+LINKS_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("anchor", StringType()),
+        StructField("nofollow", BooleanType()),
+    ]
+)
+
+# <a ...> open tags and the matching close; DOTALL because anchors span
+# lines in real pages. Nested <a> is invalid HTML — browsers auto-close,
+# and so does the non-greedy match here.
+_A_RE = re.compile(rb"<a\s([^>]*)>(.*?)</a\s*>", re.I | re.S)
+_BASE_RE = re.compile(rb"<base\s[^>]*>", re.I)
+# attribute parser: name = "v" | 'v' | bare
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))"""
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def _attrs(tag: bytes) -> dict:
+    out = {}
+    for m in _ATTR_RE.finditer(tag):
+        val = m.group(3)
+        if val is None:
+            val = m.group(4)
+        if val is None:
+            val = m.group(5)
+        out[m.group(1).lower()] = val
+    return out
+
+
+def _page_links(url: str, html: bytes) -> list:
+    """All followable anchors on one page: (src, dst, anchor, nofollow).
+
+    Resolution is RFC 3986 (stdlib urljoin) against the page URL, or
+    against the first ``<base href>`` when present, mirroring browser
+    behavior. Fragments are stripped (the fragment never reaches the
+    server, so two anchors differing only in #frag are the same edge
+    target); fragment-only and non-http(s) hrefs are skipped.
+    """
+    from delphi_pdf_parser_spark.htmlcore import _decode_entities
+
+    base = url
+    bm = _BASE_RE.search(html)
+    if bm is not None:
+        bhref = _attrs(bm.group(0)).get(b"href")
+        if bhref:
+            try:
+                base = urljoin(url, bhref.decode("utf-8", "replace"))
+            except ValueError:
+                base = url
+    rows = []
+    for m in _A_RE.finditer(html):
+        attrs = _attrs(m.group(1))
+        href = attrs.get(b"href")
+        if not href:
+            continue
+        href_s = _decode_entities(
+            href.decode("utf-8", "replace")
+        ).strip()
+        if not href_s or href_s.startswith("#"):
+            continue
+        low = href_s.lower()
+        if any(low.startswith(s) for s in _SKIP_SCHEMES):
+            continue
+        try:
+            dst = urldefrag(urljoin(base, href_s))[0]
+        except ValueError:
+            continue
+        if not dst.lower().startswith(("http://", "https://")):
+            continue
+        text = _TAG_RE.sub(b" ", m.group(2)).decode("utf-8", "replace")
+        anchor = _WS_RE.sub(" ", _decode_entities(text)).strip()
+        rel = attrs.get(b"rel", b"")
+        nofollow = b"nofollow" in rel.lower().split()
+        rows.append((url, dst, anchor, nofollow))
+    return rows
+
+
+def _links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in LINKS_SCHEMA.fields]
+    for b in batches:
+        rows = []
+        for url, html in zip(b["url"], b["html"]):
+            if html is None:
+                continue
+            raw = bytes(html) if not isinstance(html, str) else html.encode()
+            try:
+                rows.extend(_page_links(url, raw))
+            except Exception:
+                continue  # a malformed page must never kill the batch
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_links(
+    documents: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Out-links of every page: (src, dst, anchor, nofollow).
+
+    One Arrow ``mapInPandas`` pass over (url, html) — column-pruned at
+    the scan, map-only, no shuffle. ``html`` may be binary or string.
+    """
+    df = documents.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).filter(F.col(html_col).isNotNull())
+    return df.mapInPandas(_links_batches, LINKS_SCHEMA)
+
+
+def host_graph(
+    links: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    drop_intra: bool = True,
+) -> DataFrame:
+    """Weighted eTLD+1 domain graph from a URL-level edge list.
+
+    (src_domain, dst_domain, n_links); intra-domain edges (navigation
+    boilerplate, by far the bulk of real links) dropped by default.
+    Map + one hash aggregate — the canonical crawl-graph reduction.
+    """
+    e = links.select(
+        registered_domain(host_of(F.col(src))).alias("src_domain"),
+        registered_domain(host_of(F.col(dst))).alias("dst_domain"),
+    ).filter(
+        (F.col("src_domain") != "") & (F.col("dst_domain") != "")
+    )
+    if drop_intra:
+        e = e.filter(F.col("src_domain") != F.col("dst_domain"))
+    return e.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links")
+    )
+
+
+def degree_table(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node (node, out_deg, in_deg), zero-filled — the first thing
+    any crawl-frontier or spam heuristic reads. Two hash aggregates +
+    one outer join on the node key."""
+    out = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count("*").alias("out_deg"))
+    )
+    inn = (
+        edges.groupBy(F.col(dst).alias("node"))
+        .agg(F.count("*").alias("in_deg"))
+    )
+    return out.join(inn, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Power-iteration PageRank with dangling-mass redistribution.
+
+    rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/outdeg(u)
+                                   + dangling_t/N)
+
+    Multi-edges contribute multiplicity times (outdeg counts edges, not
+    neighbors), matching the multigraph convention; callers wanting
+    simple-graph semantics ``distinct()`` first.
+
+    Plan shape: the degree-annotated edge table is repartitioned by
+    ``src`` and checkpointed ONCE — per iteration only the node-sized
+    rank table moves (one shuffle onto the edge partitioning + one
+    map-side-combined groupBy(dst)). N and the per-iteration dangling
+    mass are single-scalar aggregates (bounded driver values); rank
+    lineage is cut per iteration with ``localCheckpoint``, the same
+    pattern as ``clusters.dedup_clusters``.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if partitions is None:
+        partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = (
+        e.join(outdeg, "src")
+        .repartition(partitions, "src")
+        .localCheckpoint()
+    )
+    nodes = nodes.localCheckpoint()
+    n = nodes.count()  # one scalar action; the only full-graph count
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        # mass parked on dangling nodes this step (scalar per iteration)
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def anchor_topk(
+    links: DataFrame, k: int = 3, dst: str = "dst", anchor: str = "anchor"
+) -> DataFrame:
+    """Top-k anchor texts per link target — the classic anchor-text
+    index feature (how the web describes a page). Empty anchors and
+    nofollow links excluded when the column exists. One hash aggregate
+    + a per-target window (partitioned by dst, never global)."""
+    from pyspark.sql import Window
+
+    e = links.filter(F.col(anchor) != "")
+    if "nofollow" in links.columns:
+        e = e.filter(~F.col("nofollow"))
+    counts = e.groupBy(
+        F.col(dst).alias("dst"), F.col(anchor).alias("anchor")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("dst", "anchor", "n", "rk")
+    )

@@ -1,0 +1,189 @@
+"""Link-graph operators: anchor extraction, degrees, PageRank, anchors.
+
+PageRank truth is hand-computed (exact power iteration in pure Python)
+on a small graph that exercises dangling mass, multi-edges, and a node
+with no in-links.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from delphi_pdf_parser_spark.operators.graphs import (
+    _page_links,
+    anchor_topk,
+    degree_table,
+    extract_links,
+    host_graph,
+    pagerank,
+)
+
+
+# ---------------------------------------------------------------- parse
+
+PAGE = b"""<!DOCTYPE html><html><head>
+<title>t</title></head><body>
+<a href="https://other.example/x">Plain <b>bold</b> link</a>
+<a href='/rel/path'>Relative</a>
+<a href="sub.html">Sibling</a>
+<a href="https://b.example/y#frag">Fragged</a>
+<a href="#top">Skip fragment-only</a>
+<a href="javascript:void(0)">Skip js</a>
+<a href="mailto:x@y.z">Skip mailto</a>
+<a rel="nofollow sponsored" href="https://ads.example/z">Ad &amp; more</a>
+<a name="no-href">anchor without href</a>
+</body></html>"""
+
+
+def test_page_links_parse_and_resolve():
+    rows = _page_links("https://site.example/dir/page.html", PAGE)
+    by_dst = {r[1]: r for r in rows}
+    assert set(by_dst) == {
+        "https://other.example/x",
+        "https://site.example/rel/path",
+        "https://site.example/dir/sub.html",
+        "https://b.example/y",
+        "https://ads.example/z",
+    }
+    # inner tags stripped, whitespace collapsed
+    assert by_dst["https://other.example/x"][2] == "Plain bold link"
+    # entities decoded in anchor text
+    assert by_dst["https://ads.example/z"][2] == "Ad & more"
+    # nofollow only on the rel-tagged link
+    assert by_dst["https://ads.example/z"][3] is True
+    assert by_dst["https://other.example/x"][3] is False
+
+
+def test_page_links_base_href_and_quotes():
+    html = (
+        b"<base href='https://cdn.example/root/'>"
+        b"<a href=img/a.html>unquoted</a>"
+        b'<a href="HTTPS://UP.EXAMPLE/P">abs</a>'
+    )
+    rows = _page_links("https://orig.example/x", html)
+    dsts = {r[1] for r in rows}
+    assert "https://cdn.example/root/img/a.html" in dsts
+    # scheme check is case-insensitive; urljoin normalizes it to lowercase
+    assert "https://UP.EXAMPLE/P" in dsts
+
+
+def test_extract_links_dataframe(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/", bytearray(PAGE)),
+            ("https://empty.example/", bytearray(b"<html>no links</html>")),
+            ("https://null.example/", None),
+        ],
+        "url string, html binary",
+    )
+    out = extract_links(df).collect()
+    assert len(out) == 5
+    assert all(r.src == "https://a.example/" for r in out)
+
+
+# ---------------------------------------------------------------- graph
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_degree_table_zero_fill(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")])
+    d = {r.node: (r.out_deg, r.in_deg) for r in degree_table(e).collect()}
+    assert d == {"a": (2, 1), "b": (1, 1), "c": (1, 2)}
+
+
+def test_degree_table_sink_and_source(spark):
+    e = _edges(spark, [("s", "m"), ("m", "t")])
+    d = {r.node: (r.out_deg, r.in_deg) for r in degree_table(e).collect()}
+    assert d["s"] == (1, 0) and d["t"] == (0, 1)
+
+
+def _ref_pagerank(edges, iterations, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in outdeg)
+        nxt = {v: (1 - d) / n + d * dangling / n for v in nodes}
+        for u, v in edges:
+            nxt[v] += d * r[u] / outdeg[u]
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pagerank_matches_reference(spark, iters):
+    # c is dangling; a->b twice (multi-edge); d has no in-links
+    pairs = [
+        ("a", "b"),
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "c"),
+        ("d", "a"),
+        ("d", "c"),
+    ]
+    got = {
+        r.node: r.rank
+        for r in pagerank(_edges(spark, pairs), iterations=iters).collect()
+    }
+    want = _ref_pagerank(pairs, iters)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty(spark):
+    e = _edges(spark, []).filter(F.lit(False))
+    assert pagerank(e, iterations=2).count() == 0
+
+
+def test_host_graph_rollup(spark):
+    links = _edges(
+        spark,
+        [
+            ("https://www.a-site.com/p1", "https://b.example.co.uk/x"),
+            ("https://www.a-site.com/p2", "https://sub.b.example.co.uk/y"),
+            ("https://www.a-site.com/p3", "https://blog.a-site.com/inside"),
+            ("https://c.net/", "https://www.a-site.com/"),
+        ],
+    )
+    rows = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in host_graph(links).collect()
+    }
+    # intra-domain edge dropped; subdomain folds into eTLD+1
+    assert rows == {
+        ("a-site.com", "example.co.uk"): 2,
+        ("c.net", "a-site.com"): 1,
+    }
+
+
+def test_anchor_topk_ranking_and_nofollow(spark):
+    links = spark.createDataFrame(
+        [
+            ("s1", "t", "Best Page", False),
+            ("s2", "t", "Best Page", False),
+            ("s3", "t", "best page", False),
+            ("s4", "t", "Click", False),
+            ("s5", "t", "Spam", True),  # nofollow excluded
+            ("s6", "t", "", False),  # empty excluded
+            ("s7", "u", "Only", False),
+        ],
+        "src string, dst string, anchor string, nofollow boolean",
+    )
+    rows = [
+        (r.dst, r.anchor, r.n, r.rk)
+        for r in anchor_topk(links, k=2).orderBy("dst", "rk").collect()
+    ]
+    assert rows == [
+        ("t", "Best Page", 2, 1),
+        ("t", "Click", 1, 2),  # tie with 'best page' broken by text asc
+        ("u", "Only", 1, 1),
+    ]
