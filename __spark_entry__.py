@@ -565,6 +565,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node").cast("long").alias("node"), "out_deg", "in_deg"
         ).orderBy("node")
 
+    def q_link_hits(spark, sf_dir):
+        """HITS hubs & authorities (5 mutual L2-normalized iterations)
+        on the synthetic crawl graph; the oracle unrolls both half-steps
+        per iteration in pure SQL."""
+        from delphi_pdf_parser_spark.operators.graphs import hits
+
+        h = hits(_synthetic_edges(spark, sf_dir), iterations=5)
+        return h.select(
+            F.col("node").cast("long").alias("node"),
+            F.round("hub", 8).alias("hub"),
+            F.round("auth", 8).alias("auth"),
+        ).orderBy("node")
+
+    def q_ccnet_buckets(spark, sf_dir):
+        """CCNet-style per-language perplexity terciles (head/middle/
+        tail) with broadcast exact-percentile thresholds — no global
+        sort."""
+        return textstats.ccnet_buckets(_docs(spark, sf_dir)).orderBy(
+            "doc_id"
+        )
+
     def q_url_dedup(spark, sf_dir):
         """URL canonicalization + dedup: synthesize crawl-style URL
         variants (mixed-case host, default port, tracking params,
@@ -876,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
+        "link_hits": q_link_hits,
+        "ccnet_buckets": q_ccnet_buckets,
         "embedding_decontam": q_embedding_decontam,
         "shard_stats": q_shard_stats,
         "warc_ingest": q_warc_ingest,
@@ -1010,7 +1033,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, (doc_id * 89 + 3) % (SELECT n FROM nn)
                 FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
             ),
-            e AS (SELECT src, dst FROM eraw WHERE src <> dst)
+            e AS MATERIALIZED (SELECT src, dst FROM eraw WHERE src <> dst)
     """
     # unrolled 5-step power iteration: pr{t+1}(v) = (1-d)/N + d*dm_t/N
     # + d * sum_{u->v} pr_t(u)/outdeg(u); association mirrors the Spark
@@ -1027,7 +1050,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM e JOIN odeg o ON e.src = o.src
                              JOIN pr{t} p ON p.node = e.src
                       GROUP BY e.dst),
-            pr{t + 1} AS (SELECT nodes.node,
+            pr{t + 1} AS MATERIALIZED (SELECT nodes.node,
                           ((1e0 - 0.85e0) / (SELECT n FROM gn)
                            + 0.85e0 * (SELECT dm FROM dg{t})
                              / (SELECT n FROM gn))
@@ -1061,6 +1084,107 @@ def oracle_sql() -> dict[str, str]:
                  ON o.src = i.dst
             ORDER BY node"""
     )
+    # HITS: unrolled 5 iterations, two L2-normalized half-steps each;
+    # norms divide only when nonzero (mirrors the operator's `or 1.0`)
+    hits_steps = []
+    for t in range(5):
+        hits_steps.append(
+            f"""
+            ar{t} AS MATERIALIZED (
+                      SELECT e.dst AS node, sum(h.hub) AS s
+                      FROM e JOIN hub{t} h ON h.node = e.src
+                      GROUP BY e.dst),
+            an{t} AS MATERIALIZED (
+                      SELECT sqrt(coalesce(sum(s * s), 0e0)) AS nm
+                      FROM ar{t}),
+            auth{t + 1} AS MATERIALIZED (
+                            SELECT nodes.node,
+                            coalesce(r.s, 0e0) /
+                            (CASE WHEN (SELECT nm FROM an{t}) = 0e0
+                                  THEN 1e0
+                                  ELSE (SELECT nm FROM an{t}) END)
+                                AS auth
+                            FROM nodes LEFT JOIN ar{t} r
+                                 ON r.node = nodes.node),
+            hr{t} AS MATERIALIZED (
+                      SELECT e.src AS node, sum(a.auth) AS s
+                      FROM e JOIN auth{t + 1} a ON a.node = e.dst
+                      GROUP BY e.src),
+            hn{t} AS MATERIALIZED (
+                      SELECT sqrt(coalesce(sum(s * s), 0e0)) AS nm
+                      FROM hr{t}),
+            hub{t + 1} AS MATERIALIZED (
+                           SELECT nodes.node,
+                           coalesce(r.s, 0e0) /
+                           (CASE WHEN (SELECT nm FROM hn{t}) = 0e0
+                                 THEN 1e0
+                                 ELSE (SELECT nm FROM hn{t}) END)
+                               AS hub
+                           FROM nodes LEFT JOIN hr{t} r
+                                ON r.node = nodes.node)"""
+        )
+    link_hits_sql = (
+        "WITH "
+        + graph_edges_cte
+        + """,
+            nodes AS MATERIALIZED (
+                SELECT src AS node FROM e UNION SELECT dst FROM e),
+            gn AS (SELECT count(*) AS n FROM nodes),
+            hub0 AS (SELECT node,
+                     1e0 / sqrt((SELECT n FROM gn)) AS hub FROM nodes),"""
+        + ",".join(hits_steps)
+        + """
+            SELECT h.node, round(h.hub, 8) AS hub,
+                   round(a.auth, 8) AS auth
+            FROM hub5 h JOIN auth5 a ON a.node = h.node
+            ORDER BY h.node"""
+    )
+
+    # CCNet buckets: the unigram-LM score CTE (same as unigram_logprob)
+    # + per-lang type-7 tercile thresholds + two-comparison bucketing
+    ccnet_buckets_sql = """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            ), toks2 AS (
+                SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), vocab AS (
+                SELECT tok, count(*) AS n FROM toks2 GROUP BY tok
+            ), tot AS (
+                SELECT sum(n) AS total, count(*) AS vsize FROM vocab
+            ), top AS (
+                SELECT tok, n FROM vocab
+                ORDER BY n DESC, tok ASC LIMIT 100000
+            ), lm AS (
+                SELECT tok, log10((n + 0.5) / (total + 0.5 * vsize)) AS lp
+                FROM top, tot
+            ), scored AS (
+                SELECT t.doc_id,
+                       round(avg(coalesce(lm.lp,
+                           log10(0.5 / (tot.total + 0.5 * tot.vsize)))), 4)
+                           AS score
+                FROM toks2 t LEFT JOIN lm USING (tok) CROSS JOIN tot
+                GROUP BY t.doc_id
+            ), docs AS (
+                SELECT d.doc_id, d.lang, s.score
+                FROM documents d JOIN scored s USING (doc_id)
+            ), th AS (
+                SELECT lang,
+                       quantile_cont(score, 2e0 / 3e0) AS t_head,
+                       quantile_cont(score, 1e0 / 3e0) AS t_tail
+                FROM docs GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.score,
+                   CASE WHEN d.score > th.t_head THEN 'head'
+                        WHEN d.score > th.t_tail THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   round(th.t_head, 8) AS t_head,
+                   round(th.t_tail, 8) AS t_tail
+            FROM docs d JOIN th USING (lang)
+            ORDER BY d.doc_id
+        """
+
     # wrapped-page link rows (mirrors _wrapped_link_docs: hub link,
     # relative /about, nofollow promo; fragment/javascript skipped)
     link_rows_cte = """
@@ -1117,6 +1241,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_topk": anchor_topk_sql,
         "link_pagerank": link_pagerank_sql,
         "link_degree_stats": link_degree_sql,
+        "link_hits": link_hits_sql,
+        "ccnet_buckets": ccnet_buckets_sql,
         # span_dup_stats (dedup.span_dup_stats, k=5): md5 window keys are
         # identical hex in both engines; first occurrence = min
         # doc_id*2^20+pos composite

@@ -286,6 +286,95 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) by mutual power
+    iteration, L2-normalized each half-step:
+
+        auth_{t}(v) = sum_{u->v} hub_{t-1}(u)   (then / ||auth||_2)
+        hub_{t}(u)  = sum_{u->v} auth_{t}(v)    (then / ||hub||_2)
+
+    Plan shape mirrors :func:`pagerank`: the edge table is partitioned
+    by key and checkpointed once per orientation; each half-step joins
+    the node-sized score table to the edges and reduces with one
+    map-side-combined groupBy. The L2 norm is a single scalar aggregate
+    per half-step (bounded driver value). Returns (node, hub, auth),
+    zero for nodes on only one side of the edge relation.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one copy per join orientation, each partitioned on ITS join key so
+    # the per-iteration shuffles move only the node-sized score tables
+    e_by_src = e.repartition(partitions, "src").localCheckpoint()
+    e_by_dst = e.repartition(partitions, "dst").localCheckpoint()
+
+    import math
+
+    hub = nodes.select("node", F.lit(1.0 / math.sqrt(n)).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        raw_auth = (
+            e_by_src.join(hub, e_by_src.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        norm = (
+            raw_auth.agg(F.sum(F.col("s") * F.col("s"))).collect()[0][0]
+            or 0.0
+        )
+        norm = math.sqrt(norm) or 1.0
+        auth = (
+            nodes.join(raw_auth, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(norm)).alias(
+                    "auth"
+                ),
+            )
+            .localCheckpoint()
+        )
+        raw_hub = (
+            e_by_dst.join(auth, e_by_dst.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hnorm = (
+            raw_hub.agg(F.sum(F.col("s") * F.col("s"))).collect()[0][0]
+            or 0.0
+        )
+        hnorm = math.sqrt(hnorm) or 1.0
+        hub = (
+            nodes.join(raw_hub, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(hnorm)).alias(
+                    "hub"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return hub.join(auth, "node")
+
+
 def anchor_topk(
     links: DataFrame, k: int = 3, dst: str = "dst", anchor: str = "anchor"
 ) -> DataFrame:

@@ -820,3 +820,56 @@ def token_idf_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ccnet_buckets(
+    documents: DataFrame, lang_col: str = "lang"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, split documents into head / middle / tail thirds by
+    language-model score (here the corpus-trained add-k unigram LM of
+    :func:`unigram_logprob`; CCNet uses a KenLM 5-gram — the bucketing
+    rule is what this operator implements).
+
+    Scale shape: NO per-language global sort. Per-language tercile
+    THRESHOLDS come from one exact-``percentile`` aggregate (only the
+    (lang, score) pairs shuffle — two narrow columns), broadcast back
+    as an O(n_langs) table; every document then buckets with two
+    comparisons, map-side. CCNet itself computes thresholds on a
+    sample for the same reason; at 10^12 docs swap the exact
+    percentile for ``percentile_approx`` or a sampled aggregate — the
+    bucketing comparison is unchanged.
+
+    Scores are rounded to 4 dp BEFORE the threshold aggregate so the
+    threshold interpolation sees identical multisets in Spark and the
+    DuckDB oracle (both compute type-7 linear-interpolated quantiles).
+    Boundary rule: score > t_head -> head, score > t_tail -> middle,
+    else tail (documents exactly AT a threshold fall down-bucket).
+    """
+    scored = unigram_logprob(documents).select(
+        "doc_id", F.col("mean_logprob").alias("score")
+    )
+    docs = documents.select(
+        "doc_id", F.col(lang_col).alias("lang")
+    ).join(scored, "doc_id")
+    thresholds = docs.groupBy("lang").agg(
+        F.percentile(F.col("score"), F.lit(2.0 / 3.0)).alias("t_head"),
+        F.percentile(F.col("score"), F.lit(1.0 / 3.0)).alias("t_tail"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.when(F.col("score") > F.col("t_head"), F.lit("head"))
+            .when(F.col("score") > F.col("t_tail"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            # 8 dp: interpolated thresholds between 4 dp scores are
+            # denominator-3 rationals, never at an 8th-place half-way
+            # point, so both engines round identically
+            F.round("t_head", 8).alias("t_head"),
+            F.round("t_tail", 8).alias("t_tail"),
+        )
+    )

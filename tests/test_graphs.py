@@ -187,3 +187,49 @@ def test_anchor_topk_ranking_and_nofollow(spark):
         ("t", "Click", 1, 2),  # tie with 'best page' broken by text asc
         ("u", "Only", 1, 1),
     ]
+
+
+def _ref_hits(edges, iterations):
+    import math
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {v: 1.0 / math.sqrt(len(nodes)) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        auth = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            auth[v] += hub[u]
+        nm = math.sqrt(sum(x * x for x in auth.values())) or 1.0
+        auth = {v: x / nm for v, x in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            hub[u] += auth[v]
+        nm = math.sqrt(sum(x * x for x in hub.values())) or 1.0
+        hub = {v: x / nm for v, x in hub.items()}
+    return hub, auth
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_hits_matches_reference(spark, iters):
+    from delphi_pdf_parser_spark.operators.graphs import hits
+
+    pairs = [
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "c"),
+        ("d", "c"),
+        ("c", "a"),
+    ]
+    got = {
+        r.node: (r.hub, r.auth)
+        for r in hits(_edges(spark, pairs), iterations=iters).collect()
+    }
+    whub, wauth = _ref_hits(pairs, iters)
+    assert set(got) == set(whub)
+    for v in whub:
+        assert got[v][0] == pytest.approx(whub[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(wauth[v], abs=1e-12)
+    # a is the strongest hub (points at both b and the top authority c);
+    # c is the strongest authority (3 in-links)
+    assert max(whub, key=whub.get) == "a"
+    assert max(wauth, key=wauth.get) == "c"

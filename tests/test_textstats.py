@@ -710,3 +710,27 @@ def test_boilerplate_lines_finds_site_template(spark):
     assert r["n_boilerplate_lines"] == 1  # nav in 3/4 >= 0.5
     assert r["top_df"] == 3
     assert r["top_line_md5"] == hashlib.md5(nav.encode()).hexdigest()
+
+
+def test_ccnet_buckets_terciles(spark):
+    from delphi_pdf_parser_spark.operators.textstats import ccnet_buckets
+
+    # 9 docs, one lang: scores strictly ordered by construction (more
+    # singleton tokens = lower mean unigram logprob)
+    rows = []
+    for i in range(9):
+        text = " ".join(["common"] * (9 - i) + [f"rare{i}x{j}" for j in range(i)])
+        rows.append((i, text, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.score)
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3
+    }
+    # ordering: every head score > every middle score > every tail score
+    assert min(by_bucket["head"]) > max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) > max(by_bucket["tail"])
+    # thresholds are per-language constants
+    assert len({(r.t_head, r.t_tail) for r in out}) == 1
