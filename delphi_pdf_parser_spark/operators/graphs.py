@@ -251,12 +251,17 @@ def pagerank(
     n = nodes.count()  # one scalar action; the only full-graph count
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    # the dangling-node SET is static — materialize it once instead of
+    # re-deriving the anti-join from the raw edge table every iteration
+    dangling_nodes = nodes.join(
+        outdeg, nodes.node == outdeg.src, "left_anti"
+    ).localCheckpoint()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         # mass parked on dangling nodes this step (scalar per iteration)
         dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            ranks.join(dangling_nodes, "node")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0

@@ -298,3 +298,59 @@ def test_streaming_c4_filter_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want), (got, want)
+
+
+def test_streaming_link_extraction_matches_batch(spark, tmp_path):
+    """extract_links is a stateless mapInPandas, so the same pass runs
+    on a page stream: availableNow output must equal the batch edge
+    list exactly (crawl-frontier feeding as pages arrive)."""
+    import time
+
+    from delphi_pdf_parser_spark.operators.graphs import extract_links
+
+    def page(*hrefs):
+        body = "".join(f'<a href="{h}">link {i}</a>' for i, h in enumerate(hrefs))
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = [
+        ("https://a.example/1", page("https://hub.example/", "/rel")),
+        ("https://b.example/", page("https://a.example/1")),
+        ("https://c.example/", page()),
+    ]
+    schema = "url string, html binary"
+    src = tmp_path / "links_in"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:1], rows[1:]]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        extract_links(stream)
+        .writeStream.format("memory")
+        .queryName("links_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM links_stream")
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_links(spark.createDataFrame(rows, schema))
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert got.equals(want), (got, want)
