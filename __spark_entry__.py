@@ -578,6 +578,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_link_trustrank(spark, sf_dir):
+        """TrustRank (personalized PageRank): teleport restricted to a
+        seed set (doc_id % 13 == 0), 5 iterations on the synthetic
+        crawl graph; oracle unrolls the seeded iteration in SQL."""
+        from delphi_pdf_parser_spark.operators.graphs import (
+            personalized_pagerank,
+        )
+
+        docs = _docs(spark, sf_dir)
+        seeds = docs.select(
+            F.col("doc_id").alias("node"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("w"),
+        )
+        pr = personalized_pagerank(
+            _synthetic_edges(spark, sf_dir), seeds, iterations=5
+        )
+        return pr.select(
+            F.col("node").cast("long").alias("node"),
+            F.round("rank", 8).alias("rank"),
+        ).orderBy("node")
+
+    def q_link_components(spark, sf_dir):
+        """Weakly-connected components over a 10-component chorded-ring
+        graph (edges d->d+10 plus d->d+110 chords for d%3==0, all mod N:
+        components = residues mod gcd(10,110,N)=10, chords keep the
+        label-prop diameter small). Oracle: recursive-CTE reachability."""
+        from delphi_pdf_parser_spark.operators.graphs import (
+            weakly_connected_components,
+        )
+
+        docs = _docs(spark, sf_dir)
+        nn = docs.count()
+        d = F.col("doc_id")
+        e0 = docs.select(d.alias("src"), ((d + 10) % nn).alias("dst"))
+        e1 = docs.filter(d % 3 == 0).select(
+            d.alias("src"), ((d + 110) % nn).alias("dst")
+        )
+        cc = weakly_connected_components(e0.union(e1), max_iter=60)
+        return cc.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("component").cast("long").alias("component"),
+            "is_canonical",
+        ).orderBy("node")
+
     def q_ccnet_buckets(spark, sf_dir):
         """CCNet-style per-language perplexity terciles (head/middle/
         tail) with broadcast exact-percentile thresholds — no global
@@ -898,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
         "link_hits": q_link_hits,
+        "link_trustrank": q_link_trustrank,
+        "link_components": q_link_components,
         "ccnet_buckets": q_ccnet_buckets,
         "embedding_decontam": q_embedding_decontam,
         "shard_stats": q_shard_stats,
@@ -1084,6 +1132,46 @@ def oracle_sql() -> dict[str, str]:
                  ON o.src = i.dst
             ORDER BY node"""
     )
+    # TrustRank: seeded teleport vector (doc_id%13==0 uniform over the
+    # graph's node set), unrolled like link_pagerank; coefficient
+    # association mirrors the operator (((1-d)+d*dm)*w + d*contrib)
+    tr_steps = []
+    for t in range(5):
+        tr_steps.append(
+            f"""
+            tdg{t} AS (SELECT coalesce(sum(rank), 0e0) AS dm FROM tpr{t}
+                       WHERE node NOT IN (SELECT src FROM odeg)),
+            tct{t} AS (SELECT e.dst AS node,
+                              sum(p.rank / o.outdeg) AS contrib
+                       FROM e JOIN odeg o ON e.src = o.src
+                              JOIN tpr{t} p ON p.node = e.src
+                       GROUP BY e.dst),
+            tpr{t + 1} AS MATERIALIZED (SELECT tw.node,
+                          ((1e0 - 0.85e0)
+                           + 0.85e0 * (SELECT dm FROM tdg{t})) * tw.w
+                          + 0.85e0 * coalesce(c.contrib, 0e0) AS rank
+                          FROM tw LEFT JOIN tct{t} c
+                               ON c.node = tw.node)"""
+        )
+    link_trustrank_sql = (
+        "WITH "
+        + graph_edges_cte
+        + """,
+            nodes AS MATERIALIZED (
+                SELECT src AS node FROM e UNION SELECT dst FROM e),
+            odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            tele AS (SELECT node,
+                     CASE WHEN node % 13 = 0 THEN 1e0 ELSE 0e0 END AS w0
+                     FROM nodes),
+            ws AS (SELECT sum(w0) AS s FROM tele),
+            tw AS MATERIALIZED (
+                SELECT node, w0 / (SELECT s FROM ws) AS w FROM tele),
+            tpr0 AS (SELECT node, w AS rank FROM tw),"""
+        + ",".join(tr_steps)
+        + """
+            SELECT node, round(rank, 8) AS rank FROM tpr5 ORDER BY node"""
+    )
+
     # HITS: unrolled 5 iterations, two L2-normalized half-steps each;
     # norms divide only when nonzero (mirrors the operator's `or 1.0`)
     hits_steps = []
@@ -1242,6 +1330,32 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": link_pagerank_sql,
         "link_degree_stats": link_degree_sql,
         "link_hits": link_hits_sql,
+        "link_trustrank": link_trustrank_sql,
+        # chorded-ring components via recursive-CTE reachability (same
+        # pattern as dedup_clusters; nodes all appear as `a` after
+        # symmetrization)
+        "link_components": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            eraw AS (
+                SELECT doc_id AS a,
+                       (doc_id + 10) % (SELECT n FROM nn) AS b
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id + 110) % (SELECT n FROM nn)
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            edges AS (SELECT a, b FROM eraw
+                      UNION ALL SELECT b AS a, a AS b FROM eraw),
+            reach(node, lab) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e
+                    ON e.a = r.node
+            )
+            SELECT node, min(lab) AS component,
+                   min(lab) = node AS is_canonical
+            FROM reach GROUP BY node ORDER BY node
+        """,
         "ccnet_buckets": ccnet_buckets_sql,
         # span_dup_stats (dedup.span_dup_stats, k=5): md5 window keys are
         # identical hex in both engines; first occurrence = min

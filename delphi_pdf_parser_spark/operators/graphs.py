@@ -291,6 +291,41 @@ def pagerank(
     return ranks
 
 
+def weakly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Weakly-connected components of a link graph — mirror-cluster /
+    spam-farm / isolated-subweb discovery. (node, component,
+    is_canonical) where component is the minimum reachable node key.
+
+    Thin adapter over :func:`clusters.connected_components` (the dedup
+    cluster resolver): same iterative min-label propagation, one
+    edge⋈label shuffle + min-aggregate per round, lineage cut per
+    round, loud RuntimeError instead of a silently-wrong result when
+    the diameter exceeds ``max_iter``. Works for numeric doc ids and
+    string host keys alike (min is lexicographic for strings).
+    """
+    from delphi_pdf_parser_spark.operators.clusters import (
+        connected_components,
+    )
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("doc_id"))
+        .union(e.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cc = connected_components(nodes, e, max_iter=max_iter)
+    return cc.select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component"),
+        "is_canonical",
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 5,
@@ -378,6 +413,103 @@ def hits(
             .localCheckpoint()
         )
     return hub.join(auth, "node")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    teleport: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """TrustRank-style personalized PageRank (Gyöngyi et al. 2004):
+    the teleport vector is a weighted SEED set instead of uniform, so
+    trust flows out from known-good (or known-spam, for Anti-Trust)
+    nodes and pages reachable only from spam farms starve:
+
+        rank_{t+1}(v) = ((1-d) + d*dangling_t) * w(v)
+                        + d * sum_{u->v} rank_t(u)/outdeg(u)
+
+    ``teleport`` is (node, w); weights are intersected with the graph's
+    node set and normalized to sum 1 internally (raises on an all-zero
+    intersection). rank_0 = w. Plan shape identical to
+    :func:`pagerank` — the only addition is the node-sized weight
+    table, which rides the same partitioning as the ranks.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if partitions is None:
+        partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = (
+        e.join(outdeg, "src")
+        .repartition(partitions, "src")
+        .localCheckpoint()
+    )
+    tele_raw = nodes.join(
+        teleport.select(
+            F.col("node").cast("string").alias("node"),
+            F.col("w").cast("double").alias("w0"),
+        ),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("w0"), F.lit(0.0)).alias("w0"))
+    wsum = tele_raw.agg(F.sum("w0")).collect()[0][0] or 0.0
+    if wsum <= 0.0:
+        raise ValueError(
+            "personalized_pagerank: teleport weights have no positive "
+            "mass on the graph's node set"
+        )
+    tele = tele_raw.select(
+        "node", (F.col("w0") / F.lit(wsum)).alias("w")
+    ).localCheckpoint()
+    dangling_nodes = tele.join(
+        outdeg, tele.node == outdeg.src, "left_anti"
+    ).select("node").localCheckpoint()
+
+    ranks = tele.select("node", F.col("w").alias("rank"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(dangling_nodes, "node")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        coef = (1.0 - damping) + damping * dangling
+        ranks = (
+            tele.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(coef) * F.col("w")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
 
 
 def anchor_topk(

@@ -233,3 +233,79 @@ def test_hits_matches_reference(spark, iters):
     # c is the strongest authority (3 in-links)
     assert max(whub, key=whub.get) == "a"
     assert max(wauth, key=wauth.get) == "c"
+
+
+def test_weakly_connected_components(spark):
+    from delphi_pdf_parser_spark.operators.graphs import (
+        weakly_connected_components,
+    )
+
+    # two components: a chain a-b-c (directed both ways mixed) and an
+    # isolated pair x->y; string keys exercise lexicographic min labels
+    e = _edges(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+    got = {
+        r.node: (r.component, r.is_canonical)
+        for r in weakly_connected_components(e).collect()
+    }
+    assert got == {
+        "a": ("a", True),
+        "b": ("a", False),
+        "c": ("a", False),
+        "x": ("x", True),
+        "y": ("x", False),
+    }
+
+
+def _ref_ppr(edges, seeds, iterations, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    ws = sum(seeds.get(v, 0.0) for v in nodes)
+    w = {v: seeds.get(v, 0.0) / ws for v in nodes}
+    r = dict(w)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in outdeg)
+        coef = (1 - d) + d * dangling
+        nxt = {v: coef * w[v] for v in nodes}
+        for u, v in edges:
+            nxt[v] += d * r[u] / outdeg[u]
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    from delphi_pdf_parser_spark.operators.graphs import (
+        personalized_pagerank,
+    )
+
+    pairs = [("s", "a"), ("a", "b"), ("b", "s"), ("spam", "a"), ("a", "s")]
+    seeds = {"s": 1.0}
+    tele = spark.createDataFrame(
+        [("s", 1.0), ("ghost", 5.0)], "node string, w double"
+    )  # ghost is not a graph node: must be ignored by the intersection
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges(spark, pairs), tele, iterations=4
+        ).collect()
+    }
+    want = _ref_ppr(pairs, seeds, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # spam has no path FROM the seed: it starves to exactly zero
+    assert got["spam"] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_no_seed_mass(spark):
+    from delphi_pdf_parser_spark.operators.graphs import (
+        personalized_pagerank,
+    )
+
+    tele = spark.createDataFrame([("zz", 1.0)], "node string, w double")
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            _edges(spark, [("a", "b")]), tele, iterations=1
+        )
