@@ -578,6 +578,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_chunk_documents(spark, sf_dir):
+        """RAG chunking: overlapping 24-token windows (overlap 6) per
+        document — map-side split+slice+explode, zero shuffle."""
+        from delphi_pdf_parser_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        return chunk_documents(
+            _docs(spark, sf_dir), chunk_tokens=24, overlap=6
+        ).orderBy("doc_id", "chunk_id")
+
+    def q_html_metadata(spark, sf_dir):
+        """HTML /Info-analogue metadata pass (title, description,
+        canonical, OpenGraph, published_time, robots noindex) over
+        deterministic wrapped pages; every field reconstructs in SQL."""
+        from delphi_pdf_parser_spark.operators.htmlmeta import (
+            extract_html_metadata,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        site = d % 50
+        src = F.format_string("https://site%d.example/p/%d", site, d)
+        robots = F.when(d % 9 == 0, F.lit("noindex, follow")).otherwise(
+            F.lit("index, follow")
+        )
+        html = F.format_string(
+            "<html><head><title>Page %d &amp; Co</title>"
+            '<meta name="description" content="Desc %d">'
+            '<meta property="og:title" content="OG %d">'
+            '<meta property="article:published_time"'
+            ' content="2024-03-%02dT00:00:00Z">'
+            '<meta name="robots" content="%s">'
+            '<link rel="canonical" href="/canon/%d">'
+            "</head><body>x</body></html>",
+            d,
+            d % 7,
+            d % 5,
+            (d % 28) + 1,
+            robots,
+            d % 10,
+        )
+        wrapped = docs.select(src.alias("url"), html.alias("html"))
+        return extract_html_metadata(wrapped).orderBy("url")
+
     def q_link_trustrank(spark, sf_dir):
         """TrustRank (personalized PageRank): teleport restricted to a
         seed set (doc_id % 13 == 0), 5 iterations on the synthetic
@@ -940,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_by_quality": q_canonical_by_quality,
         "domain_stats": q_domain_stats,
         "html_links": q_html_links,
+        "html_metadata": q_html_metadata,
+        "chunk_documents": q_chunk_documents,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1326,7 +1373,54 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_stats": minhash_band_sql,
         "simhash_band_stats": simhash_band_sql,
         "html_links": html_links_sql,
+        # metadata pass over wrapped pages (mirrors q_html_metadata's
+        # deterministic tag set; og_image is absent -> NULL everywhere)
+        "html_metadata": """
+            SELECT 'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS url,
+                   'Page ' || doc_id || ' & Co' AS title,
+                   'Desc ' || (doc_id % 7) AS description,
+                   'https://site' || (doc_id % 50) || '.example/canon/'
+                       || (doc_id % 10) AS canonical,
+                   'OG ' || (doc_id % 5) AS og_title,
+                   CAST(NULL AS VARCHAR) AS og_image,
+                   '2024-03-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR),
+                                      2, '0')
+                       || 'T00:00:00Z' AS published_time,
+                   doc_id % 9 = 0 AS noindex
+            FROM documents ORDER BY url
+        """,
         "anchor_topk": anchor_topk_sql,
+        # chunk_documents(chunk_tokens=24, overlap=6): starts at
+        # 1 + i*18, emitted while start <= greatest(1, n_tok - 6);
+        # chunk_id recovers as (start-1)//18
+        "chunk_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           str_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n_tok
+                FROM base WHERE len(toks) > 0
+            ), st AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, greatest(1, n_tok - 6), 18)) AS start_tok
+                FROM sized
+            )
+            SELECT doc_id,
+                   CAST((start_tok - 1) // 18 AS INT) AS chunk_id,
+                   CAST(start_tok AS INT) AS start_tok,
+                   CAST(len(list_slice(toks, start_tok,
+                                       start_tok + 23)) AS INT)
+                       AS n_tokens,
+                   array_to_string(
+                       list_slice(toks, start_tok, start_tok + 23),
+                       ' ') AS chunk_text
+            FROM st ORDER BY doc_id, chunk_id
+        """,
         "link_pagerank": link_pagerank_sql,
         "link_degree_stats": link_degree_sql,
         "link_hits": link_hits_sql,

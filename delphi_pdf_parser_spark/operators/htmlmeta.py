@@ -1,0 +1,140 @@
+"""HTML document-metadata extraction: the web analogue of the PDF
+/Info dictionary pass (A40, ``pdfcore/metadata.py`` — the reference's
+``openfile1`` surfaces Title/Author/dates; a web page surfaces them as
+``<title>``, ``<meta>``, ``<link rel=canonical>`` and OpenGraph tags).
+
+A crawl pipeline consumes these fields directly: canonical URLs feed
+URL-level dedup (``urls.canonicalize_url`` handles syntax; the
+publisher-declared canonical handles mirrors/AMP), ``noindex`` is a
+politeness/compliance filter, ``published_time`` drives freshness
+scoring and recrawl scheduling, and og:title/description are the
+snippet fields.
+
+One Arrow ``mapInPandas`` pass over (url, html) — map-only, no shuffle,
+same zero-per-row-Python contract as every extraction stage.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+from urllib.parse import urljoin
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from delphi_pdf_parser_spark.operators.graphs import _attrs
+
+META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("canonical", StringType()),
+        StructField("og_title", StringType()),
+        StructField("og_image", StringType()),
+        StructField("published_time", StringType()),
+        StructField("noindex", BooleanType()),
+    ]
+)
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.I | re.S)
+_META_RE = re.compile(rb"<meta\s[^>]*>", re.I)
+_LINK_RE = re.compile(rb"<link\s[^>]*>", re.I)
+_WS_RE = re.compile(r"\s+")
+
+
+def _text(raw: Optional[bytes]) -> Optional[str]:
+    from delphi_pdf_parser_spark.htmlcore import _decode_entities
+
+    if raw is None:
+        return None
+    s = _decode_entities(raw.decode("utf-8", "replace"))
+    s = _WS_RE.sub(" ", s).strip()
+    return s or None
+
+
+def _page_meta(url: str, html: bytes) -> tuple:
+    title = None
+    tm = _TITLE_RE.search(html)
+    if tm is not None:
+        title = _text(tm.group(1))
+    description = og_title = og_image = published = None
+    noindex = False
+    for m in _META_RE.finditer(html):
+        attrs = _attrs(m.group(0))
+        key = (attrs.get(b"name") or attrs.get(b"property") or b"").lower()
+        content = attrs.get(b"content")
+        if content is None:
+            continue
+        if key == b"description" and description is None:
+            description = _text(content)
+        elif key == b"og:title" and og_title is None:
+            og_title = _text(content)
+        elif key == b"og:image" and og_image is None:
+            og_image = _text(content)
+        elif key == b"article:published_time" and published is None:
+            published = _text(content)
+        elif key == b"robots":
+            toks = re.split(
+                r"[,\s]+", content.decode("utf-8", "replace").lower()
+            )
+            if "noindex" in toks:
+                noindex = True
+    canonical = None
+    for m in _LINK_RE.finditer(html):
+        attrs = _attrs(m.group(0))
+        rel = (attrs.get(b"rel") or b"").lower().split()
+        href = attrs.get(b"href")
+        if b"canonical" in rel and href:
+            try:
+                canonical = urljoin(
+                    url, href.decode("utf-8", "replace").strip()
+                )
+            except ValueError:
+                canonical = None
+            break  # first canonical wins, like browsers/crawlers
+    return (
+        url,
+        title,
+        description,
+        canonical,
+        og_title,
+        og_image,
+        published,
+        noindex,
+    )
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in META_SCHEMA.fields]
+    for b in batches:
+        rows = []
+        for url, html in zip(b["url"], b["html"]):
+            if html is None:
+                continue
+            raw = bytes(html) if not isinstance(html, str) else html.encode()
+            try:
+                rows.append(_page_meta(url, raw))
+            except Exception:
+                rows.append((url,) + (None,) * 6 + (False,))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_html_metadata(
+    documents: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page metadata row: (url, title, description, canonical,
+    og_title, og_image, published_time, noindex)."""
+    df = documents.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).filter(F.col(html_col).isNotNull())
+    return df.mapInPandas(_meta_batches, META_SCHEMA)

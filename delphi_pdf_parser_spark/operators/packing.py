@@ -169,3 +169,57 @@ def assign_shards(
         )
         .orderBy("shard_id")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """RAG/pretraining chunking: split each document into overlapping
+    fixed-size token windows (whitespace tokens; chunk i starts at
+    token 1 + i*(chunk_tokens - overlap), 1-based).
+
+    Emission rule (deterministic, fully covering, no pure-overlap
+    tails): starts run over sequence(1, greatest(1, n_tok - overlap),
+    step) — every token lands in at least one chunk, the final chunk
+    may be short, and a start whose window would add no token beyond
+    the previous chunk's overlap is never emitted. Empty documents emit
+    nothing.
+
+    Scale shape: one map-side split + explode (chunk rows never carry
+    the whole document, only their own slice) — no shuffle at all.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+    )
+    toks = F.filter(toks, lambda t: t != "")
+    base = documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.col("n_tok") - F.lit(overlap)),
+        F.lit(step),
+    )
+    # slice BEFORE exploding: each generated row carries only its own
+    # window, never the parent token array (explode duplicates sibling
+    # columns per output row)
+    pieces = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice(F.col("toks"), s, chunk_tokens).alias("piece"),
+        ),
+    )
+    chunks = base.select(
+        "doc_id", F.posexplode(pieces).alias("chunk_id", "p")
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("p.start_tok").alias("start_tok"),
+        F.size("p.piece").alias("n_tokens"),
+        F.concat_ws(" ", "p.piece").alias("chunk_text"),
+    )

@@ -1,0 +1,45 @@
+"""HTML metadata extraction: title/meta/canonical/OpenGraph/noindex."""
+
+from __future__ import annotations
+
+from delphi_pdf_parser_spark.operators.htmlmeta import _page_meta, extract_html_metadata
+
+
+PAGE = b"""<!DOCTYPE html><html><head>
+<title> The  Page &amp; Title </title>
+<meta name="description" content="A &quot;useful&quot; page">
+<meta property="og:title" content="OG Title">
+<meta property="og:image" content="https://img.example/x.png">
+<meta property="article:published_time" content="2024-03-05T12:00:00Z">
+<meta name="robots" content="index, follow">
+<link rel="stylesheet" href="/s.css">
+<link rel="canonical" href="/canonical-path">
+<link rel="canonical" href="/second-ignored">
+</head><body>hi</body></html>"""
+
+
+def test_page_meta_fields():
+    r = _page_meta("https://site.example/a/b", PAGE)
+    url, title, desc, canon, ogt, ogi, pub, noindex = r
+    assert title == "The Page & Title"
+    assert desc == 'A "useful" page'
+    assert canon == "https://site.example/canonical-path"  # first wins, resolved
+    assert ogt == "OG Title"
+    assert ogi == "https://img.example/x.png"
+    assert pub == "2024-03-05T12:00:00Z"
+    assert noindex is False
+
+
+def test_page_meta_noindex_and_missing():
+    html = b'<html><head><meta name="ROBOTS" content="NOINDEX,nofollow"></head></html>'
+    r = _page_meta("https://x.example/", html)
+    assert r[7] is True and r[1] is None and r[3] is None
+
+
+def test_extract_html_metadata_dataframe(spark):
+    df = spark.createDataFrame(
+        [("https://a.example/", bytearray(PAGE)), ("https://n.example/", None)],
+        "url string, html binary",
+    )
+    rows = extract_html_metadata(df).collect()
+    assert len(rows) == 1 and rows[0].title == "The Page & Title"

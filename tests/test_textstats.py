@@ -734,3 +734,38 @@ def test_ccnet_buckets_terciles(spark):
     assert min(by_bucket["middle"]) > max(by_bucket["tail"])
     # thresholds are per-language constants
     assert len({(r.t_head, r.t_tail) for r in out}) == 1
+
+
+def test_chunk_documents_windows(spark):
+    from delphi_pdf_parser_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(1, 11)]  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,4,7 (stop = n_tok - overlap = 9); full coverage
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.start_tok, r.n_tokens, r.chunk_text) for r in d1] == [
+        (1, 4, "t1 t2 t3 t4"),
+        (4, 4, "t4 t5 t6 t7"),
+        (7, 4, "t7 t8 t9 t10"),
+    ]
+    # doc 2: shorter than one chunk -> single short chunk
+    assert [(r.start_tok, r.chunk_text) for r in by_doc[2]] == [(1, "a b")]
+    # empty / null docs emit nothing
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pt
+
+    from delphi_pdf_parser_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
