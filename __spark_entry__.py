@@ -578,6 +578,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_bm25_topk(spark, sf_dir):
+        """Okapi BM25 top-10 per query (lexical retrieval for
+        retrieval-based curation); three fixed queries against the
+        documents table, query vocabulary broadcast under the term
+        aggregates."""
+        from delphi_pdf_parser_spark.operators.retrieval import bm25_topk
+
+        qs = spark.createDataFrame(
+            [(0, "the and of"), (1, "der und die"), (2, "le et la")],
+            "query_id long, text string",
+        )
+        return bm25_topk(_docs(spark, sf_dir), qs, k=10).orderBy(
+            "query_id", "rk"
+        )
+
     def q_chunk_documents(spark, sf_dir):
         """RAG chunking: overlapping 24-token windows (overlap 6) per
         document — map-side split+slice+explode, zero shuffle."""
@@ -987,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "html_metadata": q_html_metadata,
         "chunk_documents": q_chunk_documents,
+        "bm25_topk": q_bm25_topk,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1391,6 +1407,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY url
         """,
         "anchor_topk": anchor_topk_sql,
+        # Okapi BM25 (k1=1.2, b=0.75), distinct query terms, scores
+        # rounded at 6 dp before the rank window (ties by doc_id)
+        "bm25_topk": """
+            WITH q(query_id, text) AS (VALUES
+                (0, 'the and of'), (1, 'der und die'), (2, 'le et la')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           str_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ),
+            doclen AS (
+                SELECT doc_id, count(*) AS len_d FROM toks GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(len_d) AS avgdl FROM doclen
+            ),
+            qterms AS (
+                SELECT query_id,
+                       unnest(list_distinct(list_filter(
+                           str_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> ''))) AS tok
+                FROM q
+            ),
+            tf AS (
+                SELECT t.doc_id, t.tok, count(*) AS tf
+                FROM toks t
+                JOIN (SELECT DISTINCT tok FROM qterms) v USING (tok)
+                GROUP BY t.doc_id, t.tok
+            ),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+                SELECT qt.query_id, tf.doc_id,
+                       round(sum(
+                           ln(1e0 + (s.n_docs - df.df + 0.5)
+                                    / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1e0)
+                           / (tf.tf + 1.2 * (1e0 - 0.75
+                              + 0.75 * dl.len_d / s.avgdl))), 6) AS score
+                FROM tf
+                JOIN qterms qt USING (tok)
+                JOIN df USING (tok)
+                JOIN doclen dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+                GROUP BY qt.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score, rk FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rk
+                FROM scored)
+            WHERE rk <= 10 ORDER BY query_id, rk
+        """,
         # chunk_documents(chunk_tokens=24, overlap=6): starts at
         # 1 + i*18, emitted while start <= greatest(1, n_tok - 6);
         # chunk_id recovers as (start-1)//18

@@ -1,0 +1,92 @@
+"""BM25 sparse retrieval over the documents table — the lexical
+complement to the dense ANN family (``operators/similarity.py``):
+retrieval-based curation (FineWeb-style "find docs like these seeds"),
+retrieval decontamination, and hard-negative mining all need a
+corpus-scale BM25 pass.
+
+Okapi BM25 (Robertson & Zaragoza 2009), distinct query terms:
+
+    score(q, d) = sum_{t in q ∩ d} idf(t)
+                  * tf(t,d) * (k1 + 1)
+                  / (tf(t,d) + k1 * (1 - b + b * len_d / avgdl))
+    idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Scale shape: doc-side term frequencies are one explode + hash
+aggregate; df and the (N, avgdl) scalars are map-side-combined
+aggregates; the query table is TINY by construction and broadcast to
+the term-frequency table (the corpus is never shuffled by token for a
+handful of queries), so the only wide exchange is the final
+(query_id, doc_id) partial-sum aggregate — rows exist only for terms
+the query and document share. Top-k per query is a per-query window,
+never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _terms(col, out):
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.filter(toks, lambda t: t != "").alias(out)
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by BM25. ``documents``: (doc_id,
+    text); ``queries``: (query_id, text). Returns (query_id, doc_id,
+    score, rk), score rounded to 6 dp, ties broken by doc_id."""
+    toks = documents.select(
+        "doc_id", F.explode(_terms(F.col("text"), "t")).alias("tok")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("len_d"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("len_d").alias("avgdl")
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(_terms(F.col("text"), "t"))
+        ).alias("tok"),
+    )
+    qtok = qterms.select("tok").distinct()
+    # broadcast-semi-join the tiny query vocabulary UNDER the term
+    # aggregates: tf/df are only ever computed for query terms, and the
+    # corpus is never shuffled by token
+    toks_q = toks.join(F.broadcast(qtok), "tok")
+    tf = toks_q.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    hits = tf.join(F.broadcast(qterms), "tok").join(doclen, "doc_id")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("len_d") / F.col("avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
