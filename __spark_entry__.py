@@ -976,7 +976,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries queue directly below (band stats, span census +
         # rewrite, paragraph/semdedup, idf, C4, packing, mixing,
         # bigram LM, quality canonical, domains, embedding decontam,
-        # shards — 15 oracled + 2 rows-only this round) and rotate
+        # shards — 15 oracled + 2 rows-only from the first stretches,
+        # plus the seventh-stretch link-graph/web family: html_links,
+        # html_metadata, chunk_documents, bm25_topk, anchor_topk,
+        # link_pagerank, link_trustrank, link_degree_stats, link_hits,
+        # link_components, ccnet_buckets — 11 more oracled) and rotate
         # into slots 48-50 three per round, oracled-first, starting
         # next round.
         "pdf_render": q_pdf_render,

@@ -345,6 +345,8 @@ def hits(
     per half-step (bounded driver value). Returns (node, hub, auth),
     zero for nodes on only one side of the edge relation.
     """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
     spark = edges.sparkSession
     e = edges.select(
         F.col(src).cast("string").alias("src"),
@@ -458,14 +460,19 @@ def personalized_pagerank(
         .repartition(partitions, "src")
         .localCheckpoint()
     )
-    tele_raw = nodes.join(
+    # sum duplicate teleport rows up front — a left join against a
+    # multi-row seed entry would otherwise multiply the node row
+    seed_w = (
         teleport.select(
             F.col("node").cast("string").alias("node"),
-            F.col("w").cast("double").alias("w0"),
-        ),
-        "node",
-        "left",
-    ).select("node", F.coalesce(F.col("w0"), F.lit(0.0)).alias("w0"))
+            F.col("w").cast("double").alias("w"),
+        )
+        .groupBy("node")
+        .agg(F.sum("w").alias("w0"))
+    )
+    tele_raw = nodes.join(seed_w, "node", "left").select(
+        "node", F.coalesce(F.col("w0"), F.lit(0.0)).alias("w0")
+    )
     wsum = tele_raw.agg(F.sum("w0")).collect()[0][0] or 0.0
     if wsum <= 0.0:
         raise ValueError(

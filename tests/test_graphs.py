@@ -309,3 +309,26 @@ def test_personalized_pagerank_no_seed_mass(spark):
         personalized_pagerank(
             _edges(spark, [("a", "b")]), tele, iterations=1
         )
+
+
+def test_personalized_pagerank_duplicate_seed_rows(spark):
+    from delphi_pdf_parser_spark.operators.graphs import (
+        personalized_pagerank,
+    )
+
+    pairs = [("s", "a"), ("a", "s")]
+    # duplicate seed rows must SUM, not multiply node rows
+    tele = spark.createDataFrame(
+        [("s", 0.5), ("s", 0.5)], "node string, w double"
+    )
+    got = personalized_pagerank(_edges(spark, pairs), tele, iterations=2)
+    rows = got.collect()
+    assert len(rows) == 2  # one row per node, not per seed entry
+    assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from delphi_pdf_parser_spark.operators.graphs import hits
+
+    with pytest.raises(ValueError):
+        hits(_edges(spark, [("a", "b")]), iterations=0)
