@@ -61,6 +61,13 @@ BENCH_QUERIES = (
     "pack_sequences",
     "bigram_logprob",
     "domain_stats",
+    # seventh-stretch web family (single-pass representatives): edge
+    # extraction + lexical retrieval + chunking; the ITERATIVE graph
+    # ops (pagerank/trustrank/hits/components) are excluded for the
+    # same reason as dedup_clusters below
+    "html_links",
+    "bm25_topk",
+    "chunk_documents",
     # dedup_clusters is deliberately NOT benched: an iterative
     # connected-components loop (~10 s warm at sf0.1, dominated by
     # per-round actions) would swamp the single-pass query totals; it

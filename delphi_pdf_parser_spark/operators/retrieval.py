@@ -61,7 +61,12 @@ def bm25_topk(
     # corpus is never shuffled by token
     toks_q = toks.join(F.broadcast(qtok), "tok")
     tf = toks_q.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # df as a window over the (already query-term-only, tiny) tf table:
+    # a separate groupBy+rejoin would recompute the corpus-scan subtree
+    # twice — the window shares it
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok"))
+    )
     hits = tf.join(F.broadcast(qterms), "tok").join(doclen, "doc_id")
     idf = F.log(
         F.lit(1.0)
@@ -72,8 +77,7 @@ def bm25_topk(
         F.lit(1.0 - b) + F.lit(b) * F.col("len_d") / F.col("avgdl")
     )
     scored = (
-        hits.join(F.broadcast(df), "tok")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
