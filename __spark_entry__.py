@@ -578,6 +578,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_jsonld(spark, sf_dir):
+        """schema.org JSON-LD mining over wrapped pages: one Article
+        blob per doc (plus a non-ld script the scanner must skip);
+        @type/name decode JVM-side via get_json_object."""
+        from delphi_pdf_parser_spark.operators.htmlmeta import (
+            extract_jsonld,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://j%d.example/p/%d", d % 50, d)
+        html = F.format_string(
+            "<html><head><script type=\"text/javascript\">var x=1;"
+            "</script><script type=\"application/ld+json\">"
+            '{"@type":"Article","name":"Doc %d","position":%d}'
+            "</script></head><body>x</body></html>",
+            d,
+            d % 9,
+        )
+        wrapped = docs.select(url.alias("url"), html.alias("html"))
+        return extract_jsonld(wrapped).orderBy("url")
+
+    def q_html_tables(spark, sf_dir):
+        """WDC-style table extraction over wrapped pages: one 3-column
+        table per doc (header row + 2 data rows, one colspan cell);
+        every cell reconstructs in SQL."""
+        from delphi_pdf_parser_spark.operators.htmltables import (
+            extract_html_tables,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://t%d.example/p/%d", d % 50, d)
+        html = F.format_string(
+            "<html><body><h1>x</h1><table>"
+            "<tr><th>name</th><th>value</th><th>source</th></tr>"
+            "<tr><td>d%d</td><td>%d</td><td>%s</td></tr>"
+            '<tr><td colspan="2">w%d</td><td>%d</td></tr>'
+            "</table></body></html>",
+            d,
+            d % 100,
+            F.col("source"),
+            d % 10,
+            d % 7,
+        )
+        wrapped = docs.select(url.alias("url"), html.alias("html"))
+        return extract_html_tables(wrapped).orderBy(
+            "url", "table_id", "row_id", "col_id"
+        )
+
     def q_bm25_topk(spark, sf_dir):
         """Okapi BM25 top-10 per query (lexical retrieval for
         retrieval-based curation); three fixed queries against the
@@ -1007,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "chunk_documents": q_chunk_documents,
         "bm25_topk": q_bm25_topk,
+        "html_tables": q_html_tables,
+        "jsonld_entities": q_jsonld,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1411,6 +1463,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY url
         """,
         "anchor_topk": anchor_topk_sql,
+        # JSON-LD blobs of the wrapped pages; the json column is the
+        # raw blob string, @type/name parsed in both engines
+        "jsonld_entities": """
+            WITH b AS (
+                SELECT 'https://j' || (doc_id % 50) || '.example/p/'
+                           || doc_id AS url,
+                       '{"@type":"Article","name":"Doc ' || doc_id
+                           || '","position":' || (doc_id % 9) || '}'
+                           AS json
+                FROM documents
+            )
+            SELECT url, CAST(0 AS INT) AS blob_id, json,
+                   json_extract_string(json, '$."@type"') AS schema_type,
+                   json_extract_string(json, '$.name') AS name
+            FROM b ORDER BY url
+        """,
+        # table cells of the wrapped one-table-per-doc pages; the
+        # colspan-2 cell sits at col 0 and pushes its neighbor to col 2
+        "html_tables": """
+            WITH b AS (
+                SELECT 'https://t' || (doc_id % 50) || '.example/p/'
+                           || doc_id AS url,
+                       doc_id AS d, source
+                FROM documents
+            ),
+            cells(url, table_id, row_id, col_id, cell, is_header) AS (
+                SELECT url, 0, 0, 0, 'name', TRUE FROM b
+                UNION ALL SELECT url, 0, 0, 1, 'value', TRUE FROM b
+                UNION ALL SELECT url, 0, 0, 2, 'source', TRUE FROM b
+                UNION ALL SELECT url, 0, 1, 0, 'd' || d, FALSE FROM b
+                UNION ALL SELECT url, 0, 1, 1,
+                          CAST(d % 100 AS VARCHAR), FALSE FROM b
+                UNION ALL SELECT url, 0, 1, 2, source, FALSE FROM b
+                UNION ALL SELECT url, 0, 2, 0, 'w' || (d % 10),
+                          FALSE FROM b
+                UNION ALL SELECT url, 0, 2, 2,
+                          CAST(d % 7 AS VARCHAR), FALSE FROM b
+            )
+            SELECT url, CAST(table_id AS INT) AS table_id,
+                   CAST(row_id AS INT) AS row_id,
+                   CAST(col_id AS INT) AS col_id, cell, is_header
+            FROM cells ORDER BY url, table_id, row_id, col_id
+        """,
         # Okapi BM25 (k1=1.2, b=0.75), distinct query terms, scores
         # rounded at 6 dp before the rank window (ties by doc_id)
         "bm25_topk": """

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -127,6 +128,74 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except Exception:
                 rows.append((url,) + (None,) * 6 + (False,))
         yield pd.DataFrame(rows, columns=cols)
+
+
+JSONLD_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("blob_id", IntegerType()),
+        StructField("json", StringType()),
+    ]
+)
+
+_SCRIPT_RE = re.compile(
+    rb"<script\s[^>]*>(.*?)</script\s*>", re.I | re.S
+)
+
+
+def _page_jsonld(url: str, html: bytes) -> list:
+    out = []
+    i = 0
+    for m in _SCRIPT_RE.finditer(html):
+        attrs = _attrs(m.group(0)[: m.group(0).find(b">") + 1])
+        mtype = (attrs.get(b"type") or b"").lower().strip()
+        if mtype != b"application/ld+json":
+            continue
+        body = m.group(1).decode("utf-8", "replace").strip()
+        if body:
+            out.append((url, i, body))
+            i += 1
+    return out
+
+
+def _jsonld_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in JSONLD_SCHEMA.fields]
+    for b in batches:
+        rows = []
+        for url, html in zip(b["url"], b["html"]):
+            if html is None:
+                continue
+            raw = bytes(html) if not isinstance(html, str) else html.encode()
+            try:
+                rows.extend(_page_jsonld(url, raw))
+            except Exception:
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_jsonld(
+    documents: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """schema.org structured-data pass: every
+    ``<script type="application/ld+json">`` blob on every page as
+    (url, blob_id, json, schema_type, name) — the entity-annotation
+    mining step (recipes, products, articles) of a web corpus.
+    Extraction is one mapInPandas pass; the JSON fields are decoded
+    JVM-side with ``get_json_object`` (never Python json.loads per
+    row)."""
+    df = documents.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).filter(F.col(html_col).isNotNull())
+    blobs = df.mapInPandas(_jsonld_batches, JSONLD_SCHEMA)
+    return blobs.select(
+        "url",
+        "blob_id",
+        "json",
+        F.get_json_object("json", "$['@type']").alias("schema_type"),
+        F.get_json_object("json", "$.name").alias("name"),
+    )
 
 
 def extract_html_metadata(

@@ -1,0 +1,130 @@
+"""HTML table extraction — the WDC-web-tables pass: relational data
+embedded in pages becomes (url, table_id, row_id, col_id, cell,
+is_header) rows, the input to table-corpus curation (WDC), table QA
+training sets, and schema-matching pipelines.
+
+From-scratch tolerant scanner (no HTML parser dependency, same policy
+as ``htmlcore``): one token scan over ``<table|tr|td|th>`` structural
+tags with a depth counter — only depth-1 tables are extracted and a
+nested table's content is skipped (recorded per page as
+``n_nested_skipped`` in :func:`table_stats` if needed); a cell closes
+at the NEXT structural token, so unclosed ``<td>`` (ubiquitous in real
+crawl HTML) parses correctly; ``colspan`` advances the column index;
+inline markup inside cells is stripped and entities decode.
+
+One Arrow ``mapInPandas`` pass — map-only, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+from delphi_pdf_parser_spark.operators.graphs import _attrs
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TABLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("table_id", IntegerType()),
+        StructField("row_id", IntegerType()),
+        StructField("col_id", IntegerType()),
+        StructField("cell", StringType()),
+        StructField("is_header", BooleanType()),
+    ]
+)
+
+_STRUCT_RE = re.compile(rb"<(/?)(table|tr|td|th)(?=[\s/>])[^>]*>", re.I)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _clean(raw: bytes) -> str:
+    from delphi_pdf_parser_spark.htmlcore import _decode_entities
+
+    s = _decode_entities(
+        _TAG_RE.sub(b" ", raw).decode("utf-8", "replace")
+    )
+    return _WS_RE.sub(" ", s).strip()
+
+
+def _page_tables(url: str, html: bytes) -> list:
+    rows = []
+    depth = 0
+    tid = -1
+    rid = -1
+    cid = 0
+    cell_start = None
+    cell_th = False
+    cell_span = 1
+
+    def close_cell(end: int):
+        nonlocal cell_start, cid
+        if cell_start is not None and rid >= 0:
+            rows.append(
+                (url, tid, rid, cid, _clean(html[cell_start:end]), cell_th)
+            )
+            cid += cell_span
+        cell_start = None
+
+    for m in _STRUCT_RE.finditer(html):
+        closing = m.group(1) == b"/"
+        name = m.group(2).lower()
+        if depth == 1:
+            close_cell(m.start())
+        if name == b"table":
+            if closing:
+                depth = max(depth - 1, 0)
+            else:
+                depth += 1
+                if depth == 1:
+                    tid += 1
+                    rid = -1
+        elif depth == 1 and name == b"tr" and not closing:
+            rid += 1
+            cid = 0
+        elif depth == 1 and name in (b"td", b"th") and not closing:
+            attrs = _attrs(m.group(0))
+            try:
+                cell_span = max(int(attrs.get(b"colspan", b"1")), 1)
+            except ValueError:
+                cell_span = 1
+            cell_th = name == b"th"
+            cell_start = m.end()
+    return rows
+
+
+def _table_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in TABLE_SCHEMA.fields]
+    for b in batches:
+        out = []
+        for url, html in zip(b["url"], b["html"]):
+            if html is None:
+                continue
+            raw = bytes(html) if not isinstance(html, str) else html.encode()
+            try:
+                out.extend(_page_tables(url, raw))
+            except Exception:
+                continue
+        yield pd.DataFrame(out, columns=cols)
+
+
+def extract_html_tables(
+    documents: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Cell-level table rows for every depth-1 ``<table>`` on every
+    page: (url, table_id, row_id, col_id, cell, is_header)."""
+    df = documents.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).filter(F.col(html_col).isNotNull())
+    return df.mapInPandas(_table_batches, TABLE_SCHEMA)

@@ -43,3 +43,34 @@ def test_extract_html_metadata_dataframe(spark):
     )
     rows = extract_html_metadata(df).collect()
     assert len(rows) == 1 and rows[0].title == "The Page & Title"
+
+
+def test_page_jsonld_filters_script_types():
+    from delphi_pdf_parser_spark.operators.htmlmeta import _page_jsonld
+
+    html = (
+        b'<script type="text/javascript">var x;</script>'
+        b'<script type="application/ld+json">{"@type":"A"}</script>'
+        b"<script>plain()</script>"
+        b'<script type="APPLICATION/LD+JSON">\n {"@type":"B"} \n</script>'
+        b'<script type="application/ld+json">   </script>'
+    )
+    rows = _page_jsonld("u", html)
+    assert rows == [
+        ("u", 0, '{"@type":"A"}'),
+        ("u", 1, '{"@type":"B"}'),
+    ]
+
+
+def test_extract_jsonld_dataframe(spark):
+    from delphi_pdf_parser_spark.operators.htmlmeta import extract_jsonld
+
+    html = (
+        b'<script type="application/ld+json">'
+        b'{"@type":"Recipe","name":"Pie"}</script>'
+    )
+    df = spark.createDataFrame(
+        [("https://r.example/", bytearray(html))], "url string, html binary"
+    )
+    r = extract_jsonld(df).collect()[0]
+    assert (r.schema_type, r.name, r.blob_id) == ("Recipe", "Pie", 0)

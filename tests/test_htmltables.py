@@ -1,0 +1,66 @@
+"""HTML table extraction: structure, nesting, colspan, unclosed cells."""
+
+from __future__ import annotations
+
+from delphi_pdf_parser_spark.operators.htmltables import (
+    _page_tables,
+    extract_html_tables,
+)
+
+
+def test_basic_table_with_header():
+    html = (
+        b"<table><tr><th>Name</th><th>Age</th></tr>"
+        b"<tr><td>Ann &amp; Bo</td><td>7</td></tr></table>"
+    )
+    rows = _page_tables("u", html)
+    assert rows == [
+        ("u", 0, 0, 0, "Name", True),
+        ("u", 0, 0, 1, "Age", True),
+        ("u", 0, 1, 0, "Ann & Bo", False),
+        ("u", 0, 1, 1, "7", False),
+    ]
+
+
+def test_unclosed_cells_and_inline_markup():
+    # real-crawl style: no </td>, inline <b> stripped
+    html = b"<table><tr><td>a <b>bold</b><td>b<tr><td>c</table>"
+    rows = _page_tables("u", html)
+    assert [(r[2], r[3], r[4]) for r in rows] == [
+        (0, 0, "a bold"),
+        (0, 1, "b"),
+        (1, 0, "c"),
+    ]
+
+
+def test_colspan_advances_columns():
+    html = (
+        b'<table><tr><td colspan="2">wide</td><td>x</td></tr></table>'
+    )
+    rows = _page_tables("u", html)
+    assert [(r[3], r[4]) for r in rows] == [(0, "wide"), (2, "x")]
+
+
+def test_nested_table_skipped_and_second_table_counted():
+    html = (
+        b"<table><tr><td>outer"
+        b"<table><tr><td>inner</td></tr></table>"
+        b"</td></tr></table>"
+        b"<table><tr><td>two</td></tr></table>"
+    )
+    rows = _page_tables("u", html)
+    # the outer cell closes at the nested <table> token; inner content
+    # is skipped entirely; the second top-level table gets table_id 1
+    assert ("u", 0, 0, 0, "outer", False) in rows
+    assert ("u", 1, 0, 0, "two", False) in rows
+    assert not any("inner" in r[4] for r in rows)
+
+
+def test_extract_html_tables_dataframe(spark):
+    html = b"<table><tr><td>v</td></tr></table>"
+    df = spark.createDataFrame(
+        [("https://t.example/", bytearray(html)), ("https://n.example/", None)],
+        "url string, html binary",
+    )
+    rows = extract_html_tables(df).collect()
+    assert len(rows) == 1 and rows[0].cell == "v"
