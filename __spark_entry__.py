@@ -578,6 +578,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_host_graph(spark, sf_dir):
+        """Weighted eTLD+1 domain graph over synthetic link URLs:
+        subdomains fold (www/sub/cdn), a co.uk public suffix exercises
+        the PSL rule, and www->cdn edges inside one registered domain
+        must drop as intra-domain."""
+        from delphi_pdf_parser_spark.operators.graphs import host_graph
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        src_host = F.when(
+            d % 3 == 0,
+            F.format_string("sub.%s-site.co.uk", F.col("source")),
+        ).otherwise(F.format_string("www.%s-site.com", F.col("source")))
+        dst_host = F.when(
+            d % 4 == 0,
+            F.format_string("cdn.%s-site.com", F.col("source")),
+        ).otherwise(
+            F.format_string("partner-%d.org", (d % 6).cast("long"))
+        )
+        links = docs.select(
+            F.format_string("https://%s/p/%d", src_host, d).alias("src"),
+            F.format_string("https://%s/x", dst_host).alias("dst"),
+        )
+        return host_graph(links).orderBy("src_domain", "dst_domain")
+
     def q_jsonld(spark, sf_dir):
         """schema.org JSON-LD mining over wrapped pages: one Article
         blob per doc (plus a non-ld script the scanner must skip);
@@ -1059,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "html_tables": q_html_tables,
         "jsonld_entities": q_jsonld,
+        "host_graph": q_host_graph,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1463,6 +1489,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY url
         """,
         "anchor_topk": anchor_topk_sql,
+        # host_graph over synthetic link URLs; eTLD+1 mirrors the
+        # domain_stats PSL-subset rule on both endpoints
+        "host_graph": (lambda regdom: f"""
+            WITH l AS (
+                SELECT CASE WHEN doc_id % 3 = 0
+                            THEN 'sub.' || source || '-site.co.uk'
+                            ELSE 'www.' || source || '-site.com'
+                       END AS sh,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'cdn.' || source || '-site.com'
+                            ELSE 'partner-' || (doc_id % 6) || '.org'
+                       END AS dh
+                FROM documents
+            ),
+            rd AS (
+                SELECT {regdom('sh')} AS src_domain,
+                       {regdom('dh')} AS dst_domain
+                FROM l
+            )
+            SELECT src_domain, dst_domain, count(*) AS n_links
+            FROM rd WHERE src_domain <> dst_domain
+            GROUP BY src_domain, dst_domain
+            ORDER BY src_domain, dst_domain
+        """)(
+            lambda col: (
+                "CASE WHEN len(str_split({c},'.')) >= 3 AND "
+                "array_to_string(str_split({c},'.')"
+                "[len(str_split({c},'.'))-1:len(str_split({c},'.'))],"
+                "'.') IN ('co.uk','ac.uk','gov.uk','org.uk','com.au',"
+                "'net.au','co.jp','ne.jp','com.br','co.in','com.cn',"
+                "'com.mx') THEN array_to_string(str_split({c},'.')"
+                "[len(str_split({c},'.'))-2:len(str_split({c},'.'))],"
+                "'.') WHEN len(str_split({c},'.')) >= 2 THEN "
+                "array_to_string(str_split({c},'.')"
+                "[len(str_split({c},'.'))-1:len(str_split({c},'.'))],"
+                "'.') ELSE {c} END"
+            ).format(c=col)
+        ),
         # JSON-LD blobs of the wrapped pages; the json column is the
         # raw blob string, @type/name parsed in both engines
         "jsonld_entities": """
