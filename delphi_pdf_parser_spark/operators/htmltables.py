@@ -101,6 +101,10 @@ def _page_tables(url: str, html: bytes) -> list:
                 cell_span = 1
             cell_th = name == b"th"
             cell_start = m.end()
+    # truncated-page flush: crawl HTML routinely ends mid-table; a cell
+    # still open at EOF keeps its text instead of vanishing
+    if depth == 1:
+        close_cell(len(html))
     return rows
 
 

@@ -84,14 +84,21 @@ def main(argv=None):
         links = spark.read.parquet(args.links)
     n_links = links.count()
 
+    # nofollow edges carry no endorsement at either level (anchors keep
+    # them out too, inside anchor_topk)
+    followed = (
+        links.filter(~F.col("nofollow"))
+        if "nofollow" in links.columns
+        else links
+    )
     if args.level == "host":
-        hg = host_graph(links)
+        hg = host_graph(followed)
         edges = hg.select(
             F.col("src_domain").alias("src"),
             F.col("dst_domain").alias("dst"),
         )
     else:
-        edges = links.filter(~F.col("nofollow")).select("src", "dst")
+        edges = followed.select("src", "dst")
 
     ranks = pagerank(
         edges, iterations=args.iterations, damping=args.damping

@@ -64,3 +64,12 @@ def test_extract_html_tables_dataframe(spark):
     )
     rows = extract_html_tables(df).collect()
     assert len(rows) == 1 and rows[0].cell == "v"
+
+
+def test_truncated_page_keeps_open_cell():
+    html = b"<table><tr><td>first</td><td>cut off mid senten"
+    rows = _page_tables("u", html)
+    assert [(r[3], r[4]) for r in rows] == [
+        (0, "first"),
+        (1, "cut off mid senten"),
+    ]
