@@ -205,3 +205,60 @@ def test_mutated_font_programs_never_crash(data):
     res = extract_text(b2.build_classic(cat))
     assert res.status in ("ok", "repaired", "failed")
     assert res.text is None or isinstance(res.text, str)
+
+
+# --- web parsers: arbitrary crawl bytes must never raise -----------------
+
+_HTMLISH = st.binary(min_size=0, max_size=2048) | st.builds(
+    lambda parts: b"".join(parts),
+    st.lists(
+        st.sampled_from(
+            [
+                b"<a href='", b"<a href=\"", b"<a ", b"</a>", b"<base href=x>",
+                b"<table>", b"</table>", b"<tr>", b"<td>", b"<th colspan='2'>",
+                b"<td colspan=zz>", b"<meta name=robots content=noindex>",
+                b"<link rel=canonical href='/c'>", b"<title>t</title>",
+                b"<script type='application/ld+json'>{", b"</script>",
+                b"javascript:x", b"#frag", b"http://x/", b"%%", b"\xff\xfe",
+                b"text &amp; more ", b"'>", b'">', b"<",
+            ]
+        ),
+        max_size=30,
+    ),
+)
+
+
+@given(_HTMLISH)
+@settings(max_examples=150, deadline=None)
+def test_page_links_never_raises(raw):
+    from delphi_pdf_parser_spark.operators.graphs import _page_links
+
+    rows = _page_links("https://fuzz.example/a/b?q=1", raw)
+    for src, dst, anchor, nofollow in rows:
+        assert dst.lower().startswith(("http://", "https://"))
+        assert isinstance(anchor, str) and isinstance(nofollow, bool)
+
+
+@given(_HTMLISH)
+@settings(max_examples=150, deadline=None)
+def test_page_tables_never_raises(raw):
+    from delphi_pdf_parser_spark.operators.htmltables import _page_tables
+
+    rows = _page_tables("u", raw)
+    for _, tid, rid, cid, cell, is_header in rows:
+        assert tid >= 0 and rid >= 0 and cid >= 0
+        assert isinstance(cell, str)
+
+
+@given(_HTMLISH)
+@settings(max_examples=150, deadline=None)
+def test_page_meta_and_jsonld_never_raise(raw):
+    from delphi_pdf_parser_spark.operators.htmlmeta import (
+        _page_jsonld,
+        _page_meta,
+    )
+
+    r = _page_meta("https://fuzz.example/", raw)
+    assert len(r) == 8 and isinstance(r[7], bool)
+    for _, blob_id, body in _page_jsonld("u", raw):
+        assert isinstance(blob_id, int) and body.strip()
