@@ -578,6 +578,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_web_annotations(spark, sf_dir):
+        """Single-scan WAT-style combined pass (links + metadata +
+        tables + JSON-LD as nested columns from ONE mapInPandas);
+        oracled at the per-page census level, with exploded equality
+        vs each single-purpose operator pinned in
+        tests/test_webannotations.py."""
+        from delphi_pdf_parser_spark.operators.webannotations import (
+            extract_web_annotations,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://w%d.example/p/%d", d % 50, d)
+        robots = F.when(d % 9 == 0, F.lit("noindex")).otherwise(
+            F.lit("index")
+        )
+        html = F.format_string(
+            "<html><head><title>Page %d</title>"
+            '<meta name="robots" content="%s">'
+            '<script type="application/ld+json">{"@type":"Article"}'
+            "</script></head><body>"
+            '<a href="https://hub%d.example/">Hub</a>'
+            '<a rel="nofollow" href="/p">P</a>'
+            "<table><tr><td>a%d</td><td>%d</td></tr></table>"
+            "</body></html>",
+            d,
+            robots,
+            d % 20,
+            d % 5,
+            d % 3,
+        )
+        wrapped = docs.select(url.alias("url"), html.alias("html"))
+        ann = extract_web_annotations(wrapped)
+        return ann.select(
+            "url",
+            F.size("links").alias("n_links"),
+            F.size(
+                F.filter("links", lambda l: l["nofollow"])
+            ).alias("n_nofollow"),
+            "title",
+            F.size("tables").alias("n_cells"),
+            F.size("jsonld").alias("n_jsonld"),
+            "noindex",
+        ).orderBy("url")
+
     def q_host_graph(spark, sf_dir):
         """Weighted eTLD+1 domain graph over synthetic link URLs:
         subdomains fold (www/sub/cdn), a co.uk public suffix exercises
@@ -1085,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "jsonld_entities": q_jsonld,
         "host_graph": q_host_graph,
+        "web_annotations": q_web_annotations,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1489,6 +1535,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY url
         """,
         "anchor_topk": anchor_topk_sql,
+        # per-page census of the combined annotations pass over wrapped
+        # pages (2 links incl. 1 nofollow, 1 title, 2 cells, 1 blob)
+        "web_annotations": """
+            SELECT 'https://w' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS url,
+                   CAST(2 AS INT) AS n_links,
+                   CAST(1 AS INT) AS n_nofollow,
+                   'Page ' || doc_id AS title,
+                   CAST(2 AS INT) AS n_cells,
+                   CAST(1 AS INT) AS n_jsonld,
+                   doc_id % 9 = 0 AS noindex
+            FROM documents ORDER BY url
+        """,
         # host_graph over synthetic link URLs; eTLD+1 mirrors the
         # domain_stats PSL-subset rule on both endpoints
         "host_graph": (lambda regdom: f"""
