@@ -578,6 +578,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def q_recrawl_diff(spark, sf_dir):
+        """CDX-style recrawl change detection over three synthetic
+        crawls per doc (the second mutates every 4th doc, the third
+        never changes): first sightings + real changes flag, rest
+        dedup away."""
+        from delphi_pdf_parser_spark.operators.urls import recrawl_diff
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://r%d.example/%d", d % 50, d)
+        v2 = F.when(
+            d % 4 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text"))
+        snaps = (
+            docs.select(
+                url.alias("url"),
+                F.lit("2024-01-01").alias("warc_ts"),
+                F.col("text"),
+            )
+            .union(
+                docs.select(
+                    url.alias("url"),
+                    F.lit("2024-02-01").alias("warc_ts"),
+                    v2.alias("text"),
+                )
+            )
+            .union(
+                docs.select(
+                    url.alias("url"),
+                    F.lit("2024-03-01").alias("warc_ts"),
+                    v2.alias("text"),
+                )
+            )
+        )
+        return recrawl_diff(snaps).orderBy("url", "ts")
+
     def q_web_annotations(spark, sf_dir):
         """Single-scan WAT-style combined pass (links + metadata +
         tables + JSON-LD as nested columns from ONE mapInPandas);
@@ -1131,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_entities": q_jsonld,
         "host_graph": q_host_graph,
         "web_annotations": q_web_annotations,
+        "recrawl_diff": q_recrawl_diff,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1535,6 +1572,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY url
         """,
         "anchor_topk": anchor_topk_sql,
+        # recrawl_diff over three synthetic crawls: md5 fingerprints +
+        # a per-url lag window; ts stays a sortable string
+        "recrawl_diff": """
+            WITH snaps AS (
+                SELECT 'https://r' || (doc_id % 50) || '.example/'
+                           || doc_id AS url,
+                       '2024-01-01' AS ts, text
+                FROM documents
+                UNION ALL
+                SELECT 'https://r' || (doc_id % 50) || '.example/'
+                           || doc_id,
+                       '2024-02-01',
+                       CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                            ELSE text END
+                FROM documents
+                UNION ALL
+                SELECT 'https://r' || (doc_id % 50) || '.example/'
+                           || doc_id,
+                       '2024-03-01',
+                       CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                            ELSE text END
+                FROM documents
+            ),
+            fp AS (
+                SELECT url, ts, md5(coalesce(text, '')) AS fingerprint
+                FROM snaps
+            ),
+            seq AS (
+                SELECT url, ts, fingerprint,
+                       CAST(row_number() OVER w AS INT) AS crawl_seq,
+                       lag(fingerprint) OVER w AS prev
+                FROM fp WINDOW w AS (PARTITION BY url ORDER BY ts)
+            )
+            SELECT url, ts, fingerprint, crawl_seq,
+                   (prev IS NULL OR fingerprint <> prev) AS changed,
+                   (prev IS NULL OR fingerprint <> prev) AS keep
+            FROM seq ORDER BY url, ts
+        """,
         # per-page census of the combined annotations pass over wrapped
         # pages (2 links incl. 1 nofollow, 1 title, 2 cells, 1 blob)
         "web_annotations": """

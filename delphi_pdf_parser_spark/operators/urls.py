@@ -141,3 +141,46 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.count("*").alias("n_variants"),
         )
     )
+
+
+def recrawl_diff(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDX-style recrawl analysis: for every (url, crawl-timestamp)
+    snapshot, whether the content CHANGED since the previous crawl of
+    the same url — the signal behind crawl-scheduling (unchanged pages
+    get recrawled less) and snapshot-dedup (only changed snapshots are
+    kept).
+
+    Per-url md5 content fingerprints compared against the previous
+    snapshot via one lag window PARTITIONED BY url (never global);
+    first sightings count as changed. Returns (url, ts, fingerprint,
+    crawl_seq, changed, keep) where keep marks the rows a
+    changed-only store retains.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    base = snapshots.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        fp.alias("fingerprint"),
+    )
+    prev = F.lag("fingerprint").over(
+        Window.partitionBy("url").orderBy("ts")
+    )
+    out = base.select(
+        "url",
+        "ts",
+        "fingerprint",
+        F.row_number()
+        .over(Window.partitionBy("url").orderBy("ts"))
+        .alias("crawl_seq"),
+        (
+            prev.isNull() | (F.col("fingerprint") != prev)
+        ).alias("changed"),
+    )
+    return out.withColumn("keep", F.col("changed"))

@@ -100,3 +100,27 @@ def test_domain_stats_userinfo_and_schemeless(spark):
     assert out["spam-mill.com"]["n_urls"] == 2
     assert out["spam-mill.com"]["blocked"] == 1
     assert out["example.com"]["n_urls"] == 1
+
+
+def test_recrawl_diff_change_detection(spark):
+    from delphi_pdf_parser_spark.operators.urls import recrawl_diff
+
+    snaps = spark.createDataFrame(
+        [
+            ("u1", "t1", "hello"),
+            ("u1", "t2", "hello"),       # unchanged
+            ("u1", "t3", "hello world"), # changed
+            ("u2", "t1", None),          # null text fingerprints as ''
+            ("u2", "t2", ""),            # '' == null-coalesced: unchanged
+        ],
+        "url string, warc_ts string, text string",
+    )
+    rows = {
+        (r.url, r.ts): (r.crawl_seq, r.changed, r.keep)
+        for r in recrawl_diff(snaps).collect()
+    }
+    assert rows[("u1", "t1")] == (1, True, True)
+    assert rows[("u1", "t2")] == (2, False, False)
+    assert rows[("u1", "t3")] == (3, True, True)
+    assert rows[("u2", "t1")] == (1, True, True)
+    assert rows[("u2", "t2")] == (2, False, False)
