@@ -578,6 +578,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("auth", 8).alias("auth"),
         ).orderBy("node")
 
+    def _synthetic_robots(spark, sf_dir):
+        """50 hosts, each with a two-group robots.txt: the * group has
+        a disallow + a longer allow + a crawl-delay written AFTER the
+        rules (exercises the retrofit path), plus a badbot group."""
+        docs = _docs(spark, sf_dir)
+        k = (F.col("doc_id") % 50).alias("k")
+        hosts = docs.select(k).distinct()
+        txt = F.format_string(
+            "User-agent: *\nDisallow: /private%d/\n"
+            "Allow: /private%d/public\nCrawl-delay: %d\n\n"
+            "User-agent: badbot\nDisallow: /\n",
+            F.col("k") % 3,
+            F.col("k") % 3,
+            F.col("k") % 5,
+        )
+        return hosts.select(
+            F.format_string("site%d.example", F.col("k")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+
+    def q_robots_rules(spark, sf_dir):
+        """robots.txt parse over the synthetic per-host files; the
+        oracle reconstructs every (host, agent, rule, prefix, delay)
+        row analytically."""
+        from delphi_pdf_parser_spark.operators.robots import parse_robots
+
+        return parse_robots(_synthetic_robots(spark, sf_dir)).orderBy(
+            "host", "agent", "rule", "path_prefix"
+        )
+
+    def q_robots_filter(spark, sf_dir):
+        """Politeness verdicts: parse + longest-prefix-wins filter over
+        four URL shapes per doc (blocked subtree, allowed sub-subtree,
+        unruled path, case-mismatched prefix); the oracle states each
+        verdict analytically."""
+        from delphi_pdf_parser_spark.operators.robots import (
+            parse_robots,
+            robots_filter,
+        )
+
+        rules = parse_robots(_synthetic_robots(spark, sf_dir))
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        j = (d % 50) % 3
+        path = (
+            F.when(d % 4 == 0, F.format_string("/private%d/secret", j))
+            .when(d % 4 == 1, F.format_string("/private%d/public/x", j))
+            .when(d % 4 == 2, F.lit("/open/x"))
+            .otherwise(F.format_string("/PRIVATE%d/x", j))
+        )
+        urls = docs.select(
+            F.format_string(
+                "https://site%d.example%s%s",
+                d % 50,
+                path,
+                F.format_string("?d=%d", d),
+            ).alias("url")
+        )
+        return robots_filter(urls, rules, agent="*").orderBy("url")
+
     def q_recrawl_diff(spark, sf_dir):
         """CDX-style recrawl change detection over three synthetic
         crawls per doc (the second mutates every 4th doc, the third
@@ -1168,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "web_annotations": q_web_annotations,
         "recrawl_diff": q_recrawl_diff,
+        "robots_rules": q_robots_rules,
+        "robots_filter": q_robots_filter,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1572,6 +1634,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY url
         """,
         "anchor_topk": anchor_topk_sql,
+        # robots parse over the synthetic two-group files: 3 rules per
+        # host (the badbot group has no crawl-delay -> NULL)
+        "robots_rules": """
+            WITH h AS (
+                SELECT DISTINCT doc_id % 50 AS k FROM documents
+            ),
+            rules AS (
+                SELECT 'site' || k || '.example' AS host, '*' AS agent,
+                       'disallow' AS rule,
+                       '/private' || (k % 3) || '/' AS path_prefix,
+                       CAST(k % 5 AS DOUBLE) AS crawl_delay
+                FROM h
+                UNION ALL
+                SELECT 'site' || k || '.example', '*', 'allow',
+                       '/private' || (k % 3) || '/public',
+                       CAST(k % 5 AS DOUBLE)
+                FROM h
+                UNION ALL
+                SELECT 'site' || k || '.example', 'badbot', 'disallow',
+                       '/', CAST(NULL AS DOUBLE)
+                FROM h
+            )
+            SELECT host, agent, rule, path_prefix, crawl_delay
+            FROM rules ORDER BY host, agent, rule, path_prefix
+        """,
+        # analytic politeness verdicts: d%4==0 blocked by the disallow,
+        # ==1 rescued by the longer allow, ==2 unruled, ==3 case-miss
+        "robots_filter": """
+            WITH u AS (
+                SELECT doc_id AS d, doc_id % 50 AS k,
+                       (doc_id % 50) % 3 AS j
+                FROM documents
+            )
+            SELECT 'https://site' || k || '.example' ||
+                   CASE d % 4
+                       WHEN 0 THEN '/private' || j || '/secret'
+                       WHEN 1 THEN '/private' || j || '/public/x'
+                       WHEN 2 THEN '/open/x'
+                       ELSE '/PRIVATE' || j || '/x'
+                   END || '?d=' || d AS url,
+                   d % 4 <> 0 AS allowed,
+                   CASE d % 4 WHEN 0 THEN 'disallow'
+                              WHEN 1 THEN 'allow' END AS matched_rule,
+                   CASE d % 4
+                       WHEN 0 THEN '/private' || j || '/'
+                       WHEN 1 THEN '/private' || j || '/public'
+                   END AS matched_prefix,
+                   CASE WHEN d % 4 IN (0, 1)
+                        THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
+            FROM u ORDER BY url
+        """,
         # recrawl_diff over three synthetic crawls: md5 fingerprints +
         # a per-url lag window; ts stays a sortable string
         "recrawl_diff": """

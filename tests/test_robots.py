@@ -1,0 +1,84 @@
+"""robots.txt parsing + politeness filter."""
+
+from __future__ import annotations
+
+from delphi_pdf_parser_spark.operators.robots import (
+    _parse_robots,
+    parse_robots,
+    robots_filter,
+)
+
+TXT = """# comment line
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /search
+Allow: /search/about
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /private/
+Disallow:
+Allow: /private/ok*page
+"""
+
+
+def test_parse_groups_and_retrofit_delay():
+    rows = _parse_robots("h.example", TXT)
+    # consecutive User-agent lines share the group; crawl-delay written
+    # AFTER the rules still lands on them
+    assert ("h.example", "googlebot", "disallow", "/search", 2.5) in rows
+    assert ("h.example", "bingbot", "allow", "/search/about", 2.5) in rows
+    # empty Disallow emits nothing; wildcard keeps its literal head
+    star = [r for r in rows if r[1] == "*"]
+    assert ("h.example", "*", "disallow", "/private/", None) in star
+    assert ("h.example", "*", "allow", "/private/ok", None) in star
+    assert len(star) == 2
+
+
+def test_parse_rule_before_group_ignored():
+    assert _parse_robots("h", "Disallow: /x\nUser-agent: *\nAllow: /a\n") == [
+        ("h", "*", "allow", "/a", None)
+    ]
+
+
+def test_robots_filter_precedence(spark):
+    robots = spark.createDataFrame(
+        [("site.example", TXT)], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://site.example/private/ok-page",),   # allow (longer)
+            ("https://site.example/private/nope",),      # disallow
+            ("https://site.example/elsewhere",),         # no rule -> allow
+            ("https://other.example/private/nope",),     # no robots -> allow
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.allowed, r.matched_rule)
+        for r in robots_filter(urls, rules, agent="*").collect()
+    }
+    assert got["https://site.example/private/ok-page"] == (True, "allow")
+    assert got["https://site.example/private/nope"] == (False, "disallow")
+    assert got["https://site.example/elsewhere"] == (True, None)
+    assert got["https://other.example/private/nope"] == (True, None)
+
+
+def test_robots_filter_agent_fallback(spark):
+    robots = spark.createDataFrame(
+        [("site.example", TXT)], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://site.example/search/q",), ("https://site.example/private/x",)],
+        "url string",
+    )
+    got = {
+        r.url: (r.allowed, r.crawl_delay)
+        for r in robots_filter(urls, rules, agent="googlebot").collect()
+    }
+    # googlebot has its own group: /search blocked with delay 2.5, and
+    # the * group does NOT apply (so /private/x is allowed for it)
+    assert got["https://site.example/search/q"] == (False, 2.5)
+    assert got["https://site.example/private/x"] == (True, None)
