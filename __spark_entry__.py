@@ -638,6 +638,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_sitemap_urls(spark, sf_dir):
+        """Sitemap parse (frontier seeding) over synthetic per-host
+        urlsets: two url entries (one full, one loc-only) + one
+        sitemapindex member each; every field reconstructs in SQL."""
+        from delphi_pdf_parser_spark.operators.robots import (
+            parse_sitemaps,
+        )
+
+        docs = _docs(spark, sf_dir)
+        hosts = docs.select((F.col("doc_id") % 50).alias("k")).distinct()
+        xml = F.format_string(
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>https://site%d.example/p/%d</loc>"
+            "<lastmod>2024-0%d-01</lastmod>"
+            "<changefreq>daily</changefreq>"
+            "<priority>0.%d</priority></url>"
+            "<url><loc>https://site%d.example/plain</loc></url>"
+            "<sitemap><loc>https://site%d.example/more.xml</loc>"
+            "</sitemap></urlset>",
+            F.col("k"),
+            F.col("k") % 9,
+            (F.col("k") % 9) + 1,
+            F.col("k") % 10,
+            F.col("k"),
+            F.col("k"),
+        )
+        sm = hosts.select(
+            F.format_string("site%d.example", F.col("k")).alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+        return parse_sitemaps(sm).orderBy("host", "kind", "loc")
+
     def q_recrawl_diff(spark, sf_dir):
         """CDX-style recrawl change detection over three synthetic
         crawls per doc (the second mutates every 4th doc, the third
@@ -1230,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_diff": q_recrawl_diff,
         "robots_rules": q_robots_rules,
         "robots_filter": q_robots_filter,
+        "sitemap_urls": q_sitemap_urls,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1684,6 +1717,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
+        """,
+        # sitemap parse reconstruction: priority '0.k' parses as the
+        # double k/10; the loc-only entry yields NULL metadata
+        "sitemap_urls": """
+            WITH h AS (
+                SELECT DISTINCT doc_id % 50 AS k FROM documents
+            ),
+            e AS (
+                SELECT 'site' || k || '.example' AS host,
+                       'https://site' || k || '.example/p/' || (k % 9)
+                           AS loc,
+                       '2024-0' || ((k % 9) + 1) || '-01' AS lastmod,
+                       'daily' AS changefreq,
+                       CAST(k % 10 AS DOUBLE) / 10 AS priority,
+                       'url' AS kind
+                FROM h
+                UNION ALL
+                SELECT 'site' || k || '.example',
+                       'https://site' || k || '.example/plain',
+                       NULL, NULL, CAST(NULL AS DOUBLE), 'url'
+                FROM h
+                UNION ALL
+                SELECT 'site' || k || '.example',
+                       'https://site' || k || '.example/more.xml',
+                       NULL, NULL, CAST(NULL AS DOUBLE), 'sitemap'
+                FROM h
+            )
+            SELECT host, loc, lastmod, changefreq, priority, kind
+            FROM e ORDER BY host, kind, loc
         """,
         # recrawl_diff over three synthetic crawls: md5 fingerprints +
         # a per-url lag window; ts stays a sortable string

@@ -20,6 +20,7 @@ per-URL window over its few matching rules (never global).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -173,3 +174,89 @@ def robots_filter(
         F.when(F.col("m"), F.col("path_prefix")).alias("matched_prefix"),
         F.when(F.col("m"), F.col("crawl_delay")).alias("crawl_delay"),
     )
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("loc", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("changefreq", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("kind", StringType()),  # url | sitemap (index entry)
+    ]
+)
+
+_SM_ENTRY_RE = re.compile(
+    rb"<(url|sitemap)\s*>(.*?)</\1\s*>", re.I | re.S
+)
+_SM_FIELD_RE = re.compile(
+    rb"<(loc|lastmod|changefreq|priority)\s*>(.*?)</\1\s*>",
+    re.I | re.S,
+)
+
+
+def _parse_sitemap(host: str, xml: bytes) -> list:
+    from delphi_pdf_parser_spark.htmlcore import _decode_entities
+
+    rows = []
+    for m in _SM_ENTRY_RE.finditer(xml):
+        kind = "url" if m.group(1).lower() == b"url" else "sitemap"
+        fields = {}
+        for f in _SM_FIELD_RE.finditer(m.group(2)):
+            fields[f.group(1).lower()] = _decode_entities(
+                f.group(2).decode("utf-8", "replace").strip()
+            )
+        loc = fields.get(b"loc")
+        if not loc:
+            continue
+        pr = None
+        if b"priority" in fields:
+            try:
+                pr = float(fields[b"priority"])
+            except ValueError:
+                pr = None
+        rows.append(
+            (
+                host,
+                loc,
+                fields.get(b"lastmod"),
+                fields.get(b"changefreq"),
+                pr,
+                kind,
+            )
+        )
+    return rows
+
+
+def _sitemap_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in SITEMAP_SCHEMA.fields]
+    for b in batches:
+        rows = []
+        for host, xml in zip(b["host"], b["sitemap_xml"]):
+            if xml is None:
+                continue
+            raw = xml.encode() if isinstance(xml, str) else bytes(xml)
+            try:
+                rows.extend(_parse_sitemap(host, raw))
+            except Exception:
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Crawl discovery: ``<urlset>`` entries and ``<sitemapindex>``
+    members of per-host sitemap files as (host, loc, lastmod,
+    changefreq, priority, kind) — the frontier-seeding input that pairs
+    with :func:`parse_robots`. Tolerant tag-pair scan (namespaces and
+    attribute noise ignored), entities decoded; one mapInPandas pass.
+    """
+    df = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.col(xml_col).alias("sitemap_xml"),
+    ).filter(F.col(xml_col).isNotNull())
+    return df.mapInPandas(_sitemap_batches, SITEMAP_SCHEMA)

@@ -82,3 +82,37 @@ def test_robots_filter_agent_fallback(spark):
     # the * group does NOT apply (so /private/x is allowed for it)
     assert got["https://site.example/search/q"] == (False, 2.5)
     assert got["https://site.example/private/x"] == (True, None)
+
+
+def test_parse_sitemap_urlset_and_index():
+    from delphi_pdf_parser_spark.operators.robots import _parse_sitemap
+
+    xml = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://s.example/a&amp;b</loc>"
+        b"<lastmod>2024-03-01</lastmod><changefreq>daily</changefreq>"
+        b"<priority>0.8</priority></url>"
+        b"<url><loc>https://s.example/plain</loc></url>"
+        b"<url><priority>0.2</priority></url>"  # no loc: dropped
+        b"<sitemap><loc>https://s.example/more.xml</loc></sitemap>"
+        b"</urlset>"
+    )
+    rows = _parse_sitemap("s.example", xml)
+    assert rows == [
+        ("s.example", "https://s.example/a&b", "2024-03-01", "daily", 0.8, "url"),
+        ("s.example", "https://s.example/plain", None, None, None, "url"),
+        ("s.example", "https://s.example/more.xml", None, None, None, "sitemap"),
+    ]
+
+
+def test_parse_sitemaps_dataframe(spark):
+    from delphi_pdf_parser_spark.operators.robots import parse_sitemaps
+
+    xml = b"<urlset><url><loc>https://x.example/1</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [("x.example", bytearray(xml)), ("y.example", None)],
+        "host string, sitemap_xml binary",
+    )
+    rows = parse_sitemaps(df).collect()
+    assert len(rows) == 1 and rows[0].loc == "https://x.example/1"
