@@ -259,12 +259,13 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        # mass parked on dangling nodes this step (scalar per iteration)
-        dangling = (
+        # mass parked on dangling nodes this step: a broadcast scalar
+        # crossJoin (one-row aggregate), NOT a collect() — the loop
+        # issues one job per iteration (the checkpoint) instead of two,
+        # and the driver never synchronizes on the value
+        dm = (
             ranks.join(dangling_nodes, "node")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contribs = (
             edges_w.join(ranks, edges_w.src == ranks.node)
@@ -275,13 +276,19 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # association mirrors the SQL oracle: (1-d)/n + d*dm/n, then
+        # + d*contrib
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("dm") / F.lit(float(n))
+        )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base
                     + F.lit(damping)
                     * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
@@ -488,11 +495,10 @@ def personalized_pagerank(
 
     ranks = tele.select("node", F.col("w").alias("rank"))
     for _ in range(iterations):
-        dangling = (
+        # broadcast scalar, not collect() — same as pagerank
+        dm = (
             ranks.join(dangling_nodes, "node")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contribs = (
             edges_w.join(ranks, edges_w.src == ranks.node)
@@ -503,13 +509,14 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        coef = (1.0 - damping) + damping * dangling
+        coef = F.lit(1.0 - damping) + F.lit(damping) * F.col("dm")
         ranks = (
             tele.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
-                    F.lit(coef) * F.col("w")
+                    coef * F.col("w")
                     + F.lit(damping)
                     * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
