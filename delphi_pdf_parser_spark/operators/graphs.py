@@ -380,47 +380,44 @@ def hits(
 
     hub = nodes.select("node", F.lit(1.0 / math.sqrt(n)).alias("hub"))
     auth = None
+
+    def _normalized(raw, out_col):
+        # L2 norm as a broadcast one-row scalar (no per-half-step
+        # collect); zero norm divides by 1, mirroring the SQL oracle's
+        # CASE. One job per half-step: the checkpoint.
+        nm = raw.agg(
+            F.sqrt(
+                F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0.0))
+            ).alias("nm")
+        )
+        safe = F.when(F.col("nm") == 0.0, F.lit(1.0)).otherwise(
+            F.col("nm")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(nm))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / safe).alias(
+                    out_col
+                ),
+            )
+            .localCheckpoint()
+        )
+
     for _ in range(iterations):
         raw_auth = (
             e_by_src.join(hub, e_by_src.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("s"))
         )
-        norm = (
-            raw_auth.agg(F.sum(F.col("s") * F.col("s"))).collect()[0][0]
-            or 0.0
-        )
-        norm = math.sqrt(norm) or 1.0
-        auth = (
-            nodes.join(raw_auth, "node", "left")
-            .select(
-                "node",
-                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(norm)).alias(
-                    "auth"
-                ),
-            )
-            .localCheckpoint()
-        )
+        auth = _normalized(raw_auth, "auth")
         raw_hub = (
             e_by_dst.join(auth, e_by_dst.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("s"))
         )
-        hnorm = (
-            raw_hub.agg(F.sum(F.col("s") * F.col("s"))).collect()[0][0]
-            or 0.0
-        )
-        hnorm = math.sqrt(hnorm) or 1.0
-        hub = (
-            nodes.join(raw_hub, "node", "left")
-            .select(
-                "node",
-                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(hnorm)).alias(
-                    "hub"
-                ),
-            )
-            .localCheckpoint()
-        )
+        hub = _normalized(raw_hub, "hub")
     return hub.join(auth, "node")
 
 
