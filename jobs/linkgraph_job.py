@@ -36,6 +36,12 @@ def main(argv=None):
         help="resume: previously written links parquet (skips extraction)",
     )
     ap.add_argument("--links", help="output parquet for the edge list")
+    ap.add_argument(
+        "--annotations",
+        help="also write the full single-scan web-annotations table "
+        "(links + metadata + tables + JSON-LD) to this path and derive "
+        "the edge list from it — one corpus scan total",
+    )
     ap.add_argument("--ranks", required=True)
     ap.add_argument("--report", required=True)
     ap.add_argument("--anchors", help="optional anchor-text index output")
@@ -77,9 +83,29 @@ def main(argv=None):
         else:
             pages = spark.read.parquet(args.input)
         n_pages = pages.count()
-        links = extract_links(pages)
-        # materialize the edge list FIRST: the iterative stage resumes
-        # from this table instead of re-running extraction
+        if args.annotations:
+            from delphi_pdf_parser_spark.operators.webannotations import (
+                extract_web_annotations,
+            )
+
+            ann = extract_web_annotations(pages)
+            # ONE corpus scan: the annotations table is the
+            # materialization; the edge list explodes out of it
+            ann.write.mode(args.write_mode).parquet(args.annotations)
+            ann = spark.read.parquet(args.annotations)
+            links = ann.select(
+                F.col("url").alias("src"),
+                F.explode("links").alias("l"),
+            ).select(
+                "src",
+                F.col("l.dst").alias("dst"),
+                F.col("l.anchor").alias("anchor"),
+                F.col("l.nofollow").alias("nofollow"),
+            )
+        else:
+            links = extract_links(pages)
+        # materialize the edge list: the iterative stage resumes from
+        # this table instead of re-running extraction
         links.write.mode(args.write_mode).parquet(args.links)
         links = spark.read.parquet(args.links)
     n_links = links.count()

@@ -70,3 +70,33 @@ def test_linkgraph_job_end_to_end(spark, tmp_path):
     )
     rk2 = {r.node: r.rank for r in spark.read.parquet(ranks).collect()}
     assert rk2 == {k: v.rank for k, v in rk.items()}
+
+
+def test_linkgraph_job_annotations_mode(spark, tmp_path):
+    from jobs.linkgraph_job import main
+
+    docs = str(tmp_path / "pages2")
+    links = str(tmp_path / "links2")
+    ranks = str(tmp_path / "ranks2")
+    rep = str(tmp_path / "report2")
+    ann = str(tmp_path / "ann2")
+    _pages(spark).write.parquet(docs)
+
+    main(
+        [
+            "--input", docs,
+            "--links", links,
+            "--annotations", ann,
+            "--ranks", ranks,
+            "--report", rep,
+            "--iterations", "2",
+            "--partitions", "4",
+        ]
+    )
+    a = spark.read.parquet(ann)
+    assert {"url", "links", "title", "tables", "jsonld"} <= set(a.columns)
+    assert a.count() == 4
+    # edge list derived from the annotations table matches direct extraction
+    lk = spark.read.parquet(links)
+    assert lk.count() == 5
+    assert set(lk.columns) == {"src", "dst", "anchor", "nofollow"}
