@@ -638,6 +638,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_unigram_tokenize(spark, sf_dir):
+        """SentencePiece-style unigram-LM tokenizer: hard-EM train on
+        the capped word table (same accepted shape as bpe_train), then
+        distributed Viterbi encode. Rows-only (EM training is not
+        SQL-expressible); Viterbi optimality is pinned against
+        brute-force enumeration in tests/test_sp_unigram.py."""
+        from delphi_pdf_parser_spark.operators.sp_unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        docs = _docs(spark, sf_dir)
+        model = unigram_train(
+            docs, vocab_size=400, em_iters=2, seed_size=3000
+        )
+        return unigram_encode(docs, model).orderBy("doc_id")
+
     def q_sitemap_urls(spark, sf_dir):
         """Sitemap parse (frontier seeding) over synthetic per-host
         urlsets: two url entries (one full, one loc-only) + one
@@ -1285,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # golden gate runs as the driver's entry() smoke anyway
         "pdf_golden_verify": _q_pdf_golden_verify,
         "bpe_tokenize": q_bpe_tokenize,
+        "unigram_tokenize": q_unigram_tokenize,
         "video_frame_sample": q_video_frame_sample,
         "image_resize": q_image_resize,
         "pdf_metrics_rollup": _q_pdf_metrics_rollup,

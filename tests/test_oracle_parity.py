@@ -118,6 +118,7 @@ def test_all_queries_have_oracle_or_are_rows_only():
         "video_frame_sample",
         "image_resize",
         "bpe_tokenize",  # iterative training: not SQL-expressible
+        "unigram_tokenize",  # EM training: not SQL-expressible
         "pdf_render",  # DuckDB cannot rasterize PDFs
         "quality_classifier",  # LBFGS training: not SQL-expressible
     }
