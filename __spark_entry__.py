@@ -1242,10 +1242,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrite, paragraph/semdedup, idf, C4, packing, mixing,
         # bigram LM, quality canonical, domains, embedding decontam,
         # shards — 15 oracled + 2 rows-only from the first stretches,
-        # plus the seventh-stretch link-graph/web family: html_links,
-        # html_metadata, chunk_documents, bm25_topk, anchor_topk,
+        # plus the seventh-stretch web/link-graph family: html_links,
+        # html_metadata, html_tables, jsonld_entities, web_annotations,
+        # chunk_documents, bm25_topk, anchor_topk, host_graph,
         # link_pagerank, link_trustrank, link_degree_stats, link_hits,
-        # link_components, ccnet_buckets — 11 more oracled) and rotate
+        # link_components, ccnet_buckets, recrawl_diff, robots_rules,
+        # robots_filter, sitemap_urls — 19 more oracled, plus the
+        # rows-only unigram_tokenize) and rotate
         # into slots 48-50 three per round, oracled-first, starting
         # next round.
         "pdf_render": q_pdf_render,
