@@ -638,6 +638,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_surt_keys(spark, sf_dir):
+        """SURT index keys over three URL shapes (userinfo+port+mixed
+        case+fragment, bare host, deep subdomain); expected keys stated
+        analytically in the oracle."""
+        from delphi_pdf_parser_spark.operators.urls import surt_key
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = (
+            F.when(
+                d % 3 == 0,
+                F.format_string(
+                    "HTTPS://User@WWW.%s-Site.co.uk:443/Path/%d?Q=%d#frag",
+                    F.col("source"),
+                    d,
+                    (d % 5).cast("long"),
+                ),
+            )
+            .when(
+                d % 3 == 1,
+                F.format_string("http://%s.example/%d", F.col("source"), d),
+            )
+            .otherwise(
+                F.format_string(
+                    "https://a.b.%s.example.com/UP/%d", F.col("source"), d
+                )
+            )
+        )
+        return (
+            docs.select(url.alias("url"))
+            .select("url", surt_key(F.col("url")).alias("surt"))
+            .orderBy("url")
+        )
+
+    def q_cocitation(spark, sf_dir):
+        """Co-citation related-pages over a synthetic citation set:
+        every doc cites its class pair (h, 100+h), every 5th doc a
+        third target, and doc 0 is an 83-out-link hub the max_out=10
+        cap must exclude entirely."""
+        from delphi_pdf_parser_spark.operators.graphs import (
+            cocitation_pairs,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        e0 = docs.select(d.alias("src"), (d % 20).alias("dst"))
+        e1 = docs.select(d.alias("src"), (d % 20 + 100).alias("dst"))
+        e2 = docs.filter(d % 5 == 0).select(
+            d.alias("src"), (d % 10 + 200).alias("dst")
+        )
+        hub = (
+            docs.filter(d == 0)
+            .select(
+                d.alias("src"),
+                F.explode(F.sequence(F.lit(300), F.lit(380))).alias(
+                    "dst"
+                ),
+            )
+            .select("src", F.col("dst").cast("long").alias("dst"))
+        )
+        edges = e0.union(e1).union(e2).union(hub)
+        return cocitation_pairs(
+            edges, min_common=2, max_out=10
+        ).orderBy("dst_a", "dst_b")
+
     def q_unigram_tokenize(spark, sf_dir):
         """SentencePiece-style unigram-LM tokenizer: hard-EM train on
         the capped word table (same accepted shape as bpe_train), then
@@ -1283,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_filter": q_robots_filter,
         "sitemap_urls": q_sitemap_urls,
+        "surt_keys": q_surt_keys,
+        "cocitation": q_cocitation,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1738,6 +1805,58 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
+        """,
+        # SURT keys stated analytically per URL shape (host lowers and
+        # reverses, userinfo/port/scheme/fragment drop, path lowers)
+        "surt_keys": """
+            WITH u AS (
+                SELECT doc_id AS d, source, lower(source) AS s
+                FROM documents
+            )
+            SELECT CASE d % 3
+                     WHEN 0 THEN 'HTTPS://User@WWW.' || source
+                         || '-Site.co.uk:443/Path/' || d || '?Q='
+                         || (d % 5) || '#frag'
+                     WHEN 1 THEN 'http://' || source || '.example/' || d
+                     ELSE 'https://a.b.' || source || '.example.com/UP/'
+                         || d
+                   END AS url,
+                   CASE d % 3
+                     WHEN 0 THEN 'uk,co,' || s || '-site,www)/path/'
+                         || d || '?q=' || (d % 5)
+                     WHEN 1 THEN 'example,' || s || ')/' || d
+                     ELSE 'com,example,' || s || ',b,a)/up/' || d
+                   END AS surt
+            FROM u
+            ORDER BY url
+        """,
+        # co-citation with the operator's exact rule mirrored: distinct
+        # edges, outdegree<=10 sources only, ordered pairs, HAVING >= 2
+        "cocitation": """
+            WITH e0 AS (
+                SELECT doc_id AS src, doc_id % 20 AS dst FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id % 20 + 100 FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id % 10 + 200 FROM documents
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 300 + g.generate_series FROM documents,
+                       generate_series(0, 80) g
+                WHERE doc_id = 0
+            ),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            od AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+            b AS (
+                SELECT e.src, e.dst FROM e JOIN od USING (src)
+                WHERE od.c <= 10
+            )
+            SELECT a.dst AS dst_a, bb.dst AS dst_b,
+                   count(*) AS n_common
+            FROM b a JOIN b bb ON a.src = bb.src AND a.dst < bb.dst
+            GROUP BY a.dst, bb.dst
+            HAVING count(*) >= 2
+            ORDER BY dst_a, dst_b
         """,
         # sitemap parse reconstruction: priority '0.k' parses as the
         # double k/10; the loc-only entry yields NULL metadata

@@ -546,3 +546,39 @@ def anchor_topk(
         .filter(F.col("rk") <= k)
         .select("dst", "anchor", "n", "rk")
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_out: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Related-pages by co-citation (Small 1973): two targets are
+    related when the same sources link to both. (dst_a, dst_b,
+    n_common) for pairs co-cited by at least ``min_common`` sources.
+
+    Scale guard: the self-join fan-out is quadratic in a source's
+    outdegree, so sources with more than ``max_out`` out-links are
+    EXCLUDED (directory/spam hub pages — the standard practice, same
+    explicit-cap contract as dedup's ``max_block`` verify stages); the
+    cap keeps the exchange at most ``max_out``² rows per source.
+    Distinct edges only (duplicate links are one citation).
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct()
+    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
+    bounded = e.join(
+        outdeg.filter(F.col("od") <= max_out).select("s"), "s"
+    )
+    a = bounded.select("s", F.col("d").alias("dst_a"))
+    b = bounded.select("s", F.col("d").alias("dst_b"))
+    return (
+        a.join(b, "s")
+        .filter(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -184,3 +184,25 @@ def recrawl_diff(
         ).alias("changed"),
     )
     return out.withColumn("keep", F.col("changed"))
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    canonical sort/partition key of web-archive indexes (CDX):
+    ``https://www.Example.co.uk/A/b?Q=1`` ->
+    ``uk,co,example,www)/a/b?q=1``. Host labels reverse so one
+    registrable domain's pages sort contiguously (range scans /
+    partition pruning by domain at 100-TB index scale). Scheme, port
+    and userinfo drop; the whole key lowercases; empty path -> ``/``.
+    All JVM string/array expressions, map-only."""
+    host = host_of(url)
+    rest = _strip_scheme(F.trim(url))
+    rawauth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    pathq = F.regexp_replace(
+        rest.substr(F.length(rawauth) + 1, F.lit(1 << 30)), "#.*$", ""
+    )
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    rev = F.reverse(F.split(host, r"\."))
+    return F.concat(
+        F.array_join(rev, ","), F.lit(")"), F.lower(pathq)
+    )

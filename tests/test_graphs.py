@@ -332,3 +332,23 @@ def test_hits_rejects_zero_iterations(spark):
 
     with pytest.raises(ValueError):
         hits(_edges(spark, [("a", "b")]), iterations=0)
+
+
+def test_cocitation_pairs_and_hub_cap(spark):
+    from delphi_pdf_parser_spark.operators.graphs import cocitation_pairs
+
+    edges = _edges(
+        spark,
+        [
+            ("s1", "x"), ("s1", "y"),
+            ("s2", "x"), ("s2", "y"), ("s2", "y"),  # dup edge = 1 citation
+            ("s3", "x"), ("s3", "z"),
+        ]
+        # hub with outdegree 5 > max_out=4: contributes nothing
+        + [("hub", f"t{i}") for i in range(4)] + [("hub", "x")],
+    )
+    rows = {
+        (r.dst_a, r.dst_b): r.n_common
+        for r in cocitation_pairs(edges, min_common=2, max_out=4).collect()
+    }
+    assert rows == {("x", "y"): 2}

@@ -124,3 +124,22 @@ def test_recrawl_diff_change_detection(spark):
     assert rows[("u1", "t3")] == (3, True, True)
     assert rows[("u2", "t1")] == (1, True, True)
     assert rows[("u2", "t2")] == (2, False, False)
+
+
+def test_surt_key_shapes(spark):
+    from delphi_pdf_parser_spark.operators.urls import surt_key
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://User@WWW.Example.co.uk:443/A/B?Q=1#frag",),
+            ("http://example.com",),
+            ("https://a.b.c.example.org/X",),
+        ],
+        "url string",
+    )
+    got = {r.url: r.k for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()}
+    assert got["HTTPS://User@WWW.Example.co.uk:443/A/B?Q=1#frag"] == (
+        "uk,co,example,www)/a/b?q=1"
+    )
+    assert got["http://example.com"] == "com,example)/"
+    assert got["https://a.b.c.example.org/X"] == "org,example,c,b,a)/x"
