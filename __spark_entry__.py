@@ -638,6 +638,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_crawl_frontier(spark, sf_dir):
+        """Composed crawl-frontier pipeline: robots verdicts (the full
+        parse+filter chain) x synthetic host authority x synthetic
+        change rates -> one-plan priority scores; disallowed URLs pin
+        to exactly 0."""
+        from delphi_pdf_parser_spark.operators.frontier import (
+            frontier_scores,
+        )
+        from delphi_pdf_parser_spark.operators.robots import (
+            parse_robots,
+            robots_filter,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        j = (d % 50) % 3
+        path = (
+            F.when(d % 4 == 0, F.format_string("/private%d/secret", j))
+            .when(d % 4 == 1, F.format_string("/private%d/public/x", j))
+            .when(d % 4 == 2, F.lit("/open/x"))
+            .otherwise(F.format_string("/PRIVATE%d/x", j))
+        )
+        url_expr = F.format_string(
+            "https://site%d.example%s?d=%d", d % 50, path, d
+        )
+        urls = docs.select(url_expr.alias("url"))
+        verdicts = robots_filter(
+            urls, parse_robots(_synthetic_robots(spark, sf_dir))
+        )
+        k = (F.col("doc_id") % 50).alias("k")
+        authority = (
+            docs.select(k)
+            .distinct()
+            .select(
+                F.format_string("site%d.example", F.col("k")).alias(
+                    "host"
+                ),
+                ((F.col("k") % 7) + 1).alias("in_deg"),
+            )
+        )
+        freshness = docs.select(
+            url_expr.alias("url"),
+            F.when(d % 3 == 0, F.lit(1.0))
+            .when(d % 3 == 1, F.lit(0.5))
+            .otherwise(F.lit(0.0))
+            .alias("changed_frac"),
+        )
+        return frontier_scores(verdicts, authority, freshness).orderBy(
+            "url"
+        )
+
     def q_surt_keys(spark, sf_dir):
         """SURT index keys over three URL shapes (userinfo+port+mixed
         case+fragment, bare host, deep subdomain); expected keys stated
@@ -1350,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "surt_keys": q_surt_keys,
         "cocitation": q_cocitation,
+        "crawl_frontier": q_crawl_frontier,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1804,6 +1856,31 @@ def oracle_sql() -> dict[str, str]:
                    END AS matched_prefix,
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
+            FROM u ORDER BY url
+        """,
+        # composed frontier: analytic robots verdicts (d%4 shapes) x
+        # authority k%7+1 x freshness d%3 tiers; association mirrors
+        # frontier_scores (w_auth*log1p + w_fresh*frac)
+        "crawl_frontier": """
+            WITH u AS (
+                SELECT doc_id AS d, doc_id % 50 AS k,
+                       (doc_id % 50) % 3 AS j
+                FROM documents
+            )
+            SELECT 'https://site' || k || '.example' ||
+                   CASE d % 4
+                       WHEN 0 THEN '/private' || j || '/secret'
+                       WHEN 1 THEN '/private' || j || '/public/x'
+                       WHEN 2 THEN '/open/x'
+                       ELSE '/PRIVATE' || j || '/x'
+                   END || '?d=' || d AS url,
+                   d % 4 <> 0 AS allowed,
+                   round(CASE WHEN d % 4 <> 0 THEN
+                       1e0 * ln(1e0 + (k % 7 + 1))
+                       + 2e0 * (CASE d % 3 WHEN 0 THEN 1e0
+                                           WHEN 1 THEN 0.5e0
+                                           ELSE 0e0 END)
+                       ELSE 0e0 END, 6) AS score
             FROM u ORDER BY url
         """,
         # SURT keys stated analytically per URL shape (host lowers and

@@ -98,3 +98,81 @@ def test_combined_column_pruning_single_family(spark):
     out = extract_web_annotations(_pages(spark)).select("url", "links")
     assert out.columns == ["url", "links"]
     assert out.count() == 2
+
+
+def test_frontier_scores_composition(spark):
+    import math
+
+    from delphi_pdf_parser_spark.operators.frontier import frontier_scores
+
+    verdicts = spark.createDataFrame(
+        [
+            ("https://a.example/x", True),
+            ("https://a.example/blocked", False),
+            ("https://nohost.example/y", True),
+        ],
+        "url string, allowed boolean",
+    )
+    authority = spark.createDataFrame(
+        [("a.example", 6)], "host string, in_deg int"
+    )
+    freshness = spark.createDataFrame(
+        [("https://a.example/x", 0.5)], "url string, changed_frac double"
+    )
+    got = {
+        r.url: (r.allowed, r.score)
+        for r in frontier_scores(verdicts, authority, freshness).collect()
+    }
+    assert got["https://a.example/x"] == (
+        True,
+        round(math.log1p(6) + 2 * 0.5, 6),
+    )
+    # disallowed pins to exactly 0 regardless of authority
+    assert got["https://a.example/blocked"] == (False, 0.0)
+    # unknown host/freshness default to 0 contributions
+    assert got["https://nohost.example/y"] == (True, 0.0)
+
+
+def test_streaming_web_annotations_matches_batch(spark, tmp_path):
+    """The combined WAT pass is stateless: availableNow stream output
+    must equal the batch rows (nested columns included)."""
+    import time
+
+    pages = [
+        ("https://a.example/1", bytes(PAGE)),
+        ("https://b.example/", b"<html><body><a href='/x'>x</a></body></html>"),
+    ]
+    schema = "url string, html binary"
+    src = tmp_path / "wat_in"
+    src.mkdir()
+    for i, chunk in enumerate([pages[:1], pages[1:]]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        extract_web_annotations(stream)
+        .writeStream.format("memory")
+        .queryName("wat_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.url, [tuple(x) for x in r.links], r.title, len(r.tables))
+        for r in spark.sql("SELECT * FROM wat_stream").collect()
+    )
+    want = sorted(
+        (r.url, [tuple(x) for x in r.links], r.title, len(r.tables))
+        for r in extract_web_annotations(
+            spark.createDataFrame(pages, schema)
+        ).collect()
+    )
+    assert got == want and len(got) == 2
