@@ -1363,8 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk_documents, bm25_topk, anchor_topk, host_graph,
         # link_pagerank, link_trustrank, link_degree_stats, link_hits,
         # link_components, ccnet_buckets, recrawl_diff, robots_rules,
-        # robots_filter, sitemap_urls — 19 more oracled, plus the
-        # rows-only unigram_tokenize) and rotate
+        # robots_filter, sitemap_urls, surt_keys, cocitation,
+        # crawl_frontier — 22 more oracled, plus the rows-only
+        # unigram_tokenize) and rotate
         # into slots 48-50 three per round, oracled-first, starting
         # next round.
         "pdf_render": q_pdf_render,
