@@ -45,13 +45,21 @@ from delphi_pdf_parser_spark.operators.bpe import _word_freqs
 MAX_PIECE_LEN = 8
 
 
-def _viterbi(word: str, logp: dict, max_len: int = MAX_PIECE_LEN):
+def _viterbi(
+    word: str,
+    logp: dict,
+    max_len: int = MAX_PIECE_LEN,
+    floor: float | None = None,
+):
     """Max-logprob segmentation. Unknown single chars score at the
     model's floor minus 10 (they must remain segmentable). Ties prefer
     the longer piece, then lexicographic — total order, deterministic.
-    Returns (pieces, score)."""
+    Returns (pieces, score). Pass ``floor`` (min model logprob - 10)
+    when calling in a loop — recomputing it is an O(vocab) scan per
+    word."""
     n = len(word)
-    floor = (min(logp.values()) if logp else 0.0) - 10.0
+    if floor is None:
+        floor = (min(logp.values()) if logp else 0.0) - 10.0
     # dp[i]: (score, start_of_last_piece) best for prefix word[:i]
     NEG = float("-inf")
     dp = [(NEG, -1)] * (n + 1)
@@ -127,8 +135,9 @@ def unigram_train(
     for _ in range(em_iters):
         # E (hard): Viterbi counts under the current model
         em = Counter()
+        flr = (min(logp.values()) if logp else 0.0) - 10.0
         for w, f in words:
-            segs, _ = _viterbi(w, logp)
+            segs, _ = _viterbi(w, logp, floor=flr)
             for s in segs:
                 em[s] += f
         # prune: keep top (vocab_size - n_chars) multi-char pieces by
@@ -173,11 +182,16 @@ def unigram_encode(
     @F.pandas_udf(ENCODE_SCHEMA)
     def encode(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
         logp = bmodel.value
+        flr = (min(logp.values()) if logp else 0.0) - 10.0
+        seen: dict = {}  # per-batch word memo (Zipf: huge hit rate)
         out = []
         for d, t in zip(doc_id, text):
             pieces = []
             for w in (t or "").split():
-                segs, _ = _viterbi(w, logp)
+                segs = seen.get(w)
+                if segs is None:
+                    segs, _ = _viterbi(w, logp, floor=flr)
+                    seen[w] = segs
                 pieces.extend(segs)
             out.append((str(d), len(pieces), pieces[:prefix]))
         return pd.DataFrame(
