@@ -638,6 +638,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_html_headings(spark, sf_dir):
+        """Heading outline (h1-h6 in document order) over wrapped
+        pages — the web analogue of the reference's PDF outline walk;
+        every row reconstructs in SQL."""
+        from delphi_pdf_parser_spark.operators.htmlmeta import (
+            extract_headings,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://h%d.example/p/%d", d % 50, d)
+        html = F.format_string(
+            "<html><body><h1>Doc %d</h1><p>x</p>"
+            '<h2 class="s">Part %d &amp; intro</h2>'
+            "<h3><em>Sub</em> %d</h3>"
+            "<h2></h2>"  # empty heading: dropped
+            "</body></html>",
+            d,
+            d % 5,
+            d % 3,
+        )
+        wrapped = docs.select(url.alias("url"), html.alias("html"))
+        return extract_headings(wrapped).orderBy("url", "pos")
+
     def q_crawl_frontier(spark, sf_dir):
         """Composed crawl-frontier pipeline: robots verdicts (the full
         parse+filter chain) x synthetic host authority x synthetic
@@ -1403,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "cocitation": q_cocitation,
         "crawl_frontier": q_crawl_frontier,
+        "html_headings": q_html_headings,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1858,6 +1883,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
+        """,
+        # heading outline reconstruction: 3 non-empty headings per doc
+        # in document order (the empty h2 drops)
+        "html_headings": """
+            WITH b AS (
+                SELECT 'https://h' || (doc_id % 50) || '.example/p/'
+                           || doc_id AS url,
+                       doc_id AS d
+                FROM documents
+            )
+            SELECT url, CAST(0 AS INT) AS pos, CAST(1 AS INT) AS level,
+                   'Doc ' || d AS heading FROM b
+            UNION ALL
+            SELECT url, 1, 2, 'Part ' || (d % 5) || ' & intro' FROM b
+            UNION ALL
+            SELECT url, 2, 3, 'Sub ' || (d % 3) FROM b
+            ORDER BY url, pos
         """,
         # composed frontier: analytic robots verdicts (d%4 shapes) x
         # authority k%7+1 x freshness d%3 tiers; association mirrors

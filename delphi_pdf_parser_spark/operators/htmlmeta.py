@@ -207,3 +207,64 @@ def extract_html_metadata(
         F.col(url_col).alias("url"), F.col(html_col).alias("html")
     ).filter(F.col(html_col).isNotNull())
     return df.mapInPandas(_meta_batches, META_SCHEMA)
+
+
+HEADINGS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("heading", StringType()),
+    ]
+)
+
+_H_RE = re.compile(rb"<h([1-6])[^>]*>(.*?)</h\1\s*>", re.I | re.S)
+_INNER_TAG_RE = re.compile(rb"<[^>]*>")
+
+
+def _page_headings(url: str, html: bytes) -> list:
+    from delphi_pdf_parser_spark.htmlcore import _decode_entities
+
+    rows = []
+    for m in _H_RE.finditer(html):
+        text = _INNER_TAG_RE.sub(b" ", m.group(2)).decode(
+            "utf-8", "replace"
+        )
+        heading = _WS_RE.sub(" ", _decode_entities(text)).strip()
+        if heading:
+            # pos indexes KEPT headings (gap-free even when empty
+            # headings are dropped mid-document)
+            rows.append((url, len(rows), int(m.group(1)), heading))
+    return rows
+
+
+def _headings_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in HEADINGS_SCHEMA.fields]
+    for b in batches:
+        rows = []
+        for url, html in zip(b["url"], b["html"]):
+            if html is None:
+                continue
+            raw = bytes(html) if not isinstance(html, str) else html.encode()
+            try:
+                rows.extend(_page_headings(url, raw))
+            except Exception:
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_headings(
+    documents: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Document outline from h1-h6 headings: (url, pos, level,
+    heading) in document order — the web analogue of the reference's
+    PDF outline walk (``pdf_load_outline``, mirrored for PDFs by
+    ``pdfcore/navigation.py:extract_outline``). One mapInPandas pass;
+    inline markup stripped, entities decoded, empty headings dropped.
+    """
+    df = documents.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).filter(F.col(html_col).isNotNull())
+    return df.mapInPandas(_headings_batches, HEADINGS_SCHEMA)

@@ -74,3 +74,20 @@ def test_extract_jsonld_dataframe(spark):
     )
     r = extract_jsonld(df).collect()[0]
     assert (r.schema_type, r.name, r.blob_id) == ("Recipe", "Pie", 0)
+
+
+def test_page_headings_outline():
+    from delphi_pdf_parser_spark.operators.htmlmeta import _page_headings
+
+    html = (
+        b"<h1>Top</h1><h2 id='a'>Mid <b>bold</b></h2>"
+        b"<h2>   </h2>"  # empty after strip: dropped, pos stays gap-free
+        b"<h3>Deep &amp; down</h3><h1>Again</h1>"
+    )
+    rows = _page_headings("u", html)
+    assert rows == [
+        ("u", 0, 1, "Top"),
+        ("u", 1, 2, "Mid bold"),
+        ("u", 2, 3, "Deep & down"),
+        ("u", 3, 1, "Again"),
+    ]
