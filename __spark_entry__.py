@@ -638,6 +638,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_inverted_index(spark, sf_dir):
+        """Materialized inverted index over the documents table:
+        df-bounded tokens, deterministic posting truncation to the 40
+        lowest doc_ids, doc:tf postings serialized ascending."""
+        from delphi_pdf_parser_spark.operators.retrieval import (
+            build_inverted_index,
+        )
+
+        return build_inverted_index(
+            _docs(spark, sf_dir),
+            min_df=3,
+            max_df_frac=0.2,
+            max_postings=40,
+        ).orderBy("tok")
+
     def q_html_headings(spark, sf_dir):
         """Heading outline (h1-h6 in document order) over wrapped
         pages — the web analogue of the reference's PDF outline walk;
@@ -1428,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "crawl_frontier": q_crawl_frontier,
         "html_headings": q_html_headings,
+        "inverted_index": q_inverted_index,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1883,6 +1899,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
+        """,
+        # inverted index: df window + rank truncation mirrored; the
+        # postings string orders by doc_id ascending in both engines
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           str_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ),
+            tf AS (
+                SELECT tok, doc_id, count(*) AS tf
+                FROM toks GROUP BY tok, doc_id
+            ),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            ranked AS (
+                SELECT tok, doc_id, tf,
+                       count(*) OVER (PARTITION BY tok) AS df,
+                       row_number() OVER (PARTITION BY tok
+                           ORDER BY doc_id ASC) AS rn
+                FROM tf
+            )
+            SELECT tok, df, CAST(count(*) AS INT) AS n_stored,
+                   string_agg(doc_id || ':' || tf, ','
+                              ORDER BY doc_id ASC) AS postings
+            FROM ranked, nd
+            WHERE df >= 3 AND df <= 0.2 * nd.n AND rn <= 40
+            GROUP BY tok, df
+            ORDER BY tok
         """,
         # heading outline reconstruction: 3 non-empty headings per doc
         # in document order (the empty h2 drops)

@@ -94,3 +94,59 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "score", "rk")
     )
+
+
+def build_inverted_index(
+    documents: DataFrame,
+    min_df: int = 1,
+    max_df_frac: float = 0.5,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Corpus inverted index: (tok, df, n_stored, postings) where
+    postings is a ``doc:tf`` list serialized ``"d1:t1,d2:t2,..."`` in
+    ascending doc order — the materialized-index product behind
+    :func:`bm25_topk`'s ad-hoc path.
+
+    Scale bounds, all explicit: stopword-frequency tokens drop
+    (``df > max_df_frac * n_docs`` — their postings would be
+    corpus-sized and carry no signal), hapax noise drops
+    (``df < min_df``), and per-token posting lists truncate
+    DETERMINISTICALLY to the ``max_postings`` lowest doc_ids with the
+    true ``df`` still reported next to ``n_stored`` (no silent cap).
+    One explode + two hash aggregates + a per-token rank window.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_terms(F.col("text"), "t")).alias("tok")
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    n_docs = documents.select("doc_id").distinct().count()
+    w = Window.partitionBy("tok").orderBy(F.asc("doc_id"))
+    ranked = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(float(max_df_frac) * n_docs))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_postings)
+    )
+    return (
+        ranked.groupBy("tok", "df")
+        .agg(
+            F.count("*").cast("int").alias("n_stored"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda p: F.concat_ws(
+                        ":",
+                        p["doc_id"].cast("string"),
+                        p["tf"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .select("tok", "df", "n_stored", "postings")
+    )

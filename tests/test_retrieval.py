@@ -69,3 +69,23 @@ def test_bm25_topk_cap(spark):
     rows = bm25_topk(docs, qs, k=5).collect()
     assert len(rows) == 5
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rk)] == [0, 1, 2, 3, 4]
+
+
+def test_inverted_index_bounds_and_truncation(spark):
+    from delphi_pdf_parser_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    rows = [(i, "common rare" if i < 3 else "common") for i in range(10)]
+    rows[5] = (5, "common common solo")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {
+        r.tok: r
+        for r in build_inverted_index(
+            docs, min_df=2, max_df_frac=0.5, max_postings=2
+        ).collect()
+    }
+    # 'common' df=10 > 0.5*10: stopword-dropped; 'solo' df=1 < 2: dropped
+    assert set(idx) == {"rare"}
+    r = idx["rare"]
+    assert (r.df, r.n_stored, r.postings) == (3, 2, "0:1,1:1")
