@@ -196,3 +196,43 @@ def test_pq_rerank_shortlist_join_broadcasts(spark):
     # queries->candidates); no sort-merge join anywhere in the plan
     assert rep["broadcast_joins"] >= 2, rep
     assert rep["sortmerge_joins"] == 0, rep
+
+
+def test_bm25_no_sortmerge_all_broadcast(spark):
+    """The query vocabulary must broadcast UNDER the term aggregates:
+    the corpus never shuffles by token and no sort-merge join exists."""
+    from delphi_pdf_parser_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    qs = spark.createDataFrame(
+        [(0, "the and of")], "query_id long, text string"
+    )
+    rep = plan_report(bm25_topk(docs, qs, k=5))
+    assert rep["sortmerge_joins"] == 0, rep
+    assert rep["broadcast_joins"] >= 2, rep
+
+
+def test_chunk_documents_is_map_only(spark):
+    """RAG chunking claims zero shuffle: no Exchange in the operator's
+    plan (the slice rides the explode, never a repartition)."""
+    from delphi_pdf_parser_spark.operators.packing import chunk_documents
+    from delphi_pdf_parser_spark.plans import explain_str
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = explain_str(chunk_documents(docs, 24, 6), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_extract_links_prunes_scan(spark, tmp_path):
+    """The link pass reads only (url, html) — column pruning reaches
+    the parquet scan."""
+    from delphi_pdf_parser_spark.operators.graphs import extract_links
+
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("u", bytearray(b"<a href='https://x.example/'>x</a>"), "extra")],
+        "url string, html binary, other string",
+    ).write.parquet(path)
+    rep = plan_report(extract_links(spark.read.parquet(path)))
+    assert rep["read_schema"], rep
+    assert "other" not in rep["read_schema"][0], rep
