@@ -638,6 +638,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_table_profile(spark, sf_dir):
+        """WDC table classification over three tables per wrapped page:
+        a colspan-inconsistent one (consistency 2/3 -> layout), a clean
+        numeric 2x2 (relational), and a 1-row layout shell; profiles
+        stated analytically in the oracle."""
+        from delphi_pdf_parser_spark.operators.htmltables import (
+            extract_html_tables,
+            table_profile,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://tp%d.example/%d", d % 50, d)
+        html = F.format_string(
+            "<html><body><table>"
+            "<tr><th>name</th><th>value</th><th>source</th></tr>"
+            "<tr><td>d%d</td><td>%d</td><td>%s</td></tr>"
+            '<tr><td colspan="2">w%d</td><td>%d</td></tr></table>'
+            "<table><tr><td>%d</td><td>%d</td></tr>"
+            "<tr><td>%d</td><td>%d</td></tr></table>"
+            "<table><tr><td>layoutcell</td></tr></table>"
+            "</body></html>",
+            d,
+            d % 100,
+            F.col("source"),
+            d % 10,
+            d % 7,
+            d % 9,
+            d % 8,
+            d % 7,
+            d % 6,
+        )
+        wrapped = docs.select(url.alias("url"), html.alias("html"))
+        return table_profile(extract_html_tables(wrapped)).orderBy(
+            "url", "table_id"
+        )
+
     def q_inverted_index(spark, sf_dir):
         """Materialized inverted index over the documents table:
         df-bounded tokens, deterministic posting truncation to the 40
@@ -1444,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "html_headings": q_html_headings,
         "inverted_index": q_inverted_index,
+        "table_profile": q_table_profile,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1899,6 +1937,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
+        """,
+        # analytic table profiles: t0 widths (3,3,2) -> 0.6667 layout;
+        # t1 clean numeric 2x2 relational; t2 one-row shell
+        "table_profile": """
+            WITH b AS (
+                SELECT 'https://tp' || (doc_id % 50) || '.example/'
+                           || doc_id AS url
+                FROM documents
+            ),
+            p(table_id, n_rows, n_cols, consistency, numeric_frac,
+              has_header, is_relational) AS (
+                VALUES (0, 3, 3, 0.6667, 0.25, TRUE, FALSE),
+                       (1, 2, 2, 1.0, 1.0, FALSE, TRUE),
+                       (2, 1, 1, 1.0, 0.0, FALSE, FALSE)
+            )
+            SELECT url, CAST(table_id AS INT) AS table_id,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_cols AS BIGINT) AS n_cols,
+                   CAST(consistency AS DOUBLE) AS consistency,
+                   CAST(numeric_frac AS DOUBLE) AS numeric_frac,
+                   has_header, is_relational
+            FROM b CROSS JOIN p
+            ORDER BY url, table_id
         """,
         # inverted index: df window + rank truncation mirrored; the
         # postings string orders by doc_id ascending in both engines

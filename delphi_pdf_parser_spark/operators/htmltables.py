@@ -132,3 +132,78 @@ def extract_html_tables(
         F.col(url_col).alias("url"), F.col(html_col).alias("html")
     ).filter(F.col(html_col).isNotNull())
     return df.mapInPandas(_table_batches, TABLE_SCHEMA)
+
+
+def table_profile(cells: DataFrame, min_rows: int = 2) -> DataFrame:
+    """WDC-style table classification: most extracted ``<table>``s are
+    LAYOUT scaffolding, not data; the web-tables pipeline keeps the
+    relational ones. Per (url, table_id): shape, shape consistency
+    (fraction of rows with the modal column count), numeric-cell
+    fraction, header flag, and the keep verdict
+
+        is_relational = consistency >= 0.8 AND n_rows >= min_rows
+                        AND n_cols >= 2.
+
+    Two hash aggregates + one per-table modal lookup — no windows over
+    the corpus, no Python.
+    """
+    per_row = cells.groupBy("url", "table_id", "row_id").agg(
+        F.count("*").alias("row_cells")
+    )
+    modal = (
+        per_row.groupBy("url", "table_id", "row_cells")
+        .agg(F.count("*").alias("n"))
+        .groupBy("url", "table_id")
+        .agg(
+            F.max_by(
+                "row_cells", F.struct(F.col("n"), -F.col("row_cells"))
+            ).alias("n_cols")
+        )
+    )
+    shape = per_row.groupBy("url", "table_id").agg(
+        F.count("*").alias("n_rows")
+    )
+    consistency = (
+        per_row.join(modal, ["url", "table_id"])
+        .groupBy("url", "table_id")
+        .agg(
+            F.round(
+                F.avg(
+                    (F.col("row_cells") == F.col("n_cols")).cast(
+                        "double"
+                    )
+                ),
+                4,
+            ).alias("consistency")
+        )
+    )
+    content = cells.groupBy("url", "table_id").agg(
+        F.round(
+            F.avg(
+                F.col("cell").rlike(r"^-?\d+([.,]\d+)?$").cast("double")
+            ),
+            4,
+        ).alias("numeric_frac"),
+        F.max(F.col("is_header").cast("int")).cast("boolean").alias(
+            "has_header"
+        ),
+    )
+    prof = (
+        shape.join(modal, ["url", "table_id"])
+        .join(consistency, ["url", "table_id"])
+        .join(content, ["url", "table_id"])
+    )
+    return prof.select(
+        "url",
+        "table_id",
+        "n_rows",
+        "n_cols",
+        "consistency",
+        "numeric_frac",
+        "has_header",
+        (
+            (F.col("consistency") >= 0.8)
+            & (F.col("n_rows") >= min_rows)
+            & (F.col("n_cols") >= 2)
+        ).alias("is_relational"),
+    )

@@ -73,3 +73,25 @@ def test_truncated_page_keeps_open_cell():
         (0, "first"),
         (1, "cut off mid senten"),
     ]
+
+
+def test_table_profile_classification(spark):
+    from delphi_pdf_parser_spark.operators.htmltables import table_profile
+
+    cells = spark.createDataFrame(
+        # t0: consistent 2x2 numeric with header -> relational
+        [("u", 0, 0, 0, "a", True), ("u", 0, 0, 1, "b", True),
+         ("u", 0, 1, 0, "1", False), ("u", 0, 1, 1, "2.5", False)]
+        # t1: ragged widths (2,1,1): modal 1 -> consistency 2/3, 1 col
+        + [("u", 1, 0, 0, "x", False), ("u", 1, 0, 1, "y", False),
+           ("u", 1, 1, 0, "z", False), ("u", 1, 2, 0, "w", False)],
+        "url string, table_id int, row_id int, col_id int, "
+        "cell string, is_header boolean",
+    )
+    got = {r.table_id: r for r in table_profile(cells).collect()}
+    t0 = got[0]
+    assert (t0.n_rows, t0.n_cols, t0.consistency) == (2, 2, 1.0)
+    assert t0.numeric_frac == 0.5 and t0.has_header and t0.is_relational
+    t1 = got[1]
+    assert (t1.n_rows, t1.n_cols) == (3, 1)
+    assert t1.consistency == 0.6667 and not t1.is_relational
