@@ -638,6 +638,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
 
+    def q_script_profile(spark, sf_dir):
+        """Unicode-script routing over mixed-script synthesized text:
+        every 3rd doc gets a Cyrillic clause appended, every 5th a Han
+        one, every 7th Arabic — fractions and the dominant script must
+        match RE2's script classes in DuckDB."""
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        mixed = F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" 你好世界")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" مرحبا")).otherwise(F.lit("")),
+        )
+        return textstats.script_profile(
+            docs.select("doc_id", mixed.alias("text"))
+        ).orderBy("doc_id")
+
     def q_table_profile(spark, sf_dir):
         """WDC table classification over three tables per wrapped page:
         a colspan-inconsistent one (consistency 2/3 -> layout), a clean
@@ -1482,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_headings": q_html_headings,
         "inverted_index": q_inverted_index,
         "table_profile": q_table_profile,
+        "script_profile": q_script_profile,
         "anchor_topk": q_anchor_topk,
         "link_pagerank": q_link_pagerank,
         "link_degree_stats": q_link_degree_stats,
@@ -1937,6 +1955,48 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d % 4 IN (0, 1)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
+        """,
+        # script profile: RE2 \p{Script} classes mirror Java's
+        # \p{IsScript} for Latin/Cyrillic/Han/Arabic; same mixed text
+        "script_profile": """
+            WITH m AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' привет мир' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' 你好世界' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' مرحبا' ELSE '' END AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '\\p{Latin}')) AS lat,
+                       len(regexp_extract_all(t, '\\p{Cyrillic}')) AS cyr,
+                       len(regexp_extract_all(t, '\\p{Han}')) AS han,
+                       len(regexp_extract_all(t, '\\p{Arabic}')) AS ara
+                FROM m
+            ),
+            s AS (
+                SELECT *, lat + cyr + han + ara AS total,
+                       CASE WHEN lat + cyr + han + ara = 0 THEN 1
+                            ELSE lat + cyr + han + ara END AS safe
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(total AS BIGINT) AS n_script_chars,
+                   round(lat / CAST(safe AS DOUBLE), 4) AS latin_frac,
+                   round(cyr / CAST(safe AS DOUBLE), 4) AS cyrillic_frac,
+                   round(han / CAST(safe AS DOUBLE), 4) AS han_frac,
+                   round(ara / CAST(safe AS DOUBLE), 4) AS arabic_frac,
+                   CASE WHEN total = 0 THEN 'none'
+                        WHEN lat >= cyr AND lat >= han AND lat >= ara
+                            THEN 'latin'
+                        WHEN cyr >= han AND cyr >= ara THEN 'cyrillic'
+                        WHEN han >= ara THEN 'han'
+                        ELSE 'arabic' END AS main_script
+            FROM s ORDER BY doc_id
         """,
         # analytic table profiles: t0 widths (3,3,2) -> 0.6667 layout;
         # t1 clean numeric 2x2 relational; t2 one-row shell

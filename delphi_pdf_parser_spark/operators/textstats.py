@@ -873,3 +873,49 @@ def ccnet_buckets(
             F.round("t_tail", 8).alias("t_tail"),
         )
     )
+
+
+def script_profile(documents: DataFrame) -> DataFrame:
+    """Unicode-script routing profile per document: letter counts and
+    fractions for Latin / Cyrillic / Han / Arabic plus the dominant
+    script — the multilingual-corpus router that runs BEFORE any
+    language ID (scripts partition cheaper and more reliably than
+    languages; CJK segmentation, RTL handling and per-script quality
+    models all branch on it).
+
+    Pure JVM regex counts (Java Unicode script properties), map-only.
+    The DuckDB oracle uses RE2's equivalent ``\\p{Script}`` classes —
+    the four scripts here agree between the engines by construction.
+    """
+    t = F.col("text")
+
+    def cnt(script):
+        return F.coalesce(
+            F.length(
+                F.regexp_replace(t, f"[^\\p{{Is{script}}}]", "")
+            ),
+            F.lit(0),
+        )
+
+    lat, cyr, han, ara = (
+        cnt("Latin"), cnt("Cyrillic"), cnt("Han"), cnt("Arabic")
+    )
+    total = lat + cyr + han + ara
+    safe = F.when(total == 0, F.lit(1)).otherwise(total)
+    fr = lambda c: F.round(c / safe, 4)  # noqa: E731
+    main = (
+        F.when(total == 0, F.lit("none"))
+        .when((lat >= cyr) & (lat >= han) & (lat >= ara), F.lit("latin"))
+        .when((cyr >= han) & (cyr >= ara), F.lit("cyrillic"))
+        .when(han >= ara, F.lit("han"))
+        .otherwise(F.lit("arabic"))
+    )
+    return documents.select(
+        "doc_id",
+        total.alias("n_script_chars"),
+        fr(lat).alias("latin_frac"),
+        fr(cyr).alias("cyrillic_frac"),
+        fr(han).alias("han_frac"),
+        fr(ara).alias("arabic_frac"),
+        main.alias("main_script"),
+    )

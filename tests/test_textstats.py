@@ -769,3 +769,25 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_script_profile_routing(spark):
+    from delphi_pdf_parser_spark.operators.textstats import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир hello"),   # cyrillic-dominant
+            (3, "你好世界"),
+            (4, "مرحبا بالعالم"),
+            (5, "12345 !!!"),          # no script letters at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(docs).collect()}
+    assert got[1].main_script == "latin" and got[1].latin_frac == 1.0
+    assert got[2].main_script == "cyrillic"
+    assert got[2].cyrillic_frac > 0.5 > got[2].latin_frac > 0
+    assert got[3].main_script == "han" and got[3].han_frac == 1.0
+    assert got[4].main_script == "arabic"
+    assert got[5].main_script == "none" and got[5].n_script_chars == 0
