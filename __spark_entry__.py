@@ -1457,8 +1457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link_pagerank, link_trustrank, link_degree_stats, link_hits,
         # link_components, ccnet_buckets, recrawl_diff, robots_rules,
         # robots_filter, sitemap_urls, surt_keys, cocitation,
-        # crawl_frontier, html_headings, inverted_index — 24 more
-        # oracled, plus the rows-only unigram_tokenize) and rotate
+        # crawl_frontier, html_headings, inverted_index,
+        # table_profile, script_profile — 26 more oracled, plus the
+        # rows-only unigram_tokenize) and rotate
         # into slots 48-50 three per round, oracled-first, starting
         # next round.
         "pdf_render": q_pdf_render,
