@@ -477,7 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Documents wrapped into pages with a deterministic link set:
         one cross-site hub link, one relative link, one nofollow link,
         plus a fragment-only and a javascript: href the extractor must
-        skip. 3 followable edges per doc, all SQL-reconstructible."""
+        skip — and three INERT decoys (an anchor inside an HTML
+        comment, an <a href> string literal inside a <script> body, and
+        one inside <style>) that must produce NO edges (VERDICT r6 #2).
+        3 followable edges per doc, all SQL-reconstructible."""
         docs = _docs(spark, sf_dir)
         nn = docs.count()
         hub = (F.col("doc_id") * 389 + 1) % 20
@@ -487,7 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "https://site%d.example/d/%d", site, F.col("doc_id")
         )
         html = F.format_string(
-            '<html><body><a href="https://hub%d.example/">Hub %d</a>'
+            "<html><body>"
+            '<!-- <a href="https://phantom.example/">Ghost nav</a> -->'
+            "<script>var s = '<a href=\"https://ghost.example/\">x</a>';"
+            "</script>"
+            "<style>.x:after{content:"
+            "'<a href=\"https://ghost2.example/\">'}</style>"
+            '<a href="https://hub%d.example/">Hub %d</a>'
             "<a href='/about'>About &amp; Help</a>"
             '<a rel="nofollow" href="promo.html">Promo</a>'
             '<a href="#top">Top</a>'
@@ -719,7 +728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = F.col("doc_id")
         url = F.format_string("https://h%d.example/p/%d", d % 50, d)
         html = F.format_string(
-            "<html><body><h1>Doc %d</h1><p>x</p>"
+            "<html><body>"
+            # inert decoys FIRST so a strip regression shifts every kept
+            # pos and the oracle hash catches it (VERDICT r6 #2)
+            "<!-- <h1>Phantom outline</h1> -->"
+            "<script>document.write('<h2>Ghost</h2>')</script>"
+            "<h1>Doc %d</h1><p>x</p>"
             '<h2 class="s">Part %d &amp; intro</h2>'
             "<h3><em>Sub</em> %d</h3>"
             "<h2></h2>"  # empty heading: dropped
@@ -949,10 +963,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("index")
         )
         html = F.format_string(
-            "<html><head><title>Page %d</title>"
+            "<html><head>"
+            '<!-- <title>Ghost</title><a href="/ghost">G</a>'
+            "<table><tr><td>ghost</td></tr></table> -->"
+            "<title>Page %d</title>"
             '<meta name="robots" content="%s">'
             '<script type="application/ld+json">{"@type":"Article"}'
             "</script></head><body>"
+            "<script>nav('<a href=\"/ghost2\">g</a>')</script>"
             '<a href="https://hub%d.example/">Hub</a>'
             '<a rel="nofollow" href="/p">P</a>'
             "<table><tr><td>a%d</td><td>%d</td></tr></table>"
@@ -1036,7 +1054,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = F.col("doc_id")
         url = F.format_string("https://t%d.example/p/%d", d % 50, d)
         html = F.format_string(
-            "<html><body><h1>x</h1><table>"
+            "<html><body><h1>x</h1>"
+            # decoy tables BEFORE the real one: pre-strip they would
+            # claim table_id 0 and shift every real cell's tid
+            "<!-- <table><tr><td>ghost</td></tr></table> -->"
+            "<script>render('<table><tr><td>g2</td></tr></table>')"
+            "</script>"
+            "<table>"
             "<tr><th>name</th><th>value</th><th>source</th></tr>"
             "<tr><td>d%d</td><td>%d</td><td>%s</td></tr>"
             '<tr><td colspan="2">w%d</td><td>%d</td></tr>'
@@ -1094,7 +1118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("index, follow")
         )
         html = F.format_string(
-            "<html><head><title>Page %d &amp; Co</title>"
+            "<html><head>"
+            # commented-out decoys FIRST: first-match-wins fields would
+            # pick the ghost title/description without the inert strip
+            '<!-- <title>Ghost</title><meta name="description"'
+            ' content="GHOST"> -->'
+            "<title>Page %d &amp; Co</title>"
             '<meta name="description" content="Desc %d">'
             '<meta property="og:title" content="OG %d">'
             '<meta property="article:published_time"'

@@ -52,6 +52,38 @@ _TAG_RE = re.compile(
 )
 
 
+# Inert regions for the regex-scanning extractors (links/meta/tables/
+# headings): HTML comments, CDATA sections, and the raw-text elements
+# whose contents are never markup (script/style/template).  An
+# unterminated opener consumes to EOF, matching the HTML5 parsing spec
+# (and matching what _segment() above does tag-by-tag).  noscript and
+# svg are deliberately NOT inert here: noscript bodies are real indexed
+# markup when JS is off, and SVG2 <a href> anchors are real links.
+# JSON-LD extraction must NOT use this — it reads <script
+# type="application/ld+json"> payloads (see htmlmeta._page_jsonld).
+_INERT_RE = re.compile(
+    rb"<!--.*?(?:-->|$)"
+    rb"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    rb"|<(script|style|template)(?=[\s/>])[^>]*>.*?(?:</\1\s*>|$)",
+    re.I | re.S,
+)
+
+
+def strip_inert_bytes(html: bytes) -> bytes:
+    """Blank comments, CDATA, and script/style/template raw text.
+
+    The structural extractors (graphs._page_links, htmlmeta._page_meta,
+    htmltables._page_tables, htmlmeta._page_headings) regex-scan raw
+    bytes; without this, an anchor inside ``<!-- commented-out nav -->``
+    or an ``<a href>`` string literal inside a ``<script>`` body becomes
+    a phantom edge/cell on real crawl HTML (VERDICT r6 finding #1).
+    Replacement is a single space so adjacent text never fuses.
+    ``<script/>`` self-closing is treated as an open raw-text tag, the
+    same error-recovery browsers apply (script is never void in HTML).
+    """
+    return _INERT_RE.sub(b" ", html)
+
+
 def _decode_entities(s: str) -> str:
     def sub(m):
         e = m.group(1)

@@ -79,7 +79,9 @@ def _attrs(tag: bytes) -> dict:
     return out
 
 
-def _page_links(url: str, html: bytes) -> list:
+def _page_links(
+    url: str, html: bytes, stripped: bool = False
+) -> list:
     """All followable anchors on one page: (src, dst, anchor, nofollow).
 
     Resolution is RFC 3986 (stdlib urljoin) against the page URL, or
@@ -87,9 +89,20 @@ def _page_links(url: str, html: bytes) -> list:
     behavior. Fragments are stripped (the fragment never reaches the
     server, so two anchors differing only in #frag are the same edge
     target); fragment-only and non-http(s) hrefs are skipped.
-    """
-    from delphi_pdf_parser_spark.htmlcore import _decode_entities
 
+    Comments, CDATA, and script/style/template raw text are blanked
+    before the scan so commented-out navigation and script-embedded
+    ``<a href>`` string literals never become edges; ``stripped=True``
+    skips the blanking when the caller already did it once for several
+    scanners (webannotations' single-scan pass).
+    """
+    from delphi_pdf_parser_spark.htmlcore import (
+        _decode_entities,
+        strip_inert_bytes,
+    )
+
+    if not stripped:
+        html = strip_inert_bytes(html)
     base = url
     bm = _BASE_RE.search(html)
     if bm is not None:

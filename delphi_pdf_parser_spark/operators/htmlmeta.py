@@ -63,7 +63,14 @@ def _text(raw: Optional[bytes]) -> Optional[str]:
     return s or None
 
 
-def _page_meta(url: str, html: bytes) -> tuple:
+def _page_meta(url: str, html: bytes, stripped: bool = False) -> tuple:
+    # blank comments/CDATA/script/style/template first: a <title> or
+    # <meta> inside a commented block or a script string literal is not
+    # page metadata (VERDICT r6 finding #1)
+    if not stripped:
+        from delphi_pdf_parser_spark.htmlcore import strip_inert_bytes
+
+        html = strip_inert_bytes(html)
     title = None
     tm = _TITLE_RE.search(html)
     if tm is not None:
@@ -222,9 +229,17 @@ _H_RE = re.compile(rb"<h([1-6])[^>]*>(.*?)</h\1\s*>", re.I | re.S)
 _INNER_TAG_RE = re.compile(rb"<[^>]*>")
 
 
-def _page_headings(url: str, html: bytes) -> list:
-    from delphi_pdf_parser_spark.htmlcore import _decode_entities
+def _page_headings(
+    url: str, html: bytes, stripped: bool = False
+) -> list:
+    from delphi_pdf_parser_spark.htmlcore import (
+        _decode_entities,
+        strip_inert_bytes,
+    )
 
+    # commented-out or script-embedded <h1-6> must not enter the outline
+    if not stripped:
+        html = strip_inert_bytes(html)
     rows = []
     for m in _H_RE.finditer(html):
         text = _INNER_TAG_RE.sub(b" ", m.group(2)).decode(

@@ -58,7 +58,16 @@ def _clean(raw: bytes) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
-def _page_tables(url: str, html: bytes) -> list:
+def _page_tables(
+    url: str, html: bytes, stripped: bool = False
+) -> list:
+    # a <table> inside <!-- --> or a script string is not page content;
+    # blanking keeps offsets self-consistent (cells slice the stripped
+    # bytes, and cell text never contained inert regions anyway)
+    if not stripped:
+        from delphi_pdf_parser_spark.htmlcore import strip_inert_bytes
+
+        html = strip_inert_bytes(html)
     rows = []
     depth = 0
     tid = -1

@@ -66,6 +66,7 @@ WEB_PAGE_SCHEMA = StructType(
 def _annotation_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    from delphi_pdf_parser_spark.htmlcore import strip_inert_bytes
     from delphi_pdf_parser_spark.operators.graphs import _page_links
     from delphi_pdf_parser_spark.operators.htmlmeta import (
         _page_jsonld,
@@ -81,11 +82,15 @@ def _annotation_batches(
                 continue
             raw = bytes(html) if not isinstance(html, str) else html.encode()
             try:
+                # inert regions blanked ONCE for the three structural
+                # scanners; jsonld reads the ORIGINAL bytes because its
+                # payload lives inside <script type="application/ld+json">
+                clean = strip_inert_bytes(raw)
                 links = [
                     {"dst": d, "anchor": a, "nofollow": nf}
-                    for _, d, a, nf in _page_links(url, raw)
+                    for _, d, a, nf in _page_links(url, clean, stripped=True)
                 ]
-                meta = _page_meta(url, raw)
+                meta = _page_meta(url, clean, stripped=True)
                 cells = [
                     {
                         "table_id": t,
@@ -94,7 +99,9 @@ def _annotation_batches(
                         "cell": cell,
                         "is_header": h,
                     }
-                    for _, t, r, c, cell, h in _page_tables(url, raw)
+                    for _, t, r, c, cell, h in _page_tables(
+                        url, clean, stripped=True
+                    )
                 ]
                 blobs = [body for _, _, body in _page_jsonld(url, raw)]
             except Exception:

@@ -352,3 +352,54 @@ def test_cocitation_pairs_and_hub_cap(spark):
         for r in cocitation_pairs(edges, min_common=2, max_out=4).collect()
     }
     assert rows == {("x", "y"): 2}
+
+
+# --------------------------------------------- inert-region stripping
+
+GHOST_PAGE = b"""<html><body>
+<!-- commented-out nav:
+<a href="https://phantom.example/a">Old nav</a>
+<a href="https://phantom.example/b">More</a> -->
+<script>
+var tpl = '<a href="https://ghost.example/x">client-side</a>';
+document.write('<a href="https://ghost.example/y">w</a>');
+</script>
+<style>.x:after { content: '<a href="https://ghost2.example/">c</a>'; }
+</style>
+<template><a href="https://ghost3.example/">tpl</a></template>
+<![CDATA[ <a href="https://ghost4.example/">cdata</a> ]]>
+<a href="https://real.example/keep">Real link</a>
+<noscript><a href="https://noscript.example/">indexed when JS off</a>
+</noscript>
+</body></html>"""
+
+
+def test_page_links_skip_comments_and_rawtext():
+    """VERDICT r6 #2: anchors inside comments/CDATA/script/style/
+    template must NOT become edges; noscript bodies are real markup."""
+    rows = _page_links("https://site.example/", GHOST_PAGE)
+    dsts = {r[1] for r in rows}
+    assert dsts == {
+        "https://real.example/keep",
+        "https://noscript.example/",
+    }
+
+
+def test_page_links_unterminated_comment_consumes_to_eof():
+    page = (
+        b'<a href="https://keep.example/">k</a>'
+        b'<!-- truncated crawl <a href="https://ghost.example/">g</a>'
+    )
+    rows = _page_links("https://s.example/", page)
+    assert {r[1] for r in rows} == {"https://keep.example/"}
+
+
+def test_page_links_script_src_then_real_anchor():
+    # empty script bodies / src-only scripts must not swallow content
+    page = (
+        b'<script src="/app.js"></script>'
+        b'<a href="https://keep.example/">k</a>'
+        b"<script>x('<a href=\"https://g.example/\">')</script>"
+    )
+    rows = _page_links("https://s.example/", page)
+    assert {r[1] for r in rows} == {"https://keep.example/"}

@@ -91,3 +91,56 @@ def test_page_headings_outline():
         ("u", 2, 3, "Deep & down"),
         ("u", 3, 1, "Again"),
     ]
+
+
+# --------------------------------------------- inert-region stripping
+
+
+def test_meta_skips_commented_and_script_embedded():
+    """VERDICT r6 #2: first-match-wins fields must not bind to ghost
+    tags inside comments or script string literals."""
+    from delphi_pdf_parser_spark.operators.htmlmeta import _page_meta
+
+    page = (
+        b"<html><head>"
+        b'<!-- <title>Ghost</title><meta name="description"'
+        b' content="GHOST"> -->'
+        b"<script>render('<meta name=\"robots\" content=\"noindex\">')"
+        b"</script>"
+        b"<title>Real</title>"
+        b'<meta name="description" content="real desc">'
+        b"</head></html>"
+    )
+    row = _page_meta("https://s.example/", page)
+    assert row[1] == "Real"
+    assert row[2] == "real desc"
+    assert row[7] is False  # script-embedded noindex ignored
+
+
+def test_headings_skip_commented_and_script_embedded():
+    from delphi_pdf_parser_spark.operators.htmlmeta import _page_headings
+
+    page = (
+        b"<!-- <h1>Phantom</h1> -->"
+        b"<script>w('<h2>Ghost</h2>')</script>"
+        b"<h1>Real</h1><h2>Sub</h2>"
+    )
+    rows = _page_headings("u", page)
+    # pos stays gap-free and 0-based at the FIRST real heading
+    assert [(r[1], r[2], r[3]) for r in rows] == [
+        (0, 1, "Real"),
+        (1, 2, "Sub"),
+    ]
+
+
+def test_jsonld_still_reads_script_payloads():
+    """The inert strip must NOT apply to JSON-LD extraction, whose
+    payload lives inside <script type=application/ld+json>."""
+    from delphi_pdf_parser_spark.operators.htmlmeta import _page_jsonld
+
+    page = (
+        b'<script type="application/ld+json">'
+        b'{"@type":"Article","name":"x"}</script>'
+    )
+    rows = _page_jsonld("u", page)
+    assert len(rows) == 1 and "Article" in rows[0][2]

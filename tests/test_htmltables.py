@@ -95,3 +95,25 @@ def test_table_profile_classification(spark):
     t1 = got[1]
     assert (t1.n_rows, t1.n_cols) == (3, 1)
     assert t1.consistency == 0.6667 and not t1.is_relational
+
+
+def test_tables_skip_commented_and_script_embedded():
+    """VERDICT r6 #2: ghost tables in comments/script must not shift
+    table_id numbering or emit cells."""
+    from delphi_pdf_parser_spark.operators.htmltables import _page_tables
+
+    page = (
+        b"<!-- <table><tr><td>ghost</td></tr></table> -->"
+        b"<script>r('<table><tr><td>g2</td></tr></table>')</script>"
+        b"<table><tr><td>real</td></tr></table>"
+    )
+    rows = _page_tables("u", page)
+    assert rows == [("u", 0, 0, 0, "real", False)]
+
+
+def test_table_cell_with_inline_comment_keeps_text():
+    from delphi_pdf_parser_spark.operators.htmltables import _page_tables
+
+    page = b"<table><tr><td>a<!-- hidden -->b</td></tr></table>"
+    rows = _page_tables("u", page)
+    assert rows[0][4] == "a b"
