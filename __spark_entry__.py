@@ -590,13 +590,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _synthetic_robots(spark, sf_dir):
         """50 hosts, each with a two-group robots.txt: the * group has
         a disallow + a longer allow + a crawl-delay written AFTER the
-        rules (exercises the retrofit path), plus a badbot group."""
+        rules (exercises the retrofit path) + two RFC 9309 wildcard
+        rules (mid-pattern * and a $ end anchor, VERDICT r6 #3), plus
+        a badbot group."""
         docs = _docs(spark, sf_dir)
         k = (F.col("doc_id") % 50).alias("k")
         hosts = docs.select(k).distinct()
         txt = F.format_string(
             "User-agent: *\nDisallow: /private%d/\n"
-            "Allow: /private%d/public\nCrawl-delay: %d\n\n"
+            "Allow: /private%d/public\nCrawl-delay: %d\n"
+            "Disallow: /*?sessionid=\nAllow: /dl/*.pdf$\n\n"
             "User-agent: badbot\nDisallow: /\n",
             F.col("k") % 3,
             F.col("k") % 3,
@@ -618,10 +621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_robots_filter(spark, sf_dir):
-        """Politeness verdicts: parse + longest-prefix-wins filter over
-        four URL shapes per doc (blocked subtree, allowed sub-subtree,
-        unruled path, case-mismatched prefix); the oracle states each
-        verdict analytically."""
+        """Politeness verdicts: parse + longest-rule-wins filter over
+        six URL shapes per doc (blocked subtree, allowed sub-subtree,
+        unruled path, case-mismatched prefix, a sessionid query the
+        mid-pattern * rule must block, and a .pdf the $-anchored allow
+        must pass); the oracle states each verdict analytically."""
         from delphi_pdf_parser_spark.operators.robots import (
             parse_robots,
             robots_filter,
@@ -632,17 +636,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = F.col("doc_id")
         j = (d % 50) % 3
         path = (
-            F.when(d % 4 == 0, F.format_string("/private%d/secret", j))
-            .when(d % 4 == 1, F.format_string("/private%d/public/x", j))
-            .when(d % 4 == 2, F.lit("/open/x"))
-            .otherwise(F.format_string("/PRIVATE%d/x", j))
+            F.when(d % 6 == 0, F.format_string("/private%d/secret?d=%d", j, d))
+            .when(d % 6 == 1, F.format_string("/private%d/public/x?d=%d", j, d))
+            .when(d % 6 == 2, F.format_string("/open/x?d=%d", d))
+            .when(d % 6 == 3, F.format_string("/PRIVATE%d/x?d=%d", j, d))
+            .when(d % 6 == 4, F.format_string("/open/p%d?sessionid=abc", d))
+            .otherwise(F.format_string("/dl/r%d.pdf", d))
         )
         urls = docs.select(
             F.format_string(
-                "https://site%d.example%s%s",
-                d % 50,
-                path,
-                F.format_string("?d=%d", d),
+                "https://site%d.example%s", d % 50, path
             ).alias("url")
         )
         return robots_filter(urls, rules, agent="*").orderBy("url")
@@ -879,11 +882,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_encode(docs, model).orderBy("doc_id")
 
     def q_sitemap_urls(spark, sf_dir):
-        """Sitemap parse (frontier seeding) over synthetic per-host
-        urlsets: two url entries (one full, one loc-only) + one
-        sitemapindex member each; every field reconstructs in SQL."""
+        """Sitemap parse + ONE-LEVEL index recursion (frontier
+        seeding, VERDICT r6 #10) over synthetic per-host urlsets: two
+        url entries + one sitemapindex member each; even-k hosts have
+        the child body fetched (its urls must surface under the parent
+        host), odd-k hosts don't (the member must stay visible as an
+        unresolved kind='sitemap' row). Every field reconstructs in
+        SQL."""
         from delphi_pdf_parser_spark.operators.robots import (
-            parse_sitemaps,
+            resolve_sitemap_index,
         )
 
         docs = _docs(spark, sf_dir)
@@ -908,7 +915,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.format_string("site%d.example", F.col("k")).alias("host"),
             xml.alias("sitemap_xml"),
         )
-        return parse_sitemaps(sm).orderBy("host", "kind", "loc")
+        fetched = hosts.filter(F.col("k") % 2 == 0).select(
+            F.format_string(
+                "https://site%d.example/more.xml", F.col("k")
+            ).alias("url"),
+            F.format_string(
+                "<urlset><url><loc>https://site%d.example/child/%d"
+                "</loc><changefreq>weekly</changefreq></url></urlset>",
+                F.col("k"),
+                F.col("k") % 7,
+            ).alias("sitemap_xml"),
+        )
+        return resolve_sitemap_index(sm, fetched).orderBy(
+            "host", "kind", "loc"
+        )
 
     def q_recrawl_diff(spark, sf_dir):
         """CDX-style recrawl change detection over three synthetic
@@ -1935,6 +1955,14 @@ def oracle_sql() -> dict[str, str]:
                        CAST(k % 5 AS DOUBLE)
                 FROM h
                 UNION ALL
+                SELECT 'site' || k || '.example', '*', 'disallow',
+                       '/*?sessionid=', CAST(k % 5 AS DOUBLE)
+                FROM h
+                UNION ALL
+                SELECT 'site' || k || '.example', '*', 'allow',
+                       '/dl/*.pdf$', CAST(k % 5 AS DOUBLE)
+                FROM h
+                UNION ALL
                 SELECT 'site' || k || '.example', 'badbot', 'disallow',
                        '/', CAST(NULL AS DOUBLE)
                 FROM h
@@ -1951,20 +1979,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT 'https://site' || k || '.example' ||
-                   CASE d % 4
-                       WHEN 0 THEN '/private' || j || '/secret'
-                       WHEN 1 THEN '/private' || j || '/public/x'
-                       WHEN 2 THEN '/open/x'
-                       ELSE '/PRIVATE' || j || '/x'
-                   END || '?d=' || d AS url,
-                   d % 4 <> 0 AS allowed,
-                   CASE d % 4 WHEN 0 THEN 'disallow'
-                              WHEN 1 THEN 'allow' END AS matched_rule,
-                   CASE d % 4
+                   CASE d % 6
+                       WHEN 0 THEN '/private' || j || '/secret?d=' || d
+                       WHEN 1 THEN '/private' || j || '/public/x?d=' || d
+                       WHEN 2 THEN '/open/x?d=' || d
+                       WHEN 3 THEN '/PRIVATE' || j || '/x?d=' || d
+                       WHEN 4 THEN '/open/p' || d || '?sessionid=abc'
+                       ELSE '/dl/r' || d || '.pdf'
+                   END AS url,
+                   d % 6 NOT IN (0, 4) AS allowed,
+                   CASE d % 6 WHEN 0 THEN 'disallow'
+                              WHEN 1 THEN 'allow'
+                              WHEN 4 THEN 'disallow'
+                              WHEN 5 THEN 'allow' END AS matched_rule,
+                   CASE d % 6
                        WHEN 0 THEN '/private' || j || '/'
                        WHEN 1 THEN '/private' || j || '/public'
+                       WHEN 4 THEN '/*?sessionid='
+                       WHEN 5 THEN '/dl/*.pdf$'
                    END AS matched_prefix,
-                   CASE WHEN d % 4 IN (0, 1)
+                   CASE WHEN d % 6 IN (0, 1, 4, 5)
                         THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
             FROM u ORDER BY url
         """,
@@ -2178,10 +2212,18 @@ def oracle_sql() -> dict[str, str]:
                        NULL, NULL, CAST(NULL AS DOUBLE), 'url'
                 FROM h
                 UNION ALL
+                -- index members: resolved into child urls for even k,
+                -- left visible as unresolved 'sitemap' rows for odd k
                 SELECT 'site' || k || '.example',
                        'https://site' || k || '.example/more.xml',
                        NULL, NULL, CAST(NULL AS DOUBLE), 'sitemap'
-                FROM h
+                FROM h WHERE k % 2 = 1
+                UNION ALL
+                SELECT 'site' || k || '.example',
+                       'https://site' || k || '.example/child/'
+                           || (k % 7),
+                       NULL, 'weekly', CAST(NULL AS DOUBLE), 'url'
+                FROM h WHERE k % 2 = 0
             )
             SELECT host, loc, lastmod, changefreq, priority, kind
             FROM e ORDER BY host, kind, loc

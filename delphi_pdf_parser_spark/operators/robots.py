@@ -2,15 +2,16 @@
 table by them — the compliance stage every crawl pipeline runs before
 fetching (and re-runs before re-publishing a crawl-derived corpus).
 
-Semantics implemented (RFC 9309 / Google REP subset, documented):
-user-agent groups (consecutive ``User-agent`` lines share one group;
-``*`` is the fallback group), ``Allow``/``Disallow`` path-prefix rules,
-``Crawl-delay``, comments and blank-line group breaks. Rule matching is
-PREFIX-ONLY — the ``*``/``$`` wildcard extension is out of envelope
-(recorded here; a rule containing a wildcard still parses and matches
-by its literal-prefix head up to the first ``*``). Precedence is the
-standard most-specific-wins: longest matching prefix, Allow on ties;
-no matching rule means allowed.
+Semantics implemented (RFC 9309): user-agent groups (consecutive
+``User-agent`` lines share one group; ``*`` is the fallback group),
+``Allow``/``Disallow`` path rules with full ``*``/``$`` wildcard
+matching (``*`` spans any character run anywhere in the rule, ``$``
+anchors the rule at the URL's end; a ``$`` anywhere else is a literal
+octet, matching Google's reference parser), ``Crawl-delay``, comments
+and blank-line group breaks. Precedence is most-specific-wins defined
+as the LONGEST RULE PATH in octets (wildcards counted, per the RFC's
+"longest match" and Google's matcher), Allow on ties; no matching rule
+means allowed.
 
 Scale shape: robots files are per-host and tiny — parsing is one
 ``mapInPandas`` pass over the (host, robots_txt) table; the filter is
@@ -73,9 +74,10 @@ def _parse_robots(host: str, txt: str) -> list:
             # REP: record nothing (no rule can then block)
             if not val:
                 continue
-            prefix = val.split("*", 1)[0]  # wildcard envelope: literal head
+            # full rule path kept verbatim (incl. * and $); the filter
+            # compiles it to a regex at match time (RFC 9309 wildcards)
             for a in agents:
-                rows.append((host, a, key, prefix, delay.get(a)))
+                rows.append((host, a, key, val, delay.get(a)))
         elif key == "crawl-delay":
             try:
                 d = float(val)
@@ -129,8 +131,14 @@ def robots_filter(
     ``*`` group as fallback for hosts that define other agents only):
     (url, allowed, matched_rule, matched_prefix, crawl_delay).
 
-    Longest-prefix-wins, Allow on ties, allowed when nothing matches.
-    One equi-join on host + a per-URL window.
+    RFC 9309 matching: each rule path is compiled (in pure SQL, JVM
+    side) to an anchored regex — ``*`` -> ``.*`` anywhere, a trailing
+    ``$`` anchors at URL end, every other regex metacharacter is
+    escaped to a literal octet. Longest-rule-path-wins (wildcards
+    counted), Allow on ties, allowed when nothing matches. One
+    equi-join on host + a per-URL window over its few candidate rules;
+    the per-row pattern compile is bounded by rules-per-host, never by
+    corpus size.
     """
     u = urls.select(
         F.col(url_col).alias("url"),
@@ -151,10 +159,31 @@ def robots_filter(
             hosts_with, "host", "left_anti"
         )
         agent_rules = agent_rules.unionByName(fallback)
-    cand = u.join(agent_rules, "host", "left").withColumn(
-        "m",
-        F.col("path_prefix").isNotNull()
-        & F.col("path").startswith(F.col("path_prefix")),
+    # compile the rule path to an anchored Java regex: strip a trailing
+    # $ anchor first, escape the remaining metacharacters, then widen *
+    # (never escaped by the class below) to .* — plain-prefix rules
+    # compile to ^literal, i.e. exactly the old startswith semantics
+    anchored = F.col("path_prefix").endswith("$")
+    body = F.when(
+        anchored,
+        F.expr("substring(path_prefix, 1, length(path_prefix) - 1)"),
+    ).otherwise(F.col("path_prefix"))
+    esc = F.regexp_replace(
+        body, r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    pattern = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    cand = (
+        u.join(agent_rules, "host", "left")
+        .withColumn("rule_pat", pattern)
+        .withColumn(
+            "m",
+            F.col("path_prefix").isNotNull()
+            & F.expr("path rlike rule_pat"),
+        )
     )
     w = Window.partitionBy("url").orderBy(
         F.desc(F.when(F.col("m"), F.length("path_prefix")).otherwise(-1)),
@@ -260,3 +289,62 @@ def parse_sitemaps(
         F.col(xml_col).alias("sitemap_xml"),
     ).filter(F.col(xml_col).isNotNull())
     return df.mapInPandas(_sitemap_batches, SITEMAP_SCHEMA)
+
+
+def resolve_sitemap_index(
+    sitemaps: DataFrame,
+    fetched: DataFrame,
+    max_children_per_host: int = 1000,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+    fetched_url_col: str = "url",
+    fetched_xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """One-level ``<sitemapindex>`` recursion for frontier seeding
+    (VERDICT r6 #10): parse the per-host sitemap files, then resolve
+    index members against a ``fetched`` table of (url, sitemap_xml)
+    child bodies and parse those too, under the PARENT's host key.
+
+    Output rows:
+      * ``kind='url'`` entries from the top-level files,
+      * every row parsed from resolved children (a child that is
+        itself an index yields ``kind='sitemap'`` rows — left
+        unresolved, so unreached depth stays VISIBLE, never silent),
+      * ``kind='sitemap'`` rows for members with no fetched body or
+        beyond the ``max_children_per_host`` cap (deterministic by
+        loc order) — the loud-cap contract: nothing is dropped from
+        the output, only from the recursion.
+
+    Scale shape: one equi-join of the (tiny) index-member table
+    against ``fetched`` on URL + one more mapInPandas parse pass; the
+    per-host cap bounds the fan-out a hostile 50k-member index file
+    could otherwise force.
+    """
+    cols = [f.name for f in SITEMAP_SCHEMA.fields]
+    top = parse_sitemaps(sitemaps, host_col, xml_col)
+    urls = top.filter(F.col("kind") == "url")
+    idx = top.filter(F.col("kind") == "sitemap")
+    w = Window.partitionBy("host").orderBy("loc")
+    ranked = idx.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.filter(
+        F.col("_rk") <= max_children_per_host
+    ).drop("_rk")
+    over_cap = ranked.filter(
+        F.col("_rk") > max_children_per_host
+    ).select(*cols)
+    bodies = fetched.select(
+        F.col(fetched_url_col).alias("loc"),
+        F.col(fetched_xml_col).alias("_child_xml"),
+    ).filter(F.col("_child_xml").isNotNull())
+    joined = kept.join(bodies, "loc", "left")
+    unresolved = joined.filter(F.col("_child_xml").isNull()).select(*cols)
+    children = parse_sitemaps(
+        joined.filter(F.col("_child_xml").isNotNull()).select(
+            "host", F.col("_child_xml").alias("sitemap_xml")
+        )
+    )
+    return (
+        urls.unionByName(children)
+        .unionByName(unresolved)
+        .unionByName(over_cap)
+    )

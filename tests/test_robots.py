@@ -28,10 +28,10 @@ def test_parse_groups_and_retrofit_delay():
     # AFTER the rules still lands on them
     assert ("h.example", "googlebot", "disallow", "/search", 2.5) in rows
     assert ("h.example", "bingbot", "allow", "/search/about", 2.5) in rows
-    # empty Disallow emits nothing; wildcard keeps its literal head
+    # empty Disallow emits nothing; rule paths keep wildcards verbatim
     star = [r for r in rows if r[1] == "*"]
     assert ("h.example", "*", "disallow", "/private/", None) in star
-    assert ("h.example", "*", "allow", "/private/ok", None) in star
+    assert ("h.example", "*", "allow", "/private/ok*page", None) in star
     assert len(star) == 2
 
 
@@ -116,3 +116,99 @@ def test_parse_sitemaps_dataframe(spark):
     )
     rows = parse_sitemaps(df).collect()
     assert len(rows) == 1 and rows[0].loc == "https://x.example/1"
+
+
+def test_robots_wildcard_and_anchor_matching(spark):
+    """RFC 9309 * / $ semantics (VERDICT r6 #3): mid-pattern *, end
+    anchor $, literal mid-pattern $, and metacharacter escaping."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*?sessionid=\n"
+        "Allow: /dl/*.pdf$\n"
+        "Disallow: /dl/\n"
+        "Disallow: /cash$back\n"
+    )
+    robots = spark.createDataFrame(
+        [("s.example", txt)], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            # mid-pattern * blocks any path carrying the session param
+            ("https://s.example/a/b?sessionid=1",),
+            # $ anchor: .pdf at URL end -> the longer allow wins over /dl/
+            ("https://s.example/dl/report.pdf",),
+            # anchor mismatch: query after .pdf -> allow rule dead,
+            # /dl/ disallow applies
+            ("https://s.example/dl/report.pdf?x=1",),
+            # '.' in the rule is a literal octet, not regex-any
+            ("https://s.example/dl/reportxpdf",),
+            # mid-pattern $ is literal
+            ("https://s.example/cash$back",),
+            ("https://s.example/cashXback",),
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.allowed, r.matched_prefix)
+        for r in robots_filter(urls, rules, agent="*").collect()
+    }
+    assert got["https://s.example/a/b?sessionid=1"] == (
+        False,
+        "/*?sessionid=",
+    )
+    assert got["https://s.example/dl/report.pdf"] == (True, "/dl/*.pdf$")
+    assert got["https://s.example/dl/report.pdf?x=1"] == (False, "/dl/")
+    assert got["https://s.example/dl/reportxpdf"] == (False, "/dl/")
+    assert got["https://s.example/cash$back"] == (False, "/cash$back")
+    assert got["https://s.example/cashXback"] == (True, None)
+
+
+def test_resolve_sitemap_index_one_level(spark):
+    """One-level recursion: fetched children parse under the parent
+    host; unfetched and over-cap members stay visible as kind=sitemap;
+    a child that is itself an index is NOT followed again."""
+    from delphi_pdf_parser_spark.operators.robots import (
+        resolve_sitemap_index,
+    )
+
+    top = spark.createDataFrame(
+        [
+            (
+                "h.example",
+                "<sitemapindex>"
+                "<sitemap><loc>https://h.example/a.xml</loc></sitemap>"
+                "<sitemap><loc>https://h.example/b.xml</loc></sitemap>"
+                "<sitemap><loc>https://h.example/c.xml</loc></sitemap>"
+                "</sitemapindex>",
+            )
+        ],
+        "host string, sitemap_xml string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            (
+                "https://h.example/a.xml",
+                "<urlset><url><loc>https://h.example/1</loc></url>"
+                "<url><loc>https://h.example/2</loc></url></urlset>",
+            ),
+            (
+                # b.xml is itself an index: its member surfaces as an
+                # unresolved sitemap row (depth capped at one level)
+                "https://h.example/b.xml",
+                "<sitemapindex><sitemap>"
+                "<loc>https://h.example/deep.xml</loc>"
+                "</sitemap></sitemapindex>",
+            ),
+        ],
+        "url string, sitemap_xml string",
+    )
+    rows = resolve_sitemap_index(top, fetched, max_children_per_host=2)
+    got = {(r.host, r.loc, r.kind) for r in rows.collect()}
+    assert got == {
+        ("h.example", "https://h.example/1", "url"),
+        ("h.example", "https://h.example/2", "url"),
+        ("h.example", "https://h.example/deep.xml", "sitemap"),
+        # c.xml is member #3 under a cap of 2: loud, not silent
+        ("h.example", "https://h.example/c.xml", "sitemap"),
+    }
