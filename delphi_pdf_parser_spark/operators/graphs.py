@@ -215,6 +215,53 @@ def degree_table(
     )
 
 
+def _encode_node_ids(e: DataFrame, nodes: DataFrame):
+    """Dictionary-encode string node keys to dense int64 ids
+    (VERDICT r6 #4): one monotonically_increasing_id over the node
+    table + two equi-joins to rewrite the edge list. The iterated
+    rank/score tables then exchange 8-byte ids per iteration instead
+    of full URL strings — at 10^10 nodes that's the difference between
+    a ~100 GB and a multi-TB per-iteration shuffle. Returns
+    (encoded_edges, encoded_nodes, mapping) where mapping is
+    (node: string, nid: long), checkpointed so ids stay stable across
+    every reuse in the loop.
+    """
+    mapping = (
+        nodes.select("node")
+        .withColumn("nid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    e_enc = (
+        e.join(
+            mapping.select(
+                F.col("node").alias("src"), F.col("nid").alias("_sid")
+            ),
+            "src",
+        )
+        .join(
+            mapping.select(
+                F.col("node").alias("dst"), F.col("nid").alias("_did")
+            ),
+            "dst",
+        )
+        .select(
+            F.col("_sid").alias("src"), F.col("_did").alias("dst")
+        )
+    )
+    return e_enc, mapping.select(F.col("nid").alias("node")), mapping
+
+
+def _decode_node_ids(scores: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Swap the int64 ``node`` column back to the original string key
+    (one node-sized equi-join, after the loop)."""
+    others = [c for c in scores.columns if c != "node"]
+    return (
+        scores.withColumnRenamed("node", "nid")
+        .join(mapping, "nid")
+        .select("node", *others)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -222,6 +269,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     partitions: Optional[int] = None,
+    encode_ids: bool = False,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """Power-iteration PageRank with dangling-mass redistribution.
 
@@ -239,6 +288,15 @@ def pagerank(
     mass are single-scalar aggregates (bounded driver values); rank
     lineage is cut per iteration with ``localCheckpoint``, the same
     pattern as ``clusters.dedup_clusters``.
+
+    ``encode_ids=True`` dictionary-encodes node keys to int64 before
+    the loop and decodes after (one join each way), keeping the
+    per-iteration node-table exchange 8 bytes wide instead of URL-
+    string wide. ``tol`` adds convergence early-stop: iterate until
+    the L1 rank delta drops below ``tol`` or ``iterations`` is hit —
+    the delta check is a node-sized join + one scalar action per
+    iteration (loop control needs the driver), so production runs
+    trade that sync for not paying fixed iterations past convergence.
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -250,6 +308,9 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    mapping = None
+    if encode_ids:
+        e, nodes, mapping = _encode_node_ids(e, nodes)
     if partitions is None:
         partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -263,7 +324,12 @@ def pagerank(
     nodes = nodes.localCheckpoint()
     n = nodes.count()  # one scalar action; the only full-graph count
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        empty = nodes.withColumn("rank", F.lit(0.0))
+        return (
+            _decode_node_ids(empty, mapping)
+            if mapping is not None
+            else empty
+        )
     # the dangling-node SET is static — materialize it once instead of
     # re-deriving the anti-join from the raw edge table every iteration
     dangling_nodes = nodes.join(
@@ -272,6 +338,7 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        prev = ranks
         # mass parked on dangling nodes this step: a broadcast scalar
         # crossJoin (one-row aggregate), NOT a collect() — the loop
         # issues one job per iteration (the checkpoint) instead of two,
@@ -308,6 +375,25 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias(
+                        "d"
+                    )
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    if mapping is not None:
+        ranks = _decode_node_ids(ranks, mapping)
     return ranks
 
 
@@ -351,6 +437,8 @@ def hits(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
+    encode_ids: bool = False,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) by mutual power
     iteration, L2-normalized each half-step:
@@ -364,6 +452,10 @@ def hits(
     map-side-combined groupBy. The L2 norm is a single scalar aggregate
     per half-step (bounded driver value). Returns (node, hub, auth),
     zero for nodes on only one side of the edge relation.
+
+    ``encode_ids``/``tol`` behave as in :func:`pagerank` (int64 id
+    dictionary before the loop; early-stop on the L1 hub delta, one
+    scalar action per iteration).
     """
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
@@ -376,12 +468,20 @@ def hits(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    mapping = None
+    if encode_ids:
+        e, nodes, mapping = _encode_node_ids(e, nodes)
+    nodes = nodes.localCheckpoint()
     n = nodes.count()
     if n == 0:
-        return nodes.select(
+        empty = nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+        return (
+            _decode_node_ids(empty, mapping)
+            if mapping is not None
+            else empty
         )
     partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # one copy per join orientation, each partitioned on ITS join key so
@@ -419,6 +519,7 @@ def hits(
         )
 
     for _ in range(iterations):
+        prev_hub = hub
         raw_auth = (
             e_by_src.join(hub, e_by_src.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
@@ -431,7 +532,27 @@ def hits(
             .agg(F.sum("auth").alias("s"))
         )
         hub = _normalized(raw_hub, "hub")
-    return hub.join(auth, "node")
+        if tol is not None:
+            delta = (
+                hub.join(
+                    prev_hub.select(
+                        "node", F.col("hub").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(F.abs(F.col("hub") - F.col("_prev"))).alias(
+                        "d"
+                    )
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    out = hub.join(auth, "node")
+    if mapping is not None:
+        out = _decode_node_ids(out, mapping)
+    return out
 
 
 def personalized_pagerank(
@@ -442,6 +563,8 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     partitions: Optional[int] = None,
+    encode_ids: bool = False,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """TrustRank-style personalized PageRank (Gyöngyi et al. 2004):
     the teleport vector is a weighted SEED set instead of uniform, so
@@ -467,6 +590,9 @@ def personalized_pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    mapping = None
+    if encode_ids:
+        e, nodes, mapping = _encode_node_ids(e, nodes)
     if partitions is None:
         partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -487,6 +613,12 @@ def personalized_pagerank(
         .groupBy("node")
         .agg(F.sum("w").alias("w0"))
     )
+    if mapping is not None:
+        # seeds ride the same id dictionary (off-graph seeds drop, as
+        # the left join against the node table always made them)
+        seed_w = seed_w.join(mapping, "node").select(
+            F.col("nid").alias("node"), "w0"
+        )
     tele_raw = nodes.join(seed_w, "node", "left").select(
         "node", F.coalesce(F.col("w0"), F.lit(0.0)).alias("w0")
     )
@@ -505,6 +637,7 @@ def personalized_pagerank(
 
     ranks = tele.select("node", F.col("w").alias("rank"))
     for _ in range(iterations):
+        prev = ranks
         # broadcast scalar, not collect() — same as pagerank
         dm = (
             ranks.join(dangling_nodes, "node")
@@ -533,6 +666,25 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias(
+                        "d"
+                    )
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    if mapping is not None:
+        ranks = _decode_node_ids(ranks, mapping)
     return ranks
 
 

@@ -51,6 +51,19 @@ def main(argv=None):
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
+        "--tol",
+        type=float,
+        default=None,
+        help="L1 convergence early-stop (default: fixed iterations)",
+    )
+    ap.add_argument(
+        "--no-encode-ids",
+        action="store_true",
+        help="skip the int64 node-id dictionary (production default "
+        "keeps it: URL-string keys would ride every iteration's "
+        "node-table exchange)",
+    )
+    ap.add_argument(
         "--write-mode", choices=("overwrite", "append"), default="overwrite"
     )
     args = ap.parse_args(argv)
@@ -127,7 +140,11 @@ def main(argv=None):
         edges = followed.select("src", "dst")
 
     ranks = pagerank(
-        edges, iterations=args.iterations, damping=args.damping
+        edges,
+        iterations=args.iterations,
+        damping=args.damping,
+        encode_ids=not args.no_encode_ids,
+        tol=args.tol,
     )
     degrees = degree_table(edges)
     ranking = ranks.join(degrees, "node")

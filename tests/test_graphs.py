@@ -403,3 +403,105 @@ def test_page_links_script_src_then_real_anchor():
     )
     rows = _page_links("https://s.example/", page)
     assert {r[1] for r in rows} == {"https://keep.example/"}
+
+
+# ------------------------------------- id dictionary + convergence
+
+PAIRS_IDS = [
+    ("https://a.example/page-one", "https://b.example/longer/path"),
+    ("https://a.example/page-one", "https://b.example/longer/path"),
+    ("https://a.example/page-one", "https://c.example/"),
+    ("https://b.example/longer/path", "https://c.example/"),
+    ("https://d.example/x", "https://a.example/page-one"),
+    ("https://d.example/x", "https://c.example/"),
+]
+
+
+def test_pagerank_encode_ids_identical_ranks(spark):
+    """VERDICT r6 #4: the int64 id dictionary must be a pure plan
+    optimization — identical ranks, string keys restored."""
+    e = _edges(spark, PAIRS_IDS)
+    plain = {r.node: r.rank for r in pagerank(e, iterations=4).collect()}
+    enc = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=4, encode_ids=True).collect()
+    }
+    assert set(enc) == set(plain)
+    for k in plain:
+        assert enc[k] == pytest.approx(plain[k], abs=1e-12)
+
+
+def test_pagerank_encode_ids_iterates_narrow_rows(spark, monkeypatch):
+    """Row-width assertion: with encode_ids the ITERATED rank table
+    carries bigint node ids, not URL strings (the checkpointed frames
+    are observable via localCheckpoint)."""
+    from pyspark.sql.classic.dataframe import DataFrame as SDF
+
+    iterated_types = []
+    orig = SDF.localCheckpoint
+
+    def spy(self, *a, **kw):
+        f = dict(self.dtypes)
+        if set(f) == {"node", "rank"}:
+            iterated_types.append(f["node"])
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(SDF, "localCheckpoint", spy)
+    pagerank(_edges(spark, PAIRS_IDS), iterations=2, encode_ids=True)
+    assert iterated_types and all(t == "bigint" for t in iterated_types)
+
+
+def test_hits_and_ppr_encode_ids_identical(spark):
+    from delphi_pdf_parser_spark.operators.graphs import (
+        hits,
+        personalized_pagerank,
+    )
+
+    e = _edges(spark, PAIRS_IDS)
+    h0 = {(r.node): (r.hub, r.auth) for r in hits(e, iterations=3).collect()}
+    h1 = {
+        (r.node): (r.hub, r.auth)
+        for r in hits(e, iterations=3, encode_ids=True).collect()
+    }
+    assert set(h0) == set(h1)
+    for k in h0:
+        assert h1[k][0] == pytest.approx(h0[k][0], abs=1e-12)
+        assert h1[k][1] == pytest.approx(h0[k][1], abs=1e-12)
+    seeds = spark.createDataFrame(
+        [("https://a.example/page-one", 1.0)], "node string, w double"
+    )
+    p0 = {
+        r.node: r.rank
+        for r in personalized_pagerank(e, seeds, iterations=3).collect()
+    }
+    p1 = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            e, seeds, iterations=3, encode_ids=True
+        ).collect()
+    }
+    for k in p0:
+        assert p1[k] == pytest.approx(p0[k], abs=1e-12)
+
+
+def test_pagerank_tol_early_stop_converged(spark):
+    """VERDICT r6 #9: with a loose tol the loop stops early and the
+    result equals the fixed-iteration rank at the stop point; with
+    tol=0 it never stops early (fixed-iteration oracle semantics)."""
+    pairs = [("a", "b"), ("b", "a")]  # 2-cycle: converged after iter 1
+    e = _edges(spark, pairs)
+    tol_ranks = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=50, tol=1e-9).collect()
+    }
+    two = {
+        r.node: r.rank for r in pagerank(e, iterations=2).collect()
+    }
+    for k in two:
+        assert tol_ranks[k] == pytest.approx(two[k], abs=1e-12)
+    # tol=None (default) must not early-stop: exact equality with the
+    # unrolled-SQL oracles requires the fixed iteration count
+    fixed = {
+        r.node: r.rank for r in pagerank(e, iterations=5).collect()
+    }
+    assert fixed["a"] == pytest.approx(0.5, abs=1e-12)
