@@ -39,10 +39,14 @@ Fidelity envelope (documented, test-pinned):
   Gouraud interpolation; Coons/tensor patches (6/7) evaluated on a
   parameter grid (Coons construction / bicubic Bernstein tensor) and
   Gouraud-filled with bilinear corner colors, edge flags 1-3 shared;
-- patterns: tiling patterns (PatternType 1) replayed per tile clipped
-  to the fill region (fz_draw_begin_tile,
-  src/vcl/draw_devicess.pas:1349), shading patterns (PatternType 2)
-  routed to fill_shade under the fill's coverage mask;
+- patterns: tiling patterns (PatternType 1) render the cell ONCE and
+  stamp the cached raster per tile when that is provably
+  pixel-identical to replay (integer device steps, no position-
+  dependent state, binary coverage — the fz_draw_begin_tile cell
+  cache, src/vcl/draw_devicess.pas:1349; tile count then bounded by
+  geometry, no clamp), else fall back to per-tile content replay
+  clipped to the fill region (4096-tile loud clamp); shading patterns
+  (PatternType 2) routed to fill_shade under the fill's coverage mask;
 - transparency: /CA /ca constant alphas blend per paint op; /SMask
   luminosity+alpha soft masks build a page-size alpha map from a
   nested render of the mask group (/TR transfer functions applied
@@ -263,6 +267,33 @@ class RasterDevice:
         j0 = math.ceil((pv.min() - by1) / ystep)
         j1 = math.floor((pv.max() - by0) / ystep)
         ntiles = max(0, i1 - i0 + 1) * max(0, j1 - j0 + 1)
+        try:
+            contents = doc.load_stream(pref.num)
+        except Exception:
+            doc.note_failure("raster_pattern_stream")
+            return
+        resources = doc.resolve(pat.get("Resources"))
+        if not isinstance(resources, dict):
+            resources = None
+        # fz_draw_begin_tile shape (src/vcl/draw_devicess.pas:1349):
+        # render the cell ONCE and stamp the cached raster per tile.
+        # Taken only when provably pixel-identical to direct replay
+        # (integer device steps, no outer smask/blend, fully-opaque
+        # cell coverage); geometry bounds the tile count there, so the
+        # replay cap does not apply.
+        if self._stamp_cached_tiles(
+            contents,
+            resources,
+            mask,
+            pctm,
+            gs,
+            scn_rgb,
+            (bx0, by0, bx1, by1),
+            xstep,
+            ystep,
+            (i0, i1, j0, j1),
+        ):
+            return
         if ntiles > self._MAX_TILES:
             doc.note_failure("raster_pattern_tiles")
             # paint the centermost tiles only, bounded — anchoring at
@@ -277,14 +308,6 @@ class RasterDevice:
                 jmid = (j0 + j1) // 2
                 j0 = jmid - span // 2
                 j1 = j0 + span - 1
-        try:
-            contents = doc.load_stream(pref.num)
-        except Exception:
-            doc.note_failure("raster_pattern_stream")
-            return
-        resources = doc.resolve(pat.get("Resources"))
-        if not isinstance(resources, dict):
-            resources = None
         cell = [(bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1)]
         self.canvas.push_clip(mask)
         try:
@@ -321,6 +344,145 @@ class RasterDevice:
                         self.canvas.pop_clip()
         finally:
             self.canvas.pop_clip()
+
+    _MAX_CACHED_TILES = 1 << 21  # geometry-bounded; loud backstop only
+
+    def _stamp_cached_tiles(
+        self, contents, resources, mask, pctm, gs, scn_rgb,
+        bbox, xstep, ystep, rng,
+    ) -> bool:
+        """Render the pattern cell ONCE into an isolated scratch canvas
+        and stamp the cached raster per tile (the reference's
+        fz_draw_begin_tile cell cache, src/vcl/draw_devicess.pas:1349)
+        instead of re-interpreting the cell content stream per tile.
+
+        Taken only when the stamp is provably pixel-identical to the
+        direct replay, else returns False and the caller replays:
+        * both device-space step vectors are integer-pixel (integer
+          translation is rasterization-equivariant — fractional
+          coordinates, and therefore every coverage decision, are
+          preserved);
+        * the outer graphics state carries no soft mask and no blend
+          mode (both are position-dependent in device space);
+        * the rendered cell's coverage plane is BINARY (0/1): opaque
+          stamps byte-copy exactly, while fractional coverage would
+          round-trip colors through the scratch's uint8 planes.
+        The tile count is then bounded by page area / lattice
+        determinant (integer steps), so the replay path's 4096-tile
+        clamp does not apply; _MAX_CACHED_TILES is a loud backstop for
+        adversarially rotated lattices whose pattern-space AABB
+        overcounts.
+        """
+        import math
+
+        from .interp import CSI, run_buffer
+
+        doc = self.doc
+        a, b, c, d, e, f = pctm
+        sxx, sxy = xstep * a, xstep * b  # device vector of one x step
+        syx, syy = ystep * c, ystep * d
+        if any(
+            abs(v - round(v)) > 1e-9 for v in (sxx, sxy, syx, syy)
+        ):
+            return False
+        if gs is not None and (
+            gs.smask is not None or gs.blend is not None
+        ):
+            return False
+        # a cell-INTERNAL blend mode / soft mask would blend against
+        # the scratch instead of the page; both only enter through
+        # ExtGState (possibly nested in a form XObject), so bail on
+        # either resource key rather than deep-scanning
+        if isinstance(resources, dict) and (
+            "ExtGState" in resources or "XObject" in resources
+        ):
+            return False
+        sxx, sxy, syx, syy = (
+            int(round(v)) for v in (sxx, sxy, syx, syy)
+        )
+        if (sxx == 0 and sxy == 0) or (syx == 0 and syy == 0):
+            return False
+        bx0, by0, bx1, by1 = bbox
+        i0, i1, j0, j1 = rng
+        if (i1 - i0 + 1) * (j1 - j0 + 1) > self._MAX_CACHED_TILES:
+            return False
+        # cell device AABB at tile (0, 0) -> scratch canvas frame
+        corners = np.array(
+            [[bx0, by0], [bx1, by0], [bx0, by1], [bx1, by1]],
+            dtype=float,
+        )
+        du = corners[:, 0] * a + corners[:, 1] * c + e
+        dv = corners[:, 0] * b + corners[:, 1] * d + f
+        pad = 2
+        ox = int(math.floor(du.min())) - pad
+        oy = int(math.floor(dv.min())) - pad
+        w = int(math.ceil(du.max())) - ox + pad
+        h = int(math.ceil(dv.max())) - oy + pad
+        if w <= 0 or h <= 0 or w * h > 64_000_000:
+            return False
+        # render the cell once, device-translated by (-ox, -oy) so it
+        # lands inside the scratch — an INTEGER shift, so the scratch
+        # pixels are the anchor tile's pixels verbatim
+        cctm = (a, b, c, d, e - ox, f - oy)
+        scratch = Canvas(w, h, bg=(0, 0, 0), track_coverage=True)
+        scratch.blend_seed_opaque = False
+        cellpoly = [(bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1)]
+        old_canvas = self.canvas
+        self.canvas = scratch
+        try:
+            scratch.push_clip(
+                coverage_mask(
+                    [transform_poly(cellpoly, cctm)], w, h, NONZERO
+                )
+            )
+            clip_before = self.clip_depth()
+            try:
+                csi = CSI(doc, self, cctm)
+                if gs is not None:
+                    csi.gs.fill_alpha = gs.fill_alpha
+                    csi.gs.stroke_alpha = gs.stroke_alpha
+                if scn_rgb is not None:  # PaintType 2 base color
+                    csi.gs.fill_rgb = scn_rgb
+                    csi.gs.stroke_rgb = scn_rgb
+                run_buffer(csi, resources, contents)
+                csi.flush_text()
+            except Exception:
+                # replay would fail at the same op in EVERY tile and
+                # keep each tile's partial paint; the cached partial
+                # stamps the same pixels
+                doc.note_failure("raster_pattern_error")
+            finally:
+                self.restore_clip(clip_before)
+        finally:
+            self.canvas = old_canvas
+        cov = scratch.cov
+        ys, xs = np.nonzero(cov > 1e-6)
+        if len(ys) == 0:
+            return True  # cell paints nothing: done
+        cv = cov[ys, xs]
+        if np.any(cv < 1.0 - 1e-9):
+            return False  # semi-transparent cell: replay exactly
+        col = scratch.pix[ys, xs].astype(np.float64)
+        region = mask & self.canvas.clip
+        hh, ww = region.shape
+        for j in range(j0, j1 + 1):
+            for i in range(i0, i1 + 1):
+                dx = i * sxx + j * syx + ox
+                dy = i * sxy + j * syy + oy
+                ty = ys + dy
+                tx = xs + dx
+                sel = (ty >= 0) & (ty < hh) & (tx >= 0) & (tx < ww)
+                if not sel.any():
+                    continue
+                ty2 = ty[sel]
+                tx2 = tx[sel]
+                inr = region[ty2, tx2]
+                if not inr.any():
+                    continue
+                self.canvas._blend_at(
+                    ty2[inr], tx2[inr], col[sel][inr], 1.0, None
+                )
+        return True
 
     # --- soft masks + transparency groups (digtypes.pas:772-800) ------------
     def build_smask(self, doc, sm, ctm, rdb):

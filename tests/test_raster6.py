@@ -1478,3 +1478,106 @@ def test_form_xobject_malformed_bbox_renders_unclipped():
     pix, fails = render(b"q 1 0 0 1 100 400 cm /Fx Do Q", res, extra)
     assert fails == {"form_bbox_malformed": 1}
     assert px(pix, 120, 420) == (255, 0, 0)  # content still painted
+
+
+# --- tile-cell cache (VERDICT r6 #5) ----------------------------------------
+
+def _tiling_fixture(cell: bytes, paint: bytes, bbox="[0 0 20 20]",
+                    xstep=20, ystep=20):
+    res = "<< /Pattern << /P1 5 0 R >> >>"
+
+    def extra(b):
+        b.add(
+            "<< /PatternType 1 /PaintType 1 /TilingType 1"
+            f" /BBox {bbox} /XStep {xstep} /YStep {ystep}"
+            f" /Resources << >> /Length {len(cell)} >>",
+            cell,
+            num=5,
+        )
+
+    return paint, res, extra
+
+
+def test_tiling_cache_engages_and_matches_replay(monkeypatch):
+    """The cached stamp must actually run on integer-step patterns AND
+    produce byte-identical pixels to direct per-tile replay."""
+    from delphi_pdf_parser_spark.pdfcore import rasterdev
+
+    cell = b"1 0 0 rg 0 0 10 10 re f 0 0 1 RG 2 w 3 13 m 17 13 l S"
+    paint, res, extra = _tiling_fixture(
+        cell, b"/Pattern cs /P1 scn 87 103 211 173 re f"
+    )
+    calls = {"n": 0}
+    orig = rasterdev.RasterDevice._stamp_cached_tiles
+
+    def spy(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        calls["n"] += int(out)
+        return out
+
+    monkeypatch.setattr(rasterdev.RasterDevice, "_stamp_cached_tiles", spy)
+    pix_cached, fails = render(paint, res, extra)
+    assert fails == {}
+    assert calls["n"] == 1  # cache path taken
+
+    monkeypatch.setattr(
+        rasterdev.RasterDevice,
+        "_stamp_cached_tiles",
+        lambda self, *a, **kw: False,
+    )
+    pix_replay, fails2 = render(paint, res, extra)
+    assert fails2 == {}
+    assert np.array_equal(pix_cached, pix_replay)
+
+
+def test_tiling_many_tiles_renders_fully_without_clamp():
+    """A 4x4 cell over a full-page fill is ~30k tiles — over the old
+    4096 replay clamp. The cached path renders every tile: no
+    raster_pattern_tiles failure, pattern visible in all corners."""
+    cell = b"0 0.5 0 rg 0 0 2 2 re f"
+    paint, res, extra = _tiling_fixture(
+        cell,
+        b"/Pattern cs /P1 scn 0 0 612 792 re f",
+        bbox="[0 0 4 4]",
+        xstep=4,
+        ystep=4,
+    )
+    pix, fails = render(paint, res, extra)
+    assert "raster_pattern_tiles" not in fails
+    assert fails == {}
+    green = (0, 128, 0)
+    # painted band: user x,y = 0,1 (mod 4)
+    assert px(pix, 1, 789) == green   # top-left corner tile
+    assert px(pix, 609, 1) == green   # bottom-right corner tile
+    assert px(pix, 305, 397) == green  # center
+    assert px(pix, 3, 791) == WHITE   # unpainted 2x2 of each cell
+
+
+def test_tiling_cache_bails_to_replay_on_fractional_alpha():
+    """A semi-transparent cell must fall back to exact per-tile replay
+    (binary-coverage guard) and still paint correctly."""
+    from delphi_pdf_parser_spark.pdfcore import rasterdev
+
+    # cell uses ExtGState alpha -> resources guard bails immediately
+    res = (
+        "<< /Pattern << /P1 5 0 R >> >>"
+    )
+
+    def extra(b):
+        cell = b"/GA gs 1 0 0 rg 0 0 20 20 re f"
+        b.add(
+            "<< /PatternType 1 /PaintType 1 /TilingType 1"
+            " /BBox [0 0 20 20] /XStep 20 /YStep 20"
+            " /Resources << /ExtGState << /GA << /ca 0.5 >> >> >>"
+            f" /Length {len(cell)} >>",
+            cell,
+            num=5,
+        )
+
+    pix, fails = render(
+        b"/Pattern cs /P1 scn 100 100 40 40 re f", res, extra
+    )
+    assert fails == {}
+    # 50% red over white = (255, 127, 127)ish
+    r, g, bl = px(pix, 105, 105)
+    assert r == 255 and 120 <= g <= 135 and 120 <= bl <= 135
