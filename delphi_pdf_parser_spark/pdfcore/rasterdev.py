@@ -9,8 +9,12 @@ fill_shade and the mode-aware text hook), and the device rasterizes into
 a NumPy RGB canvas via pdfcore/raster.py.
 
 Fidelity envelope (documented, test-pinned):
-- fills/strokes/clips: hard-edge scanline coverage (no anti-aliasing
-  unless supersample > 1); strokes honor the full stroke state: line
+- fills/strokes/clips: the render SINK (operators/render.py)
+  anti-aliases by default via 2x supersampled box-downsampling — the
+  coverage-averaging form of the reference's anti-aliased span
+  blitters; the core rasterizer below is hard-edge scanline coverage
+  at supersample=1, which is what every exact pixel pin runs against;
+  strokes honor the full stroke state: line
   width, butt/round/projecting caps, miter (with limit) / round /
   bevel joins, dash arrays with phase;
 - text: real glyph outlines from embedded TrueType (glyf) and CFF
