@@ -2004,7 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # script profile: RE2 \p{Script} classes mirror Java's
         # \p{IsScript} for Latin/Cyrillic/Han/Arabic; same mixed text
-        "script_profile": """
+        "script_profile": r"""
             WITH m AS (
                 SELECT doc_id,
                        text
@@ -2069,7 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # inverted index: df window + rank truncation mirrored; the
         # postings string orders by doc_id ascending in both engines
-        "inverted_index": """
+        "inverted_index": r"""
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_filter(
@@ -2362,7 +2362,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Okapi BM25 (k1=1.2, b=0.75), distinct query terms, scores
         # rounded at 6 dp before the rank window (ties by doc_id)
-        "bm25_topk": """
+        "bm25_topk": r"""
             WITH q(query_id, text) AS (VALUES
                 (0, 'the and of'), (1, 'der und die'), (2, 'le et la')),
             toks AS (
@@ -2417,7 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         # chunk_documents(chunk_tokens=24, overlap=6): starts at
         # 1 + i*18, emitted while start <= greatest(1, n_tok - 6);
         # chunk_id recovers as (start-1)//18
-        "chunk_documents": """
+        "chunk_documents": r"""
             WITH base AS (
                 SELECT doc_id,
                        list_filter(
@@ -2477,7 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         # span_dup_stats (dedup.span_dup_stats, k=5): md5 window keys are
         # identical hex in both engines; first occurrence = min
         # doc_id*2^20+pos composite
-        "span_dup_stats": """
+        "span_dup_stats": r"""
             WITH base AS (
                 SELECT doc_id,
                        str_split_regex(trim(lower(text)), '\\s+') AS t
@@ -2511,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         # window keys + first-occurrence rule as span_dup_stats, then
         # tokens covered by any duplicated window are cut and the doc
         # re-joined — the whole rewrite oracles bit-for-bit
-        "span_dedup_rewrite": """
+        "span_dedup_rewrite": r"""
             WITH base AS (
                 SELECT doc_id,
                        str_split_regex(trim(lower(text)), '\\s+') AS t
@@ -2563,7 +2563,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN agg a USING (doc_id)
             ORDER BY b.doc_id
         """,
-        "paragraph_dedup": """
+        "paragraph_dedup": r"""
             WITH base AS (
                 SELECT doc_id,
                        str_split_regex(trim(lower(text)), '\\s+') AS t
@@ -2648,7 +2648,7 @@ def oracle_sql() -> dict[str, str]:
         # >=3 words, no 'javascript'), page rules (>=5 sentences in
         # kept text, lorem ipsum, curly brace, badword list); the
         # rewritten kept text pins via md5
-        "c4_quality": """
+        "c4_quality": r"""
             WITH base AS (
                 SELECT doc_id, text,
                        list_filter(
@@ -2695,7 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         # two-phase distributed prefix sum must equal this flat window
         # cumsum bit-for-bit — sequence boundaries, doc spans and the
         # under-filled tail all pin
-        "pack_sequences": """
+        "pack_sequences": r"""
             WITH d AS (
                 SELECT doc_id,
                        len(list_filter(
@@ -2768,7 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         # bigram_logprob (textstats.bigram_logprob, k=0.5 lam=0.7):
         # interpolated bigram LM over corpus counts; vocab below the
         # caps at this sf so the capped model is exact
-        "bigram_logprob": """
+        "bigram_logprob": r"""
             WITH d AS (
                 SELECT doc_id,
                        str_split_regex(trim(text), '\\s+') AS t
@@ -2820,7 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         # RefinedWeb-style keep policy — highest-quality member per
         # near-dup component (ties: min doc_id); components via the
         # same recursive-CTE reachability as dedup_clusters
-        "canonical_by_quality": """
+        "canonical_by_quality": r"""
             WITH RECURSIVE t AS (
                 SELECT doc_id, source,
                        list_distinct(regexp_split_to_array(
@@ -3014,7 +3014,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN topline t USING (source)
             ORDER BY a.source
         """,
-        "token_idf_stats": """
+        "token_idf_stats": r"""
             WITH d AS (
                 SELECT doc_id,
                        list_distinct(str_split_regex(
@@ -3221,7 +3221,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(source || ':s1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
             ORDER BY doc_id
         """,
-        "unigram_logprob": """
+        "unigram_logprob": r"""
             WITH toks AS (
                 SELECT doc_id,
                        unnest(str_split_regex(trim(text), '\\s+')) AS tok
@@ -3250,7 +3250,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.doc_id
             ORDER BY t.doc_id
         """,
-        "curation_pipeline": """
+        "curation_pipeline": r"""
             WITH base AS (
                 SELECT doc_id, source,
                        len(str_split_regex(trim(text), '\s+')) AS n_words,
@@ -3297,7 +3297,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM sampled GROUP BY source) sp USING (source)
             ORDER BY i.source
         """,
-        "gopher_quality": """
+        "gopher_quality": r"""
             WITH t AS (
                 SELECT doc_id,
                        str_split_regex(trim(text), '\s+') AS toks,
@@ -3361,7 +3361,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             ORDER BY doc_id
         """,
-        "dsir_importance": """
+        "dsir_importance": r"""
             WITH t AS (
                 SELECT doc_id, source,
                        str_split_regex(trim(lower(text)), '\s+') AS toks
@@ -3404,7 +3404,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.doc_id
             ORDER BY g.doc_id
         """,
-        "gopher_repetition": """
+        "gopher_repetition": r"""
             WITH t AS (
                 SELECT doc_id,
                        str_split_regex(trim(lower(text)), '\s+') AS toks,
@@ -3472,7 +3472,7 @@ def oracle_sql() -> dict[str, str]:
             FROM piv
             ORDER BY doc_id
         """,
-        "pii_scrub": """
+        "pii_scrub": r"""
             WITH m AS (
                 SELECT doc_id,
                        len(regexp_extract_all(text,
@@ -3529,7 +3529,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN purch p USING (user_id)
             ORDER BY v.user_id
         """,
-        "kmv_distinct_tokens": """
+        "kmv_distinct_tokens": r"""
             WITH toks AS (
                 SELECT source AS grp,
                        unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -3557,7 +3557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY source
         """,
-        "decontaminate": """
+        "decontaminate": r"""
             WITH toks AS (
                 SELECT doc_id,
                        str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
@@ -3584,7 +3584,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
             ORDER BY d.doc_id
         """,
-        "top_ngrams": """
+        "top_ngrams": r"""
             WITH toks AS (
                 SELECT str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
                 FROM documents
@@ -3600,7 +3600,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grams GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
         """,
-        "normalize_text": """
+        "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(nfc_normalize(text),
                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
@@ -3610,7 +3610,7 @@ def oracle_sql() -> dict[str, str]:
                         '\s+', ' ', 'g'))) AS n_chars
             FROM documents ORDER BY doc_id
         """,
-        "url_dedup": """
+        "url_dedup": r"""
             WITH urls AS (
                 SELECT printf(
                     'HTTPS://WWW.%s.Example.COM:443/doc/%d/?utm_source=f&b=2&a=%d#s',
@@ -3704,7 +3704,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey
             LIMIT 20
         """,
-        "token_count": """
+        "token_count": r"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                    len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
