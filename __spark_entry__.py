@@ -1281,6 +1281,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return domain_stats(urls, blocklist=("spam-mill.com",))
 
+    def q_html_markdown(spark, sf_dir):
+        """HTML -> Markdown conversion (structure-preserving extraction
+        for LLM/RAG corpora): deterministic wrapped pages with a
+        heading, emphasized+linked paragraph, list, and pipe table —
+        plus title/script/comment decoys that must NOT surface. Every
+        byte of the markdown reconstructs in SQL."""
+        from delphi_pdf_parser_spark.operators.htmlmarkdown import (
+            html_to_markdown,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        url = F.format_string("https://md%d.example/p/%d", d % 50, d)
+        html = F.format_string(
+            "<html><head><title>T</title>"
+            "<script>g('<h1>ghost</h1>')</script></head><body>"
+            "<!-- <h2>ghost</h2> -->"
+            "<h1>Doc %d</h1>"
+            '<p>Intro <b>bold%d</b> &amp; <a href="/next/%d">'
+            "link %d</a>.</p>"
+            "<ul><li>alpha %d</li><li>beta</li></ul>"
+            "<table><tr><th>k</th><th>v</th></tr>"
+            "<tr><td>a%d</td><td>%d</td></tr></table>"
+            "</body></html>",
+            d,
+            d % 7,
+            d % 5,
+            d % 5,
+            d % 3,
+            d % 11,
+            d % 13,
+        )
+        wrapped = docs.select(url.alias("url"), html.alias("html"))
+        return html_to_markdown(wrapped).orderBy("url")
+
     def q_html_main_content(spark, sf_dir):
         """HTML boilerplate strip (north rule's web-page half): wrap each
         document's text in a deterministic page template (nav/header/
@@ -1544,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "quality_classifier": q_quality_classifier,
         "warc_ingest": q_warc_ingest,
+        "html_markdown": q_html_markdown,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
         "pdf_images": q_pdf_images,
@@ -2193,6 +2229,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sitemap parse reconstruction: priority '0.k' parses as the
         # double k/10; the loc-only entry yields NULL metadata
+        # html_markdown: full byte-level reconstruction of the rendered
+        # markdown (headings, emphasis, resolved link, list items, pipe
+        # table) — title/script/comment decoys must leave no trace
+        "html_markdown": """
+            SELECT 'https://md' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS url,
+                   '# Doc ' || doc_id || chr(10) || chr(10)
+                   || 'Intro **bold' || (doc_id % 7) || '** & [link '
+                   || (doc_id % 5) || '](https://md' || (doc_id % 50)
+                   || '.example/next/' || (doc_id % 5) || ').'
+                   || chr(10) || chr(10)
+                   || '- alpha ' || (doc_id % 3) || chr(10) || chr(10)
+                   || '- beta' || chr(10) || chr(10)
+                   || '| k | v |' || chr(10) || '| --- | --- |'
+                   || chr(10) || '| a' || (doc_id % 11) || ' | '
+                   || (doc_id % 13) || ' |' AS markdown,
+                   CAST(5 AS INTEGER) AS n_blocks,
+                   CAST(1 AS INTEGER) AS n_links
+            FROM documents ORDER BY url
+        """,
         "sitemap_urls": """
             WITH h AS (
                 SELECT DISTINCT doc_id % 50 AS k FROM documents

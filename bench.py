@@ -68,6 +68,8 @@ BENCH_QUERIES = (
     "html_links",
     "bm25_topk",
     "chunk_documents",
+    # r7: structure-preserving HTML->Markdown (map-only, one scan)
+    "html_markdown",
     # dedup_clusters is deliberately NOT benched: an iterative
     # connected-components loop (~10 s warm at sf0.1, dominated by
     # per-round actions) would swamp the single-pass query totals; it

@@ -354,3 +354,59 @@ def test_streaming_link_extraction_matches_batch(spark, tmp_path):
     )
     assert len(got) == 3
     assert got.equals(want), (got, want)
+
+
+def test_streaming_markdown_matches_batch(spark, tmp_path):
+    """html_to_markdown is a stateless mapInPandas: availableNow output
+    must equal the batch conversion exactly (markdown-as-pages-arrive)."""
+    import time
+
+    from delphi_pdf_parser_spark.operators.htmlmarkdown import (
+        html_to_markdown,
+    )
+
+    rows = [
+        (
+            "https://a.example/1",
+            b"<h1>A</h1><p>x <b>y</b> <a href='/z'>z</a></p>",
+        ),
+        ("https://b.example/", b"<ul><li>i</li><li>j</li></ul>"),
+        ("https://c.example/", b"<table><tr><td>c</td></tr></table>"),
+    ]
+    schema = "url string, html binary"
+    src = tmp_path / "md_in"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:1], rows[1:]]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        html_to_markdown(stream)
+        .writeStream.format("memory")
+        .queryName("md_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM md_stream")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        html_to_markdown(spark.createDataFrame(rows, schema))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert got.equals(want), (got, want)
