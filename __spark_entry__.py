@@ -1316,6 +1316,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wrapped = docs.select(url.alias("url"), html.alias("html"))
         return html_to_markdown(wrapped).orderBy("url")
 
+    def q_host_quality(spark, sf_dir):
+        """FineWeb-style domain-level curation: per-eTLD+1 doc count +
+        mean quality -> keep verdict. Corpus: the domain_stats host mix
+        (spam domain every 7th doc, co.uk subdomains) plus singleton
+        solo domains (doc_id % 101 == 0, must fail min_docs) and junk
+        text on the spam domain (must fail min_avg_quality)."""
+        from delphi_pdf_parser_spark.operators.urls import (
+            host_quality_stats,
+        )
+
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        host = (
+            F.when(d % 101 == 0, F.format_string("solo%d.example", d))
+            .when(d % 7 == 0, F.lit("ads.spam-mill.com"))
+            .when(
+                d % 3 == 0,
+                F.format_string("sub.%s-site.co.uk", F.col("source")),
+            )
+            .otherwise(
+                F.format_string("www.%s-site.com", F.col("source"))
+            )
+        )
+        text = F.when(
+            (d % 101 != 0) & (d % 7 == 0),
+            F.lit("$$$ !!! 000 $$$ !!! 000"),
+        ).otherwise(F.col("text"))
+        wrapped = docs.select(
+            F.format_string("https://%s/p/%d", host, d).alias("url"),
+            text.alias("text"),
+        )
+        return host_quality_stats(
+            wrapped, min_docs=2, min_avg_quality=0.55
+        ).orderBy("registered_domain")
+
     def q_html_main_content(spark, sf_dir):
         """HTML boilerplate strip (north rule's web-page half): wrap each
         document's text in a deterministic page template (nav/header/
@@ -1580,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "warc_ingest": q_warc_ingest,
         "html_markdown": q_html_markdown,
+        "host_quality": q_host_quality,
         "html_main_content": q_html_main_content,
         "compression_ratio": q_compression_ratio,
         "pdf_images": q_pdf_images,
@@ -2229,6 +2265,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sitemap parse reconstruction: priority '0.k' parses as the
         # double k/10; the loc-only entry yields NULL metadata
+        # host_quality: the quality blend evaluated on the SUBSTITUTED
+        # text, hosts mapped exactly as the Spark corpus (solo ->
+        # spam -> co.uk -> .com precedence), eTLD+1 via the same PSL
+        # subset, one group-avg; keep = n_docs AND avg_quality gates
+        "host_quality": r"""
+            WITH w AS (
+                SELECT CASE
+                        WHEN doc_id % 101 = 0
+                            THEN 'solo' || doc_id || '.example'
+                        WHEN doc_id % 7 = 0 THEN 'ads.spam-mill.com'
+                        WHEN doc_id % 3 = 0
+                            THEN 'sub.' || source || '-site.co.uk'
+                        ELSE 'www.' || source || '-site.com'
+                    END AS host,
+                    CASE WHEN doc_id % 101 <> 0 AND doc_id % 7 = 0
+                        THEN '$$$ !!! 000 $$$ !!! 000'
+                        ELSE coalesce(text, '') END AS t
+                FROM documents
+            ),
+            q AS (
+                SELECT host,
+                    round(
+                      least(len(regexp_split_to_array(trim(t), '\s+'))
+                            / 100.0, 1.0) * 0.3
+                      + (len(list_distinct(
+                             regexp_split_to_array(trim(t), '\s+')))::DOUBLE
+                         / len(regexp_split_to_array(trim(t), '\s+'))) * 0.3
+                      + (CASE WHEN length(t) > 0
+                         THEN length(regexp_replace(
+                                  t, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                              / length(t)
+                         ELSE 0.0 END) * 0.4
+                    , 4) AS quality
+                FROM w
+            ),
+            r AS (
+                SELECT quality, host, str_split(host, '.') AS p,
+                       len(str_split(host, '.')) AS n
+                FROM q
+            ),
+            reg AS (
+                SELECT quality, CASE
+                    WHEN n >= 3 AND array_to_string(p[n-1:n], '.') IN
+                        ('co.uk','ac.uk','gov.uk','org.uk','com.au',
+                         'net.au','co.jp','ne.jp','com.br','co.in',
+                         'com.cn','com.mx')
+                        THEN array_to_string(p[n-2:n], '.')
+                    WHEN n >= 2 THEN array_to_string(p[n-1:n], '.')
+                    ELSE host
+                END AS registered_domain
+                FROM r
+            ),
+            agg AS (
+                SELECT registered_domain,
+                       count(*) AS n_docs,
+                       round(avg(quality), 4) AS avg_quality
+                FROM reg GROUP BY registered_domain
+            )
+            SELECT registered_domain, n_docs, avg_quality,
+                   (n_docs >= 2 AND avg_quality >= 0.55) AS keep
+            FROM agg ORDER BY registered_domain
+        """,
         # html_markdown: full byte-level reconstruction of the rendered
         # markdown (headings, emphasis, resolved link, list items, pipe
         # table) — title/script/comment decoys must leave no trace

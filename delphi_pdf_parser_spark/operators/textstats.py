@@ -46,11 +46,14 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """length / lexical-diversity / alpha-ratio blend, rounded for stable
-    cross-engine comparison. Null text counts as empty; a zero-length
-    document takes alpha-ratio 0 instead of dividing by zero (ANSI mode
-    would otherwise kill the whole job on one blank row)."""
+def quality_exprs():
+    """(quality, diversity) score COLUMNS over a ``text`` column — the
+    length / lexical-diversity / alpha-ratio blend, rounded 4dp for
+    stable cross-engine comparison. Exposed as expressions so composed
+    operators (host_quality_stats) score map-side on the same row with
+    no self-join. Null text counts as empty; a zero-length document
+    takes alpha-ratio 0 instead of dividing by zero (ANSI mode would
+    otherwise kill the whole job on one blank row)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     toks = _tokens(txt)
     n_tok = F.size(toks)
@@ -63,10 +66,16 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + (n_distinct / n_tok) * 0.3
         + alpha_frac * 0.4
     )
+    return F.round(score, 4), F.round(n_distinct / n_tok, 4)
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """-> (doc_id, quality, diversity); see :func:`quality_exprs`."""
+    quality, diversity = quality_exprs()
     return documents.select(
         "doc_id",
-        F.round(score, 4).alias("quality"),
-        F.round(n_distinct / n_tok, 4).alias("diversity"),
+        quality.alias("quality"),
+        diversity.alias("diversity"),
     )
 
 

@@ -130,6 +130,52 @@ def domain_stats(
     )
 
 
+def host_quality_stats(
+    documents: DataFrame,
+    url_col: str = "url",
+    min_docs: int = 2,
+    min_avg_quality: float = 0.5,
+) -> DataFrame:
+    """FineWeb/RefinedWeb-style DOMAIN-level curation: per-registered-
+    domain document count + mean quality score -> keep verdict, so thin
+    or low-quality domains drop as a GROUP (domain reputation catches
+    spam farms that per-document filters miss — every page is
+    individually plausible, the domain-level average is not).
+
+    Emits (registered_domain, n_docs, avg_quality, keep). To apply,
+    semi-join the corpus against keep=true domains on registered_domain
+    (or broadcast the kept-domain list when it fits).
+
+    Scale shape (100 TB): the quality blend is map-side column
+    expressions on the same row (quality_exprs — no self-join), eTLD+1
+    extraction is map-only strings, then ONE hash-agg on the registered
+    domain; nothing corpus-wide shuffles except that agg.
+    """
+    from delphi_pdf_parser_spark.operators.textstats import quality_exprs
+
+    quality, _ = quality_exprs()
+    reg = registered_domain(host_of(F.col(url_col)))
+    agg = (
+        documents.select(
+            reg.alias("registered_domain"), quality.alias("q")
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+    return agg.select(
+        "registered_domain",
+        "n_docs",
+        "avg_quality",
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("avg_quality") >= min_avg_quality)
+        ).alias("keep"),
+    )
+
+
 def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Keep one row per canonical URL (min original url as the winner —
     deterministic, engine-portable tiebreak)."""

@@ -236,3 +236,23 @@ def test_extract_links_prunes_scan(spark, tmp_path):
     rep = plan_report(extract_links(spark.read.parquet(path)))
     assert rep["read_schema"], rep
     assert "other" not in rep["read_schema"][0], rep
+
+
+def test_html_markdown_zero_exchange_pruned_scan(spark, tmp_path):
+    """HTML->Markdown is one map-only pass: no Exchange, and column
+    pruning reaches the parquet scan (url+html only)."""
+    from delphi_pdf_parser_spark.operators.htmlmarkdown import (
+        html_to_markdown,
+    )
+
+    path = str(tmp_path / "pages_md")
+    spark.createDataFrame(
+        [("u", bytearray(b"<h1>x</h1>"), "extra")],
+        "url string, html binary, other string",
+    ).write.parquet(path)
+    df = html_to_markdown(spark.read.parquet(path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rep = plan_report(df)
+    assert rep["read_schema"], rep
+    assert "other" not in rep["read_schema"][0], rep

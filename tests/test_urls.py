@@ -143,3 +143,31 @@ def test_surt_key_shapes(spark):
     )
     assert got["http://example.com"] == "com,example)/"
     assert got["https://a.b.c.example.org/X"] == "org,example,c,b,a)/x"
+
+
+def test_host_quality_stats_domain_verdicts(spark):
+    """FineWeb-style domain curation: a spam domain with individually
+    plausible pages fails on the domain AVERAGE; singleton domains fail
+    min_docs; healthy domains keep."""
+    from delphi_pdf_parser_spark.operators.urls import host_quality_stats
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while autumn leaves drift quietly toward the old mill"
+    )
+    junk = "$$$ !!! 000 111 $$$ !!! 000 111"
+    rows = (
+        [(f"https://www.good.example/p/{i}", good) for i in range(5)]
+        + [(f"https://spam.farm.example/p/{i}", junk) for i in range(5)]
+        + [("https://solo.example/only", good)]
+    )
+    docs = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r.registered_domain: (r.n_docs, r.keep)
+        for r in host_quality_stats(
+            docs, min_docs=2, min_avg_quality=0.5
+        ).collect()
+    }
+    assert got["good.example"] == (5, True)
+    assert got["farm.example"] == (5, False)  # junk avg quality
+    assert got["solo.example"] == (1, False)  # thin domain
