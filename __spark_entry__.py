@@ -2090,10 +2090,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT doc_id,
-                       len(regexp_extract_all(t, '\\p{Latin}')) AS lat,
-                       len(regexp_extract_all(t, '\\p{Cyrillic}')) AS cyr,
-                       len(regexp_extract_all(t, '\\p{Han}')) AS han,
-                       len(regexp_extract_all(t, '\\p{Arabic}')) AS ara
+                       len(regexp_extract_all(t, '\p{Latin}')) AS lat,
+                       len(regexp_extract_all(t, '\p{Cyrillic}')) AS cyr,
+                       len(regexp_extract_all(t, '\p{Han}')) AS han,
+                       len(regexp_extract_all(t, '\p{Arabic}')) AS ara
                 FROM m
             ),
             s AS (
@@ -2145,7 +2145,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_filter(
-                           str_split_regex(trim(lower(text)), '\\s+'),
+                           str_split_regex(trim(lower(text)), '\s+'),
                            t -> t <> '')) AS tok
                 FROM documents
             ),
@@ -2522,7 +2522,7 @@ def oracle_sql() -> dict[str, str]:
             toks AS (
                 SELECT doc_id,
                        unnest(list_filter(
-                           str_split_regex(trim(lower(text)), '\\s+'),
+                           str_split_regex(trim(lower(text)), '\s+'),
                            t -> t <> '')) AS tok
                 FROM documents
             ),
@@ -2535,7 +2535,7 @@ def oracle_sql() -> dict[str, str]:
             qterms AS (
                 SELECT query_id,
                        unnest(list_distinct(list_filter(
-                           str_split_regex(trim(lower(text)), '\\s+'),
+                           str_split_regex(trim(lower(text)), '\s+'),
                            t -> t <> ''))) AS tok
                 FROM q
             ),
@@ -2575,7 +2575,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT doc_id,
                        list_filter(
-                           str_split_regex(trim(text), '\\s+'),
+                           str_split_regex(trim(text), '\s+'),
                            t -> t <> '') AS toks
                 FROM documents
             ), sized AS (
@@ -2634,9 +2634,9 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_stats": r"""
             WITH base AS (
                 SELECT doc_id,
-                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                       str_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents
-                WHERE len(str_split_regex(trim(lower(text)), '\\s+')) >= 5
+                WHERE len(str_split_regex(trim(lower(text)), '\s+')) >= 5
             ),
             occ AS (
                 SELECT doc_id,
@@ -2668,7 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_rewrite": r"""
             WITH base AS (
                 SELECT doc_id,
-                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                       str_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents
             ),
             occ AS (
@@ -2720,7 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": r"""
             WITH base AS (
                 SELECT doc_id,
-                       str_split_regex(trim(lower(text)), '\\s+') AS t
+                       str_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents
             ),
             units AS (
@@ -2815,7 +2815,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, lines,
                        list_filter(lines, x ->
                            regexp_matches(x, '[.!?"]$')
-                           AND len(str_split_regex(x, '\\s+')) >= 3
+                           AND len(str_split_regex(x, '\s+')) >= 3
                            AND NOT contains(lower(x), 'javascript')
                        ) AS kept
                 FROM base
@@ -2854,7 +2854,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        len(list_filter(
                            str_split_regex(
-                               trim(lower(coalesce(text, ''))), '\\s+'),
+                               trim(lower(coalesce(text, ''))), '\s+'),
                            x -> x <> '')) + 1 AS n
                 FROM documents
             ),
@@ -2925,7 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": r"""
             WITH d AS (
                 SELECT doc_id,
-                       str_split_regex(trim(text), '\\s+') AS t
+                       str_split_regex(trim(text), '\s+') AS t
                 FROM documents
             ),
             toks AS (
@@ -2978,7 +2978,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE t AS (
                 SELECT doc_id, source,
                        list_distinct(regexp_split_to_array(
-                           trim(lower(text)), '\\s+')) AS tokset
+                           trim(lower(text)), '\s+')) AS tokset
                 FROM documents
             ), pairs AS (
                 SELECT a.doc_id AS a, b.doc_id AS b
@@ -3003,12 +3003,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        round(
                          least(len(regexp_split_to_array(
-                             trim(coalesce(text, '')), '\\s+')) / 100.0,
+                             trim(coalesce(text, '')), '\s+')) / 100.0,
                              1.0) * 0.3
                          + (len(list_distinct(regexp_split_to_array(
-                               trim(coalesce(text, '')), '\\s+')))::DOUBLE
+                               trim(coalesce(text, '')), '\s+')))::DOUBLE
                             / len(regexp_split_to_array(
-                               trim(coalesce(text, '')), '\\s+'))) * 0.3
+                               trim(coalesce(text, '')), '\s+'))) * 0.3
                          + (CASE WHEN length(coalesce(text, '')) > 0
                             THEN length(regexp_replace(
                                coalesce(text, ''), '[^a-zA-Z]', '',
@@ -3172,7 +3172,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
                 SELECT doc_id,
                        list_distinct(str_split_regex(
-                           trim(lower(text)), '\\s+')) AS t
+                           trim(lower(text)), '\s+')) AS t
                 FROM documents
             ),
             pairs AS (
@@ -3378,7 +3378,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(str_split_regex(trim(text), '\\s+')) AS tok
+                       unnest(str_split_regex(trim(text), '\s+')) AS tok
                 FROM documents
             ), toks2 AS (
                 SELECT doc_id, tok FROM toks WHERE tok <> ''
@@ -3630,22 +3630,22 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT doc_id,
                        len(regexp_extract_all(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
                        )) AS n_emails,
                        len(regexp_extract_all(text,
-                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'
                        )) AS n_ipv4,
                        len(regexp_extract_all(text,
-                           '\\+[0-9][0-9 ()\\-]{5,}[0-9]'
+                           '\+[0-9][0-9 ()\-]{5,}[0-9]'
                        )) AS n_phones,
                        regexp_replace(
                            regexp_replace(
                                regexp_replace(text,
-                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                                    '<EMAIL>', 'g'),
-                               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
                                '<IP>', 'g'),
-                           '\\+[0-9][0-9 ()\\-]{5,}[0-9]',
+                           '\+[0-9][0-9 ()\-]{5,}[0-9]',
                            '<PHONE>', 'g') AS masked_text
                 FROM documents
             )
@@ -3686,7 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_tokens": r"""
             WITH toks AS (
                 SELECT source AS grp,
-                       unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
+                       unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
                 FROM documents
             ), hs AS (
                 SELECT DISTINCT grp, md5(tok) AS h
@@ -3714,7 +3714,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+                       str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
                 FROM documents
             ), grams AS (
                 SELECT doc_id,
@@ -3757,10 +3757,10 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(nfc_normalize(text),
-                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
                         '\s+', ' ', 'g')) AS norm_text,
                    length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
-                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
                         '\s+', ' ', 'g'))) AS n_chars
             FROM documents ORDER BY doc_id
         """,
@@ -3860,9 +3860,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars
             FROM documents ORDER BY doc_id
         """,
