@@ -256,3 +256,23 @@ def test_html_markdown_zero_exchange_pruned_scan(spark, tmp_path):
     rep = plan_report(df)
     assert rep["read_schema"], rep
     assert "other" not in rep["read_schema"][0], rep
+
+
+def test_host_quality_single_exchange_jvm_only(spark):
+    """Domain curation is ONE hash-agg shuffle, all JVM expressions —
+    no Python in the plan, no self-join for the quality score."""
+    from delphi_pdf_parser_spark.operators.urls import host_quality_stats
+
+    docs = spark.createDataFrame(
+        [("https://www.a.example/1", "some text here")],
+        "url string, text string",
+    )
+    plan = (
+        host_quality_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert "Join" not in plan, plan

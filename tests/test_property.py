@@ -262,3 +262,40 @@ def test_page_meta_and_jsonld_never_raise(raw):
     assert len(r) == 8 and isinstance(r[7], bool)
     for _, blob_id, body in _page_jsonld("u", raw):
         assert isinstance(blob_id, int) and body.strip()
+
+
+@given(_HTMLISH)
+@settings(max_examples=150, deadline=None)
+def test_render_markdown_never_raises(raw):
+    from delphi_pdf_parser_spark.operators.htmlmarkdown import (
+        _render_markdown,
+    )
+
+    url, md, n_blocks, n_links = _render_markdown(
+        "https://fuzz.example/a/b?q=1", raw
+    )
+    assert isinstance(md, str)
+    assert n_blocks >= 0 and n_links >= 0
+    # blocks contract: no leading/trailing blank lines, single-blank
+    # separation
+    assert "\n\n\n" not in md
+    assert md == md.strip("\n")
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_render_markdown_arbitrary_bytes(raw):
+    from delphi_pdf_parser_spark.operators.htmlmarkdown import (
+        _render_markdown,
+    )
+
+    _render_markdown("u", raw)
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_strip_inert_bytes_never_raises_and_idempotent(raw):
+    from delphi_pdf_parser_spark.htmlcore import strip_inert_bytes
+
+    once = strip_inert_bytes(raw)
+    assert strip_inert_bytes(once) == once
