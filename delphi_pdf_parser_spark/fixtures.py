@@ -1574,7 +1574,9 @@ def _objkey(key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return hashlib.md5(msg).digest()[:n]
 
 
-def _encrypted_doc(method: str, user_pw: bytes = b""):
+def _encrypted_doc(
+    method: str, user_pw: bytes = b"", owner_pw: bytes = b""
+):
     doc_id = bytes(range(16))
     p = 0xFFFFFFFC
     if method == "rc4":
@@ -1586,7 +1588,9 @@ def _encrypted_doc(method: str, user_pw: bytes = b""):
             " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
             "/StmF /StdCF /StrF /StdCF"
         )
-    o, u, key = _std_OU(r, nbytes, p, doc_id, user_pw=user_pw)
+    o, u, key = _std_OU(
+        r, nbytes, p, doc_id, user_pw=user_pw, owner_pw=owner_pw
+    )
     label = "Encrypted RC4" if method == "rc4" else "Encrypted AES"
     content = _bt(f"72 720 Td ({label}) Tj")
     num = 4  # content stream object number in simple_doc

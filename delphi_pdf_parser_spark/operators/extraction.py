@@ -76,9 +76,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf_batch in batches:
         rows = []
-        for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
+        pws = (
+            pdf_batch["password"]
+            if "password" in pdf_batch.columns
+            else [None] * len(pdf_batch)
+        )
+        for url, html, pw in zip(pdf_batch["url"], pdf_batch["html"], pws):
             data = bytes(html) if html is not None else b""
-            res = extract_text(data)
+            res = extract_text(data, password=pw or b"")
             meta = res.metadata or {}
             rows.append(
                 (
@@ -170,9 +175,11 @@ def size_bucket(col):
     return expr.cast("int")
 
 
-def prefilter_pdfs(documents: DataFrame) -> DataFrame:
+def prefilter_pdfs(
+    documents: DataFrame, extra_cols: tuple | list = ()
+) -> DataFrame:
     """JVM-side magic-byte filter + projection (pushdown-friendly)."""
-    return documents.select("url", "html").filter(
+    return documents.select("url", "html", *extra_cols).filter(
         F.col("html").isNotNull()
         & (F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-"))
     )
@@ -229,6 +236,7 @@ def extract_documents(
     salt_partitions: int | None = None,
     prefilter: bool = True,
     salt: bool = True,
+    password_col: str | None = None,
 ) -> DataFrame:
     """documents(url, html, ...) -> extracted table (EXTRACTED_SCHEMA).
 
@@ -237,8 +245,26 @@ def extract_documents(
     is the sweet spot for uniform corpora; the size-bucketed salt key
     keeps the giant-PDF tail spread across those tasks (and the task-size
     histogram lands in the metrics table to verify it).
+
+    ``password_col`` names an optional per-document password column
+    (string; null/empty = unencrypted or empty-user-password docs) —
+    the batch-engine equivalent of the reference GUI's password prompt
+    (src/digPdfViewer.pas): join your url->password side table onto the
+    corpus first, then point this at the column. Wrong/missing
+    passwords degrade to status='failed', error='needs_password' rows
+    in the metrics table, never a job failure.
     """
-    df = prefilter_pdfs(documents) if prefilter else documents.select("url", "html")
+    cols = ["url", "html"]
+    if password_col is not None:
+        documents = documents.withColumn(
+            "password", F.col(password_col).cast("string")
+        )
+        cols.append("password")
+    df = (
+        prefilter_pdfs(documents, extra_cols=cols[2:])
+        if prefilter
+        else documents.select(*cols)
+    )
     if salt:
         df = salt_by_size(df, salt_partitions)
     return df.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)

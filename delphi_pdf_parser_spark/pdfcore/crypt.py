@@ -2,9 +2,15 @@
 
 Implements the PDF standard security handler as the reference does
 (src/vcl/pdf_crypt.pas): revisions 2-4 (RC4-40..128 and AESV2) plus the
-R5/R6 SHA-256 path for AESV3, empty-user-password auto-authentication
-only. Documents that actually need a password surface as
-``needs_password`` failures in the metrics table.
+R5/R6 SHA-256 path for AESV3. Authentication follows MuPDF's
+pdf_authenticate_password order — a supplied password is tried as the
+USER password then as the OWNER password (Algorithm 7: /O decrypts to
+the user password for R2-4; /OE unwraps the file key for R5/6), and the
+empty user password auto-authenticates when no password is given (the
+reference GUI prompts interactively, src/digPdfViewer.pas; a batch
+engine takes the password as data instead). Documents that cannot be
+authenticated surface as ``needs_password`` failures in the metrics
+table.
 
 RC4 and AES-CBC-decrypt are implemented in pure Python (the reference
 ships its own: src/vcl/ohhcrypt_arc4.pas, ohhcrypt_aes.pas); no external
@@ -218,7 +224,7 @@ class StdSecurityHandler:
     """pdf_new_crypt / pdf_compute_encryption_key equivalents
     (src/vcl/pdf_crypt.pas:25-253, :351-423)."""
 
-    def __init__(self, encrypt: dict, doc_id: bytes):
+    def __init__(self, encrypt: dict, doc_id: bytes, password: bytes = b""):
         if to_name(encrypt.get("Filter")) != "Standard":
             raise CryptError("unknown security handler")
         self.v = to_int(encrypt.get("V", 0))
@@ -245,7 +251,7 @@ class StdSecurityHandler:
             if ln:
                 self.length = ln * 8 if ln <= 40 else ln
         self.key = b""
-        self._auth_empty()
+        self._auth(password)
 
     @staticmethod
     def _cf_method(cf: dict, name: str) -> str:
@@ -358,7 +364,63 @@ class StdSecurityHandler:
             if i >= 64 and e[-1] <= i - 32:
                 return k[:32]
 
-    def _auth_empty(self):
+    def _auth_owner(self, password: bytes) -> bool:
+        """Algorithm 7 (PDF 32000 7.6.3.4): the owner password recovers
+        the USER password by decrypting /O, then authenticates as user.
+        R5/R6: hash against /O with the owner validation salt + /U as
+        extra data, file key from /OE (7.6.4.4.10)."""
+        if self.r in (5, 6):
+            if len(self.o) < 48 or len(self.u) < 48:
+                return False
+            vsalt = self.o[32:40]
+            ksalt = self.o[40:48]
+            udata = self.u[:48]
+            if self.r == 5:
+                h = hashlib.sha256(password + vsalt + udata).digest()
+            else:
+                h = self._hash_r6(password, vsalt, udata)
+            if h != self.o[:32]:
+                return False
+            if self.r == 5:
+                ik = hashlib.sha256(password + ksalt + udata).digest()
+            else:
+                ik = self._hash_r6(password, ksalt, udata)
+            aes = AES(ik)
+            prev = b"\x00" * 16
+            out = bytearray()
+            for i in range(0, 32, 16):
+                blk = self.oe[i : i + 16]
+                dec = aes.decrypt_block(blk)
+                out += bytes(a ^ b for a, b in zip(dec, prev))
+                prev = blk
+            self.key = bytes(out)
+            return True
+        # R2-R4: RC4 key from MD5(ownerpw padded) (+50x for R>=3),
+        # /O decrypts to the user password (19 reversed XOR passes R>=3)
+        n = max(5, min(self.length // 8, 16))
+        h = hashlib.md5((password + PAD)[:32]).digest()
+        if self.r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        rc4key = h[:n]
+        o = self.o[:32]
+        if self.r == 2:
+            userpw = rc4(rc4key, o)
+        else:
+            userpw = o
+            for i in range(19, -1, -1):
+                k2 = bytes(b ^ i for b in rc4key)
+                userpw = rc4(k2, userpw)
+        return self._auth_user(userpw)
+
+    def authenticate(self, password: bytes) -> bool:
+        """MuPDF pdf_authenticate_password order: try the password as
+        the user password, then as the owner password."""
+        return self._auth_user(password) or self._auth_owner(password)
+
+    def _auth(self, password: bytes):
+        if password and self.authenticate(password):
+            return
         if not self._auth_user(b""):
             raise NeedsPassword()
 

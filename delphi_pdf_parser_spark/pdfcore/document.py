@@ -47,7 +47,10 @@ class PdfError(Exception):
 
 
 class PdfDocument:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes | str = b""):
+        if isinstance(password, str):
+            password = password.encode("utf-8")
+        self.password = password
         self.data = data
         self.version = -1
         self.startxref = 0
@@ -89,7 +92,9 @@ class PdfDocument:
             if isinstance(idarr, list) and idarr and isinstance(idarr[0], bytes):
                 doc_id = idarr[0]
             try:
-                self.crypt = StdSecurityHandler(encrypt, doc_id)
+                self.crypt = StdSecurityHandler(
+                    encrypt, doc_id, self.password
+                )
             except NeedsPassword:
                 raise PdfError("needs_password")
 

@@ -130,7 +130,11 @@ def count_pages_only(data: bytes) -> int:
 
 
 def extract_text_pages(
-    data: bytes, page_lo: int, page_hi: int, want_metadata: bool = False
+    data: bytes,
+    page_lo: int,
+    page_hi: int,
+    want_metadata: bool = False,
+    password: bytes | str = b"",
 ) -> ExtractResult:
     """Extract a half-open page range [page_lo, page_hi).
 
@@ -139,11 +143,15 @@ def extract_text_pages(
     the concatenation of per-page serializations (showtext loop,
     src/digPdfViewer.pas:632-666) — so ranges reassemble exactly.
     """
-    return _extract(data, want_metadata, page_lo, page_hi)
+    return _extract(data, want_metadata, page_lo, page_hi, password)
 
 
-def extract_text(data: bytes, want_metadata: bool = True) -> ExtractResult:
-    return _extract(data, want_metadata, 0, None)
+def extract_text(
+    data: bytes,
+    want_metadata: bool = True,
+    password: bytes | str = b"",
+) -> ExtractResult:
+    return _extract(data, want_metadata, 0, None, password)
 
 
 def stat_document(data: bytes) -> ExtractResult:
@@ -154,12 +162,16 @@ def stat_document(data: bytes) -> ExtractResult:
 
 
 def _extract(
-    data: bytes, want_metadata: bool, page_lo: int, page_hi: int | None
+    data: bytes,
+    want_metadata: bool,
+    page_lo: int,
+    page_hi: int | None,
+    password: bytes | str = b"",
 ) -> ExtractResult:
     res = ExtractResult()
     t0 = time.perf_counter()
     try:
-        doc = PdfDocument(data)
+        doc = PdfDocument(data, password)
     except PdfError as e:
         res.status = "failed"
         res.error = e.code

@@ -596,3 +596,45 @@ def test_embedded_font_cross_document_memo():
     assert extract_text(pdf).text == "AB CD\r\n"
     assert len(fonts_mod._FONT_MEMO) == n1
     assert {id(v[0]) for v in fonts_mod._FONT_MEMO.values()} == objs
+
+
+# ------------------------------ password authentication (r7) ---------
+
+def test_password_user_and_owner_auth():
+    """MuPDF pdf_authenticate_password order: the supplied password
+    authenticates as USER first, then as OWNER (Algorithm 7: /O
+    decrypts to the user password for R2-4)."""
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    data, golden, _ = _encrypted_doc(
+        "rc4", user_pw=b"secret", owner_pw=b"admin"
+    )
+    assert extract_text(data).error == "needs_password"
+    assert extract_text(data, password="wrong").error == "needs_password"
+    for pw in ("secret", "admin"):
+        r = extract_text(data, password=pw)
+        assert r.status == "ok" and r.text == golden, pw
+
+
+def test_password_aesv2_owner_auth():
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    data, golden, _ = _encrypted_doc("aes", user_pw=b"u", owner_pw=b"own")
+    assert extract_text(data, password="own").text == golden
+    assert extract_text(data, password="u").text == golden
+
+
+def test_password_empty_user_still_auto_authenticates():
+    """Docs encrypted with the EMPTY user password keep opening with no
+    password argument (the pre-r7 behavior, unchanged)."""
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    data, golden, _ = _encrypted_doc("rc4")
+    assert extract_text(data).text == golden
+    # and a wrong explicit password on an empty-user-pw doc still opens
+    # via the empty fallback (matching viewers, which try empty first
+    # or last — the document is readable either way)
+    assert extract_text(data, password="whatever").text == golden

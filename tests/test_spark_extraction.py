@@ -96,3 +96,40 @@ def test_auto_partitions_scales_with_data(spark):
     # stats probe doesn't throw
     df = spark.createDataFrame([("u", b"%PDF-x")], "url string, html binary")
     assert salt_by_size(df).rdd.getNumPartitions() >= 1
+
+
+def test_extract_documents_password_column(spark):
+    """Per-document passwords ride an optional column (the production
+    shape: url->password side table joined onto the corpus). Right
+    password extracts; wrong/missing degrade to needs_password rows."""
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents,
+    )
+
+    enc, golden, _ = _encrypted_doc("rc4", user_pw=b"secret")
+    plain_golden = golden  # same label content
+
+    rows = [
+        ("pdf://enc/right", bytearray(enc), "secret"),
+        ("pdf://enc/wrong", bytearray(enc), "nope"),
+        ("pdf://enc/none", bytearray(enc), None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, html binary, pw string"
+    )
+    got = {
+        r.url: (r.status, r.err, r.text)
+        for r in extract_documents(
+            docs, salt=False, password_col="pw"
+        ).collect()
+    }
+    assert got["pdf://enc/right"] == ("ok", "", plain_golden)
+    assert got["pdf://enc/wrong"][0] == "failed"
+    assert got["pdf://enc/wrong"][1] == "needs_password"
+    assert got["pdf://enc/none"][1] == "needs_password"
+    # no password column: existing call shape untouched
+    got2 = extract_documents(
+        docs.select("url", "html"), salt=False
+    ).collect()
+    assert all(r.err == "needs_password" for r in got2)
