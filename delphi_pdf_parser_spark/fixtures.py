@@ -1612,6 +1612,92 @@ def _encrypted_doc(
     return data, label + CRLF, 1
 
 
+def _r6_hash(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """PDF 2.0 Algorithm 2.B (the R6 iterated hash) for AUTHORING
+    fixtures — same spec math the parser implements in crypt._hash_r6,
+    written out here so the fixture encodes from the spec text."""
+    from .pdfcore.crypt import AES
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        aes = AES(k[:16])
+        prev = k[16:32]
+        e = bytearray()
+        for j in range(0, len(k1), 16):
+            blk = bytes(a ^ b for a, b in zip(k1[j : j + 16], prev))
+            enc = aes.encrypt_block(blk)
+            e += enc
+            prev = enc
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(bytes(e)).digest()
+        elif mod == 1:
+            k = hashlib.sha384(bytes(e)).digest()
+        else:
+            k = hashlib.sha512(bytes(e)).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC with NO padding and NO IV prefix (Algorithms 8/9 wrap the
+    32-byte file key exactly)."""
+    from .pdfcore.crypt import AES
+
+    aes = AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        enc = aes.encrypt_block(blk)
+        out += enc
+        prev = enc
+    return bytes(out)
+
+
+def _encrypted_doc_r6(user_pw: bytes = b"", owner_pw: bytes = b""):
+    """AES-256 / R6 (PDF 2.0 7.6.4): U/UE from Algorithm 8, O/OE from
+    Algorithm 9, content encrypted with the 32-byte file key directly
+    (R>=5 uses no per-object key derivation)."""
+    owner_pw = owner_pw or user_pw
+    fk = bytes(range(32, 64))  # deterministic 256-bit file key
+    uvs, uks = bytes(range(8)), bytes(range(8, 16))
+    ovs, oks = bytes(range(16, 24)), bytes(range(24, 32))
+    u = _r6_hash(user_pw, uvs, b"") + uvs + uks
+    ue = _aes_cbc_raw(_r6_hash(user_pw, uks, b""), b"\x00" * 16, fk)
+    o = _r6_hash(owner_pw, ovs, u[:48]) + ovs + oks
+    oe = _aes_cbc_raw(
+        _r6_hash(owner_pw, oks, u[:48]), b"\x00" * 16, fk
+    )
+    label = "Encrypted AES256"
+    content = _bt(f"72 720 Td ({label}) Tj")
+    iv = bytes(range(16))
+    enc_content = aes_cbc_encrypt(fk, iv, content)
+    b, cat = simple_doc(content, encoded=enc_content)
+    b.set(4, f"<< /Length {len(enc_content)} >>", enc_content)
+    enc_num = b.add(
+        "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4 "
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        "/StmF /StdCF /StrF /StdCF "
+        f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+        f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> >>"
+    )
+    data = b.build_classic(
+        cat, encrypt_clause=f"/Encrypt {enc_num} 0 R",
+        doc_id=bytes(range(16)),
+    )
+    return data, label + CRLF, 1
+
+
+def _case_aesv3_empty_password():
+    """R6/AES-256 with the empty user password: must auto-open through
+    the SHA-2 family auth + /UE key unwrap (crypt._auth_user_r56)."""
+    return _encrypted_doc_r6()
+
+
 def _case_rc4_empty_password():
     return _encrypted_doc("rc4")
 
@@ -2045,6 +2131,7 @@ CASES = {
     "image_xobjects": _case_image_xobjects,
     "rc4_empty_password": _case_rc4_empty_password,
     "aesv2_empty_password": _case_aesv2_empty_password,
+    "aesv3_empty_password": _case_aesv3_empty_password,
     "encrypted_password": _case_encrypted_password,
     "info_utf16": _case_info_utf16,
     "info_pdfdoc": _case_info_pdfdoc,

@@ -638,3 +638,17 @@ def test_password_empty_user_still_auto_authenticates():
     # via the empty fallback (matching viewers, which try empty first
     # or last — the document is readable either way)
     assert extract_text(data, password="whatever").text == golden
+
+
+def test_password_r6_aes256_user_owner_and_empty():
+    """R6/AES-256 (PDF 2.0): Algorithm 2.B hash + /UE//OE key unwrap,
+    both password roles, plus empty-user auto-auth (the golden-gate
+    fixture aesv3_empty_password covers the extraction side)."""
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc_r6
+    from delphi_pdf_parser_spark.pdfcore import extract_text
+
+    data, golden, _ = _encrypted_doc_r6(user_pw=b"u6", owner_pw=b"o6")
+    assert extract_text(data).error == "needs_password"
+    assert extract_text(data, password="u6").text == golden
+    assert extract_text(data, password="o6").text == golden
+    assert extract_text(data, password="zz").error == "needs_password"
