@@ -49,6 +49,15 @@ def main(argv=None):
         "main-content table here (the full Common-Crawl main-content job)",
     )
     ap.add_argument(
+        "--password-col",
+        default="",
+        help="name of a per-document password column on the input table "
+        "(join your url->password side table first); wrong/missing "
+        "passwords land as needs_password metric rows. Not supported "
+        "with --whale-bytes (the chunked whale path opens documents "
+        "without passwords).",
+    )
+    ap.add_argument(
         "--presalted",
         action="store_true",
         help="input table is already bucketed/clustered by url hash at "
@@ -88,6 +97,8 @@ def main(argv=None):
             pass  # no metrics yet: fresh run
 
     if args.whale_bytes > 0:
+        if args.password_col:
+            ap.error("--password-col requires --whale-bytes 0")
         extracted = extract_documents_balanced(
             docs,
             whale_bytes=args.whale_bytes,
@@ -97,7 +108,10 @@ def main(argv=None):
         )
     else:
         extracted = extract_documents(
-            docs, salt_partitions=args.partitions, salt=not args.presalted
+            docs,
+            salt_partitions=args.partitions,
+            salt=not args.presalted,
+            password_col=args.password_col or None,
         )
     extracted = extracted.cache()
     extracted.write.mode("append").parquet(args.output)
