@@ -87,3 +87,43 @@ def test_extract_job_warc_and_html(spark, tmp_path):
     assert list(h) == ["https://cc.example/p.html"]
     assert "real page content" in h["https://cc.example/p.html"]["text"]
     assert "Privacy" not in h["https://cc.example/p.html"]["text"]
+
+
+def test_extract_job_catalog_table_and_password_col(spark, tmp_path):
+    """--table reads through the session catalog (the Iceberg-shaped
+    input path: spark.read.table) and --password-col decrypts
+    per-document; the same invocation exercises both."""
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc
+
+    from jobs.extract_job import main
+
+    enc, golden, _ = _encrypted_doc("rc4", user_pw=b"secret")
+    docs = spark.createDataFrame(
+        [
+            ("pdf://cat/right", bytearray(enc), "secret"),
+            ("pdf://cat/wrong", bytearray(enc), "nope"),
+        ],
+        "url string, html binary, pw string",
+    )
+    docs.write.mode("overwrite").saveAsTable("cat_docs_r7")
+    out_path = str(tmp_path / "out_cat")
+    metrics_path = str(tmp_path / "metrics_cat")
+    main(
+        [
+            "--table", "cat_docs_r7",
+            "--output", out_path,
+            "--metrics", metrics_path,
+            "--partitions", "2",
+            "--password-col", "pw",
+            "--whale-bytes", "0",
+        ]
+    )
+    got = {
+        r.url: (r.status, r.err, r.text)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got["pdf://cat/right"] == ("ok", "", golden)
+    assert got["pdf://cat/wrong"][:2] == ("failed", "needs_password")
+    # the failure is visible in the metrics table too
+    m = spark.read.parquet(metrics_path)
+    assert m.filter("status = 'failed'").count() == 1
