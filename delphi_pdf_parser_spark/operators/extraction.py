@@ -283,13 +283,13 @@ def _count_pages_udf():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
-    def page_count(html: pd.Series) -> pd.Series:
+    def page_count(html: pd.Series, pw: pd.Series) -> pd.Series:
         from delphi_pdf_parser_spark.pdfcore.extract import count_pages_only
 
         out = []
-        for data in html:
+        for data, p in zip(html, pw):
             try:
-                out.append(count_pages_only(bytes(data)))
+                out.append(count_pages_only(bytes(data), password=p or b""))
             except Exception:
                 out.append(0)
         return pd.Series(out)
@@ -313,17 +313,28 @@ def _chunk_extract_batches(pages_per_chunk: int):
         cols = [f.name for f in CHUNK_SCHEMA.fields]
         for b in batches:
             rows = []
-            for url, html, c, n_chunks in zip(
-                b["url"], b["html"], b["chunk_idx"], b["n_chunks"]
+            pws = (
+                b["password"]
+                if "password" in b.columns
+                else [None] * len(b)
+            )
+            for url, html, c, n_chunks, pw in zip(
+                b["url"], b["html"], b["chunk_idx"], b["n_chunks"], pws
             ):
                 data = bytes(html)
                 c = int(c)
                 lo = c * pages_per_chunk
                 hi = lo + pages_per_chunk
                 res = (
-                    extract_text_pages(data, lo, hi, want_metadata=(c == 0))
+                    extract_text_pages(
+                        data,
+                        lo,
+                        hi,
+                        want_metadata=(c == 0),
+                        password=pw or b"",
+                    )
                     if n_chunks > 1 or c > 0
-                    else extract_text(data)
+                    else extract_text(data, password=pw or b"")
                 )
                 meta = res.metadata or {}
                 rows.append(
@@ -409,6 +420,7 @@ def extract_documents_balanced(
     pages_per_chunk: int = 100,
     salt_partitions: int | None = None,
     salt: bool = True,
+    password_col: str | None = None,
 ) -> DataFrame:
     """Skew-proof extraction: giant documents are split into page-range
     chunks that parallelize across tasks, then reassembled (page texts
@@ -421,7 +433,14 @@ def extract_documents_balanced(
     one 5-second straggler — this is what bounds max-task/median-task at
     the 100 TB scale where the corpus has heavy page-count tails.
     """
-    base = prefilter_pdfs(documents)
+    if password_col is not None:
+        documents = documents.withColumn(
+            "password", F.col(password_col).cast("string")
+        )
+    base = prefilter_pdfs(
+        documents,
+        extra_cols=("password",) if password_col is not None else (),
+    )
     small = base.filter(F.length("html") < whale_bytes)
     big = base.filter(F.length("html") >= whale_bytes)
 
@@ -430,7 +449,11 @@ def extract_documents_balanced(
     # (whale chunks below still repartition — they must, to spread one
     # document's chunks across tasks)
     small_out = extract_documents(
-        small, salt_partitions=salt_partitions, prefilter=False, salt=salt
+        small,
+        salt_partitions=salt_partitions,
+        prefilter=False,
+        salt=salt,
+        password_col="password" if password_col is not None else None,
     )
 
     chunks = extract_whale_chunks(
@@ -455,8 +478,17 @@ def extract_whale_chunks(
     parts = (
         partitions or big.sparkSession.sparkContext.defaultParallelism
     )
+    has_pw = "password" in big.columns
+    pw_col = (
+        F.col("password") if has_pw else F.lit(None).cast("string")
+    )
+    keep = ["url", "html", "chunk_idx", "n_chunks"] + (
+        ["password"] if has_pw else []
+    )
     planned = (
-        big.withColumn("_npages", _count_pages_udf()(F.col("html")))
+        big.withColumn(
+            "_npages", _count_pages_udf()(F.col("html"), pw_col)
+        )
         .withColumn(
             "n_chunks",
             F.greatest(
@@ -467,7 +499,7 @@ def extract_whale_chunks(
             "chunk_idx",
             F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)),
         )
-        .select("url", "html", "chunk_idx", "n_chunks")
+        .select(*keep)
         # chunk-level repartition: a 2,000-page whale becomes 20 units of
         # work spread across the cluster (the whale bytes are duplicated
         # per chunk through this one exchange — whales are the tail, so

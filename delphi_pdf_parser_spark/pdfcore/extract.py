@@ -122,9 +122,9 @@ def _transform_annot(doc, annot: dict, form: dict):
     return _concat((w, 0.0, 0.0, h, 0.0, 0.0), (1.0, 0.0, 0.0, 1.0, x, y))
 
 
-def count_pages_only(data: bytes) -> int:
+def count_pages_only(data: bytes, password: bytes | str = b"") -> int:
     """Cheap page count (xref + page tree only) for chunk planning."""
-    doc = PdfDocument(data)
+    doc = PdfDocument(data, password)
     load_page_tree(doc)
     return count_pages(doc)
 

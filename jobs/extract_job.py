@@ -53,9 +53,8 @@ def main(argv=None):
         default="",
         help="name of a per-document password column on the input table "
         "(join your url->password side table first); wrong/missing "
-        "passwords land as needs_password metric rows. Not supported "
-        "with --whale-bytes (the chunked whale path opens documents "
-        "without passwords).",
+        "passwords land as needs_password metric rows — on both the "
+        "main and the whale-chunked path.",
     )
     ap.add_argument(
         "--presalted",
@@ -97,14 +96,13 @@ def main(argv=None):
             pass  # no metrics yet: fresh run
 
     if args.whale_bytes > 0:
-        if args.password_col:
-            ap.error("--password-col requires --whale-bytes 0")
         extracted = extract_documents_balanced(
             docs,
             whale_bytes=args.whale_bytes,
             pages_per_chunk=args.pages_per_chunk,
             salt_partitions=args.partitions,
             salt=not args.presalted,
+            password_col=args.password_col or None,
         )
     else:
         extracted = extract_documents(

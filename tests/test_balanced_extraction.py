@@ -139,3 +139,38 @@ def test_real_mib_whale_default_threshold(spark):
     }
     assert got == plain
     assert got["pdf://whale/0"][1] == 1300
+
+
+def test_balanced_extraction_password_column(spark):
+    """Per-document passwords ride the balanced path too: the page-count
+    planner, the chunk extractor, AND the small-doc path all decrypt."""
+    from delphi_pdf_parser_spark.fixtures import _encrypted_doc
+    from delphi_pdf_parser_spark.operators.extraction import (
+        extract_documents_balanced,
+    )
+
+    enc, golden, _ = _encrypted_doc("rc4", user_pw=b"secret")
+    rows = [
+        ("pdf://bal/right", bytearray(enc), "secret"),
+        ("pdf://bal/wrong", bytearray(enc), "zzz"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, html binary, pw string"
+    )
+    # whale_bytes=1 forces EVERY doc through the chunked whale path
+    got = {
+        r.url: (r.status, r.text)
+        for r in extract_documents_balanced(
+            docs, whale_bytes=1, password_col="pw", salt=False
+        ).collect()
+    }
+    assert got["pdf://bal/right"] == ("ok", golden)
+    assert got["pdf://bal/wrong"][0] == "failed"
+    # and through the small path (whale threshold above doc size)
+    got2 = {
+        r.url: r.status
+        for r in extract_documents_balanced(
+            docs, whale_bytes=1 << 30, password_col="pw", salt=False
+        ).collect()
+    }
+    assert got2 == {"pdf://bal/right": "ok", "pdf://bal/wrong": "failed"}
