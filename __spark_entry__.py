@@ -1569,7 +1569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_near_dups/ann_lsh_topk; r5 warc_ingest/html_main_content/
         # compression_ratio; r6 pdf_render/ann_ivf_topk/pdf_extract;
         # r7 (this round) zero rows-only slots -- all 50 go to clearing the
-        # oracle debt per VERDICT r6 #1. ------------------------------------
+        # oracle debt per VERDICT r6 #1.
+        # r8 PLAN: once CORRECTNESS_r07 lands the 42 first-time records,
+        # swap most of them back out for (a) the two NEW r7 oracled
+        # entries never driver-verified (html_markdown, host_quality),
+        # (b) a rotation of long-stable pillars, and (c) resume the
+        # 3-per-round rows-only rotation (next owed: warc_ingest,
+        # html_main_content, pdf_images per the r4-r6 history). --------------
         "broadcast_dim_join": relational.broadcast_dim_join,
         "nation_revenue": relational.nation_revenue,
         "sql_revenue_by_region": relational.sql_revenue_by_region,
