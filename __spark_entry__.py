@@ -480,9 +480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         skip — and three INERT decoys (an anchor inside an HTML
         comment, an <a href> string literal inside a <script> body, and
         one inside <style>) that must produce NO edges (VERDICT r6 #2).
-        3 followable edges per doc, all SQL-reconstructible."""
+        3 followable edges per doc, all SQL-reconstructible.
+
+        r8: the unused corpus count() this helper used to run (an
+        extra eager scan inside the timed region of every consumer)
+        is gone — no caller consumed it."""
         docs = _docs(spark, sf_dir)
-        nn = docs.count()
         hub = (F.col("doc_id") * 389 + 1) % 20
         a3 = (F.col("doc_id") * 233 + 7) % 3
         site = F.col("doc_id") % 50
@@ -504,7 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hub,
             a3,
         )
-        return docs.select(src.alias("url"), html.alias("html")), nn
+        return docs.select(src.alias("url"), html.alias("html"))
 
     def q_html_links(spark, sf_dir):
         """<a href> extraction + RFC 3986 resolution over deterministic
@@ -512,7 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle reconstructs every (src, dst, anchor, nofollow) row."""
         from delphi_pdf_parser_spark.operators.graphs import extract_links
 
-        wrapped, _ = _wrapped_link_docs(spark, sf_dir)
+        wrapped = _wrapped_link_docs(spark, sf_dir)
         return extract_links(wrapped).orderBy("src", "dst")
 
     def q_anchor_topk(spark, sf_dir):
@@ -525,7 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_links,
         )
 
-        wrapped, _ = _wrapped_link_docs(spark, sf_dir)
+        wrapped = _wrapped_link_docs(spark, sf_dir)
         return anchor_topk(extract_links(wrapped), k=2).orderBy(
             "dst", "rk"
         )

@@ -44,7 +44,12 @@ def benchmark_overlap(
 ) -> DataFrame:
     """-> (doc_id, n_contaminated_ngrams, contaminated) per corpus doc:
     how many DISTINCT benchmark n-grams the document contains, and the
-    contamination flag (any overlap). Both inputs need (doc_id, text)."""
+    contamination flag (any overlap). Both inputs need (doc_id, text).
+    Under-split corpora fan out first so the n-gram zip+explode map
+    side parallelizes (no-op otherwise — parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     bench_grams = _ngram_rows(benchmark, n).select("ngram").distinct()
     doc_grams = _ngram_rows(documents, n)
     matched = doc_grams.join(F.broadcast(bench_grams), "ngram")

@@ -161,11 +161,19 @@ def extract_links(
     """Out-links of every page: (src, dst, anchor, nofollow).
 
     One Arrow ``mapInPandas`` pass over (url, html) — column-pruned at
-    the scan, map-only, no shuffle. ``html`` may be binary or string.
+    the scan, map-only, no shuffle on properly-split inputs. ``html``
+    may be binary or string. Under-split inputs fan out to cluster
+    parallelism first (a one-row-group parquet file would serialize
+    every regex scan onto one core; measured 4.8 s -> ~1 s at sf1.0) —
+    no-op on tiny inputs and at production split counts, see
+    operators/parallelize.py.
     """
+    from .parallelize import ensure_min_parallelism
+
     df = documents.select(
         F.col(url_col).alias("url"), F.col(html_col).alias("html")
     ).filter(F.col(html_col).isNotNull())
+    df = ensure_min_parallelism(df, min_bytes=2 << 20)
     return df.mapInPandas(_links_batches, LINKS_SCHEMA)
 
 

@@ -38,7 +38,13 @@ def _global_offsets(
     """(doc_id, n, start): corpus-order global offsets of per-document
     sizes `n_expr` via the two-phase prefix sum (module docstring):
     bounded-bucket phase-1 window + O(n_buckets) phase-2 cumsum
-    broadcast back. Shared by pack_sequences and assign_shards."""
+    broadcast back. Shared by pack_sequences and assign_shards.
+    Under-split inputs fan out first so the size-expression map side
+    (tokenize for pack_sequences) parallelizes (no-op otherwise —
+    parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     toks = documents.select(
         "doc_id",
         n_expr.alias("n"),
@@ -186,10 +192,16 @@ def chunk_documents(
     nothing.
 
     Scale shape: one map-side split + explode (chunk rows never carry
-    the whole document, only their own slice) — no shuffle at all.
+    the whole document, only their own slice) — no shuffle at all on
+    properly-split inputs. Under-split inputs fan out first so the
+    split+slice+explode parallelizes (no-op on tiny inputs — the
+    zero-Exchange plan pin — and at production split counts).
     """
     if overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     step = chunk_tokens - overlap
     toks = F.split(
         F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"

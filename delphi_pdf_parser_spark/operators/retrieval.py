@@ -41,11 +41,39 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents per query by BM25. ``documents``: (doc_id,
     text); ``queries``: (query_id, text). Returns (query_id, doc_id,
-    score, rk), score rounded to 6 dp, ties broken by doc_id."""
-    toks = documents.select(
-        "doc_id", F.explode(_terms(F.col("text"), "t")).alias("tok")
+    score, rk), score rounded to 6 dp, ties broken by doc_id.
+
+    Under-split corpora fan out first so the tokenize+explode map side
+    parallelizes (no-op otherwise — parallelize.py).
+
+    r8 (guide §1.2 "remove unnecessary passes" / §2.4 "share one
+    exchange"): the corpus is tokenized ONCE into a (doc_id, tok)
+    term-frequency aggregate whose exchange all three consumers —
+    doclen (len_d = sum of tf, integer-exact vs the old per-token
+    count), the (N, avgdl) scalars, and the query-term tf slice —
+    share via ReusedExchange (identical subtree; the old shape put the
+    query semi-join BELOW the aggregate, so the scan+explode ran three
+    times). Score arithmetic is unchanged expression-for-expression."""
+    from .parallelize import ensure_min_parallelism
+
+    # the explicit isnotnull mirrors the null-filter the final doc_id
+    # equi-join implies anyway; applying it at the base keeps all three
+    # consumers' subtrees canonically IDENTICAL so the (doc_id, tok)
+    # exchange is computed once and reused, instead of one branch
+    # getting the pushed-down filter and losing the reuse
+    documents = ensure_min_parallelism(
+        documents.filter(F.col("doc_id").isNotNull()), min_bytes=2 << 20
     )
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("len_d"))
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf_all = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    doclen = tf_all.groupBy("doc_id").agg(
+        F.sum("tf").alias("len_d")
+    )
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("len_d").alias("avgdl")
     )
@@ -56,11 +84,12 @@ def bm25_topk(
         ).alias("tok"),
     )
     qtok = qterms.select("tok").distinct()
-    # broadcast-semi-join the tiny query vocabulary UNDER the term
-    # aggregates: tf/df are only ever computed for query terms, and the
+    # broadcast-semi-join the tiny query vocabulary against the tf
+    # table: downstream joins only ever see query-term rows, and the
     # corpus is never shuffled by token
-    toks_q = toks.join(F.broadcast(qtok), "tok")
-    tf = toks_q.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf_all.join(F.broadcast(qtok), "tok").select(
+        "doc_id", "tok", "tf"
+    )
     # df as a window over the (already query-term-only, tiny) tf table:
     # a separate groupBy+rejoin would recompute the corpus-scan subtree
     # twice — the window shares it
@@ -114,7 +143,11 @@ def build_inverted_index(
     DETERMINISTICALLY to the ``max_postings`` lowest doc_ids with the
     true ``df`` still reported next to ``n_stored`` (no silent cap).
     One explode + two hash aggregates + a per-token rank window.
+    Under-split corpora fan out first (no-op otherwise).
     """
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     toks = documents.select(
         "doc_id", F.explode(_terms(F.col("text"), "t")).alias("tok")
     )

@@ -49,7 +49,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """queries(query_id, embedding) x embeddings(vec_id, embedding) ->
     top-k by cosine. Rank on rounded cosine with vec_id tiebreak so the
-    result is engine-independent."""
+    result is engine-independent. Under-split corpora fan out first so
+    the Arrow cosine pass parallelizes (no-op otherwise —
+    parallelize.py); the per-row einsum arithmetic is unchanged, so
+    every cosine is bit-identical regardless of batch composition."""
+    from .parallelize import ensure_min_parallelism
+
+    embeddings = ensure_min_parallelism(embeddings, min_bytes=2 << 20)
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"),

@@ -155,7 +155,12 @@ def top_ngrams(
     contamination/boilerplate hunting): explode word n-grams, one
     hash-aggregate count (map-side partial), deterministic top-k by
     (count desc, ngram asc). Shape: explode -> count -> global top-k;
-    the only full shuffle is the count's exchange."""
+    the only full shuffle is the count's exchange. Under-split inputs
+    fan out first so the zip+explode map side parallelizes (no-op on
+    tiny inputs and at production split counts — parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # n shifted slices zipped together: plain (codegen-able) array
     # expressions — the equivalent F.transform(lambda ...) form runs
@@ -326,7 +331,13 @@ def unigram_logprob(
     exists to penalize, and a rank-top_v token's true lp is already
     within k of the unseen floor. At test/bench scale the vocab is
     below top_v, so the capped model equals the exact one and the
-    DuckDB oracle (which mirrors the cap) pins it bit-for-bit."""
+    DuckDB oracle (which mirrors the cap) pins it bit-for-bit.
+
+    Under-split inputs fan out first so the tokenize+explode map side
+    parallelizes (no-op otherwise — parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     toks = documents.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
@@ -388,7 +399,13 @@ def bigram_logprob(
     self-join on the token stream), counted in one hash-agg each for
     unigrams and bigrams, and scored via three broadcast joins on the
     exploded pair stream; one final groupBy(doc_id). Docs with < 2
-    tokens emit no row (no transitions to score)."""
+    tokens emit no row (no transitions to score).
+
+    Under-split inputs fan out first so the pair-zip/explode map side
+    parallelizes (no-op otherwise — parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     t = _tokens(F.col("text"))
     pre = F.slice(t, 1, F.size(t) - 1)
     nxt = F.slice(t, 2, F.size(t) - 1)
@@ -804,7 +821,13 @@ def token_idf_stats(documents: DataFrame) -> DataFrame:
     mean/max idf are rounded to 4 decimals like unigram_logprob so the
     DuckDB oracle pins values despite float summation order; hapax_frac
     is an exact rational (long/long division, bit-identical).
+
+    Under-split inputs fan out first so the distinct+explode map side
+    parallelizes (no-op otherwise — parallelize.py).
     """
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     d = documents.select(
         "doc_id",
         F.array_distinct(_tokens(F.lower(F.col("text")))).alias("t"),

@@ -114,7 +114,11 @@ def domain_stats(
     blocked). Scale shape (100 TB): host/eTLD+1 extraction is map-only
     string expressions; ONE hash-agg on the registered domain; the
     blocklist is an in-expression literal set (broadcast-join a table
-    instead when it outgrows a literal)."""
+    instead when it outgrows a literal). Under-split inputs fan out
+    first so the regexp map side parallelizes (no-op otherwise)."""
+    from .parallelize import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, min_bytes=2 << 20)
     reg = registered_domain(host_of(F.col(url_col)))
     blocked = (
         reg.isin(*blocklist) if blocklist else F.lit(False)
@@ -153,6 +157,9 @@ def host_quality_stats(
     """
     from delphi_pdf_parser_spark.operators.textstats import quality_exprs
 
+    from .parallelize import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     quality, _ = quality_exprs()
     reg = registered_domain(host_of(F.col(url_col)))
     agg = (
@@ -178,7 +185,12 @@ def host_quality_stats(
 
 def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Keep one row per canonical URL (min original url as the winner —
-    deterministic, engine-portable tiebreak)."""
+    deterministic, engine-portable tiebreak). Under-split inputs fan
+    out first so the regexp canonicalization map side parallelizes
+    (no-op otherwise — parallelize.py)."""
+    from .parallelize import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, min_bytes=2 << 20)
     with_canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
     return (
         with_canon.groupBy("canon_url")
