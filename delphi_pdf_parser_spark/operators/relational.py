@@ -423,11 +423,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed all the way down (VERDICT r3 #6) -- region|><|nation (tiny,
     broadcast-broadcast) yields the ASIA nation-key set FIRST, and both
     `supplier` AND `customer` are pre-filtered on it via broadcast joins
-    BEFORE any fact join, so only ~1/5 of each dimension side (and hence
-    of the c|><|o|><|l probe output) ever reaches the shuffle. Facts
-    (orders, lineitem) shuffle on their join keys; supplier/nation
-    broadcast. The c_nationkey = s_nationkey predicate rides the
-    lineitem-supplier join as a post-filter."""
+    BEFORE any fact join. r8 (guide §3.2 "reduce the big side before
+    shuffling it"): the broadcast ASIA-supplier join applies to
+    lineitem BEFORE its o_orderkey shuffle, not after — inner joins
+    commute, and the ~4/5 of lineitem rows from non-ASIA suppliers now
+    drop map-side instead of riding the exchange (6M -> ~1.2M shuffled
+    rows at sf1). Facts (orders, pre-pruned lineitem) shuffle on their
+    join keys. The c_nationkey = s_nationkey predicate stays a
+    post-join filter."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -445,10 +448,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.c_nationkey == F.col("c_nk"),
     ).drop("c_nk")
     s = s.join(F.broadcast(asia_n), s.s_nationkey == F.col("n_nationkey"))
+    l = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(
