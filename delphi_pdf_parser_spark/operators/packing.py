@@ -39,12 +39,13 @@ def _global_offsets(
     sizes `n_expr` via the two-phase prefix sum (module docstring):
     bounded-bucket phase-1 window + O(n_buckets) phase-2 cumsum
     broadcast back. Shared by pack_sequences and assign_shards.
-    Under-split inputs fan out first so the size-expression map side
-    (tokenize for pack_sequences) parallelizes (no-op otherwise —
-    parallelize.py)."""
-    from .parallelize import ensure_min_parallelism
 
-    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
+    Deliberately NOT fanned out on under-split inputs (r8): the map
+    side here is one split-and-count per document — measured 1.2 s
+    unguarded vs 2.0 s with the round-robin exchange at sf1.0; the
+    extra shuffle costs more than the serial tokenize it would
+    parallelize (the same reasoning parallelize.py documents for cheap
+    map work)."""
     toks = documents.select(
         "doc_id",
         n_expr.alias("n"),

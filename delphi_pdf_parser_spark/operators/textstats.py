@@ -333,11 +333,11 @@ def unigram_logprob(
     below top_v, so the capped model equals the exact one and the
     DuckDB oracle (which mirrors the cap) pins it bit-for-bit.
 
-    Under-split inputs fan out first so the tokenize+explode map side
-    parallelizes (no-op otherwise — parallelize.py)."""
-    from .parallelize import ensure_min_parallelism
-
-    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
+    Deliberately NOT fanned out on under-split inputs (r8): the map
+    side is a bare split+explode — A/B measured 1.55 s unguarded vs
+    1.7-2.1 s with the round-robin exchange at sf1.0 (contrast
+    top_ngrams/bigram_logprob, whose zip+slice map work is heavy
+    enough that the fan-out wins)."""
     toks = documents.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
