@@ -46,34 +46,28 @@ def bm25_topk(
     Under-split corpora fan out first so the tokenize+explode map side
     parallelizes (no-op otherwise — parallelize.py).
 
-    r8 (guide §1.2 "remove unnecessary passes" / §2.4 "share one
-    exchange"): the corpus is tokenized ONCE into a (doc_id, tok)
-    term-frequency aggregate whose exchange all three consumers —
-    doclen (len_d = sum of tf, integer-exact vs the old per-token
-    count), the (N, avgdl) scalars, and the query-term tf slice —
-    share via ReusedExchange (identical subtree; the old shape put the
-    query semi-join BELOW the aggregate, so the scan+explode ran three
-    times). Score arithmetic is unchanged expression-for-expression."""
+    r8 (guide §1.2 "remove unnecessary passes"): doclen and the
+    (N, avgdl) scalars no longer run explode + corpus-wide aggregates —
+    ``len_d`` is the SIZE of the token array (integer-exact equal to
+    the old per-token count; zero-token docs filtered exactly as the
+    old groupBy dropped them), so both are map-only passes with no
+    exchange at all. The only corpus-wide shuffle-feeding work left is
+    the query-term tf aggregate, whose input the broadcast semi-join
+    prunes BELOW the aggregate. Score arithmetic is unchanged
+    expression-for-expression. (A tf-table-sharing variant that
+    aggregated the full (doc_id, tok) matrix once and reused its
+    exchange was measured: better than the old shape at sf1.0 but a
+    ~0.8 s stage-latency regression at sf0.1 — this map-only form wins
+    at both scales.)"""
     from .parallelize import ensure_min_parallelism
 
-    # the explicit isnotnull mirrors the null-filter the final doc_id
-    # equi-join implies anyway; applying it at the base keeps all three
-    # consumers' subtrees canonically IDENTICAL so the (doc_id, tok)
-    # exchange is computed once and reused, instead of one branch
-    # getting the pushed-down filter and losing the reuse
-    documents = ensure_min_parallelism(
-        documents.filter(F.col("doc_id").isNotNull()), min_bytes=2 << 20
-    )
+    documents = ensure_min_parallelism(documents, min_bytes=2 << 20)
     toks = documents.select(
-        "doc_id",
-        F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
-    tf_all = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    doclen = tf_all.groupBy("doc_id").agg(
-        F.sum("tf").alias("len_d")
+        "doc_id", F.explode(_terms(F.col("text"), "t")).alias("tok")
     )
+    doclen = documents.select(
+        "doc_id", F.size(_terms(F.col("text"), "t")).alias("len_d")
+    ).filter(F.col("len_d") > 0)
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("len_d").alias("avgdl")
     )
@@ -84,12 +78,11 @@ def bm25_topk(
         ).alias("tok"),
     )
     qtok = qterms.select("tok").distinct()
-    # broadcast-semi-join the tiny query vocabulary against the tf
-    # table: downstream joins only ever see query-term rows, and the
+    # broadcast-semi-join the tiny query vocabulary UNDER the term
+    # aggregate: tf is only ever computed for query terms, and the
     # corpus is never shuffled by token
-    tf = tf_all.join(F.broadcast(qtok), "tok").select(
-        "doc_id", "tok", "tf"
-    )
+    toks_q = toks.join(F.broadcast(qtok), "tok")
+    tf = toks_q.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     # df as a window over the (already query-term-only, tiny) tf table:
     # a separate groupBy+rejoin would recompute the corpus-scan subtree
     # twice — the window shares it
