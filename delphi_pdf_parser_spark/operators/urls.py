@@ -187,11 +187,99 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Keep one row per canonical URL (min original url as the winner —
     deterministic, engine-portable tiebreak). Under-split inputs fan
     out first so the regexp canonicalization map side parallelizes
-    (no-op otherwise — parallelize.py)."""
+    (no-op otherwise — parallelize.py).
+
+    r8: the canonicalization is STAGED through layered projections
+    instead of the single inline ``canonicalize_url`` expression — the
+    inline form re-evaluates shared regexp subchains (the stripped-url,
+    authority and path-query extractions feed scheme, host, port, path
+    AND query), and Catalyst's subexpression elimination does not
+    recover them all (measured ~0.5 ms/row). Each intermediate is a
+    named column consumed more than once, which CollapseProject keeps
+    materialized, so every regexp runs once per row. Same expressions,
+    same composition — canonical urls are bit-identical
+    (``canonicalize_url`` remains the pinned one-expression spec;
+    tests/test_functions.py compares the two)."""
     from .parallelize import ensure_min_parallelism
 
     df = ensure_min_parallelism(df, min_bytes=2 << 20)
-    with_canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+    u = F.regexp_replace(F.trim(F.col(url_col)), "#.*$", "")
+    staged = (
+        df.withColumn("_u", u)
+        .withColumn(
+            "_scheme",
+            F.lower(
+                F.regexp_extract(
+                    F.col("_u"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
+                )
+            ),
+        )
+        .withColumn("_rest", _strip_scheme(F.col("_u")))
+        .withColumn(
+            "_rawauth", F.regexp_extract(F.col("_rest"), r"^([^/?#]*)", 1)
+        )
+        .withColumn("_hostport", _drop_userinfo(F.col("_rawauth")))
+        .withColumn(
+            "_pathq",
+            F.col("_rest").substr(
+                F.length(F.col("_rawauth")) + 1, F.lit(1 << 30)
+            ),
+        )
+        .withColumn(
+            "_host",
+            F.lower(F.regexp_replace(F.col("_hostport"), r":\d+$", "")),
+        )
+        .withColumn(
+            "_port", F.regexp_extract(F.col("_hostport"), r":(\d+)$", 1)
+        )
+        .withColumn(
+            "_path",
+            F.when(
+                F.regexp_extract(F.col("_pathq"), r"^([^?]*)", 1) == "",
+                F.lit("/"),
+            ).otherwise(
+                F.regexp_extract(F.col("_pathq"), r"^([^?]*)", 1)
+            ),
+        )
+        .withColumn(
+            "_query",
+            F.when(
+                F.col("_pathq").contains("?"),
+                F.regexp_replace(F.col("_pathq"), r"^[^?]*\?", ""),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "_qs",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(F.col("_query"), "&"),
+                        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+                    )
+                ),
+                "&",
+            ),
+        )
+    )
+    keep_port = (F.col("_port") != "") & ~(
+        ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
+        | ((F.col("_scheme") == "https") & (F.col("_port") == "443"))
+    )
+    with_canon = staged.withColumn(
+        "canon_url",
+        F.concat(
+            F.col("_scheme"),
+            F.lit("://"),
+            F.col("_host"),
+            F.when(
+                keep_port, F.concat(F.lit(":"), F.col("_port"))
+            ).otherwise(F.lit("")),
+            F.col("_path"),
+            F.when(
+                F.col("_qs") != "", F.concat(F.lit("?"), F.col("_qs"))
+            ).otherwise(F.lit("")),
+        ),
+    )
     return (
         with_canon.groupBy("canon_url")
         .agg(

@@ -171,3 +171,40 @@ def test_host_quality_stats_domain_verdicts(spark):
     assert got["good.example"] == (5, True)
     assert got["farm.example"] == (5, False)  # junk avg quality
     assert got["solo.example"] == (1, False)  # thin domain
+
+
+def test_url_dedup_staged_canon_matches_spec(spark):
+    """r8: url_dedup canonicalizes through staged projections (each
+    regexp once per row); its canon_url must equal the one-expression
+    canonicalize_url spec byte-for-byte, including hostile shapes."""
+    hostile = [
+        "HTTPS://user:pw@Example.COM:443/a/b?utm_source=x&b=2&a=1#f",
+        "http://h.example:8080",
+        "ftp://odd.example:21/x?z=1&gclid=9",
+        "http://h.example/??a=1",
+        "   https://T.example/UPPER?fbclid=1&&q=2   ",
+        "no-scheme.example/path?a=1",
+        "http://h.example/a?",
+    ]
+    urls = [u for u, _ in CASES] + hostile
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    spec = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    got = url_dedup(df).collect()
+    n = 0
+    for r in got:
+        n += r["n_variants"]
+        assert r["canon_url"] in set(spec.values()), r
+    assert n == len(urls)
+    # exact per-url mapping: group each url by its spec canon and
+    # compare group counts
+    from collections import Counter
+
+    want_counts = Counter(spec.values())
+    assert {r["canon_url"]: r["n_variants"] for r in got} == dict(
+        want_counts
+    )
